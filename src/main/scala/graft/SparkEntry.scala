@@ -1,13 +1,516 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.functions.ScalarFns
+
+/** Driver contract — one named query per implemented operator of
+  * SURVEY.md §2 (the key names are the §2 inventory keys), exercised on
+  * the TPC-H-ish testdata tables with a DuckDB-checkable oracle.
+  *
+  * Conventions shared by every query/oracle pair (see SURVEY.md §7.4):
+  *  - `events.ts` is nanosecond parquet → both sides truncate to µs
+  *    (Spark: Tables.events; DuckDB: `CAST(ts AS TIMESTAMP)`).
+  *  - every aggregate of doubles is `round(x, 6)` on both sides (the sum
+  *    order differs between engines by design — partial aggregation).
+  *  - orderings carry an explicit unique tiebreaker (`event_id`) so
+  *    limit/offset/window results are deterministic sets.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private case class Q(
+      key: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  /** Global order used for all positional/window ops on events. */
+  private val evOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
+  private val weekBucket: Column = date_trunc("week", col("ts"))
+  private def weekNext(b: Column): Column = b + expr("INTERVAL 7 DAYS")
+
+  // ---------------------------------------------------------------- §2.1
+  private val scans = Seq(
+    Q("scan_parquet",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              l_shipdate FROM lineitem""")),
+
+    Q("sink_parquet",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sink").toString
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+      },
+      Some("SELECT o_orderkey, o_totalprice, o_orderdate FROM orders")),
+
+    Q("sink_upsert_nothing",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        Relational.upsertNothing(
+            orders, orders.filter(col("o_orderkey") % 3 === 0),
+            Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderkey % 3 <> 0""")),
+
+    Q("scan_raw_snapshot",
+      (s, d) => {
+        // raw-zone roundtrip: persist text lines, re-read, summarize
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_raw").toString
+        Tables.documents(s, d).select(col("text")).write
+          .mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("value"))).as("total_chars"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+              FROM documents""")),
+  )
+
+  // ---------------------------------------------------------------- §2.2
+  private val filters = Seq(
+    Q("filter_eq_dim",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_returnflag = 'R' AND l_linestatus = 'F'""")),
+
+    Q("filter_or_pred",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" ||
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+              WHERE o_orderstatus = 'O' OR o_orderpriority = '1-URGENT'""")),
+
+    Q("filter_time_range",
+      (s, d) => {
+        val e = ev(s, d)
+        val anchor = e.agg(max(col("ts")).as("__max_ts"))
+        e.crossJoin(broadcast(anchor))
+          .filter(col("ts") >= col("__max_ts") - expr("INTERVAL 7 DAYS"))
+          .select(col("event_id"), col("ts"), col("event_type"))
+      },
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM events
+              WHERE CAST(ts AS TIMESTAMP) >=
+                (SELECT CAST(max(ts) AS TIMESTAMP) FROM events)
+                  - INTERVAL 7 DAY""")),
+
+    Q("filter_category",
+      (s, d) => Tables.documents(s, d)
+        .filter(lower(trim(col("lang"))) === "en")
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+              WHERE lower(trim(lang)) = 'en'""")),
+
+    Q("filter_dropna",
+      (s, d) => ev(s, d).na.drop(Seq("value"))
+        .select(col("event_id"), col("value")),
+      Some("SELECT event_id, value FROM events WHERE value IS NOT NULL")),
+
+    Q("project_columns",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
+    Q("project_skip_cols",
+      (s, d) => {
+        // numeric-column discovery minus a skip-set (src/api/main.py:494-519)
+        val skip = Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val li = Tables.lineitem(s, d)
+        val numeric = li.schema.fields.collect {
+          case f if f.dataType.typeName.matches("double|integer|long|float")
+            && !skip.contains(f.name) => f.name
+        }
+        li.select(numeric.sorted.map(col).toIndexedSeq: _*)
+      },
+      Some("SELECT l_discount, l_extendedprice, l_quantity, l_tax FROM lineitem")),
+  )
+
+  // ---------------------------------------------------------------- §2.3
+  private val joins = Seq(
+    Q("join_left_multikey",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+          .withColumnRenamed("c_custkey", "o_custkey")
+        val j1 = Relational.leftJoinConstDim(orders, cust, Seq("o_custkey"),
+          col("c_mktsegment") === "BUILDING", Map("c_acctbal" -> "bal_building"))
+        Relational.leftJoinConstDim(j1, cust, Seq("o_custkey"),
+            col("c_mktsegment") === "MACHINERY", Map("c_acctbal" -> "bal_machinery"))
+          .select(col("o_orderkey"), col("bal_building"), col("bal_machinery"))
+      },
+      Some("""SELECT o.o_orderkey, b.c_acctbal AS bal_building,
+                m.c_acctbal AS bal_machinery
+              FROM orders o
+              LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                         WHERE c_mktsegment = 'BUILDING') b
+                ON o.o_custkey = b.c_custkey
+              LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                         WHERE c_mktsegment = 'MACHINERY') m
+                ON o.o_custkey = m.c_custkey""")),
+
+    Q("join_left_single",
+      (s, d) => Relational.leftJoin(
+          Tables.orders(s, d),
+          Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+            .select(col("o_custkey"), col("c_name")),
+          Seq("o_custkey"))
+        .select(col("o_orderkey"), col("c_name")),
+      Some("""SELECT o.o_orderkey, c.c_name FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey""")),
+
+    Q("join_left_using",
+      (s, d) => Relational.leftJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+            .select(col("l_orderkey"), col("o_totalprice")),
+          Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice")),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+              FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""")),
+
+    Q("join_left_expr",
+      (s, d) => {
+        val e = ev(s, d)
+        val hourly = e
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(avg(col("value")).as("__avg_v"))
+        Relational.leftJoinExpr(e, hourly,
+            date_trunc("hour", e("ts")) === hourly("hour_ts"))
+          .select(col("event_id"), col("value"),
+            round(col("__avg_v"), 6).as("hourly_avg"))
+      },
+      Some("""SELECT e.event_id, e.value, round(h.avg_v, 6) AS hourly_avg
+              FROM events e
+              LEFT JOIN (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                                avg(value) AS avg_v
+                         FROM events GROUP BY 1) h
+                ON date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = h.hour_ts""")),
+
+    Q("join_holiday_ranges",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val ranges = Seq(
+          ("1995-01-01", "1995-01-15"),
+          ("1996-06-01", "1996-06-30"),
+          ("1997-12-20", "1998-01-05"))
+          .toDF("start_s", "end_s")
+          .select(to_date(col("start_s")).as("start"),
+            to_date(col("end_s")).as("end"))
+        Relational.flagInRanges(
+            Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            to_date(col("o_orderdate")), ranges, "is_holiday")
+          .select(col("o_orderkey"), col("is_holiday"))
+      },
+      Some("""WITH r(s, e) AS (VALUES
+                (DATE '1995-01-01', DATE '1995-01-15'),
+                (DATE '1996-06-01', DATE '1996-06-30'),
+                (DATE '1997-12-20', DATE '1998-01-05'))
+              SELECT o.o_orderkey,
+                CASE WHEN h.s IS NULL THEN 0 ELSE 1 END AS is_holiday
+              FROM orders o
+              LEFT JOIN r h ON CAST(o.o_orderdate AS DATE) BETWEEN h.s AND h.e""")),
+  )
+
+  // ---------------------------------------------------------------- §2.4
+  private val aggs = Seq(
+    Q("agg_time_bucket",
+      (s, d) => Aggregates.timeBucketAgg(ev(s, d), col("ts"), "1 hour",
+          Seq(col("event_type")), col("value"))
+        .select(col("bucket"), col("event_type"),
+          round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"), col("n")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                event_type, round(avg(value), 6) AS avg_v,
+                min(value) AS min_v, max(value) AS max_v, count(value) AS n
+              FROM events GROUP BY 1, 2""")),
+
+    Q("agg_conditional_sum",
+      (s, d) => Aggregates.conditionalNetSum(Tables.lineitem(s, d),
+        Seq(col("l_linestatus")),
+        col("l_returnflag") === "R", col("l_returnflag") === "A",
+        col("l_quantity")),
+      Some("""SELECT l_linestatus,
+                sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+              - sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS net
+              FROM lineitem GROUP BY 1""")),
+
+    Q("agg_count_min_max",
+      (s, d) => Aggregates.countMinMax(ev(s, d), col("ts")),
+      Some("""SELECT count(*) AS n_rows, CAST(min(ts) AS TIMESTAMP) AS min_ts,
+                CAST(max(ts) AS TIMESTAMP) AS max_ts FROM events""")),
+
+    Q("agg_filtered_count",
+      (s, d) => ev(s, d).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", lit(1))).as("n_error"),
+        count(when(col("value") >= 100, lit(1))).as("n_hi"),
+        max(when(col("event_type") === "error", col("ts"))).as("max_error_ts")),
+      Some("""SELECT count(*) AS n_total,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE value >= 100) AS n_hi,
+                CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP)
+                  AS max_error_ts
+              FROM events""")),
+
+    Q("agg_grouped_counts",
+      (s, d) => ev(s, d)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start")
+            .cast("timestamp_ntz").as("bucket"))
+        .count().withColumnRenamed("count", "n"),
+      Some("""SELECT event_type,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                count(*) AS n
+              FROM events GROUP BY 1, 2""")),
+
+    Q("agg_group_transform",
+      (s, d) => Aggregates.groupDeviation(ev(s, d), to_date(col("ts")),
+          col("value"), "deviation")
+        .select(col("event_id"), round(col("deviation"), 6).as("deviation")),
+      Some("""SELECT event_id,
+                round(value - avg(value) OVER (PARTITION BY CAST(ts AS DATE)), 6)
+                  AS deviation
+              FROM events""")),
+
+    Q("agg_median_impute",
+      (s, d) => {
+        val e = ev(s, d).withColumn("x",
+          when(col("value") < 10, lit(null)).otherwise(col("value")))
+        Aggregates.medianImpute(e, col("event_type"), col("x"), "imputed")
+          .select(col("event_id"), round(col("imputed"), 6).as("imputed"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+                CASE WHEN value < 10 THEN NULL ELSE value END AS x FROM events),
+              m AS (SELECT event_type, median(x) AS med FROM e GROUP BY 1)
+              SELECT e.event_id, round(coalesce(e.x, m.med), 6) AS imputed
+              FROM e LEFT JOIN m USING (event_type)""")),
+
+    Q("agg_metrics",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        Aggregates.regressionMetrics(li, col("l_extendedprice"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .select(round(col("mae"), 6).as("mae"),
+            round(col("rmse"), 6).as("rmse"),
+            round(col("mape"), 6).as("mape"))
+      },
+      Some("""SELECT
+                round(avg(abs(err)), 6) AS mae,
+                round(sqrt(avg(err * err)), 6) AS rmse,
+                round(avg(CASE WHEN abs(l_extendedprice) >= 10
+                  THEN abs(err) / abs(l_extendedprice) END) * 100, 6) AS mape
+              FROM (SELECT l_extendedprice,
+                      l_extendedprice * (1 - l_discount) - l_extendedprice AS err
+                    FROM lineitem)""")),
+  )
+
+  // ---------------------------------------------------------------- §2.5
+  private val windows = Seq(
+    Q("win_lag",
+      (s, d) => ScalableWindow.withTrailingColumns(
+          ev(s, d), weekBucket, weekNext, evOrder, 168)(
+          "lag_1"   -> (w => lag(col("value"), 1).over(w)),
+          "lag_24"  -> (w => lag(col("value"), 24).over(w)),
+          "lag_168" -> (w => lag(col("value"), 168).over(w)))
+        .select(col("event_id"), col("lag_1"), col("lag_24"), col("lag_168")),
+      Some("""SELECT event_id, lag(value, 1) OVER w AS lag_1,
+                lag(value, 24) OVER w AS lag_24,
+                lag(value, 168) OVER w AS lag_168
+              FROM events WINDOW w AS (ORDER BY ts, event_id)""")),
+
+    Q("win_rolling_avg",
+      (s, d) => ScalableWindow.withTrailingColumns(
+          ev(s, d), weekBucket, weekNext, evOrder, 167)(
+          "roll_24"  -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))),
+          "roll_168" -> (w => avg(col("value")).over(w.rowsBetween(-167, 0))))
+        .select(col("event_id"), round(col("roll_24"), 6).as("roll_24"),
+          round(col("roll_168"), 6).as("roll_168")),
+      Some("""SELECT event_id,
+                round(avg(value) OVER (w ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+                  AS roll_24,
+                round(avg(value) OVER (w ROWS BETWEEN 167 PRECEDING AND CURRENT ROW), 6)
+                  AS roll_168
+              FROM events WINDOW w AS (ORDER BY ts, event_id)""")),
+
+    Q("win_lag_over_agg",
+      (s, d) => {
+        val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("total"))
+        // post-aggregation cardinality is tiny (one row per day) — the
+        // unpartitioned window is safe at any input scale
+        daily.withColumn("prev_total",
+            lag(col("total"), 1).over(Window.orderBy(col("day"))))
+          .select(col("day"), round(col("total"), 6).as("total"),
+            round(col("prev_total"), 6).as("prev_total"))
+      },
+      Some("""WITH dd AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total
+                          FROM events GROUP BY 1)
+              SELECT day, round(total, 6) AS total,
+                round(lag(total, 1) OVER (ORDER BY day), 6) AS prev_total
+              FROM dd""")),
+  )
+
+  // ---------------------------------------------------------------- §2.6
+  private val sorts = Seq(
+    Q("sort_time_asc",
+      (s, d) => ev(s, d).orderBy(col("ts"), col("event_id")).limit(10000)
+        .select(col("event_id"), col("ts"), col("value")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+              ORDER BY ts, event_id LIMIT 10000""")),
+
+    Q("sort_desc_limit1",
+      (s, d) => ev(s, d).orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("event_id"), col("ts"), col("value")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+              ORDER BY ts DESC, event_id DESC LIMIT 1""")),
+
+    Q("limit_offset_page",
+      (s, d) => Relational.page(ev(s, d),
+          Seq(col("ts").desc, col("event_id").desc), 40, 20)
+        .select(col("event_id"), col("ts")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+              ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 40""")),
+
+    Q("limit_history_n",
+      (s, d) => Relational.lastNAscending(ev(s, d), evOrder, 500)
+        .select(col("event_id"), col("ts"), col("value")),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM
+                (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 500)
+              ORDER BY ts, event_id""")),
+
+    Q("split_chrono_ratio",
+      (s, d) => ScalableRank.chronoSplit(ev(s, d), weekBucket, evOrder, 0.3)
+        .select(col("event_id"), col("split")),
+      Some("""WITH n AS (SELECT count(*) AS n FROM events),
+              r AS (SELECT event_id,
+                      row_number() OVER (ORDER BY ts, event_id) AS rn
+                    FROM events)
+              SELECT r.event_id,
+                CASE WHEN r.rn <= floor(n.n * (1 - 0.3)) THEN 'train'
+                     ELSE 'test' END AS split
+              FROM r, n""")),
+
+    Q("split_by_dates",
+      (s, d) => Relational.splitByDates(ev(s, d), to_date(col("ts")), 4, 4)
+        .select(col("event_id"), col("split")),
+      Some("""WITH a AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events)
+              SELECT e.event_id,
+                CASE WHEN CAST(e.ts AS DATE) <= a.maxd - 8 THEN 'train'
+                     WHEN CAST(e.ts AS DATE) <= a.maxd - 4 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM events e, a""")),
+
+    Q("downsample_stride",
+      (s, d) => ScalableRank.downsampleStride(ev(s, d), weekBucket, evOrder, 500)
+        .select(col("event_id")),
+      Some("""WITH n AS (SELECT count(*) AS n FROM events),
+              r AS (SELECT event_id,
+                      row_number() OVER (ORDER BY ts, event_id) AS rn
+                    FROM events)
+              SELECT r.event_id FROM r, n
+              WHERE (r.rn - 1) % CAST(ceil(n.n / 500.0) AS BIGINT) = 0""")),
+  )
+
+  // ---------------------------------------------------------------- §2.7
+  private val sets = Seq(
+    Q("union_multi_source",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Relational.unionSources(Seq(
+            o.filter(col("o_orderstatus") === "O"),
+            o.filter(col("o_orderstatus") === "F")))
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'""")),
+  )
+
+  // ---------------------------------------------------------------- §2.8
+  private val scalars = Seq(
+    Q("f_extract_calendar",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.hourOfDay(col("ts")).as("hour_of_day"),
+        ScalarFns.dowPg(col("ts")).as("dow"),
+        ScalarFns.monthOf(col("ts")).as("month"),
+        ScalarFns.quarterOf(col("ts")).as("quarter")),
+      Some("""SELECT event_id, hour(ts) AS hour_of_day, dayofweek(ts) AS dow,
+                month(ts) AS month, quarter(ts) AS quarter
+              FROM events""")),
+
+    Q("f_case_flags",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.isWeekend(col("ts")).as("is_weekend"),
+        ScalarFns.isPeakHour(col("ts")).as("is_peak_hour")),
+      Some("""SELECT event_id,
+                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+                CASE WHEN hour(ts) BETWEEN 7 AND 22 THEN 1 ELSE 0 END AS is_peak_hour
+              FROM events""")),
+
+    Q("f_coalesce_arith",
+      (s, d) => ev(s, d).select(col("event_id"),
+        (col("value") - coalesce(
+          when(col("event_type") === "view", col("value")) * lit(0.5),
+          lit(0.0))).as("net")),
+      Some("""SELECT event_id,
+                value - coalesce(
+                  (CASE WHEN event_type = 'view' THEN value END) * 0.5, 0) AS net
+              FROM events""")),
+
+    Q("f_date_trunc",
+      (s, d) => ev(s, d).select(col("event_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        to_date(col("ts")).as("day")),
+      Some("""SELECT event_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                CAST(ts AS DATE) AS day
+              FROM events""")),
+  )
+
+  // ----------------------------------------------------------------
+  private val all: Seq[Q] =
+    scans ++ filters ++ joins ++ aggs ++ windows ++ sorts ++ sets ++ scalars
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
+    * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
+    * grouped aggregation.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+    li.join(o.select(col("l_orderkey"), col("o_totalprice")),
+        Seq("l_orderkey"), "left")
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"), avg(col("prev_qty")).as("avg_prev_qty"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.key -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case Q(k, _, Some(sql)) =>
+      k -> sql.replaceAll("\\s+", " ").trim
+    }.toMap
 }

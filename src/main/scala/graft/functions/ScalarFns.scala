@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column functions of the reference (SURVEY.md §2.8). All are pure
+  * `Column` compositions — codegen'd by Catalyst, no UDFs, so every one of
+  * them stays inside WholeStageCodegen at any scale.
+  */
+object ScalarFns {
+
+  /** `EXTRACT(hour/dow/month/quarter)` with the PostgreSQL day-of-week
+    * convention: 0 = Sunday … 6 = Saturday (`infra/db/init.sql:252-254`).
+    * Spark's `dayofweek` is 1-based Sunday-first → subtract 1
+    * (SURVEY.md §7.4(1)).
+    */
+  def hourOfDay(ts: Column): Column = hour(ts)
+  def dowPg(ts: Column): Column     = dayofweek(ts) - lit(1)
+  def monthOf(ts: Column): Column   = month(ts)
+  def quarterOf(ts: Column): Column = quarter(ts)
+
+  /** `is_weekend` / `is_peak_hour` flags (`infra/db/init.sql:255-256`). */
+  def isWeekend(ts: Column): Column =
+    when(dowPg(ts).isin(0, 6), lit(1)).otherwise(lit(0))
+  def isPeakHour(ts: Column): Column =
+    when(hour(ts).between(7, 22), lit(1)).otherwise(lit(0))
+
+  /** `np.clip(x, lo, hi)` (`src/processing/tariff_formulas.py:87-91`). */
+  def clip(x: Column, lo: Column, hi: Column): Column =
+    least(greatest(x, lo), hi)
+  def clip(x: Column, lo: Double, hi: Double): Column =
+    clip(x, lit(lo), lit(hi))
+
+  /** Grid-usage tariff (`tariff_formulas.py:53-91`):
+    * `L_norm = clip((load − lmin) / (lmax − lmin), 0, 1)`;
+    * `netzpreis = clip(std + alpha·(L_norm² − 0.5), std − 5, std + 15)`.
+    * (Shape per reference: quadratic in normalized load, clipped to an
+    * asymmetric band around the standard tariff.)
+    */
+  def tariffNetz(
+      load: Column, lmin: Column, lmax: Column,
+      std: Column, alpha: Column): Column = {
+    val lnorm = clip((load - lmin) / (lmax - lmin), lit(0.0), lit(1.0))
+    clip(std + alpha * (pow(lnorm, 2) - lit(0.5)), std - lit(5.0), std + lit(15.0))
+  }
+
+  /** Energy tariff (`tariff_formulas.py:94-141`):
+    * `energiepreis = clip(k_pe·(epex/10) + k_le, std − 5, std + 5)`. */
+  def tariffEnergie(epex: Column, kPe: Column, kLe: Column, std: Column): Column =
+    clip(kPe * (epex / lit(10.0)) + kLe, std - lit(5.0), std + lit(5.0))
+
+  /** Traffic-light price bucket (`src/api/main.py:336-337`). */
+  def priceLevel(x: Column, lo: Double = 15.0, hi: Double = 22.0): Column =
+    when(x < lo, lit("low")).when(x > hi, lit("high")).otherwise(lit("medium"))
+
+  /** Null-tolerant float coercion `_safe_float`
+    * (`openmeteo_collector.py:127-132`): unparsable → null. */
+  def safeFloat(s: Column): Column = s.cast("double")
+
+  /** Timestamp-from-position arithmetic of the ENTSO-E point expansion
+    * (`entsoe_collector.py:95-96`): `start + (position − 1) · resolution`.
+    */
+  def pointTimestamp(start: Column, position: Column, resolutionMinutes: Column): Column =
+    start + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+      (position - lit(1)) * resolutionMinutes)
+
+  /** ISO-8601 serialization (`src/api/main.py:1029-1034`). */
+  def isoFormat(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Normalize an ISO string with explicit offset to a UTC-naive
+    * timestamp (`transformers.py:14-30`): parse keeps the instant; the
+    * NTZ cast renders it as UTC wall time (session TZ is UTC).
+    */
+  def parseOffsetToUtc(s: Column): Column =
+    to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX").cast("timestamp_ntz")
+}

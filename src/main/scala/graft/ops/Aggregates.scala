@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators of the reference (SURVEY.md §2.4). All are plain
+  * hash aggregates with map-side partial aggregation — one shuffle on the
+  * group keys, scale-linear.
+  */
+object Aggregates {
+
+  /** `time_bucket('1 hour', time), dim → AVG/MIN/MAX/COUNT` — the shape of
+    * all three continuous aggregates (`infra/db/init.sql:81-92`).
+    * `bucketStart` (= window start = date_trunc at whole-unit durations)
+    * is emitted as column `bucket`.
+    */
+  def timeBucketAgg(
+      df: DataFrame,
+      timeCol: Column,
+      duration: String,
+      dims: Seq[Column],
+      measure: Column): DataFrame =
+    df.groupBy((window(timeCol, duration).getField("start")
+        .cast("timestamp_ntz").as("bucket") +: dims): _*)
+      .agg(
+        avg(measure).as("avg_v"),
+        min(measure).as("min_v"),
+        max(measure).as("max_v"),
+        count(measure).as("n"))
+
+  /** Net-position conditional sum (`infra/db/init.sql:288-297`):
+    * `SUM(CASE WHEN outCond THEN x ELSE 0 END) − SUM(CASE WHEN inCond ...)`
+    * grouped by `keys`.
+    */
+  def conditionalNetSum(
+      df: DataFrame,
+      keys: Seq[Column],
+      outCond: Column,
+      inCond: Column,
+      x: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg((sum(when(outCond, x).otherwise(lit(0.0))) -
+        sum(when(inCond, x).otherwise(lit(0.0)))).as("net"))
+
+  /** Per-table status triple (`src/api/main.py:380-398`). */
+  def countMinMax(df: DataFrame, timeCol: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      min(timeCol).as("min_ts"),
+      max(timeCol).as("max_ts"))
+
+  /** `COUNT(*) FILTER (WHERE cond)` family (`src/api/main.py:591-597`). */
+  def filteredCounts(df: DataFrame, conds: (String, Column)*): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_total"),
+      conds.map { case (n, c) => count(when(c, lit(1))).as(n) }: _*)
+
+  /** Group mean broadcast back to rows — pandas
+    * `groupby(...).transform("mean")` (`export_pipeline.py:619-621`),
+    * e.g. `temp_deviation = x − mean(x) per day`. Partitioned window:
+    * shuffles once on the group key, no global sort.
+    */
+  def groupDeviation(
+      df: DataFrame,
+      groupKey: Column,
+      x: Column,
+      name: String): DataFrame =
+    df.withColumn(name, x - avg(x).over(Window.partitionBy(groupKey)))
+
+  /** Median imputation (`src/modelling/train.py:46`): null → per-group
+    * exact median. Uses Spark's exact `median` (sort-based per group) —
+    * the reference's pandas median is exact interpolated, matching.
+    */
+  def medianImpute(
+      df: DataFrame,
+      groupKey: Column,
+      x: Column,
+      name: String): DataFrame = {
+    val med = df
+      .groupBy(groupKey.as("__graft_g"))
+      .agg(median(x).as("__graft_med"))
+    df.join(broadcast(med), groupKey === col("__graft_g"), "left")
+      .withColumn(name, coalesce(x, col("__graft_med")))
+      .drop("__graft_g", "__graft_med")
+  }
+
+  /** Regression metrics with the reference's masked-MAPE semantics
+    * (`src/modelling/evaluate.py:23-61`): MAPE averaged only over rows with
+    * `abs(y_true) >= mask`; NaN when no rows qualify (avg over empty set →
+    * null here, the faithful relational analog).
+    */
+  def regressionMetrics(
+      df: DataFrame,
+      yTrue: Column,
+      yPred: Column,
+      mask: Double = 10.0): DataFrame = {
+    val err = yPred - yTrue
+    df.agg(
+      avg(abs(err)).as("mae"),
+      sqrt(avg(err * err)).as("rmse"),
+      (avg(when(abs(yTrue) >= mask, abs(err) / abs(yTrue))) * 100).as("mape"))
+  }
+}

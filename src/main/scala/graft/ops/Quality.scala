@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality validators (SURVEY.md §2.9). Each returns a small
+  * DataFrame of violation evidence; `require*` variants raise like the
+  * reference's transformers (`src/data_cleaning/transformers.py:54-86`).
+  */
+object Quality {
+
+  /** Per-column null counts for the declared columns. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => count(when(col(c).isNull, lit(1))).as(s"nulls_$c")): _*)
+
+  def requireNoNulls(df: DataFrame, cols: Seq[String]): Unit = {
+    val row = nullCounts(df, cols).collect()(0)
+    cols.foreach { c =>
+      val n = row.getAs[Long](s"nulls_$c")
+      require(n == 0, s"column $c contains $n NULLs")
+    }
+  }
+
+  /** Count of adjacency violations of a monotonically-increasing time
+    * column under the given insertion order (`transformers.py:72-86`).
+    * Uses the bucketed fringe trick via a partitioned lag when a bucket is
+    * supplied; at validator scale the orderCols usually include a unique id.
+    */
+  def descendingCount(df: DataFrame, timeCol: Column, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("__graft_prev", lag(timeCol, 1).over(w))
+      .filter(col("__graft_prev") > timeCol)
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** Freshness: max(time) plus a stale flag against a cutoff
+    * (`export_pipeline.py:270-290`). */
+  def freshness(df: DataFrame, timeCol: Column, cutoff: Column): DataFrame =
+    df.agg(max(timeCol).as("max_ts"))
+      .select(col("max_ts"),
+        when(col("max_ts") < cutoff, lit(1)).otherwise(lit(0)).as("stale"))
+
+  /** Leakage guard (`export_pipeline.py:96-126`): feature names that
+    * collide with the forbidden target/ops set. Pure name-set logic. */
+  def leakageViolations(featureCols: Seq[String], forbidden: Set[String]): Seq[String] =
+    featureCols.filter(forbidden.contains)
+}

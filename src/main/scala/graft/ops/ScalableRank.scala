@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering / positional operators.
+  *
+  * The reference's chronological splits and stride downsampling
+  * (`src/processing/export_pipeline.py:129-207`, `src/api/main.py:1038-1045`)
+  * are positional over a global time order. A bare
+  * `row_number().over(Window.orderBy(ts))` funnels the table through one
+  * partition. Instead: count rows per coarse bucket (a tiny aggregate),
+  * turn the counts into per-bucket starting offsets with a window over the
+  * *bucket list* (thousands of rows at most), broadcast the offsets back,
+  * and number rows within each bucket independently.
+  *
+  * Requires `bucket` to be monotone in `orderCols` (a coarse prefix of the
+  * global ordering), which holds for any time-bucket of a time ordering.
+  */
+object ScalableRank {
+
+  private val B = "__graft_bucket"
+
+  /** Adds a 1-based global row number column named `name`. */
+  def globalRowNumber(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      name: String): DataFrame = {
+    val withB = df.withColumn(B, bucket)
+    // Tiny: one row per bucket. The unpartitioned window over it is safe.
+    val offsets = withB
+      .groupBy(col(B))
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .withColumn(
+        "__graft_offset",
+        coalesce(
+          sum(col("__graft_cnt"))
+            .over(Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__graft_cnt")
+    val wLocal = Window.partitionBy(col(B)).orderBy(orderCols: _*)
+    withB
+      .join(broadcast(offsets), Seq(B))
+      .withColumn(
+        name,
+        (row_number().over(wLocal).cast("long") + col("__graft_offset")))
+      .drop(B, "__graft_offset")
+  }
+
+  /** Chronological ratio split (reference `export_pipeline.py:129-207`):
+    * first `floor(n * (1 - testRatio))` rows by the global order → "train",
+    * rest → "test". Emits a `split` label column; row count semantics match
+    * the reference's `int(n * (1 - r))` floor.
+    */
+  def chronoSplit(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      testRatio: Double,
+      name: String = "split"): DataFrame = {
+    val rn = "__graft_rn"
+    val numbered = globalRowNumber(df, bucket, orderCols, rn)
+    val total = df.agg(count(lit(1)).as("__graft_n"))
+    numbered
+      .crossJoin(broadcast(total))
+      .withColumn(
+        name,
+        when(col(rn) <= floor(col("__graft_n") * lit(1.0 - testRatio)), lit("train"))
+          .otherwise(lit("test")))
+      .drop(rn, "__graft_n")
+  }
+
+  /** Stride downsample to at most `maxPoints` rows (reference
+    * `src/api/main.py:1038-1045`): step = ceil(n / maxPoints), keep rows at
+    * global positions 0, step, 2·step, … of the given ordering.
+    */
+  def downsampleStride(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      maxPoints: Int): DataFrame = {
+    val rn = "__graft_rn"
+    val numbered = globalRowNumber(df, bucket, orderCols, rn)
+    val total = df.agg(count(lit(1)).as("__graft_n"))
+    numbered
+      .crossJoin(broadcast(total))
+      .withColumn("__graft_step", ceil(col("__graft_n") / lit(maxPoints)).cast("long"))
+      .filter(pmod(col(rn) - 1, col("__graft_step")) === 0)
+      .drop(rn, "__graft_n", "__graft_step")
+  }
+}
