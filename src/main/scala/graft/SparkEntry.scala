@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.functions.ScalarFns
+import graft.sources.{CsvMulti, JsonShapes, XmlPoints}
+import graft.streaming.HourlyRollup
 
 /** Driver contract — one named query per implemented operator of
   * SURVEY.md §2 (the key names are the §2 inventory keys), exercised on
@@ -78,6 +80,136 @@ object SparkEntry {
       Some("""SELECT count(*) AS n_rows,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
               FROM documents""")),
+  )
+
+  // -------------------------------------------------- §2.1 parsers/sinks
+  private val sources = Seq(
+    Q("scan_jdbc_view",
+      (s, d) => {
+        // "SELECT * FROM <view> ORDER BY time" (export_pipeline.py:82-93):
+        // the view is a registered SQL view, the query goes through
+        // spark.sql — the Spark-native analog of the JDBC view read.
+        ev(s, d).createOrReplaceTempView("graft_events_v")
+        s.sql("""SELECT event_id, ts, value FROM graft_events_v
+                 WHERE value >= 200 ORDER BY ts, event_id""")
+      },
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE value >= 200""")),
+
+    Q("scan_csv_multi",
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csv").toString
+        e.filter(col("event_id") % 2 === 0)
+          .write.option("header", "true").mode("overwrite").csv(s"$tmp/a")
+        // second file with a DIFFERENT column order — union is by name
+        e.filter(col("event_id") % 2 =!= 0)
+          .select(col("value"), col("event_id"), col("event_type"))
+          .write.option("header", "true").mode("overwrite").csv(s"$tmp/b")
+        CsvMulti.read(s, Seq(s"$tmp/a", s"$tmp/b"))
+          .select(col("event_id").cast("long").as("event_id"),
+            col("event_type"), col("value").cast("double").as("value"))
+      },
+      Some("SELECT event_id, event_type, value FROM events")),
+
+    Q("scan_json_columnar",
+      (s, d) => {
+        // build one columnar-array JSON document per hour from events,
+        // then parse with the open-meteo-shape parser; the roundtrip must
+        // reproduce the original rows exactly
+        val docs = ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+            .as("arr"))
+          .select(to_json(struct(
+            transform(col("arr"), x => x.getField("event_id")).as("ids"),
+            transform(col("arr"), x => x.getField("value")).as("vals")))
+            .as("js"))
+        JsonShapes.parseColumnar(docs, col("js"), Seq.empty)
+          .select(col("event_id"), col("value"))
+      },
+      Some("SELECT event_id, value FROM events")),
+
+    Q("scan_json_nested",
+      (s, d) => {
+        // nested tariff shape: prices[].{t, components[].{unit, value}};
+        // only the CHF_kWh component of each interval survives
+        val mkComponents = (x: Column) => array(
+          struct(lit("CHF_kWh").as("unit"), x.getField("value").as("value")),
+          struct(lit("CHF_MWh").as("unit"),
+            (x.getField("value") * 1000).as("value")))
+        val prices = transform(col("arr"), x =>
+          struct(x.getField("event_id").as("t"),
+            mkComponents(x).as("components")))
+        val docs = ev(s, d)
+          .groupBy(col("event_type"))
+          .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+            .as("arr"))
+          .select(to_json(struct(prices.as("prices"))).as("js"))
+        JsonShapes.parseNestedTariff(docs, col("js"), Seq.empty, "CHF_kWh")
+          .select(col("t").as("event_id"), col("value"))
+      },
+      Some("SELECT event_id, value FROM events")),
+
+    Q("scan_xml_points",
+      (s, d) => {
+        // ENTSO-E Period documents synthesized per event_type; parse must
+        // reconstruct point_ts = start + (position-1)*PT15M
+        val docs = ev(s, d)
+          .groupBy(col("event_type"))
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("arr"))
+          .select(col("event_type"), concat(
+            lit("<Period><timeInterval><start>2024-01-01T00:00Z</start>" +
+              "</timeInterval><resolution>PT15M</resolution>"),
+            concat_ws("", transform(col("arr"), (x, i) =>
+              concat(lit("<Point><position>"), (i + 1).cast("string"),
+                lit("</position><price.amount>"),
+                x.getField("value").cast("string"),
+                lit("</price.amount></Point>")))),
+            lit("</Period>")).as("xml"))
+        XmlPoints.parse(docs, col("xml"), Seq(col("event_type")))
+          .select(col("event_type"), col("point_ts"), col("price"))
+      },
+      Some("""SELECT event_type,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_minutes(15 * (row_number() OVER
+                      (PARTITION BY event_type ORDER BY ts, event_id) - 1))
+                  AS point_ts,
+                value AS price
+              FROM events""")),
+
+    Q("scan_json_kv_merge",
+      (s, d) => JsonShapes.pivotKv(ev(s, d),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz"),
+        col("event_type"), col("value"), Seq("click", "view")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                max(CASE WHEN event_type = 'click' THEN value END) AS click,
+                max(CASE WHEN event_type = 'view' THEN value END) AS view
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1""")),
+
+    Q("sink_call_log",
+      (s, d) => {
+        // append-only operational log: two batches appended to the same
+        // path, read back, summarized (base_collector.py:13-49)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_log").toString
+        val logs = ev(s, d).select(col("event_id"),
+          col("event_type").as("source"),
+          when(col("value") >= 100, 200).otherwise(500).as("status"))
+        logs.filter(col("event_id") % 2 === 0)
+          .write.mode("append").parquet(tmp)
+        logs.filter(col("event_id") % 2 =!= 0)
+          .write.mode("append").parquet(tmp)
+        s.read.parquet(tmp).groupBy(col("status"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN value >= 100 THEN 200 ELSE 500 END AS status,
+                count(*) AS n
+              FROM events GROUP BY 1""")),
   )
 
   // ---------------------------------------------------------------- §2.2
@@ -484,9 +616,190 @@ object SparkEntry {
               FROM events""")),
   )
 
+  // ------------------------------------------------- §2.8 remaining fns
+  private val scalars2 = Seq(
+    Q("f_tz_normalize",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.parseOffsetToUtc(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss+01:00")).as("utc_ts")),
+      Some("""SELECT event_id,
+                date_trunc('second', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+                  AS utc_ts
+              FROM events""")),
+
+    Q("f_ts_arithmetic",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.pointTimestamp(
+          date_trunc("hour", col("ts")),
+          (col("event_id") % 4) + 1, lit(15)).cast("timestamp_ntz")
+          .as("point_ts")),
+      Some("""SELECT event_id,
+                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  + to_minutes(15 * (event_id % 4)) AS point_ts
+              FROM events""")),
+
+    Q("f_date_format",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.isoFormat(col("ts")).as("iso")),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso
+              FROM events""")),
+
+    Q("f_clip",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.clip(col("value"), 50.0, 300.0).as("clipped")),
+      Some("""SELECT event_id, least(greatest(value, 50.0), 300.0) AS clipped
+              FROM events""")),
+
+    Q("f_tariff_netz",
+      (s, d) => {
+        val e = ev(s, d)
+        val g = e.groupBy(col("event_type").as("g"))
+          .agg(min(col("value")).as("lmin"), max(col("value")).as("lmax"))
+        e.join(broadcast(g), col("event_type") === col("g"))
+          .select(col("event_id"),
+            ScalarFns.tariffNetz(col("value"), col("lmin"), col("lmax"),
+              lit(20.0), lit(8.0)).as("netzpreis"))
+      },
+      Some("""SELECT event_id,
+                least(greatest(20.0 + 8.0 * (ln * ln - 0.5), 15.0), 35.0)
+                  AS netzpreis
+              FROM (SELECT event_id,
+                      least(greatest((value - mn) / (mx - mn), 0.0), 1.0) AS ln
+                    FROM (SELECT event_id, value,
+                            min(value) OVER (PARTITION BY event_type) AS mn,
+                            max(value) OVER (PARTITION BY event_type) AS mx
+                          FROM events))""")),
+
+    Q("f_tariff_energie",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.tariffEnergie(col("value"), lit(1.2), lit(3.0), lit(20.0))
+          .as("energiepreis"),
+        (ScalarFns.tariffEnergie(col("value"), lit(1.2), lit(3.0), lit(20.0))
+          + lit(18.5)).as("gesamttarif")),
+      Some("""SELECT event_id,
+                least(greatest(1.2 * (value / 10.0) + 3.0, 15.0), 25.0)
+                  AS energiepreis,
+                least(greatest(1.2 * (value / 10.0) + 3.0, 15.0), 25.0) + 18.5
+                  AS gesamttarif
+              FROM events""")),
+
+    Q("f_round",
+      // round-half-up in explicit floor form: Spark's BigDecimal rounding
+      // and DuckDB's multiply-round diverge on ~0.1% of rows, so the
+      // portable witness uses the same IEEE ops on both sides
+      (s, d) => Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"),
+        (floor(col("l_extendedprice") * col("l_discount") * lit(100.0)
+          + lit(0.5)) / lit(100.0)).as("disc_amt"),
+        (floor(col("l_discount") * lit(100.0) * lit(10000.0) + lit(0.5))
+          / lit(10000.0)).as("disc_pct")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                floor(l_extendedprice * l_discount * 100.0 + 0.5) / 100.0
+                  AS disc_amt,
+                floor(l_discount * 100.0 * 10000.0 + 0.5) / 10000.0
+                  AS disc_pct
+              FROM lineitem""")),
+
+    Q("f_price_level",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.priceLevel(col("value"), 100.0, 300.0).as("level")),
+      Some("""SELECT event_id,
+                CASE WHEN value < 100.0 THEN 'low'
+                     WHEN value > 300.0 THEN 'high'
+                     ELSE 'medium' END AS level
+              FROM events""")),
+
+    Q("f_string_clean",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        lower(trim(col("source"))).as("src_clean"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+          .as("src_num"),
+        substring(trim(col("text")), 1, 20).as("head")),
+      Some("""SELECT doc_id, lower(trim(source)) AS src_clean,
+                CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER)
+                  AS src_num,
+                substr(trim(text), 1, 20) AS head
+              FROM documents""")),
+
+    Q("f_safe_float",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.safeFloat(
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("k_val"),
+        ScalarFns.safeFloat(col("event_type")).as("bad_val")),
+      Some("""SELECT event_id,
+                TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE)
+                  AS k_val,
+                TRY_CAST(event_type AS DOUBLE) AS bad_val
+              FROM events""")),
+
+    Q("f_hash_sha256",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        sha2(col("text"), 256).as("h")),
+      Some("SELECT doc_id, sha256(text) AS h FROM documents")),
+  )
+
+  // ---------------------------------------------------------------- §2.9
+  private val dq = Seq(
+    Q("dq_no_nulls",
+      (s, d) => Quality.nullCounts(ev(s, d), Seq("ts", "event_type", "value")),
+      Some("""SELECT count(*) AS n_rows,
+                count(*) FILTER (WHERE ts IS NULL) AS nulls_ts,
+                count(*) FILTER (WHERE event_type IS NULL) AS nulls_event_type,
+                count(*) FILTER (WHERE value IS NULL) AS nulls_value
+              FROM events""")),
+
+    Q("dq_ascending",
+      (s, d) => Quality.descendingCount(ev(s, d), col("ts"),
+        Seq(col("event_id")),
+        floor(col("event_id") / lit(1000)), b => b + lit(1)),
+      Some("""SELECT count(*) AS n_violations
+              FROM (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS p
+                    FROM events)
+              WHERE p > ts""")),
+
+    Q("dq_freshness",
+      (s, d) => Quality.freshness(ev(s, d), col("ts"),
+        lit("2024-02-05 00:00:00").cast("timestamp_ntz")),
+      Some("""SELECT CAST(max(ts) AS TIMESTAMP) AS max_ts,
+                CASE WHEN max(ts) < TIMESTAMP '2024-02-05 00:00:00'
+                  THEN 1 ELSE 0 END AS stale
+              FROM events""")),
+
+    Q("dq_leakage",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val forbidden = Set("l_extendedprice", "net_load_kwh", "export_ts")
+        Quality.leakageViolations(
+          Tables.lineitem(s, d).columns.toSeq, forbidden).toDF("leaked_col")
+      },
+      Some("SELECT 'l_extendedprice' AS leaked_col")),
+
+    Q("dq_required_keys",
+      (s, d) => ev(s, d).agg(count(lit(1)).as("n_rows"),
+        count(when(col("ts").isNull, lit(1))).as("n_missing_key")),
+      Some("""SELECT count(*) AS n_rows,
+                count(*) FILTER (WHERE ts IS NULL) AS n_missing_key
+              FROM events""")),
+  )
+
+  // --------------------------------------------------------------- §2.10
+  private val streaming = Seq(
+    Q("stream_hourly_rollup",
+      (s, d) => HourlyRollup.runToCompletion(s, d)
+        .select(col("bucket"), col("event_type"),
+          round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"),
+          col("n")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                event_type, round(avg(value), 6) AS avg_v,
+                min(value) AS min_v, max(value) AS max_v, count(value) AS n
+              FROM events GROUP BY 1, 2""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
-    scans ++ filters ++ joins ++ aggs ++ windows ++ sorts ++ sets ++ scalars
+    scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
+      sets ++ scalars ++ scalars2 ++ dq ++ streaming
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -41,7 +41,8 @@ object ScalarFns {
       load: Column, lmin: Column, lmax: Column,
       std: Column, alpha: Column): Column = {
     val lnorm = clip((load - lmin) / (lmax - lmin), lit(0.0), lit(1.0))
-    clip(std + alpha * (pow(lnorm, 2) - lit(0.5)), std - lit(5.0), std + lit(15.0))
+    // lnorm * lnorm (not pow): bit-identical across engines' libm variants
+    clip(std + alpha * (lnorm * lnorm - lit(0.5)), std - lit(5.0), std + lit(15.0))
   }
 
   /** Energy tariff (`tariff_formulas.py:94-141`):
@@ -54,8 +55,11 @@ object ScalarFns {
     when(x < lo, lit("low")).when(x > hi, lit("high")).otherwise(lit("medium"))
 
   /** Null-tolerant float coercion `_safe_float`
-    * (`openmeteo_collector.py:127-132`): unparsable → null. */
-  def safeFloat(s: Column): Column = s.cast("double")
+    * (`openmeteo_collector.py:127-132`): unparsable → null. `try_cast`
+    * rather than `cast` — Spark 4 runs in ANSI mode, where a plain cast
+    * of a malformed string throws. */
+  def safeFloat(s: Column): Column =
+    s.try_cast(org.apache.spark.sql.types.DoubleType)
 
   /** Timestamp-from-position arithmetic of the ENTSO-E point expansion
     * (`entsoe_collector.py:95-96`): `start + (position − 1) · resolution`.

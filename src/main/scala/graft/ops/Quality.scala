@@ -26,15 +26,20 @@ object Quality {
 
   /** Count of adjacency violations of a monotonically-increasing time
     * column under the given insertion order (`transformers.py:72-86`).
-    * Uses the bucketed fringe trick via a partitioned lag when a bucket is
-    * supplied; at validator scale the orderCols usually include a unique id.
+    * Scale-safe: the lag(1) runs bucket-partitioned with a 1-row fringe
+    * (ScalableWindow) instead of a single global sort. `bucket` must be
+    * monotone in `orderCols`.
     */
-  def descendingCount(df: DataFrame, timeCol: Column, orderCols: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    df.withColumn("__graft_prev", lag(timeCol, 1).over(w))
+  def descendingCount(
+      df: DataFrame,
+      timeCol: Column,
+      orderCols: Seq[Column],
+      bucket: Column,
+      bucketNext: Column => Column): DataFrame =
+    ScalableWindow.withTrailingColumns(df, bucket, bucketNext, orderCols, 1)(
+        "__graft_prev" -> (w => lag(timeCol, 1).over(w)))
       .filter(col("__graft_prev") > timeCol)
       .agg(count(lit(1)).as("n_violations"))
-  }
 
   /** Freshness: max(time) plus a stale flag against a cutoff
     * (`export_pipeline.py:270-290`). */

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's TimescaleDB
+  * continuous aggregates (SURVEY.md §2.10; `infra/db/init.sql:81-100`):
+  * an hourly windowed avg/min/max/count per dimension, tolerating late
+  * rows up to a watermark (≙ the continuous aggregate's `start_offset`).
+  *
+  * The file source scales: each micro-batch lists new files and
+  * distributes them; state is bounded by watermark expiry. For the
+  * verify/bench harness the stream is driven to completion synchronously
+  * over the static events parquet via a memory sink.
+  */
+object HourlyRollup {
+
+  /** Raw parquet schema of the events table — `ts` as nanosecond longs
+    * (see Tables.loadEvents). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly rollup over `dir/events.parquet`, returned as a
+    * static DataFrame once all available input is processed. Columns
+    * match Aggregates.timeBucketAgg: (bucket, event_type, avg_v, min_v,
+    * max_v, n).
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the streaming file source requires a directory or glob
+    // basePath, and the testdata table is a single parquet file
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$dir/events.{parquet}")
+      // NB: stays TimestampType (not NTZ) — withWatermark requires it;
+      // session TZ is UTC so the wall-clock value is identical
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "2 days") // ≙ continuous-agg start_offset
+      .groupBy(window(col("ts"), "1 hour").getField("start")
+          .cast("timestamp_ntz").as("bucket"),
+        col("event_type"))
+      .agg(
+        avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        count(col("value")).as("n"))
+    val name = "graft_stream_rollup_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}
