@@ -796,10 +796,194 @@ object SparkEntry {
               FROM events GROUP BY 1, 2""")),
   )
 
+  // --------------------------------------- LLM training-data pipeline ops
+  /** documents plus planted near-duplicates (same text minus its first
+    * token, id shifted by 10^6) — guarantees the near-dup detectors have
+    * signal to find, and the spec asserts they find exactly these.
+    */
+  private def withPlantedDups(docs: DataFrame): DataFrame = {
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text",
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 2, 100000)))
+    docs.unionByName(mutated)
+  }
+
+  private val llm = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text")),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS rep_id,
+                count(*) AS n_dups
+              FROM documents GROUP BY 1""")),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(
+        withPlantedDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.5),
+      None),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(
+        Dedup.simhash(withPlantedDups(Tables.documents(s, d)),
+          col("doc_id"), col("text")),
+        maxHamming = 3),
+      None),
+
+    Q("dedup_ngram_jaccard",
+      (s, d) => {
+        val planted = withPlantedDups(Tables.documents(s, d))
+          .withColumn("blk", col("doc_id") % 1000000L % 500)
+        Dedup.ngramJaccardPairs(planted, col("doc_id"), col("text"),
+          col("blk"), n = 3, threshold = 0.5)
+      },
+      None),
+
+    Q("dedup_embedding_cosine",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // plant exact-duplicate vectors under shifted ids
+        val planted = e.unionByName(
+          e.withColumn("id", col("id") + 1000000L))
+        Similarity.cosineNearDupPairs(planted, threshold = 0.999)
+      },
+      None),
+
+    Q("ann_bruteforce",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = e.filter(col("id") < 5)
+          .select(col("id").as("query_id"), col("vec").as("qvec"))
+        Similarity.bruteForceTopK(e, q, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      },
+      None),
+
+    Q("ann_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = e.filter(col("id") < 5)
+          .select(col("id").as("query_id"), col("vec").as("qvec"))
+        Similarity.lshTopK(e, q, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      },
+      None),
+
+    Q("ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = e.filter(col("id") < 5)
+          .select(col("id").as("query_id"), col("vec").as("qvec"))
+        Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      },
+      None),
+
+    Q("text_langid",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val profiles = Seq(
+          ("en", "the"), ("en", "a"), ("en", "fast"),
+          ("de", "der"), ("de", "die"), ("de", "slow"),
+          ("fr", "le"), ("fr", "la"), ("fr", "table"),
+          ("es", "el"), ("es", "los"), ("es", "data"),
+          ("zh", "big"), ("zh", "spark")).toDF("lang", "word")
+        TextOps.langId(Tables.documents(s, d), col("doc_id"), col("text"),
+            profiles)
+          .select(col("__id").as("doc_id"), col("pred_lang"))
+      },
+      None),
+
+    Q("text_quality",
+      (s, d) => TextOps.qualityFeatures(Tables.documents(s, d), col("text"),
+          Seq("the", "a"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_words").cast("long").as("n_words"),
+          col("avg_word_len"), col("stopword_ratio"), col("punct_ratio")),
+      Some("""SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_words,
+                CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1)
+                  AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+                  AS avg_word_len,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+'))
+                  AS stopword_ratio,
+                CAST(length(text) -
+                    length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+              FROM documents""")),
+
+    Q("text_tokens",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.pieceCount(col("text")).cast("long").as("n_pieces")),
+      Some("""SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces
+              FROM documents""")),
+
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")),
+      None),
+
+    Q("mm_decode",
+      (s, d) => {
+        val payload = Multimodal.asPayload(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        Multimodal.byteFeatures(Multimodal.decodeStub(payload), 4)
+          .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+            col("decoded.width").as("width"),
+            col("decoded.height").as("height"),
+            col("features").getItem(0).as("f1"),
+            col("features").getItem(1).as("f2"),
+            col("features").getItem(2).as("f3"),
+            col("features").getItem(3).as("f4"))
+      },
+      Some("""SELECT doc_id AS media_id, length(text) AS n_bytes,
+                CAST(length(text) % 640 AS INTEGER) AS width,
+                CAST(length(text) % 480 AS INTEGER) AS height,
+                CASE WHEN length(text) >= 1
+                  THEN CAST(ord(substr(text, 1, 1)) AS DOUBLE) ELSE 0 END AS f1,
+                CASE WHEN length(text) >= 2
+                  THEN CAST(ord(substr(text, 2, 1)) AS DOUBLE) ELSE 0 END AS f2,
+                CASE WHEN length(text) >= 3
+                  THEN CAST(ord(substr(text, 3, 1)) AS DOUBLE) ELSE 0 END AS f3,
+                CASE WHEN length(text) >= 4
+                  THEN CAST(ord(substr(text, 4, 1)) AS DOUBLE) ELSE 0 END AS f4
+              FROM documents""")),
+
+    Q("mm_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
+            col("text")),
+          frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_len").cast("int").as("frame_len")),
+      Some("""SELECT doc_id AS media_id,
+                CAST(unnest(generate_series(0,
+                  CAST(ceil(length(text) / 64.0) AS INTEGER) - 1, 2))
+                  AS INTEGER) AS frame_idx,
+                CAST(least(64, length(text) -
+                  unnest(generate_series(0,
+                    CAST(ceil(length(text) / 64.0) AS INTEGER) - 1, 2)) * 64)
+                  AS INTEGER) AS frame_len
+              FROM documents""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
-      sets ++ scalars ++ scalars2 ++ dq ++ streaming
+      sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The decode step is a STUB by design — the container has no codec
+  * libraries — but everything Spark-side is real and tested: the schema
+  * (payload binary + metadata struct), the partition-friendly batch
+  * shape, and the operators' dataflow. A production decoder drops into
+  * [[decodeStub]]'s place as a `mapPartitions` over batches (reusing a
+  * per-partition decoder instance), keeping the same schema contract.
+  */
+object Multimodal {
+
+  /** Wrap a text column as an opaque binary payload with metadata —
+    * the ingestion shape for any media column. */
+  def asPayload(df: DataFrame, idCol: Column, content: Column): DataFrame =
+    df.select(idCol.as("media_id"),
+      encode(content, "UTF-8").as("payload"),
+      struct(
+        length(encode(content, "UTF-8")).as("n_bytes"),
+        lit("application/octet-stream").as("mime"))
+        .as("meta"))
+
+  /** Deterministic fake "decode": derives pseudo width/height/channels
+    * from payload bytes — a stand-in with the exact schema a real image
+    * decode (mapPartitions over a codec) would produce. Clearly marked:
+    * replace with a real codec in production.
+    */
+  def decodeStub(df: DataFrame): DataFrame =
+    df.withColumn("decoded", struct(
+      (col("meta.n_bytes") % 640).cast("int").as("width"),
+      (col("meta.n_bytes") % 480).cast("int").as("height"),
+      lit(3).as("channels")))
+
+  /** Feature extraction stub: first `n` bytes as a dense double vector —
+    * the plumbing (fixed-size vector per row, zero-padded on short
+    * payloads) of a real embedding extractor. Byte i is read through the
+    * hex encoding (2 chars per byte) so it works for arbitrary binary.
+    */
+  def byteFeatures(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("features",
+      transform(sequence(lit(1), lit(n)), i =>
+        coalesce(
+          nullif(conv(substring(hex(col("payload")), (i * 2 - 1).cast("int"),
+            lit(2)), 16, 10), lit("")).cast("double"),
+          lit(0.0))))
+
+  /** Frame sampling: split the payload into fixed `frameBytes` chunks and
+    * keep every `stride`-th frame — the video-keyframe-sampling dataflow.
+    * Output: (media_id, frame_idx, frame_len, frame).
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes.toDouble))
+      .cast("int")
+    df.select(col("media_id"), col("payload"), col("meta"),
+        posexplode(transform(
+          sequence(lit(0), greatest(nFrames - 1, lit(0))),
+          i => substring(col("payload"), (i * frameBytes + 1).cast("int"),
+            lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0 && length(col("frame")) > 0)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"), col("frame"))
+  }
+}

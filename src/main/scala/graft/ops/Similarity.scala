@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, plus two scale
+  * paths — random-hyperplane LSH bucketing and an IVF-style coarse
+  * quantizer. Embedding arithmetic is `zip_with` + `aggregate` Column
+  * expressions (codegen'd), promoted to double for stable accumulation.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * The query set is broadcast (it is small by construction); the corpus
+    * is scanned exactly once, and the per-query top-k is a partitioned
+    * window — no global sort, no corpus shuffle beyond the rank. The
+    * exactness baseline for the approximate paths.
+    * Output: (query_id, neighbor_id, rank, cos).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame /* id, vec */,
+      queries: DataFrame /* query_id, qvec */,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j, dim c:
+    * a fixed hash mapped into [-1, 1). Data-independent and stable across
+    * runs/executors — no RNG state to ship.
+    */
+  private def planeComponent(j: Int, c: Column): Column =
+    (pmod(xxhash64(lit(j), c), lit(100000L)).cast("double") / 50000.0) - 1.0
+
+  /** nBits-bit random-hyperplane signature of a vector column. `seed`
+    * selects an independent plane family — each LSH table passes its own
+    * seed so tables are genuinely independent (same-signature-everywhere
+    * tables add no recall).
+    */
+  def lshSignature(vec: Column, nBits: Int, seed: Int = 0): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(seed * nBits + j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate cosine top-k: corpus and queries hash to
+    * nBits-bit hyperplane signatures; candidates are corpus rows whose
+    * signature matches the query's in any of the `tables` independent
+    * hash tables (signature rotations); exact cosine re-ranks candidates.
+    * Recall < 1 by design — measured against bruteForceTopK in the spec.
+    */
+  def lshTopK(
+      corpus: DataFrame /* id, vec */,
+      queries: DataFrame /* query_id, qvec */,
+      k: Int,
+      nBits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    def withSigs(df: DataFrame, vecCol: String, idCols: Seq[Column]): DataFrame =
+      df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), nBits, seed = t)): _*))
+        .as(Seq("table_idx", "sig")): _*)
+    val c = withSigs(corpus, "vec", Seq(col("id")))
+    val q = withSigs(queries, "qvec", Seq(col("query_id")))
+    val cands = c.join(broadcast(q), Seq("table_idx", "sig"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qvec"), col("id"), col("vec"))
+      .distinct()
+    cands
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
+  /** IVF-style coarse quantizer: `nCentroids` seed vectors are picked
+    * deterministically from the corpus (stride sampling), every corpus
+    * row is assigned to its nearest centroid (one broadcast-join pass),
+    * and a query probes the `nProbe` nearest centroid cells only. The
+    * 100 TB path: the expensive exact scoring touches ~nProbe/nCentroids
+    * of the corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame /* id, vec */,
+      queries: DataFrame /* query_id, qvec */,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    // deterministic hash-stride sampling of centroid seeds: no global
+    // sort, one tiny count + one filtered scan
+    val total = corpus.agg(count(lit(1)).as("__n"))
+    val centroids = corpus.crossJoin(broadcast(total))
+      .filter(pmod(xxhash64(col("id")),
+        greatest(lit(1L), (col("__n") / nCentroids).cast("long"))) === 0)
+      .limit(nCentroids)
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int)
+        : DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__d", cosine(col(vecCol), col("cvec")))
+        .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("__d").desc, col("centroid_id"))))
+        .filter(col("__r") <= n)
+        .withColumnRenamed("centroid_id", "cell")
+        .drop("cvec", "__d", "__r")
+    val assigned = nearestCells(corpus, "id", "vec", 1)
+    val probed = nearestCells(queries, "query_id", "qvec", nProbe)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs whose
+    * signatures collide in any table and whose exact cosine clears the
+    * threshold. Output: (id_a, id_b, cos).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame /* id, vec */,
+      threshold: Double,
+      nBits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val sigs = corpus.select(col("id"), col("vec"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col("vec"), nBits, seed = t)): _*))
+        .as(Seq("table_idx", "sig")))
+    val a = sigs.select(col("table_idx"), col("sig"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = sigs.select(col("table_idx"), col("sig"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("table_idx", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .distinct()
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

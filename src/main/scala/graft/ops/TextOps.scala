@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * Column expressions (codegen'd, shuffle-free per row) except language
+  * ID, which is a broadcast profile join + argmax.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish piece count: runs of letters, runs of digits, single other
+    * non-space chars — a cheap upper-bound proxy for subword token count.
+    */
+  def pieceCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-scoring feature bundle: lengths, word stats, stopword ratio,
+    * punctuation ratio. Stopword list is inlined into the expression
+    * (array_contains over a literal array) — no join, no shuffle.
+    */
+  def qualityFeatures(df: DataFrame, text: Column, stopwords: Seq[String])
+      : DataFrame = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val punctFree = regexp_replace(text, "[^A-Za-z0-9\\s]", "")
+    df.withColumn("n_chars", length(text))
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len",
+        (length(text) - (nWords - 1)).cast("double") / nWords)
+      .withColumn("stopword_ratio", nStop.cast("double") / nWords)
+      .withColumn("punct_ratio",
+        (length(text) - length(punctFree)).cast("double") / length(text))
+  }
+
+  /** Language ID by stopword-profile voting: explode tokens, broadcast-
+    * join the (lang, word) profile table, count hits per (doc, lang),
+    * keep the argmax (ties → lexicographically smallest lang, so the
+    * result is deterministic). Docs with zero profile hits get lang
+    * "und". One shuffle on doc id; profile is broadcast.
+    */
+  def langId(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      profiles: DataFrame /* columns: lang, word */): DataFrame = {
+    val exploded = df
+      .select(idCol.as("__id"), explode(tokens(lower(text))).as("word"))
+    val hits = exploded
+      .join(broadcast(profiles), Seq("word"))
+      .groupBy(col("__id"), col("lang"))
+      .agg(count(lit(1)).as("__hits"))
+    val best = hits
+      .groupBy(col("__id"))
+      .agg(max_by(col("lang"), struct(col("__hits"),
+        // invert lang bytes so that on tied hit counts the SMALLEST lang
+        // wins under max_by
+        negate(ascii(col("lang"))))).as("pred_lang"))
+    df.select(idCol.as("__id"), text.as("__text"))
+      .join(best, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream — the
+    * Rabin-Karp-style document fingerprint. Folded with `aggregate`;
+    * every step is reduced mod 2^31−1 so the accumulator never overflows
+    * a long (Spark 4 ANSI mode makes long overflow an error, and the
+    * DuckDB twin would error too).
+    */
+  def fingerprint(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    aggregate(
+      tokens(lower(text)),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+}

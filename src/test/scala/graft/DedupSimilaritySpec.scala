@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts under min id") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, col("doc_id"), col("text"))
+    assert(got.count() == 2)
+    val dup = got.filter($"n_dups" === 2).first()
+    assert(dup.getAs[Long]("rep_id") == 1L)
+  }
+
+  test("minhash LSH finds identical and near-identical texts") {
+    val base = "spark query window sort merge hash join filter scan batch " +
+      "stream vector column row group"
+    val df = Seq(
+      (1L, base), (2L, base),                      // identical -> jaccard 1
+      (3L, base + " extra"),                       // near-dup
+      (4L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, col("doc_id"), col("text"),
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical: all bands collide, always
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts collide at hamming 0; pairs found") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally different tokens xyz uvw")).toDF("doc_id", "text")
+    val sims = Dedup.simhash(df, col("doc_id"), col("text"))
+    val h1 = sims.filter($"id" === 1).first().getAs[Long]("simhash")
+    val h2 = sims.filter($"id" === 2).first().getAs[Long]("simhash")
+    assert(h1 == h2)
+    val pairs = Dedup.simhashPairs(sims, maxHamming = 3)
+    assert(pairs.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
+  }
+
+  test("ngram jaccard computes the exact set similarity") {
+    // texts of 4 tokens -> 3-shingles: {a b c, b c d} vs {a b c, b c x}
+    val df = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+      .withColumn("blk", lit(0))
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"),
+      col("blk"), n = 3, threshold = 0.0)
+    assert(got.count() == 1)
+    assert(got.first().getAs[Double]("jaccard") == 1.0 / 3.0)
+  }
+
+  test("cosine math on known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("id", "vec")
+    val q = Seq((0L, Array(1f, 0f))).toDF("query_id", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, q, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("lsh/ivf recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val brute = Similarity.bruteForceTopK(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, 10, nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (brute intersect ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall too low")
+    // uniform random embeddings are hyperplane-LSH's worst case; widen
+    // the net (2 bits, 16 tables) and require substantial recall
+    val lsh = Similarity.lshTopK(e, q, 10, nBits = 2, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (brute intersect lsh).size.toDouble / brute.size
+    assert(lshRecall >= 0.5, s"LSH recall $lshRecall too low")
+  }
+
+  test("cosineNearDupPairs finds planted exact duplicates") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .limit(50)
+    val planted = e.unionByName(e.withColumn("id", col("id") + 1000L))
+    val pairs = Similarity.cosineNearDupPairs(planted, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every (i, i+1000) planted pair must surface (identical vectors
+    // hash to identical signatures in every table)
+    val ids = e.select("id").as[Long].collect()
+    ids.foreach(i => assert(pairs.contains((i, i + 1000L)),
+      s"missing planted pair $i"))
+  }
+}

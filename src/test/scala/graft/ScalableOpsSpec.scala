@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The scale-safe window/rank engines must be row-for-row identical to
+  * the naive global-window formulations they replace (SURVEY.md §7.4(2)),
+  * and the splits must satisfy the reference's invariants
+  * (`test_feature_pipeline.py:109-146`).
+  */
+class ScalableOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sf())
+
+  test("ScalableWindow lag/rolling equals global window") {
+    val order = Seq(col("ts"), col("event_id"))
+    val got = ScalableWindow.withTrailingColumns(
+      ev, date_trunc("week", col("ts")),
+      b => b + expr("INTERVAL 7 DAYS"), order, 168)(
+      "lag_1" -> (w => lag(col("value"), 1).over(w)),
+      "lag_168" -> (w => lag(col("value"), 168).over(w)),
+      "roll_24" -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))))
+      .select(col("event_id"), col("lag_1"), col("lag_168"), col("roll_24"))
+    val wGlobal = Window.orderBy(order: _*)
+    val want = ev.select(col("event_id"),
+      lag(col("value"), 1).over(wGlobal).as("lag_1"),
+      lag(col("value"), 168).over(wGlobal).as("lag_168"),
+      avg(col("value")).over(wGlobal.rowsBetween(-23, 0)).as("roll_24"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("ScalableRank.globalRowNumber equals global row_number") {
+    val got = ScalableRank.globalRowNumber(ev,
+      date_trunc("day", col("ts")), Seq(col("ts"), col("event_id")), "rn")
+      .select(col("event_id"), col("rn"))
+    val want = ev.select(col("event_id"),
+      row_number().over(Window.orderBy(col("ts"), col("event_id")))
+        .cast("long").as("rn"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("chronoSplit: floor sizing, no overlap, totality, ordering") {
+    val n = ev.count()
+    val split = ScalableRank.chronoSplit(ev,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")), 0.3)
+    val nTrain = split.filter($"split" === "train").count()
+    val nTest = split.filter($"split" === "test").count()
+    assert(nTrain == math.floor(n * (1.0 - 0.3)).toLong) // int(n*(1-r))
+    assert(nTrain + nTest == n)                          // totality
+    val maxTrainTs = split.filter($"split" === "train")
+      .agg(max(struct($"ts", $"event_id"))).first().getStruct(0)
+    val minTestTs = split.filter($"split" === "test")
+      .agg(min(struct($"ts", $"event_id"))).first().getStruct(0)
+    assert(maxTrainTs.getAs[java.time.LocalDateTime]("ts")
+      .compareTo(minTestTs.getAs[java.time.LocalDateTime]("ts")) <= 0)
+  }
+
+  test("upsertNothing: no existing keys pass, batch dedup applies") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "x"), (3L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("k", "v")
+    val got = Relational.upsertNothing(incoming, existing, Seq("k"))
+    assert(got.count() == 2) // 3 (one of y/z) and 4
+    assert(got.filter($"k" === 2).count() == 0)
+    assert(got.select("k").distinct().count() == 2)
+  }
+
+  test("downsampleStride keeps ceil(n/max) spacing incl. first row") {
+    val got = ScalableRank.downsampleStride(ev,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")), 100)
+    val n = ev.count()
+    val step = math.ceil(n / 100.0).toLong
+    assert(got.count() == (n + step - 1) / step)
+    // first row of the global order must be kept
+    val first = ev.orderBy(col("ts"), col("event_id")).limit(1)
+      .select(col("event_id")).first().getLong(0)
+    assert(got.filter(col("event_id") === first).count() == 1)
+  }
+
+  test("medianImpute fills nulls with exact per-group median") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(10.0)), ("b", None), ("b", Some(20.0)))
+      .toDF("g", "x")
+    val got = Aggregates.medianImpute(df, col("g"), col("x"), "imp")
+    assert(got.filter($"g" === "a" && $"x".isNull)
+      .select("imp").first().getDouble(0) == 2.0)
+    assert(got.filter($"g" === "b" && $"x".isNull)
+      .select("imp").first().getDouble(0) == 15.0) // interpolated median
+  }
+
+  test("regressionMetrics masked MAPE: empty mask -> null") {
+    val df = Seq((1.0, 2.0), (-5.0, -4.0)).toDF("y", "p") // all |y| < 10
+    val m = Aggregates.regressionMetrics(df, col("y"), col("p")).first()
+    assert(m.getAs[Double]("mae") == 1.0)
+    assert(m.isNullAt(m.fieldIndex("mape")))
+  }
+
+  test("flagInRanges marks containment inclusively") {
+    val df = Seq("2024-01-05", "2024-02-01").toDF("d")
+      .select(to_date($"d").as("d"))
+    val ranges = Seq(("2024-01-01", "2024-01-05")).toDF("s", "e")
+      .select(to_date($"s").as("start"), to_date($"e").as("end"))
+    val got = Relational.flagInRanges(df, $"d", ranges, "flag")
+    assert(got.filter($"d" === "2024-01-05").select("flag")
+      .first().getInt(0) == 1)
+    assert(got.filter($"d" === "2024-02-01").select("flag")
+      .first().getInt(0) == 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, TextOps}
+
+class TextMultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token and piece counting") {
+    val df = Seq("hello world  foo", "a,b c3").toDF("text")
+    val got = df.select(TextOps.tokenCount($"text").as("t"),
+      TextOps.pieceCount($"text").as("p")).collect()
+    assert(got(0).getInt(0) == 3)
+    assert(got(1).getInt(0) == 2)      // "a,b" "c3"
+    assert(got(1).getInt(1) == 5)      // a , b c 3
+  }
+
+  test("quality features: ratios on a crafted doc") {
+    val df = Seq((1L, "the cat sat on a mat!")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(df, $"text", Seq("the", "a")).first()
+    assert(r.getAs[Int]("n_chars") == 21)
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+    assert(r.getAs[Double]("punct_ratio") == 1.0 / 21.0)
+  }
+
+  test("langId votes by stopword profiles; no hits -> und") {
+    val profiles = Seq(("en", "the"), ("en", "cat"), ("de", "der"),
+      ("de", "katze")).toDF("lang", "word")
+    val df = Seq((1L, "the cat sat"), (2L, "der katze hund"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextOps.langId(df, $"doc_id", $"text", profiles)
+      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[String]("pred_lang"))
+      .toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprint: deterministic, token-order sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < 2147483647L))
+  }
+
+  test("multimodal payload -> decode stub -> features -> frames") {
+    val df = Seq((7L, "abcdefgh" * 20)).toDF("doc_id", "text") // 160 bytes
+    val payload = Multimodal.asPayload(df, $"doc_id", $"text")
+    val meta = payload.select($"meta.n_bytes").first().getInt(0)
+    assert(meta == 160)
+    val dec = Multimodal.decodeStub(payload)
+      .select($"decoded.width", $"decoded.height").first()
+    assert(dec.getInt(0) == 160 % 640 && dec.getInt(1) == 160 % 480)
+    val feats = Multimodal.byteFeatures(payload, 4)
+      .select($"features").first().getSeq[Double](0)
+    assert(feats == Seq(97.0, 98.0, 99.0, 100.0)) // 'a','b','c','d'
+    val frames = Multimodal.sampleFrames(payload, frameBytes = 64, stride = 2)
+      .select("frame_idx", "frame_len")
+      .as[(Int, Int)].collect().toMap
+    assert(frames == Map(0 -> 64, 2 -> 32)) // frames 0,1,2; stride keeps 0,2
+  }
+}
