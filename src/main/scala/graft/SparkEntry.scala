@@ -33,7 +33,6 @@ object SparkEntry {
   /** Global order used for all positional/window ops on events. */
   private val evOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
   private val weekBucket: Column = date_trunc("week", col("ts"))
-  private def weekNext(b: Column): Column = b + expr("INTERVAL 7 DAYS")
 
   // ---------------------------------------------------------------- §2.1
   private val scans = Seq(
@@ -352,14 +351,15 @@ object SparkEntry {
             to_date(col("o_orderdate")), ranges, "is_holiday")
           .select(col("o_orderkey"), col("is_holiday"))
       },
-      Some("""WITH r(s, e) AS (VALUES
-                (DATE '1995-01-01', DATE '1995-01-15'),
-                (DATE '1996-06-01', DATE '1996-06-30'),
-                (DATE '1997-12-20', DATE '1998-01-05'))
-              SELECT o.o_orderkey,
-                CASE WHEN h.s IS NULL THEN 0 ELSE 1 END AS is_holiday
-              FROM orders o
-              LEFT JOIN r h ON CAST(o.o_orderdate AS DATE) BETWEEN h.s AND h.e""")),
+      Some("""SELECT o.o_orderkey,
+                CASE WHEN CAST(o.o_orderdate AS DATE)
+                       BETWEEN DATE '1995-01-01' AND DATE '1995-01-15'
+                     OR CAST(o.o_orderdate AS DATE)
+                       BETWEEN DATE '1996-06-01' AND DATE '1996-06-30'
+                     OR CAST(o.o_orderdate AS DATE)
+                       BETWEEN DATE '1997-12-20' AND DATE '1998-01-05'
+                  THEN 1 ELSE 0 END AS is_holiday
+              FROM orders o""")),
   )
 
   // ---------------------------------------------------------------- §2.4
@@ -458,7 +458,7 @@ object SparkEntry {
   private val windows = Seq(
     Q("win_lag",
       (s, d) => ScalableWindow.withTrailingColumns(
-          ev(s, d), weekBucket, weekNext, evOrder, 168)(
+          ev(s, d), weekBucket, evOrder, 168)(
           "lag_1"   -> (w => lag(col("value"), 1).over(w)),
           "lag_24"  -> (w => lag(col("value"), 24).over(w)),
           "lag_168" -> (w => lag(col("value"), 168).over(w)))
@@ -470,7 +470,7 @@ object SparkEntry {
 
     Q("win_rolling_avg",
       (s, d) => ScalableWindow.withTrailingColumns(
-          ev(s, d), weekBucket, weekNext, evOrder, 167)(
+          ev(s, d), weekBucket, evOrder, 167)(
           "roll_24"  -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))),
           "roll_168" -> (w => avg(col("value")).over(w.rowsBetween(-167, 0))))
         .select(col("event_id"), round(col("roll_24"), 6).as("roll_24"),
@@ -658,10 +658,10 @@ object SparkEntry {
         e.join(broadcast(g), col("event_type") === col("g"))
           .select(col("event_id"),
             ScalarFns.tariffNetz(col("value"), col("lmin"), col("lmax"),
-              lit(20.0), lit(8.0)).as("netzpreis"))
+              lit(20.0), lit(30.0)).as("netzpreis"))
       },
       Some("""SELECT event_id,
-                least(greatest(20.0 + 8.0 * (ln * ln - 0.5), 15.0), 35.0)
+                least(greatest(30.0 * (ln * ln), 15.0), 35.0)
                   AS netzpreis
               FROM (SELECT event_id,
                       least(greatest((value - mn) / (mx - mn), 0.0), 1.0) AS ln
@@ -751,7 +751,7 @@ object SparkEntry {
     Q("dq_ascending",
       (s, d) => Quality.descendingCount(ev(s, d), col("ts"),
         Seq(col("event_id")),
-        floor(col("event_id") / lit(1000)), b => b + lit(1)),
+        floor(col("event_id") / lit(1000))),
       Some("""SELECT count(*) AS n_violations
               FROM (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS p
                     FROM events)
@@ -809,6 +809,20 @@ object SparkEntry {
     docs.unionByName(mutated)
   }
 
+  /** DuckDB twin of [[withPlantedDups]] — shared CTE body. */
+  private val plantedDocsSql =
+    """docs AS (SELECT doc_id AS id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000,
+         array_to_string(list_slice(
+           string_split_regex(trim(text), '\s+'), 2, 100000), ' ')
+       FROM documents)"""
+
+  /** DuckDB twin of [[Dedup.shingles]] (k = 3) over column `toks`. */
+  private val shinglesSql =
+    """list_distinct([array_to_string(toks[i+1:i+3], ' ')
+       for i in range(0, greatest(len(toks) - 3, 0) + 1)])"""
+
   private val llm = Seq(
     Q("dedup_exact",
       (s, d) => Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text")),
@@ -820,14 +834,69 @@ object SparkEntry {
       (s, d) => Dedup.minhashLshPairs(
         withPlantedDups(Tables.documents(s, d)),
         col("doc_id"), col("text"), threshold = 0.5),
-      None),
+      Some(s"""WITH $plantedDocsSql,
+              base AS (SELECT id, $shinglesSql AS sh
+                       FROM (SELECT id,
+                               string_split_regex(lower(trim(text)), '\\s+')
+                                 AS toks
+                             FROM docs)),
+              hb AS (SELECT id,
+                       CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS b
+                     FROM (SELECT id, unnest(sh) AS s FROM base)),
+              sigs AS (SELECT id, j,
+                         min((1000003 * (j + 1) * b + 666019 * (j + 1))
+                           % 2147483647) AS sig
+                       FROM hb, range(16) r(j) GROUP BY 1, 2),
+              bandskey AS (SELECT id, (j // 4) AS band_idx,
+                             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j)
+                               AS band_key
+                           FROM sigs GROUP BY 1, 2),
+              bcount AS (SELECT band_idx, band_key, count(*) AS n
+                         FROM bandskey GROUP BY 1, 2),
+              pruned AS (SELECT bk.id, bk.band_idx, bk.band_key
+                         FROM bandskey bk
+                         JOIN bcount c USING (band_idx, band_key)
+                         WHERE c.n <= 1000),
+              pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                        FROM pruned a JOIN pruned b
+                          USING (band_idx, band_key)
+                        WHERE a.id < b.id),
+              verified AS (SELECT p.id_a, p.id_b,
+                             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                               / len(list_distinct(list_concat(x.sh, y.sh)))
+                               AS j
+                           FROM pairs p
+                           JOIN base x ON p.id_a = x.id
+                           JOIN base y ON p.id_b = y.id)
+              SELECT id_a, id_b, round(j, 6) AS jaccard
+              FROM verified WHERE j >= 0.5""")),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(
         Dedup.simhash(withPlantedDups(Tables.documents(s, d)),
           col("doc_id"), col("text")),
         maxHamming = 3),
-      None),
+      Some(s"""WITH $plantedDocsSql,
+              th AS (SELECT id,
+                       CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+                     FROM (SELECT id,
+                             unnest(string_split_regex(lower(trim(text)),
+                               '\\s+')) AS t
+                           FROM docs)),
+              bits AS (SELECT id, b,
+                         sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS sgn
+                       FROM th, range(60) r(b) GROUP BY 1, 2),
+              sh AS (SELECT id,
+                       CAST(sum(CASE WHEN sgn > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+                     FROM bits GROUP BY 1)
+              SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                  AS hamming
+              FROM sh a JOIN sh b ON a.id < b.id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     Q("dedup_ngram_jaccard",
       (s, d) => {
@@ -836,7 +905,26 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(planted, col("doc_id"), col("text"),
           col("blk"), n = 3, threshold = 0.5)
       },
-      None),
+      Some(s"""WITH $plantedDocsSql,
+              base AS (SELECT id, ((id % 1000000) % 500) AS blk,
+                         $shinglesSql AS sh
+                       FROM (SELECT id,
+                               string_split_regex(lower(trim(text)), '\\s+')
+                                 AS toks
+                             FROM docs)),
+              ex AS (SELECT id, blk, unnest(sh) AS s FROM base),
+              inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+                        FROM ex a JOIN ex b
+                          ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+                        GROUP BY 1, 2),
+              sizes AS (SELECT id, len(sh) AS sz FROM base),
+              j AS (SELECT i.id_a, i.id_b,
+                      CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) AS j
+                    FROM inter i
+                    JOIN sizes sa ON i.id_a = sa.id
+                    JOIN sizes sb ON i.id_b = sb.id)
+              SELECT id_a, id_b, round(j, 6) AS jaccard
+              FROM j WHERE j >= 0.5""")),
 
     Q("dedup_embedding_cosine",
       (s, d) => {
@@ -847,7 +935,19 @@ object SparkEntry {
           e.withColumn("id", col("id") + 1000000L))
         Similarity.cosineNearDupPairs(planted, threshold = 0.999)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id AS id,
+                           CAST(embedding AS DOUBLE[]) AS vec
+                         FROM embeddings
+                         UNION ALL
+                         SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                         FROM embeddings),
+              p AS (SELECT a.id AS id_a, b.id AS id_b,
+                      list_dot_product(a.vec, b.vec)
+                        / (sqrt(list_dot_product(a.vec, a.vec))
+                           * sqrt(list_dot_product(b.vec, b.vec))) AS cos
+                    FROM e a JOIN e b ON a.id < b.id)
+              SELECT id_a, id_b, round(cos, 6) AS cos
+              FROM p WHERE cos >= 0.999""")),
 
     Q("ann_bruteforce",
       (s, d) => {
@@ -858,7 +958,21 @@ object SparkEntry {
         Similarity.bruteForceTopK(e, q, k = 10)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id AS id,
+                           CAST(embedding AS DOUBLE[]) AS vec
+                         FROM embeddings),
+              q AS (SELECT id AS query_id, vec AS qvec FROM e WHERE id < 5),
+              s AS (SELECT q.query_id, e.id,
+                      list_dot_product(e.vec, q.qvec)
+                        / (sqrt(list_dot_product(e.vec, e.vec))
+                           * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+                    FROM e, q WHERE e.id <> q.query_id),
+              r AS (SELECT query_id, id,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, id) AS INTEGER) AS rank
+                    FROM s)
+              SELECT query_id, id AS neighbor_id, rank
+              FROM r WHERE rank <= 10""")),
 
     Q("ann_lsh",
       (s, d) => {
@@ -893,10 +1007,29 @@ object SparkEntry {
           ("es", "el"), ("es", "los"), ("es", "data"),
           ("zh", "big"), ("zh", "spark")).toDF("lang", "word")
         TextOps.langId(Tables.documents(s, d), col("doc_id"), col("text"),
-            profiles)
-          .select(col("__id").as("doc_id"), col("pred_lang"))
+          profiles, idName = "doc_id")
       },
-      None),
+      Some("""WITH profiles(lang, word) AS (VALUES
+                ('en', 'the'), ('en', 'a'), ('en', 'fast'),
+                ('de', 'der'), ('de', 'die'), ('de', 'slow'),
+                ('fr', 'le'), ('fr', 'la'), ('fr', 'table'),
+                ('es', 'el'), ('es', 'los'), ('es', 'data'),
+                ('zh', 'big'), ('zh', 'spark')),
+              toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)),
+                           '\s+')) AS word
+                       FROM documents),
+              hits AS (SELECT t.doc_id, p.lang, count(*) AS n
+                       FROM toks t JOIN profiles p USING (word)
+                       GROUP BY 1, 2),
+              best AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, lang) AS r
+                       FROM hits)
+              SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b
+                USING (doc_id)""")),
 
     Q("text_quality",
       (s, d) => TextOps.qualityFeatures(Tables.documents(s, d), col("text"),
@@ -934,7 +1067,15 @@ object SparkEntry {
     Q("text_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp")),
-      None),
+      Some("""SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split_regex(lower(trim(text)), '\s+'),
+                      t -> CAST(concat('0x', substr(md5(t), 1, 7))
+                        AS BIGINT))),
+                  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+              FROM documents""")),
 
     Q("mm_decode",
       (s, d) => {
@@ -980,10 +1121,112 @@ object SparkEntry {
               FROM documents""")),
   )
 
+  // ------------------------------------------- round-2 widening: §2.8
+  // singles (f_coalesce / f_arith_derive as standalone §2 keys), distinct
+  // aggregation, ranked/sessionized windows, ML baselines, stateful
+  // streaming dedup
+  private val extras = Seq(
+    Q("f_coalesce",
+      // the reference's `COALESCE(p.pv_kwh, 0)` after an unmatched left
+      // join (`infra/db/init.sql:425`): missing dim rows become 0
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")
+            .withColumnRenamed("c_custkey", "o_custkey")
+            .select(col("o_custkey"), col("c_acctbal"))),
+          Seq("o_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("bal_or_zero")),
+      Some("""SELECT o.o_orderkey, coalesce(c.c_acctbal, 0.0) AS bal_or_zero
+              FROM orders o
+              LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                         WHERE c_mktsegment = 'BUILDING') c
+                ON o.o_custkey = c.c_custkey""")),
+
+    Q("f_arith_derive",
+      (s, d) => Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+              FROM lineitem""")),
+
+    Q("agg_distinct_users",
+      (s, d) => ev(s, d).groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+              FROM events GROUP BY 1""")),
+
+    Q("win_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+              FROM orders
+              QUALIFY rk <= 3""")),
+
+    Q("win_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("__prev", lag(col("ts"), 1).over(w))
+          .withColumn("__new", when(col("__prev").isNull ||
+            col("ts") > col("__prev") + expr("INTERVAL 30 MINUTES"),
+            lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("__new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("event_id"), col("user_id"), col("session_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2,
+                  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                FROM events)
+              SELECT event_id, user_id,
+                CAST(sum(CASE WHEN p IS NULL
+                    OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM t""")),
+
+    Q("ml_linreg",
+      (s, d) => graft.ml.Baselines.linearFit(Tables.lineitem(s, d),
+        Seq(col("l_returnflag")), col("l_quantity"), col("l_extendedprice")),
+      Some("""SELECT l_returnflag,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4)
+                  AS intercept,
+                count(*) AS n
+              FROM lineitem GROUP BY 1""")),
+
+    Q("ml_naive_baseline",
+      (s, d) => graft.ml.Baselines.naiveMeanMetrics(Tables.lineitem(s, d),
+        col("l_extendedprice")),
+      Some("""WITH m AS (SELECT avg(l_extendedprice) AS mean FROM lineitem)
+              SELECT round(avg(abs(l_extendedprice - m.mean)), 6) AS mae,
+                round(sqrt(avg((l_extendedprice - m.mean)
+                  * (l_extendedprice - m.mean))), 6) AS rmse
+              FROM lineitem, m""")),
+
+    Q("stream_dedup_state",
+      (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
+      Some("SELECT event_id, event_type, value FROM events")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
-      sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm
+      sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ extras
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

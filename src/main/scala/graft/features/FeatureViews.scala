@@ -26,14 +26,13 @@ object FeatureViews {
 
   private val order = Seq(col("time"))
   private val monthBucket = date_trunc("month", col("time"))
-  private def monthNext(b: Column): Column = add_months(b, 1)
 
   private def lagRolling(
       df: DataFrame,
       x: Column,
       defs: Seq[(String, Int, Boolean)] /* (name, n, isRollingAvg) */)
       : DataFrame =
-    ScalableWindow.withTrailingColumns(df, monthBucket, monthNext, order, 168)(
+    ScalableWindow.withTrailingColumns(df, monthBucket, order, 168)(
       defs.map { case (name, n, rolling) =>
         name -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
           if (rolling) avg(x).over(w.rowsBetween(-(n - 1), 0))
@@ -120,7 +119,7 @@ object FeatureViews {
     // temp_rolling_avg_24h is computed AFTER the join in the reference
     // (init.sql:324-326) — over the joined CH temperature column
     ScalableWindow.withTrailingColumns(
-      joined, monthBucket, monthNext, order, 24)(
+      joined, monthBucket, order, 24)(
       "temp_rolling_avg_24h" ->
         (w => avg(col("temperature_2m")).over(w.rowsBetween(-23, 0))))
       .select(col("time"), col("price_eur_mwh"), col("lag_1h"),

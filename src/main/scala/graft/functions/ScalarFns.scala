@@ -33,16 +33,17 @@ object ScalarFns {
 
   /** Grid-usage tariff (`tariff_formulas.py:53-91`):
     * `L_norm = clip((load − lmin) / (lmax − lmin), 0, 1)`;
-    * `netzpreis = clip(std + alpha·(L_norm² − 0.5), std − 5, std + 15)`.
-    * (Shape per reference: quadratic in normalized load, clipped to an
-    * asymmetric band around the standard tariff.)
+    * `netzpreis = clip(alpha·L_norm², std − 5, std + 15)` — the raw
+    * price is the quadratic alone, then clipped to the asymmetric band
+    * around the standard tariff (reference computes `raw = alpha·L²` and
+    * clips to `[std−5, std+15]`).
     */
   def tariffNetz(
       load: Column, lmin: Column, lmax: Column,
       std: Column, alpha: Column): Column = {
     val lnorm = clip((load - lmin) / (lmax - lmin), lit(0.0), lit(1.0))
     // lnorm * lnorm (not pow): bit-identical across engines' libm variants
-    clip(std + alpha * (lnorm * lnorm - lit(0.5)), std - lit(5.0), std + lit(15.0))
+    clip(alpha * (lnorm * lnorm), std - lit(5.0), std + lit(15.0))
   }
 
   /** Energy tariff (`tariff_formulas.py:94-141`):

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
+
 /** Deduplication operators for large-scale corpus curation: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. Designed so no step is
   * quadratic in corpus size — every candidate-pair generator goes through
@@ -10,12 +12,17 @@ import org.apache.spark.sql.functions._
   * executes as a shuffled hash join; only within-bucket pairs are ever
   * materialized. Skewed buckets (boilerplate shingles) are the known
   * hazard at 100 TB — cap them with `maxBucketSize`.
+  *
+  * All hashing is md5-based [[PortableHash]]: deterministic, executor-
+  * independent, and reproducible by the DuckDB oracle, so even the
+  * probabilistic pipelines are hash-exact verifiable end-to-end.
   */
 object Dedup {
 
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id as representative plus the duplicate count. Equivalent
-    * to the reference's upsert identity semantics applied to content.
+    * to the reference's upsert identity semantics applied to content
+    * (`src/db/timescale_client.py:60-65`).
     */
   def exact(df: DataFrame, idCol: Column, text: Column): DataFrame =
     df.groupBy(sha2(text, 256).as("content_hash"))
@@ -29,23 +36,34 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature of a shingle array: `numHashes` independent hash
-    * families h_i(s) = xxhash64(i, s); signature element i is the min
-    * over shingles. Pure expressions, no UDF.
+  /** MinHash signature from a PRE-HASHED shingle array (28-bit bases):
+    * signature element i is the min over shingles of affine family
+    * member h_i. Take the md5 pass out of this expression (materialize
+    * the bases once) — inlining it would re-hash the whole array per
+    * family member.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+  def minhashSignatureFromBases(baseArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))): _*)
+      array_min(transform(baseArr, b => PortableHash.affineFamily(b, i)))): _*)
+
+  /** MinHash signature of a shingle array (one md5 per shingle). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    minhashSignatureFromBases(
+      transform(shingleArr, s => PortableHash.base28(s)), numHashes)
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` groups
-    * of `rowsPerBand`; docs sharing any band bucket become a candidate
-    * pair; candidates are verified with exact shingle Jaccard and kept
-    * when `jaccard >= threshold`. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b.
+    * of `numHashes / bands` rows; docs sharing any band key become a
+    * candidate pair; candidates are verified with exact shingle Jaccard
+    * and kept when `jaccard >= threshold`. Output: (id_a, id_b, jaccard)
+    * with id_a < id_b, jaccard rounded to 6 for cross-engine compare.
     *
-    * Scale: the only join is on (band_idx, band_hash). `maxBucketSize`
-    * drops degenerate buckets (e.g. empty-text shingles) whose within-
-    * bucket blowup would otherwise dominate — standard LSH practice.
+    * Scale shape: the only wide join is an equi-join on (band_idx,
+    * band_key) over id-sized rows — shingle arrays never travel through
+    * the pair join or the distinct; they are re-attached per verified
+    * candidate id afterwards. Bucket hygiene: buckets larger than
+    * `maxBucketSize` (degenerate boilerplate) are dropped, buckets of
+    * size 1 can't pair and are dropped too, so the candidate fanout is
+    * bounded by maxBucketSize² per bucket.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -57,55 +75,79 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // base is consumed three times (signatures + both verify joins);
+    // cache it so the shingle computation runs once. MEMORY_AND_DISK:
+    // spills rather than OOMs at corpus scale.
     val base = df.select(idCol.as("id"), shingles(text, shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = base.select(col("id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the 28-bit bases, THEN fan out to the family — one md5
+    // pass per shingle total, not per family member
+    val sigs = base
+      .select(col("id"),
+        transform(col("sh"), s => PortableHash.base28(s)).as("hb"))
+      .select(col("id"),
+        minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
+    // band key: the band's signature values joined as a string — no extra
+    // hash needed, and trivially portable to the oracle. Cached: consumed
+    // by the bucket-count aggregate and the prune join.
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as(Seq("band_idx", "band_hash")))
-    val pruned = banded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("__bucket_n") <= maxBucketSize)
-    val a = pruned.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = pruned.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+        array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), "-")): _*))
+        .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketN = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .drop("__n")
+    val pruned = banded.join(bucketN, Seq("band_idx", "band_key"))
+    val a = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val b = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token stream: bit b of the hash is set when
-    * the sum over tokens of ±1 (sign of bit b of xxhash64(token)) is
-    * positive. Computed as 64 conditional sums after an explode — one
-    * shuffle on the doc id.
+  /** SimHash width: 60 bits (15 md5 hex chars — the widest portable slice
+    * that stays positive in a signed long). */
+  val SimhashBits: Int = 60
+
+  /** 60-bit SimHash per doc: bit b is set when the sum over tokens of ±1
+    * (sign of bit b of the token hash) is positive. One md5 per token,
+    * then 60 conditional-sum aggregates over the exploded token stream —
+    * primitive aggregation buffers, no per-token array allocation; one
+    * shuffle on the doc id with map-side partial aggregation.
+    * Output: (id, simhash).
     */
   def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = df.select(idCol.as("id"),
       explode(split(lower(trim(text)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+      .withColumn("h", PortableHash.md5Long(col("tok"), 15))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
         .otherwise(-1)).as(s"b$b"))
     val perDoc = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    val hash = (0 until SimhashBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     perDoc.select(col("id"), hash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16):
-    * the 64-bit hash splits into 4 16-bit chunks; by pigeonhole any pair
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4):
+    * the 60-bit hash splits into 4 15-bit chunks; by pigeonhole any pair
     * within distance 3 shares at least one exact chunk, so candidates
     * come from 4 chunk-equality joins, then exact popcount verification.
+    * Lossless blocking: the result equals the full O(n²) scan.
     */
   def simhashPairs(
       sims: DataFrame /* columns: id, simhash */,
@@ -113,7 +155,7 @@ object Dedup {
     require(maxHamming < 4, "pigeonhole blocking uses 4 chunks")
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL)): _*))
         .as(Seq("chunk_idx", "chunk")))
     val a = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
@@ -132,6 +174,14 @@ object Dedup {
     * (e.g. language or source) — the verification-grade dedup metric.
     * The blocking key bounds the pair blowup; at corpus scale pair it
     * with minhashLshPairs for candidate generation instead.
+    *
+    * Implementation: explode distinct shingles and count shared shingles
+    * per pair through a (block, shingle) equi-join — short string rows
+    * through the shuffle instead of full array payloads; |A∪B| is then
+    * |A| + |B| − |A∩B| from precomputed sizes. Pairs with an empty
+    * intersection never materialize (their jaccard is exactly 0 — by
+    * definition not near-duplicates, so they are omitted at any
+    * threshold).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -140,16 +190,24 @@ object Dedup {
       blockCol: Column,
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // cached: sizes + both sides of the self-join read it (4 consumers)
     val base = df.select(idCol.as("id"), blockCol.as("blk"),
       shingles(text, n).as("sh"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = base.select(col("id"), col("blk"), size(col("sh")).as("sz"))
+    val ex = base.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val inter = ex.select(col("blk"), col("s"), col("id").as("id_a"))
+      .join(ex.select(col("blk"), col("s"), col("id").as("id_b")),
+        Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 }

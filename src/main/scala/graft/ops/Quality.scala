@@ -34,9 +34,8 @@ object Quality {
       df: DataFrame,
       timeCol: Column,
       orderCols: Seq[Column],
-      bucket: Column,
-      bucketNext: Column => Column): DataFrame =
-    ScalableWindow.withTrailingColumns(df, bucket, bucketNext, orderCols, 1)(
+      bucket: Column): DataFrame =
+    ScalableWindow.withTrailingColumns(df, bucket, orderCols, 1)(
         "__graft_prev" -> (w => lag(timeCol, 1).over(w)))
       .filter(col("__graft_prev") > timeCol)
       .agg(count(lit(1)).as("n_violations"))

@@ -41,24 +41,24 @@ object Relational {
 
   /** Date-in-range membership against a small ranges dim (the holiday
     * flags of `src/processing/export_pipeline.py:409-534`). The ranges
-    * table is tiny → broadcast range join; emits 0/1 `flagName`.
+    * table is tiny by contract (the reference hardcodes 66 ranges), so it
+    * is collected at plan time and folded into a single OR predicate —
+    * the exact shape of the reference's membership closure. Zero joins,
+    * zero shuffles, input cardinality preserved row-for-row (including
+    * legitimately duplicate input rows, and dates covered by several
+    * overlapping ranges flag exactly once).
     */
   def flagInRanges(
       df: DataFrame,
       dateCol: Column,
       ranges: DataFrame, // columns: start DATE, end DATE
       flagName: String): DataFrame = {
-    val hit = ranges
-      .select(col("start"), col("end"))
-      .withColumn("__graft_hit", lit(1))
-    df.join(
-        broadcast(hit),
-        dateCol.between(col("start"), col("end")),
-        "left")
-      .withColumn(flagName, coalesce(col("__graft_hit"), lit(0)))
-      .drop("start", "end", "__graft_hit")
-      // a date can fall in several overlapping ranges → dedup back
-      .dropDuplicates()
+    val rs = ranges.select(col("start"), col("end")).collect()
+    val hit = rs
+      .map(r => dateCol.between(lit(r.get(0)), lit(r.get(1))))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    df.withColumn(flagName, when(hit, lit(1)).otherwise(lit(0)))
   }
 
   /** Idempotent append semantics of `INSERT ... ON CONFLICT DO NOTHING`

@@ -22,14 +22,19 @@ object ScalableRank {
 
   private val B = "__graft_bucket"
 
-  /** Adds a 1-based global row number column named `name`. */
+  /** Adds a 1-based global row number column named `name`, plus (when
+    * `totalName` is set) the total row count — derived from the same
+    * per-bucket count pass, so callers that need `n` (splits, strides)
+    * don't pay a second scan.
+    */
   def globalRowNumber(
       df: DataFrame,
       bucket: Column,
       orderCols: Seq[Column],
-      name: String): DataFrame = {
+      name: String,
+      totalName: Option[String] = None): DataFrame = {
     val withB = df.withColumn(B, bucket)
-    // Tiny: one row per bucket. The unpartitioned window over it is safe.
+    // Tiny: one row per bucket. The unpartitioned windows over it are safe.
     val offsets = withB
       .groupBy(col(B))
       .agg(count(lit(1)).as("__graft_cnt"))
@@ -39,14 +44,20 @@ object ScalableRank {
           sum(col("__graft_cnt"))
             .over(Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      .withColumn("__graft_total",
+        sum(col("__graft_cnt")).over(Window.partitionBy()))
       .drop("__graft_cnt")
     val wLocal = Window.partitionBy(col(B)).orderBy(orderCols: _*)
-    withB
+    val numbered = withB
       .join(broadcast(offsets), Seq(B))
       .withColumn(
         name,
         (row_number().over(wLocal).cast("long") + col("__graft_offset")))
-      .drop(B, "__graft_offset")
+    totalName match {
+      case Some(t) => numbered.withColumnRenamed("__graft_total", t)
+        .drop(B, "__graft_offset")
+      case None => numbered.drop(B, "__graft_offset", "__graft_total")
+    }
   }
 
   /** Chronological ratio split (reference `export_pipeline.py:129-207`):
@@ -61,10 +72,8 @@ object ScalableRank {
       testRatio: Double,
       name: String = "split"): DataFrame = {
     val rn = "__graft_rn"
-    val numbered = globalRowNumber(df, bucket, orderCols, rn)
-    val total = df.agg(count(lit(1)).as("__graft_n"))
+    val numbered = globalRowNumber(df, bucket, orderCols, rn, Some("__graft_n"))
     numbered
-      .crossJoin(broadcast(total))
       .withColumn(
         name,
         when(col(rn) <= floor(col("__graft_n") * lit(1.0 - testRatio)), lit("train"))
@@ -82,10 +91,8 @@ object ScalableRank {
       orderCols: Seq[Column],
       maxPoints: Int): DataFrame = {
     val rn = "__graft_rn"
-    val numbered = globalRowNumber(df, bucket, orderCols, rn)
-    val total = df.agg(count(lit(1)).as("__graft_n"))
+    val numbered = globalRowNumber(df, bucket, orderCols, rn, Some("__graft_n"))
     numbered
-      .crossJoin(broadcast(total))
       .withColumn("__graft_step", ceil(col("__graft_n") / lit(maxPoints)).cast("long"))
       .filter(pmod(col(rn) - 1, col("__graft_step")) === 0)
       .drop(rn, "__graft_n", "__graft_step")

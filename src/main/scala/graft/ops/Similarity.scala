@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * paths — random-hyperplane LSH bucketing and an IVF-style coarse
   * quantizer. Embedding arithmetic is `zip_with` + `aggregate` Column
   * expressions (codegen'd), promoted to double for stable accumulation.
+  *
+  * Hyperplanes are generated driver-side (deterministic splitmix64) and
+  * embedded as literal arrays — each signature bit is one multiply-add
+  * pass over the vector, no hashing in the hot path, no RNG state to
+  * ship to executors.
   */
 object Similarity {
 
@@ -43,23 +48,34 @@ object Similarity {
         col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane j, dim c:
-    * a fixed hash mapped into [-1, 1). Data-independent and stable across
-    * runs/executors — no RNG state to ship.
-    */
-  private def planeComponent(j: Int, c: Column): Column =
-    (pmod(xxhash64(lit(j), c), lit(100000L)).cast("double") / 50000.0) - 1.0
+  /** splitmix64 — deterministic plane components in [-1, 1). */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** nBits hyperplanes of dimension `dim` for plane family `seed`. */
+  private def planes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (j, i) =>
+      val h = splitmix(seed.toLong * 1000003L + j.toLong * 8191L + i.toLong)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  /** Probe the array length of `vecCol` from one row (plan-build time). */
+  def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** nBits-bit random-hyperplane signature of a vector column. `seed`
     * selects an independent plane family — each LSH table passes its own
-    * seed so tables are genuinely independent (same-signature-everywhere
-    * tables add no recall).
+    * seed so tables are genuinely independent.
     */
-  def lshSignature(vec: Column, nBits: Int, seed: Int = 0): Column = {
+  def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Int): Column = {
+    val pl = planes(nBits, dim, seed)
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(seed * nBits + j, i)),
+        zip_with(vec, typedLit(pl(j)), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
@@ -69,8 +85,8 @@ object Similarity {
   /** LSH-bucketed approximate cosine top-k: corpus and queries hash to
     * nBits-bit hyperplane signatures; candidates are corpus rows whose
     * signature matches the query's in any of the `tables` independent
-    * hash tables (signature rotations); exact cosine re-ranks candidates.
-    * Recall < 1 by design — measured against bruteForceTopK in the spec.
+    * hash tables; exact cosine re-ranks candidates. Recall < 1 by
+    * design — measured against bruteForceTopK in the spec.
     */
   def lshTopK(
       corpus: DataFrame /* id, vec */,
@@ -78,9 +94,10 @@ object Similarity {
       k: Int,
       nBits: Int = 8,
       tables: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, "vec")
     def withSigs(df: DataFrame, vecCol: String, idCols: Seq[Column]): DataFrame =
       df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
-        lshSignature(col(vecCol), nBits, seed = t)): _*))
+        lshSignature(col(vecCol), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")): _*)
     val c = withSigs(corpus, "vec", Seq(col("id")))
     val q = withSigs(queries, "qvec", Seq(col("query_id")))
@@ -98,11 +115,11 @@ object Similarity {
   }
 
   /** IVF-style coarse quantizer: `nCentroids` seed vectors are picked
-    * deterministically from the corpus (stride sampling), every corpus
-    * row is assigned to its nearest centroid (one broadcast-join pass),
-    * and a query probes the `nProbe` nearest centroid cells only. The
-    * 100 TB path: the expensive exact scoring touches ~nProbe/nCentroids
-    * of the corpus.
+    * deterministically from the corpus (hash-stride sampling), every
+    * corpus row is assigned to its nearest centroid (one broadcast-join
+    * pass), and a query probes the `nProbe` nearest centroid cells only.
+    * The 100 TB path: the expensive exact scoring touches roughly
+    * nProbe/nCentroids of the corpus.
     */
   def ivfTopK(
       corpus: DataFrame /* id, vec */,
@@ -141,27 +158,32 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH blocking: pairs whose
     * signatures collide in any table and whose exact cosine clears the
-    * threshold. Output: (id_a, id_b, cos).
+    * threshold. Identical vectors always share every signature, so exact
+    * duplicates are found with recall 1; near-duplicate recall grows with
+    * `tables`. Output: (id_a, id_b, cos) rounded to 6.
     */
   def cosineNearDupPairs(
       corpus: DataFrame /* id, vec */,
       threshold: Double,
       nBits: Int = 8,
       tables: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, "vec")
     val sigs = corpus.select(col("id"), col("vec"),
       posexplode(array((0 until tables).map(t =>
-        lshSignature(col("vec"), nBits, seed = t)): _*))
+        lshSignature(col("vec"), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")))
-    val a = sigs.select(col("table_idx"), col("sig"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = sigs.select(col("table_idx"), col("sig"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    a.join(b, Seq("table_idx", "sig"))
+    val ids = sigs.select(col("table_idx"), col("sig"), col("id"))
+    val pairs = ids.select(col("table_idx"), col("sig"), col("id").as("id_a"))
+      .join(ids.select(col("table_idx"), col("sig"), col("id").as("id_b")),
+        Seq("table_idx", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

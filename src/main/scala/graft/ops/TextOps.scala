@@ -45,15 +45,17 @@ object TextOps {
 
   /** Language ID by stopword-profile voting: explode tokens, broadcast-
     * join the (lang, word) profile table, count hits per (doc, lang),
-    * keep the argmax (ties → lexicographically smallest lang, so the
-    * result is deterministic). Docs with zero profile hits get lang
-    * "und". One shuffle on doc id; profile is broadcast.
+    * keep the argmax (ties → lexicographically smallest lang across the
+    * FULL lang string, so the result is deterministic). Docs with zero
+    * profile hits get lang "und". One shuffle on doc id; profile is
+    * broadcast. The id column keeps the caller's name (`idName`).
     */
   def langId(
       df: DataFrame,
       idCol: Column,
       text: Column,
-      profiles: DataFrame /* columns: lang, word */): DataFrame = {
+      profiles: DataFrame /* columns: lang, word */,
+      idName: String = "id"): DataFrame = {
     val exploded = df
       .select(idCol.as("__id"), explode(tokens(lower(text))).as("word"))
     val hits = exploded
@@ -62,26 +64,30 @@ object TextOps {
       .agg(count(lit(1)).as("__hits"))
     val best = hits
       .groupBy(col("__id"))
-      .agg(max_by(col("lang"), struct(col("__hits"),
-        // invert lang bytes so that on tied hit counts the SMALLEST lang
-        // wins under max_by
-        negate(ascii(col("lang"))))).as("pred_lang"))
-    df.select(idCol.as("__id"), text.as("__text"))
+      // min of (−hits, lang): highest hit count first, then the
+      // lexicographically smallest full lang string on ties
+      .agg(min_by(col("lang"),
+        struct(negate(col("__hits")), col("lang"))).as("pred_lang"))
+    df.select(idCol.as("__id"))
       .join(best, Seq("__id"), "left")
-      .select(col("__id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+      .select(col("__id").as(idName),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
   }
 
   /** Rolling polynomial fingerprint over the token stream — the
     * Rabin-Karp-style document fingerprint. Folded with `aggregate`;
     * every step is reduced mod 2^31−1 so the accumulator never overflows
     * a long (Spark 4 ANSI mode makes long overflow an error, and the
-    * DuckDB twin would error too).
+    * DuckDB twin would error too). Token hashes are portable
+    * [[graft.functions.PortableHash]] 28-bit values, so the whole
+    * fingerprint is reproducible by the ANSI-SQL oracle.
     */
   def fingerprint(text: Column): Column = {
     val M = 2147483647L // 2^31 - 1
     aggregate(
       tokens(lower(text)),
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(M)), lit(M)))
+      (acc, t) => pmod(acc * lit(1000003L) +
+        graft.functions.PortableHash.base28(t), lit(M)))
   }
 }

@@ -18,8 +18,7 @@ class ScalableOpsSpec extends SparkSpecBase {
   test("ScalableWindow lag/rolling equals global window") {
     val order = Seq(col("ts"), col("event_id"))
     val got = ScalableWindow.withTrailingColumns(
-      ev, date_trunc("week", col("ts")),
-      b => b + expr("INTERVAL 7 DAYS"), order, 168)(
+      ev, date_trunc("week", col("ts")), order, 168)(
       "lag_1" -> (w => lag(col("value"), 1).over(w)),
       "lag_168" -> (w => lag(col("value"), 168).over(w)),
       "roll_24" -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))))
@@ -29,6 +28,27 @@ class ScalableOpsSpec extends SparkSpecBase {
       lag(col("value"), 1).over(wGlobal).as("lag_1"),
       lag(col("value"), 168).over(wGlobal).as("lag_168"),
       avg(col("value")).over(wGlobal.rowsBetween(-23, 0)).as("roll_24"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("ScalableWindow: bucket gaps and short buckets still match global") {
+    // buckets floor(id/10): populations 2,1,0(gap),1,3 — every bucket is
+    // smaller than the fringe, and bucket 20-29 is absent entirely; the
+    // fringe must span multiple preceding buckets across the gap
+    val df = Seq(1L, 5L, 12L, 31L, 40L, 41L, 47L).toDF("id")
+      .withColumn("v", col("id") * 2.0)
+    val order = Seq(col("id"))
+    val got = ScalableWindow.withTrailingColumns(
+      df, floor(col("id") / 10), order, 4)(
+      "lag_1" -> (w => lag(col("v"), 1).over(w)),
+      "lag_3" -> (w => lag(col("v"), 3).over(w)),
+      "roll_4" -> (w => avg(col("v")).over(w.rowsBetween(-3, 0))))
+      .select(col("id"), col("lag_1"), col("lag_3"), col("roll_4"))
+    val wG = Window.orderBy(col("id"))
+    val want = df.select(col("id"),
+      lag(col("v"), 1).over(wG).as("lag_1"),
+      lag(col("v"), 3).over(wG).as("lag_3"),
+      avg(col("v")).over(wG.rowsBetween(-3, 0)).as("roll_4"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 

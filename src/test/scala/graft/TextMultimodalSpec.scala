@@ -30,8 +30,10 @@ class TextMultimodalSpec extends SparkSpecBase {
       ("de", "katze")).toDF("lang", "word")
     val df = Seq((1L, "the cat sat"), (2L, "der katze hund"),
       (3L, "xyzzy plugh")).toDF("doc_id", "text")
-    val got = TextOps.langId(df, $"doc_id", $"text", profiles)
-      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[String]("pred_lang"))
+    val got = TextOps.langId(df, $"doc_id", $"text", profiles,
+        idName = "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang"))
       .toMap
     assert(got(1L) == "en")
     assert(got(2L) == "de")

@@ -9,6 +9,7 @@ tables, and compares (rows sorted, columns sorted by name, exact + tolerant
 float compare). Driver-side tooling only — not part of the shipped library.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -89,6 +90,9 @@ for name, sql in sorted(oracle.items()):
         print(f"ERROR {name}: {ex}")
         n_fail += 1
 
-missing = [k for k in oracle if k not in oracle]
+dumped = set(os.listdir(OUT)) if os.path.isdir(OUT) else set()
+missing = sorted(k for k in oracle if k not in dumped)
+if missing:
+    print(f"\nMISSING dumps (oracle declared, no parquet): {missing}")
 print(f"\n{n_pass} pass, {n_fail} fail / {len(oracle)} oracle queries")
 sys.exit(1 if n_fail else 0)
