@@ -1221,6 +1221,298 @@ object SparkEntry {
     Q("stream_dedup_state",
       (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
       Some("SELECT event_id, event_type, value FROM events")),
+
+    // §3.2 end-to-end: the Model A feature view
+    // (winterthur_net_load_features, init.sql:421-455) column-for-column —
+    // inputs synthesized hourly from events so the whole spine
+    // (join USING → coalesce → ScalableWindow lag/rolling → as-of expr
+    // join → calendar flags → duplicate aliases) is oracle-verified.
+    Q("feature_net_load_view",
+      (s, d) => {
+        // portable round-half-up in explicit floor form (see f_round):
+        // Spark's BigDecimal rounding and DuckDB's diverge on boundary
+        // values, the IEEE floor form is bit-identical
+        def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val e = ev(s, d)
+        val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        // load/pv are rounded to INTEGER-valued doubles: the downstream
+        // 24-row rolling sum then stays exact in IEEE double under any
+        // accumulation order (sliding-frame vs recompute), so the lag /
+        // rolling outputs are bit-identical across engines
+        val load = e.groupBy(hour.as("time"))
+          .agg(floor(sum(col("value")) + lit(0.5)).as("load_kwh"))
+        val pv = e.filter(col("event_type") === "view")
+          .groupBy(hour.as("time"))
+          .agg(floor(avg(col("value")) + lit(0.5)).as("pv_kwh"))
+        val weather = e.filter(col("event_type") === "click")
+          .groupBy(hour.as("time"))
+          .agg(r6(avg(col("value"))).as("temperature_2m"),
+            r6(min(col("value"))).as("wind_speed_10m"),
+            r6(max(col("value"))).as("shortwave_radiation"),
+            count(col("value")).cast("double").as("cloud_cover"),
+            r6(sum(col("value")) / 100.0).as("precipitation_mm"))
+          .withColumn("latitude", lit(47.5001))
+          .withColumn("longitude", lit(8.7502))
+        graft.features.FeatureViews.netLoadFeatures(load, pv, weather)
+          .select(col("time"),
+            r6(col("net_load_kwh")).as("net_load_kwh"),
+            col("hour_of_day"), col("hour"), col("day_of_week"),
+            col("weekday"), col("month"), col("quarter"), col("is_weekend"),
+            r6(col("load_lag_1h")).as("load_lag_1h"),
+            r6(col("load_lag_1d")).as("load_lag_1d"),
+            r6(col("load_lag_7d")).as("load_lag_7d"),
+            r6(col("load_rolling_avg_24h")).as("load_rolling_avg_24h"),
+            col("temperature_2m"), col("temp_c"), col("wind_speed_10m"),
+            col("wind_speed_ms"), col("shortwave_radiation"), col("ghi_wm2"),
+            col("cloud_cover"), col("cloud_cover_pct"),
+            col("precipitation_mm"), col("pv_feed_in_kwh"), col("pv_feed_in"))
+      },
+      Some("""WITH load AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  AS time,
+                  floor(sum(value) + 0.5) AS load_kwh
+                FROM events GROUP BY 1),
+              pv AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  floor(avg(value) + 0.5) AS pv_kwh
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+              weather AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  AS time,
+                  floor(avg(value) * 1000000 + 0.5) / 1000000
+                    AS temperature_2m,
+                  floor(min(value) * 1000000 + 0.5) / 1000000
+                    AS wind_speed_10m,
+                  floor(max(value) * 1000000 + 0.5) / 1000000
+                    AS shortwave_radiation,
+                  CAST(count(value) AS DOUBLE) AS cloud_cover,
+                  floor(sum(value) / 100.0 * 1000000 + 0.5) / 1000000
+                    AS precipitation_mm
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+              net AS (SELECT l.time, l.load_kwh, p.pv_kwh,
+                  l.load_kwh - coalesce(p.pv_kwh, 0.0) AS net_load_kwh
+                FROM load l LEFT JOIN pv p USING (time)),
+              lagged AS (SELECT *,
+                  lag(net_load_kwh, 1) OVER w AS load_lag_1h,
+                  lag(net_load_kwh, 24) OVER w AS load_lag_1d,
+                  lag(net_load_kwh, 168) OVER w AS load_lag_7d,
+                  avg(net_load_kwh) OVER (w ROWS BETWEEN 23 PRECEDING
+                    AND CURRENT ROW) AS load_rolling_avg_24h
+                FROM net WINDOW w AS (ORDER BY time))
+              SELECT l.time,
+                floor(l.net_load_kwh * 1000000 + 0.5) / 1000000
+                  AS net_load_kwh,
+                hour(l.time) AS hour_of_day, hour(l.time) AS hour,
+                dayofweek(l.time) AS day_of_week,
+                dayofweek(l.time) AS weekday,
+                month(l.time) AS month, quarter(l.time) AS quarter,
+                CASE WHEN dayofweek(l.time) IN (0, 6) THEN 1 ELSE 0 END
+                  AS is_weekend,
+                floor(l.load_lag_1h * 1000000 + 0.5) / 1000000 AS load_lag_1h,
+                floor(l.load_lag_1d * 1000000 + 0.5) / 1000000 AS load_lag_1d,
+                floor(l.load_lag_7d * 1000000 + 0.5) / 1000000 AS load_lag_7d,
+                floor(l.load_rolling_avg_24h * 1000000 + 0.5) / 1000000
+                  AS load_rolling_avg_24h,
+                w.temperature_2m, w.temperature_2m AS temp_c,
+                w.wind_speed_10m, w.wind_speed_10m AS wind_speed_ms,
+                w.shortwave_radiation, w.shortwave_radiation AS ghi_wm2,
+                w.cloud_cover, w.cloud_cover AS cloud_cover_pct,
+                w.precipitation_mm,
+                coalesce(l.pv_kwh, 0.0) AS pv_feed_in_kwh,
+                coalesce(l.pv_kwh, 0.0) AS pv_feed_in
+              FROM lagged l
+              LEFT JOIN weather w ON date_trunc('hour', l.time) = w.time""")),
+
+    // §3.2 end-to-end: the Model B feature view (training_features,
+    // init.sql:236-368, 33 columns) — CTE filters → bucketed lag/rolling
+    // windows → conditional-sum groupBy → lag-over-agg → 9-way left join
+    // → post-join rolling window, inputs synthesized hourly from events.
+    // All measures are integer-valued doubles so every window sum is
+    // exact in IEEE double → bit-identical across engines, no rounding.
+    Q("feature_training_view",
+      (s, d) => {
+        val e = ev(s, d)
+        val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        val CH = "10YCH-SWISSGRIDZ"
+        val DE = "10Y1001A1001A83F"
+        val domain = when(col("event_type").isin("click", "view"), CH)
+          .otherwise("OTHER")
+        val prices = e.groupBy(hour.as("time"), domain.as("domain"))
+          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("price_eur_mwh"))
+        val lat = when(col("user_id") % 3 === 0, 47.5001)
+          .when(col("user_id") % 3 === 1, 53.5).otherwise(48.5)
+        val lon = when(col("user_id") % 3 === 0, 8.7502)
+          .when(col("user_id") % 3 === 1, 10.0).otherwise(9.0)
+        val weather = e
+          .groupBy(hour.as("time"), lat.as("latitude"), lon.as("longitude"))
+          .agg(floor(avg(col("value")) + lit(0.5)).cast("double").as("temperature_2m"),
+            floor(min(col("value")) + lit(0.5)).cast("double").as("wind_speed_10m"),
+            floor(max(col("value")) + lit(0.5)).cast("double").as("shortwave_radiation"),
+            count(col("value")).cast("double").as("cloud_cover"),
+            floor(sum(col("value")) / 100.0 + lit(0.5))
+              .as("precipitation_mm"))
+        val psr = when(col("event_type") === "click", "B12")
+          .when(col("event_type") === "view", "B16").otherwise("B19")
+        val genDomain = when(col("event_type").isin("click", "view"), CH)
+          .otherwise(DE)
+        val generation = e
+          .groupBy(hour.as("time"), genDomain.as("domain"), psr.as("psr_type"))
+          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("quantity_mwh"))
+        val actualLoad = e.groupBy(hour.as("time"))
+          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("load_mwh"))
+          .withColumn("domain", lit(CH))
+        val inD = when(col("event_id") % 2 === 0, DE).otherwise(CH)
+        val outD = when(col("event_id") % 2 === 0, CH).otherwise(DE)
+        val flows = e
+          .groupBy(hour.as("time"), inD.as("in_domain"), outD.as("out_domain"))
+          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("flow_mwh"))
+        val fcst = e.groupBy(hour.as("time"))
+          .agg(floor(avg(col("value")) + lit(0.5)).cast("double").as("load_mwh"))
+          .withColumn("domain", lit(CH))
+        graft.features.FeatureViews.trainingFeatures(
+          prices, weather, generation, actualLoad, flows, fcst)
+      },
+      Some("""WITH prices AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  CASE WHEN event_type IN ('click', 'view')
+                    THEN '10YCH-SWISSGRIDZ' ELSE 'OTHER' END AS domain,
+                  floor(sum(value) + 0.5) AS price_eur_mwh
+                FROM events GROUP BY 1, 2),
+              weather AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  CASE WHEN user_id % 3 = 0 THEN 47.5001
+                       WHEN user_id % 3 = 1 THEN 53.5 ELSE 48.5 END
+                    AS latitude,
+                  CASE WHEN user_id % 3 = 0 THEN 8.7502
+                       WHEN user_id % 3 = 1 THEN 10.0 ELSE 9.0 END
+                    AS longitude,
+                  floor(avg(value) + 0.5) AS temperature_2m,
+                  floor(min(value) + 0.5) AS wind_speed_10m,
+                  floor(max(value) + 0.5) AS shortwave_radiation,
+                  CAST(count(value) AS DOUBLE) AS cloud_cover,
+                  floor(sum(value) / 100.0 + 0.5) AS precipitation_mm
+                FROM events GROUP BY 1, 2, 3),
+              gen AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  CASE WHEN event_type IN ('click', 'view')
+                    THEN '10YCH-SWISSGRIDZ'
+                    ELSE '10Y1001A1001A83F' END AS domain,
+                  CASE WHEN event_type = 'click' THEN 'B12'
+                       WHEN event_type = 'view' THEN 'B16'
+                       ELSE 'B19' END AS psr_type,
+                  floor(sum(value) + 0.5) AS quantity_mwh
+                FROM events GROUP BY 1, 2, 3),
+              aload AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  floor(sum(value) + 0.5) AS load_mwh
+                FROM events GROUP BY 1),
+              flows AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  CASE WHEN event_id % 2 = 0 THEN '10Y1001A1001A83F'
+                    ELSE '10YCH-SWISSGRIDZ' END AS in_domain,
+                  CASE WHEN event_id % 2 = 0 THEN '10YCH-SWISSGRIDZ'
+                    ELSE '10Y1001A1001A83F' END AS out_domain,
+                  floor(sum(value) + 0.5) AS flow_mwh
+                FROM events GROUP BY 1, 2, 3),
+              fcst AS (SELECT
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
+                  floor(avg(value) + 0.5) AS load_mwh
+                FROM events GROUP BY 1),
+              pf AS (SELECT time, price_eur_mwh,
+                  lag(price_eur_mwh, 1) OVER w AS lag_1h,
+                  lag(price_eur_mwh, 24) OVER w AS lag_24h,
+                  lag(price_eur_mwh, 168) OVER w AS lag_168h,
+                  avg(price_eur_mwh) OVER (w ROWS BETWEEN 23 PRECEDING
+                    AND CURRENT ROW) AS rolling_avg_24h,
+                  avg(price_eur_mwh) OVER (w ROWS BETWEEN 167 PRECEDING
+                    AND CURRENT ROW) AS rolling_avg_7d,
+                  hour(time) AS hour_of_day,
+                  dayofweek(time) AS day_of_week,
+                  month(time) AS month,
+                  CASE WHEN dayofweek(time) IN (0, 6) THEN 1 ELSE 0 END
+                    AS is_weekend,
+                  CASE WHEN hour(time) BETWEEN 7 AND 22 THEN 1 ELSE 0 END
+                    AS is_peak_hour
+                FROM prices WHERE domain = '10YCH-SWISSGRIDZ'
+                WINDOW w AS (ORDER BY time)),
+              g12 AS (SELECT time,
+                  lag(quantity_mwh, 24) OVER w AS hydro_ror_ch_lag_24h,
+                  lag(quantity_mwh, 168) OVER w AS hydro_ror_ch_lag_168h
+                FROM gen WHERE domain = '10YCH-SWISSGRIDZ'
+                  AND psr_type = 'B12'
+                WINDOW w AS (ORDER BY time)),
+              g16 AS (SELECT time,
+                  lag(quantity_mwh, 24) OVER w AS solar_gen_ch_lag_24h,
+                  lag(quantity_mwh, 168) OVER w AS solar_gen_ch_lag_168h
+                FROM gen WHERE domain = '10YCH-SWISSGRIDZ'
+                  AND psr_type = 'B16'
+                WINDOW w AS (ORDER BY time)),
+              g19 AS (SELECT time,
+                  lag(quantity_mwh, 24) OVER w AS wind_gen_de_lag_24h,
+                  lag(quantity_mwh, 168) OVER w AS wind_gen_de_lag_168h
+                FROM gen WHERE domain = '10Y1001A1001A83F'
+                  AND psr_type = 'B19'
+                WINDOW w AS (ORDER BY time)),
+              ld AS (SELECT time,
+                  lag(load_mwh, 24) OVER w AS actual_load_ch_lag_24h,
+                  lag(load_mwh, 168) OVER w AS actual_load_ch_lag_168h
+                FROM aload WINDOW w AS (ORDER BY time)),
+              npr AS (SELECT time,
+                  sum(CASE WHEN out_domain = '10YCH-SWISSGRIDZ'
+                    THEN flow_mwh ELSE 0 END)
+                  - sum(CASE WHEN in_domain = '10YCH-SWISSGRIDZ'
+                    THEN flow_mwh ELSE 0 END) AS net_position_ch
+                FROM flows
+                WHERE in_domain = '10YCH-SWISSGRIDZ'
+                  OR out_domain = '10YCH-SWISSGRIDZ'
+                GROUP BY 1),
+              np AS (SELECT time,
+                  lag(net_position_ch, 24) OVER w AS net_position_ch_lag_24h,
+                  lag(net_position_ch, 168) OVER w
+                    AS net_position_ch_lag_168h
+                FROM npr WINDOW w AS (ORDER BY time)),
+              joined AS (SELECT pf.*,
+                  w1.temperature_2m, w1.wind_speed_10m,
+                  w1.shortwave_radiation, w1.cloud_cover,
+                  w1.precipitation_mm,
+                  w2.wind_speed_10m AS wind_speed_de_nord,
+                  w2.shortwave_radiation AS solar_de_nord,
+                  w3.shortwave_radiation AS solar_de_sued,
+                  w3.wind_speed_10m AS wind_speed_de_sued,
+                  g12.hydro_ror_ch_lag_24h, g12.hydro_ror_ch_lag_168h,
+                  g16.solar_gen_ch_lag_24h, g16.solar_gen_ch_lag_168h,
+                  g19.wind_gen_de_lag_24h, g19.wind_gen_de_lag_168h,
+                  ld.actual_load_ch_lag_24h, ld.actual_load_ch_lag_168h,
+                  np.net_position_ch_lag_24h, np.net_position_ch_lag_168h,
+                  f.load_mwh AS load_forecast_ch
+                FROM pf
+                LEFT JOIN (SELECT * FROM weather
+                  WHERE latitude = 47.5001 AND longitude = 8.7502) w1
+                  USING (time)
+                LEFT JOIN (SELECT * FROM weather
+                  WHERE latitude = 53.5 AND longitude = 10.0) w2
+                  USING (time)
+                LEFT JOIN (SELECT * FROM weather
+                  WHERE latitude = 48.5 AND longitude = 9.0) w3
+                  USING (time)
+                LEFT JOIN g12 USING (time)
+                LEFT JOIN g16 USING (time)
+                LEFT JOIN g19 USING (time)
+                LEFT JOIN ld USING (time)
+                LEFT JOIN np USING (time)
+                LEFT JOIN fcst f USING (time))
+              SELECT time, price_eur_mwh, lag_1h, lag_24h, lag_168h,
+                rolling_avg_24h, rolling_avg_7d, hour_of_day, day_of_week,
+                month, is_weekend, is_peak_hour, temperature_2m,
+                wind_speed_10m, shortwave_radiation, cloud_cover,
+                precipitation_mm,
+                avg(temperature_2m) OVER (ORDER BY time ROWS BETWEEN 23
+                  PRECEDING AND CURRENT ROW) AS temp_rolling_avg_24h,
+                wind_speed_de_nord, solar_de_nord, solar_de_sued,
+                wind_speed_de_sued, hydro_ror_ch_lag_24h,
+                hydro_ror_ch_lag_168h, solar_gen_ch_lag_24h,
+                solar_gen_ch_lag_168h, wind_gen_de_lag_24h,
+                wind_gen_de_lag_168h, actual_load_ch_lag_24h,
+                actual_load_ch_lag_168h, net_position_ch_lag_24h,
+                net_position_ch_lag_168h, load_forecast_ch
+              FROM joined""")),
   )
 
   // ----------------------------------------------------------------

@@ -37,9 +37,15 @@ object Similarity {
       corpus: DataFrame /* id, vec */,
       queries: DataFrame /* query_id, qvec */,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms once per row BEFORE the fanout — each corpus row is scored
+    // against every query; recomputing |v| per pair would multiply the
+    // arithmetic by the query count
+    val c = corpus.withColumn("__n", norm(col("vec")))
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("cos",
+        dot(col("vec"), col("qvec")) / (col("__n") * col("__qn")))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("id"))))
@@ -99,14 +105,21 @@ object Similarity {
       df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")): _*)
-    val c = withSigs(corpus, "vec", Seq(col("id")))
+    val c = withSigs(corpus, "vec", Seq(col("id"))).select("table_idx", "sig", "id")
     val q = withSigs(queries, "qvec", Seq(col("query_id")))
+      .select("table_idx", "sig", "query_id")
+    // candidates travel as bare id pairs (distinct over longs, vectors
+    // never shuffle); vectors + precomputed norms re-attach afterwards
     val cands = c.join(broadcast(q), Seq("table_idx", "sig"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qvec"), col("id"), col("vec"))
+      .select(col("query_id"), col("id"))
       .distinct()
     cands
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .join(corpus.withColumn("__n", norm(col("vec"))), Seq("id"))
+      .join(broadcast(queries.withColumn("__qn", norm(col("qvec")))),
+        Seq("query_id"))
+      .withColumn("cos",
+        dot(col("vec"), col("qvec")) / (col("__n") * col("__qn")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("id"))))
       .filter(col("rank") <= k)
@@ -128,27 +141,35 @@ object Similarity {
       nCentroids: Int,
       nProbe: Int): DataFrame = {
     // deterministic hash-stride sampling of centroid seeds: no global
-    // sort, one tiny count + one filtered scan
+    // sort, one tiny count + one filtered scan; centroid norms travel
+    // with the broadcast
     val total = corpus.agg(count(lit(1)).as("__n"))
     val centroids = corpus.crossJoin(broadcast(total))
       .filter(pmod(xxhash64(col("id")),
         greatest(lit(1L), (col("__n") / nCentroids).cast("long"))) === 0)
       .limit(nCentroids)
-      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+        norm(col("vec")).as("__cn"))
+    // row norm computed once per input row (`__rn`), reused across all
+    // nCentroids comparisons and the final scoring
     def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int)
         : DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__d", cosine(col(vecCol), col("cvec")))
+      df.withColumn("__rn", norm(col(vecCol)))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__d",
+          dot(col(vecCol), col("cvec")) / (col("__rn") * col("__cn")))
         .withColumn("__r", row_number().over(Window.partitionBy(col(idCol))
           .orderBy(col("__d").desc, col("centroid_id"))))
         .filter(col("__r") <= n)
         .withColumnRenamed("centroid_id", "cell")
-        .drop("cvec", "__d", "__r")
+        .drop("cvec", "__cn", "__d", "__r")
     val assigned = nearestCells(corpus, "id", "vec", 1)
     val probed = nearestCells(queries, "query_id", "qvec", nProbe)
+      .withColumnRenamed("__rn", "__qn")
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("cos",
+        dot(col("vec"), col("qvec")) / (col("__rn") * col("__qn")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("id"))))
       .filter(col("rank") <= k)
@@ -179,10 +200,15 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    val withNorm = corpus.select(col("id"), col("vec"),
+      norm(col("vec")).as("__n"))
     pairs
-      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .join(withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
