@@ -1,7 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway local probe (not part of the library surface). */
+/** Throwaway local probe (not part of the library surface).
+  *
+  * No args: run the flagship `entry` and print its row count.
+  * With args: print the formatted physical plan of each named query
+  * (plan-quality audit — check PushedFilters, broadcast joins,
+  * WholeStageCodegen spans).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -10,9 +16,17 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = SparkEntry.entry(spark)
-    e.show(truncate = false)
-    println("entry rows=" + e.count())
+    if (args.isEmpty) {
+      val e = SparkEntry.entry(spark)
+      e.show(truncate = false)
+      println("entry rows=" + e.count())
+    } else {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      args.foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sf).explain("formatted")
+      }
+    }
     spark.stop()
   }
 }
