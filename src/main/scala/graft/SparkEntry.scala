@@ -1222,6 +1222,29 @@ object SparkEntry {
       (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
       Some("SELECT event_id, event_type, value FROM events")),
 
+    // continuous-aggregate refresh (init.sql:94-100): a stale rollup
+    // (missing late rows inside the refresh window) merged with a
+    // window recompute must equal the from-scratch rollup — which is
+    // exactly what the oracle computes
+    Q("rollup_refresh_merge",
+      (s, d) => {
+        val e = ev(s, d)
+        val winStart = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+        val winEnd = lit("2024-02-10 00:00:00").cast("timestamp_ntz")
+        val stale = Aggregates.timeBucketAgg(
+          e.filter(col("ts") < winStart || col("event_id") % 7 =!= 0),
+          col("ts"), "1 hour", Seq(col("event_type")), col("value"))
+        Rollups.refreshMerge(stale, e, col("ts"), "1 hour",
+            Seq(col("event_type")), col("value"), winStart, winEnd)
+          .select(col("bucket"), col("event_type"),
+            round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"),
+            col("n"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                event_type, round(avg(value), 6) AS avg_v,
+                min(value) AS min_v, max(value) AS max_v, count(value) AS n
+              FROM events GROUP BY 1, 2""")),
+
     // §3.2 end-to-end: the Model A feature view
     // (winterthur_net_load_features, init.sql:421-455) column-for-column —
     // inputs synthesized hourly from events so the whole spine

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental rollup maintenance — the batch re-expression of
+  * TimescaleDB continuous aggregates with refresh policies (reference
+  * `infra/db/init.sql:81-100`: `add_continuous_aggregate_policy(
+  * start_offset => '2 days', end_offset => '1 hour', schedule_interval
+  * => '1 hour')`).
+  *
+  * Each scheduled run recomputes the rollup only inside the refresh
+  * window `[windowStart, windowEnd)` from raw data (capturing rows that
+  * arrived late, up to start_offset of lateness) and keeps the existing
+  * rollup rows outside the window untouched — no double counting of the
+  * overlap region (SURVEY §7.4(8)): the window's old rows are dropped
+  * wholesale and replaced.
+  *
+  * Scale: the raw scan is bounded by the refresh window (partition
+  * pruning on the time predicate), the existing-rollup scan is a cheap
+  * anti-filter on `bucket`, and the union is shuffle-free. The streaming
+  * twin is `graft.streaming.HourlyRollup` (watermark ≙ start_offset).
+  */
+object Rollups {
+
+  /** One refresh step: `existing` outside the window ∪ recompute(raw
+    * inside the window). `existing` must have the
+    * [[Aggregates.timeBucketAgg]] shape (bucket, dims..., avg_v, min_v,
+    * max_v, n); window bounds must be bucket-aligned.
+    */
+  def refreshMerge(
+      existing: DataFrame,
+      raw: DataFrame,
+      timeCol: Column,
+      duration: String,
+      dims: Seq[Column],
+      measure: Column,
+      windowStart: Column,
+      windowEnd: Column): DataFrame = {
+    val recomputed = Aggregates.timeBucketAgg(
+      raw.filter(timeCol >= windowStart && timeCol < windowEnd),
+      timeCol, duration, dims, measure)
+    existing
+      .filter(!(col("bucket") >= windowStart && col("bucket") < windowEnd))
+      .unionByName(recomputed)
+  }
+}
