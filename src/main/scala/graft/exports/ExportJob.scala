@@ -1,0 +1,84 @@
+package graft.exports
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Quality, Relational, ScalableRank}
+
+/** The reference's feature-export pipeline (`src/processing/
+  * export_pipeline.py:296-369`, SURVEY §3.2 steps 3-4) as one composable
+  * job: leakage guard → freshness gate → chronological split → X/y
+  * column projection → per-split parquet, with optional
+  * timestamp-versioned filenames (`:210-264,654-668`).
+  *
+  * Scale shape: the guard checks are driver-side name-set logic plus one
+  * tiny aggregate; the split is the bucketed global-row-number (no
+  * single-partition sort); each split writes partition-parallel.
+  */
+object ExportJob {
+
+  /** Raises (like the reference's RuntimeError) when a feature column
+    * collides with the target/ops set or the newest row is stale. */
+  def guard(
+      features: DataFrame,
+      featureCols: Seq[String],
+      forbidden: Set[String],
+      timeCol: Column,
+      staleCutoff: Column): Unit = {
+    val leaked = Quality.leakageViolations(featureCols, forbidden)
+    require(leaked.isEmpty, s"leakage: ${leaked.mkString(", ")}")
+    val stale = Quality.freshness(features, timeCol, staleCutoff)
+      .first().getAs[Int]("stale")
+    require(stale == 0, "freshness gate failed: newest row older than cutoff")
+  }
+
+  /** Chronological ratio split + X/y projection. Returns
+    * (split name → (X, y)) with X = featureCols, y = target only —
+    * the reference's X_*.parquet / y_*.parquet column split. */
+  def splitXy(
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String): Map[String, (DataFrame, DataFrame)] = {
+    val labeled = ScalableRank.chronoSplit(
+      features.na.drop(Seq(targetCol)), bucket, order, testRatio)
+    Seq("train", "test").map { name =>
+      val part = labeled.filter(col("split") === name)
+      name -> (part.select(featureCols.map(col): _*),
+        part.select(col(targetCol)))
+    }.toMap
+  }
+
+  /** Calendar split variant anchored to max(date)
+    * (`export_pipeline.py:626-641`). */
+  def splitXyByDates(
+      features: DataFrame,
+      dateCol: Column,
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String): Map[String, (DataFrame, DataFrame)] = {
+    val labeled = Relational.splitByDates(
+      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
+    Seq("train", "val", "test").map { name =>
+      val part = labeled.filter(col("split") === name)
+      name -> (part.select(featureCols.map(col): _*),
+        part.select(col(targetCol)))
+    }.toMap
+  }
+
+  /** Writes each split's X/y as parquet under `dir`, optionally
+    * timestamp-versioned (`X_train_<stamp>.parquet` style). */
+  def writeSplits(
+      splits: Map[String, (DataFrame, DataFrame)],
+      dir: String,
+      version: Option[String] = None): Unit = {
+    val suffix = version.map("_" + _).getOrElse("")
+    splits.foreach { case (name, (x, y)) =>
+      x.write.mode("overwrite").parquet(s"$dir/X_$name$suffix.parquet")
+      y.write.mode("overwrite").parquet(s"$dir/y_$name$suffix.parquet")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exports.ExportJob
+import graft.serving.Serving
+
+/** Serving reads (§3.3) and the export pipeline (§3.2 steps 3-4)
+  * mirroring the reference's pipeline-invariant tests
+  * (`test_feature_pipeline.py:109-191`). */
+class ServingExportSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sf())
+
+  test("latestFeatureRow returns the newest row") {
+    val got = Serving.latestFeatureRow(ev, col("ts"))
+      .select(col("ts")).first().getAs[java.time.LocalDateTime]("ts")
+    val want = ev.agg(max(col("ts"))).first()
+      .getAs[java.time.LocalDateTime](0)
+    assert(got == want)
+  }
+
+  test("numericColumns discovers doubles/longs minus the skip set") {
+    val cols = Serving.numericColumns(ev, Set("event_id", "user_id"))
+    assert(cols == Seq("value"))
+  }
+
+  test("rateLimitStats aggregates the call log shape") {
+    val log = Seq(
+      ("a", "2024-01-01 00:00:00", true),
+      ("a", "2024-01-02 00:00:00", false),
+      ("b", "2024-01-03 00:00:00", false))
+      .toDF("source", "called_at_s", "was_rate_limited")
+      .select(col("source"),
+        col("called_at_s").cast("timestamp_ntz").as("called_at"),
+        col("was_rate_limited"))
+    val got = Serving.rateLimitStats(log, col("called_at"),
+        lit("2023-12-31 00:00:00").cast("timestamp_ntz"))
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_calls") == 2)
+    assert(got(0).getAs[Long]("n_limited") == 1)
+    assert(got(1).getAs[Long]("n_limited") == 0)
+    assert(got(1).isNullAt(got(1).fieldIndex("last_limited_at")))
+  }
+
+  test("export guard raises on leakage and staleness") {
+    intercept[IllegalArgumentException] {
+      ExportJob.guard(ev, Seq("value", "net_load_kwh"),
+        Set("net_load_kwh"), col("ts"),
+        lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    }
+    intercept[IllegalArgumentException] {
+      ExportJob.guard(ev, Seq("value"), Set("net_load_kwh"), col("ts"),
+        lit("2099-01-01 00:00:00").cast("timestamp_ntz"))
+    }
+    // clean pass
+    ExportJob.guard(ev, Seq("value"), Set("net_load_kwh"), col("ts"),
+      lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+  }
+
+  test("splitXy: X/y column split, no overlap, totality, target dropna") {
+    val withNulls = ev.withColumn("y",
+      when(col("event_id") % 10 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val splits = ExportJob.splitXy(withNulls,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")),
+      0.25, Seq("event_id", "value"), "y")
+    val n = withNulls.na.drop(Seq("y")).count()
+    val nTrain = splits("train")._1.count()
+    val nTest = splits("test")._1.count()
+    assert(nTrain == math.floor(n * 0.75).toLong)
+    assert(nTrain + nTest == n)
+    assert(splits("train")._1.columns.toSeq == Seq("event_id", "value"))
+    assert(splits("train")._2.columns.toSeq == Seq("y"))
+  }
+
+  test("writeSplits round-trips versioned parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val splits = ExportJob.splitXy(ev.withColumn("y", col("value")),
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")),
+      0.3, Seq("event_id"), "y")
+    ExportJob.writeSplits(splits, tmp, version = Some("20240101"))
+    val back = spark.read.parquet(s"$tmp/X_train_20240101.parquet")
+    assert(back.count() == splits("train")._1.count())
+  }
+}
