@@ -1222,6 +1222,23 @@ object SparkEntry {
       (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
       Some("SELECT event_id, event_type, value FROM events")),
 
+    // win_sessionize's stateful-streaming twin: flatMapGroupsWithState
+    // custom state per user; must equal the batch window formulation
+    Q("stream_sessionize",
+      (s, d) => graft.streaming.SessionizeStream.runToCompletion(s, d)
+        .select(col("event_id"), col("user_id"), col("session_id")),
+      Some("""WITH t AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2,
+                  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                FROM events)
+              SELECT event_id, user_id,
+                CAST(sum(CASE WHEN p IS NULL
+                    OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM t""")),
+
     // continuous-aggregate refresh (init.sql:94-100): a stale rollup
     // (missing late rows inside the refresh window) merged with a
     // window recompute must equal the from-scratch rollup — which is

@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (double accumulation). */
+  /** Dot product of two float-array columns (double accumulation) — the
+    * native codegen'd expression (single fused loop, no intermediate
+    * array; see `NativeExpressions`). Bit-identical to [[dotComposable]].
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.GraftNative.floatDot(a, b)
+
+  /** The pure-builtin formulation (allocates a products array per pair);
+    * kept as the semantic reference for the native expression's spec.
+    */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -7,6 +7,17 @@ import graft.ops.{Dedup, Similarity}
 class DedupSimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("native float_dot matches the composable dot on real embeddings") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("embedding").as("a"),
+        reverse(col("embedding")).as("b"))
+    val diff = e.select(
+        abs(Similarity.dot(col("a"), col("b")) -
+          Similarity.dotComposable(col("a"), col("b"))).as("d"))
+      .agg(max(col("d"))).first().getDouble(0)
+    assert(diff == 0.0) // bit-identical: same op order, no reassociation
+  }
+
   test("exact dedup groups identical texts under min id") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

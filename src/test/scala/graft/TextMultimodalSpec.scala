@@ -48,6 +48,19 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  test("mapPartitions batch decode matches the expression stub") {
+    val df = Seq((1L, "x" * 100), (2L, "y" * 700)).toDF("doc_id", "text")
+    val payload = Multimodal.asPayload(df, $"doc_id", $"text")
+    val viaPartitions = Multimodal.decodePartitions(payload)
+      .select($"media_id", $"decoded.width", $"decoded.height",
+        $"decoded.channels")
+    val viaExpr = Multimodal.decodeStub(payload)
+      .select($"media_id", $"decoded.width", $"decoded.height",
+        $"decoded.channels")
+    assert(viaPartitions.exceptAll(viaExpr).isEmpty &&
+      viaExpr.exceptAll(viaPartitions).isEmpty)
+  }
+
   test("multimodal payload -> decode stub -> features -> frames") {
     val df = Seq((7L, "abcdefgh" * 20)).toDF("doc_id", "text") // 160 bytes
     val payload = Multimodal.asPayload(df, $"doc_id", $"text")
