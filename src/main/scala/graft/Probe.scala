@@ -22,9 +22,17 @@ object Probe {
       println("entry rows=" + e.count())
     } else {
       val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      val time = sys.env.contains("SPARK_GRAFT_TIME")
       args.foreach { name =>
         println(s"===== $name =====")
-        SparkEntry.queries(name)(spark, sf).explain("formatted")
+        if (time) {
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(name)(spark, sf).count()
+            println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+            spark.catalog.clearCache()
+          }
+        } else SparkEntry.queries(name)(spark, sf).explain("formatted")
       }
     }
     spark.stop()

@@ -65,6 +65,28 @@ object SparkEntry {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               WHERE o_orderkey % 3 <> 0""")),
 
+    Q("sink_partitioned",
+      // date-partitioned layout — the Spark analog of hypertable time
+      // chunking (SURVEY §4): the read-back filter prunes partitions
+      // before any row group is opened
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_part").toString
+        ev(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("day").between("2024-01-10", "2024-01-14"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                round(sum(value), 6) AS total
+              FROM events
+              WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+                AND DATE '2024-01-14'
+              GROUP BY 1""")),
+
     Q("scan_raw_snapshot",
       (s, d) => {
         // raw-zone roundtrip: persist text lines, re-read, summarize
@@ -1221,6 +1243,38 @@ object SparkEntry {
     Q("stream_dedup_state",
       (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
       Some("SELECT event_id, event_type, value FROM events")),
+
+    // skew mitigation: salted two-phase aggregation and a salted join
+    // must equal their unsalted formulations — which is what the oracles
+    // compute
+    Q("agg_salted_skew",
+      (s, d) => Skew.saltedAggregate(ev(s, d), col("event_type"),
+          col("event_id"), saltBuckets = 8)(
+          ("total", sum(col("value")), c => sum(col(c))),
+          ("n", count(col("value")), c => sum(col(c))),
+          ("max_v", max(col("value")), c => max(col(c))))
+        .select(col("key").as("event_type"), round(col("total"), 6).as("total"),
+          col("n"), col("max_v")),
+      Some("""SELECT event_type, round(sum(value), 6) AS total,
+                count(value) AS n, max(value) AS max_v
+              FROM events GROUP BY 1""")),
+
+    Q("join_salted_skew",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val dim = Seq(("click", 1.0), ("view", 0.5), ("error", -1.0))
+          .toDF("event_type", "weight")
+        Skew.saltedJoin(ev(s, d), dim, "event_type", col("event_id"), 8)
+          .select(col("event_id"),
+            (col("value") * coalesce(col("weight"), lit(0.0)))
+              .as("weighted"))
+      },
+      Some("""WITH dim(event_type, weight) AS (VALUES
+                ('click', 1.0), ('view', 0.5), ('error', -1.0))
+              SELECT e.event_id,
+                e.value * coalesce(d.weight, 0.0) AS weighted
+              FROM events e LEFT JOIN dim d USING (event_type)""")),
 
     // win_sessionize's stateful-streaming twin: flatMapGroupsWithState
     // custom state per user; must equal the batch window formulation

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.ScalarFns
+import graft.ops.{ScalableRank, Skew}
+
+/** Randomized invariant checks (the ScalaCheck upgrade promised in
+  * SURVEY §5): generators drive batched Spark jobs — one job per
+  * property over hundreds of generated rows, not one job per sample.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("clip: output always within [lo, hi]; identity inside the band") {
+    val rows = samples(for {
+      x <- Gen.chooseNum(-1e6, 1e6)
+      lo <- Gen.chooseNum(-1e3, 1e3)
+      w <- Gen.chooseNum(0.0, 1e3)
+    } yield (x, lo, lo + w), 300)
+    val got = rows.toDF("x", "lo", "hi")
+      .select(col("x"), col("lo"), col("hi"),
+        ScalarFns.clip(col("x"), col("lo"), col("hi")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val (x, lo, hi, c) = (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))
+      assert(c >= lo && c <= hi)
+      if (x >= lo && x <= hi) assert(c == x)
+    }
+  }
+
+  test("chronoSplit: floor sizing + totality for random ratios") {
+    val ev = Tables.events(spark, sf())
+    val n = ev.count()
+    samples(Gen.chooseNum(0.05, 0.95), 5).foreach { r =>
+      val split = ScalableRank.chronoSplit(ev,
+        date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")), r)
+      val counts = split.groupBy("split").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(counts.getOrElse("train", 0L) ==
+        math.floor(n * (1.0 - r)).toLong)
+      assert(counts.values.sum == n)
+    }
+  }
+
+  test("pointTimestamp: start + (pos-1)*res for random positions") {
+    val rows = samples(for {
+      pos <- Gen.chooseNum(1, 500)
+      res <- Gen.oneOf(15, 30, 60, 1440)
+    } yield (pos, res), 200)
+    val got = rows.toDF("pos", "res")
+      .select(col("pos"), col("res"),
+        ScalarFns.pointTimestamp(
+          lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+          col("pos"), col("res")).as("ts"))
+      .collect()
+    got.foreach { r =>
+      val want = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusMinutes((r.getInt(0) - 1).toLong * r.getInt(1))
+      assert(r.getAs[java.time.LocalDateTime]("ts") == want)
+    }
+  }
+
+  test("salted aggregation equals unsalted for random bucket counts") {
+    val ev = Tables.events(spark, sf())
+    val want = ev.groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 6).as("total"),
+        count(col("value")).as("n"))
+    samples(Gen.chooseNum(2, 64), 3).foreach { buckets =>
+      val got = Skew.saltedAggregate(ev, col("event_type"),
+          col("event_id"), buckets)(
+          ("total", sum(col("value")), c => sum(col(c))),
+          ("n", count(col("value")), c => sum(col(c))))
+        .select(col("key").as("event_type"),
+          round(col("total"), 6).as("total"), col("n"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+}
