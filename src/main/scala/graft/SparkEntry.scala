@@ -1244,6 +1244,30 @@ object SparkEntry {
       (s, d) => graft.streaming.DedupStream.runToCompletion(s, d),
       Some("SELECT event_id, event_type, value FROM events")),
 
+    // real as-of join (nearest prior right row per key) — checked
+    // against DuckDB's native ASOF LEFT JOIN
+    Q("join_asof",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOf.joinPrior(clicks, views, Seq("user_id"),
+            col("ts"), col("ts"), Seq("v_value"))
+          .select(col("event_id"), col("user_id"), col("v_value"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2
+                FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                  arg_max(value, event_id) AS v_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT c.event_id, c.user_id, v.v_value
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts2 >= v.ts2""")),
+
     // skew mitigation: salted two-phase aggregation and a salted join
     // must equal their unsalted formulations — which is what the oracles
     // compute

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the canonical time-series operator Spark lacks as a
+  * built-in (the reference only needs the coarse `date_trunc` alignment
+  * of `join_left_expr`, but any serving/backtest pipeline needs the real
+  * thing): for each left row, attach the payload of the LATEST right row
+  * with `rightTime <= leftTime` within the same key group.
+  *
+  * Implemented by composition (preference (a) of the custom-operator
+  * ladder — no custom plan node needed): tag and union both sides, one
+  * window partitioned by key ordered by (time, side-tag) carrying
+  * `last(payload, ignoreNulls)` — right rows sort before left rows at
+  * equal times, so `<=` semantics fall out of the sort order; left rows
+  * carry null payloads so they never leak values to each other.
+  *
+  * Scale: ONE shuffle+sort on the key (both inputs together), no join
+  * blow-up, no per-row probing. Works at any right-side lookback depth
+  * (unlike a fringe/bucket scheme). Requires a keyed join (the usual
+  * case); for keyless global as-of, bucket the time axis and treat the
+  * bucket as the key with a carried last-value — not needed here.
+  *
+  * Right side must be unique per (keys, rightTime) — pre-aggregate with
+  * e.g. `max_by` if it isn't (the spec and query do).
+  */
+object AsOf {
+
+  private val T = "__graft_t"
+  private val L = "__graft_is_l"
+
+  /** @param left       probe side, kept row-for-row
+    * @param right      payload side: keys ++ rightTime ++ payloadCols
+    * @param keys       equality key column names (present on both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payloadCols right payload column names to attach (null when
+    *                    no prior right row exists)
+    */
+  def joinPrior(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn(T, leftTime).withColumn(L, lit(1))
+    val r = right
+      .select((keys.map(col) :+ rightTime.as(T)) ++
+        payloadCols.map(col): _*)
+      .withColumn(L, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(T), col(L))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(L) === 1).drop(T, L)
+  }
+}

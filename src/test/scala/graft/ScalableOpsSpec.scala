@@ -118,6 +118,21 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mape")))
   }
 
+  test("asof joinPrior: latest prior right row, <= ties, null when none") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L),
+      (4L, "w", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "a"), ("u", 15L, "b"), ("v", 1L, "x"))
+      .toDF("k", "rt", "payload")
+    val got = AsOf.joinPrior(left, right, Seq("k"), col("t"), col("rt"),
+        Seq("payload"))
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("a")) // tie at t=10 → right row included (<=)
+    assert(got(2L) == Some("b")) // latest prior of 10,15
+    assert(got(3L) == None)      // nothing at or before t=5
+    assert(got(4L) == None)      // key with no right rows at all
+  }
+
   test("flagInRanges marks containment inclusively") {
     val df = Seq("2024-01-05", "2024-02-01").toDF("d")
       .select(to_date($"d").as("d"))
