@@ -76,17 +76,17 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // base is consumed three times (signatures + both verify joins);
-    // cache it so the shingle computation runs once. MEMORY_AND_DISK:
-    // spills rather than OOMs at corpus scale.
-    val base = df.select(idCol.as("id"), shingles(text, shingleK).as("sh"))
+    // cache it so the shingle computation runs once. The md5 bases are
+    // INSIDE the cache boundary: Catalyst's project collapsing would
+    // otherwise re-inline the md5 pass into every one of the 16 family
+    // members — an InMemoryRelation column can't be inlined past.
+    // MEMORY_AND_DISK: spills rather than OOMs at corpus scale.
+    val base = Par.widen(df)
+      .select(idCol.as("id"), shingles(text, shingleK).as("sh"))
+      .withColumn("hb", transform(col("sh"), s => PortableHash.base28(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the 28-bit bases, THEN fan out to the family — one md5
-    // pass per shingle total, not per family member
-    val sigs = base
-      .select(col("id"),
-        transform(col("sh"), s => PortableHash.base28(s)).as("hb"))
-      .select(col("id"),
-        minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
+    val sigs = base.select(col("id"),
+      minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
     // band key: the band's signature values joined as a string — no extra
     // hash needed, and trivially portable to the oracle. Cached: consumed
     // by the bucket-count aggregate and the prune join.
@@ -130,7 +130,7 @@ object Dedup {
     * Output: (id, simhash).
     */
   def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val toks = df.select(idCol.as("id"),
+    val toks = Par.widen(df).select(idCol.as("id"),
       explode(split(lower(trim(text)), "\\s+")).as("tok"))
       .withColumn("h", PortableHash.md5Long(col("tok"), 15))
     val bitSums = (0 until SimhashBits).map(b =>
@@ -191,7 +191,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     // cached: sizes + both sides of the self-join read it (4 consumers)
-    val base = df.select(idCol.as("id"), blockCol.as("blk"),
+    val base = Par.widen(df).select(idCol.as("id"), blockCol.as("blk"),
       shingles(text, n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = base.select(col("id"), col("blk"), size(col("sh")).as("sz"))

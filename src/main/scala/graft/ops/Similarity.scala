@@ -49,7 +49,7 @@ object Similarity {
     // norms once per row BEFORE the fanout — each corpus row is scored
     // against every query; recomputing |v| per pair would multiply the
     // arithmetic by the query count
-    val c = corpus.withColumn("__n", norm(col("vec")))
+    val c = Par.widen(corpus).withColumn("__n", norm(col("vec")))
     val q = queries.withColumn("__qn", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
@@ -114,7 +114,8 @@ object Similarity {
       df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")): _*)
-    val c = withSigs(corpus, "vec", Seq(col("id"))).select("table_idx", "sig", "id")
+    val c = withSigs(Par.widen(corpus), "vec", Seq(col("id")))
+      .select("table_idx", "sig", "id")
     val q = withSigs(queries, "qvec", Seq(col("query_id")))
       .select("table_idx", "sig", "query_id")
     // candidates travel as bare id pairs (distinct over longs, vectors
@@ -172,7 +173,7 @@ object Similarity {
         .filter(col("__r") <= n)
         .withColumnRenamed("centroid_id", "cell")
         .drop("cvec", "__cn", "__d", "__r")
-    val assigned = nearestCells(corpus, "id", "vec", 1)
+    val assigned = nearestCells(Par.widen(corpus), "id", "vec", 1)
     val probed = nearestCells(queries, "query_id", "qvec", nProbe)
       .withColumnRenamed("__rn", "__qn")
     assigned.join(broadcast(probed), Seq("cell"))
@@ -198,7 +199,7 @@ object Similarity {
       nBits: Int = 8,
       tables: Int = 4): DataFrame = {
     val dim = probeDim(corpus, "vec")
-    val sigs = corpus.select(col("id"), col("vec"),
+    val sigs = Par.widen(corpus).select(col("id"), col("vec"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col("vec"), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")))
