@@ -1143,6 +1143,75 @@ object SparkEntry {
               FROM documents""")),
   )
 
+  // ---------------------------------- engine-surface widening beyond
+  // the reference (no PG equivalent in the reference's SQL, standard in
+  // any analytics engine): exact percentiles, rollup, set ops, pivot
+  private val widening = Seq(
+    Q("agg_percentiles",
+      (s, d) => ev(s, d).groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.25)).as("p"),
+          percentile(col("value"), lit(0.5)).as("p50x"),
+          percentile(col("value"), lit(0.9)).as("p90x"))
+        .select(col("event_type"), round(col("p"), 6).as("p25"),
+          round(col("p50x"), 6).as("p50"), round(col("p90x"), 6).as("p90")),
+      Some("""SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90
+              FROM events GROUP BY 1""")),
+
+    Q("agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 6).as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+              FROM lineitem
+              GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    Q("set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    Q("agg_pivot",
+      (s, d) => ev(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "error"))
+        .agg(round(sum(col("value")), 6))
+        .select(col("day"), col("click"), col("view"), col("error")),
+      Some("""SELECT CAST(ts AS DATE) AS day,
+                round(sum(CASE WHEN event_type = 'click' THEN value END), 6)
+                  AS click,
+                round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
+                  AS view,
+                round(sum(CASE WHEN event_type = 'error' THEN value END), 6)
+                  AS error
+              FROM events GROUP BY 1""")),
+  )
+
   // ------------------------------------------- round-2 widening: §2.8
   // singles (f_coalesce / f_arith_derive as standalone §2 keys), distinct
   // aggregation, ranked/sessionized windows, ML baselines, stateful
@@ -1636,7 +1705,8 @@ object SparkEntry {
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
-      sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ extras
+      sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
+      extras
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
