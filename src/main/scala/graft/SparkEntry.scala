@@ -387,14 +387,24 @@ object SparkEntry {
   // ---------------------------------------------------------------- §2.4
   private val aggs = Seq(
     Q("agg_time_bucket",
-      (s, d) => Aggregates.timeBucketAgg(ev(s, d), col("ts"), "1 hour",
-          Seq(col("event_type")), col("value"))
+      // integer-cents measure: the group avg is then exact in IEEE
+      // double under any partial-aggregation order → bit-identical
+      // across engines at every scale factor (raw-double group avgs
+      // flip 6-decimal rounding boundaries)
+      (s, d) => Aggregates.timeBucketAgg(
+          ev(s, d).withColumn("vc", floor(col("value") * 100 + lit(0.5))),
+          col("ts"), "1 hour", Seq(col("event_type")), col("vc"))
         .select(col("bucket"), col("event_type"),
-          round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"), col("n")),
+          round(col("avg_v") / 100, 6).as("avg_v"),
+          (col("min_v") / 100).as("min_v"),
+          (col("max_v") / 100).as("max_v"), col("n")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(value), 6) AS avg_v,
-                min(value) AS min_v, max(value) AS max_v, count(value) AS n
-              FROM events GROUP BY 1, 2""")),
+                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
+                count(vc) AS n
+              FROM (SELECT ts, event_type,
+                      floor(value * 100 + 0.5) AS vc FROM events)
+              GROUP BY 1, 2""")),
 
     Q("agg_conditional_sum",
       (s, d) => Aggregates.conditionalNetSum(Tables.lineitem(s, d),
@@ -491,18 +501,28 @@ object SparkEntry {
               FROM events WINDOW w AS (ORDER BY ts, event_id)""")),
 
     Q("win_rolling_avg",
+      // the measure is scaled to integer cents first: rolling SUMS over
+      // integers are exact in IEEE double under any accumulation order
+      // (sliding-frame vs recompute), so the result is bit-identical
+      // across engines at every scale factor — raw doubles differ in the
+      // last ulp and flip 6-decimal rounding boundaries
       (s, d) => ScalableWindow.withTrailingColumns(
-          ev(s, d), weekBucket, evOrder, 167)(
-          "roll_24"  -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))),
-          "roll_168" -> (w => avg(col("value")).over(w.rowsBetween(-167, 0))))
+          ev(s, d).withColumn("vc", floor(col("value") * 100 + lit(0.5))),
+          weekBucket, evOrder, 167)(
+          "roll_24" -> (w =>
+            avg(col("vc")).over(w.rowsBetween(-23, 0)) / 100),
+          "roll_168" -> (w =>
+            avg(col("vc")).over(w.rowsBetween(-167, 0)) / 100))
         .select(col("event_id"), round(col("roll_24"), 6).as("roll_24"),
           round(col("roll_168"), 6).as("roll_168")),
       Some("""SELECT event_id,
-                round(avg(value) OVER (w ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
-                  AS roll_24,
-                round(avg(value) OVER (w ROWS BETWEEN 167 PRECEDING AND CURRENT ROW), 6)
-                  AS roll_168
-              FROM events WINDOW w AS (ORDER BY ts, event_id)""")),
+                round(avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
+                  AND CURRENT ROW) / 100, 6) AS roll_24,
+                round(avg(vc) OVER (w ROWS BETWEEN 167 PRECEDING
+                  AND CURRENT ROW) / 100, 6) AS roll_168
+              FROM (SELECT event_id, ts,
+                      floor(value * 100 + 0.5) AS vc FROM events)
+              WINDOW w AS (ORDER BY ts, event_id)""")),
 
     Q("win_lag_over_agg",
       (s, d) => {
@@ -808,14 +828,20 @@ object SparkEntry {
   // --------------------------------------------------------------- §2.10
   private val streaming = Seq(
     Q("stream_hourly_rollup",
-      (s, d) => HourlyRollup.runToCompletion(s, d)
+      // integer-cents measure — see agg_time_bucket
+      (s, d) => HourlyRollup.runToCompletion(s, d,
+          measure = floor(col("value") * 100 + lit(0.5)))
         .select(col("bucket"), col("event_type"),
-          round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"),
-          col("n")),
+          round(col("avg_v") / 100, 6).as("avg_v"),
+          (col("min_v") / 100).as("min_v"),
+          (col("max_v") / 100).as("max_v"), col("n")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(value), 6) AS avg_v,
-                min(value) AS min_v, max(value) AS max_v, count(value) AS n
-              FROM events GROUP BY 1, 2""")),
+                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
+                count(vc) AS n
+              FROM (SELECT ts, event_type,
+                      floor(value * 100 + 0.5) AS vc FROM events)
+              GROUP BY 1, 2""")),
   )
 
   // --------------------------------------- LLM training-data pipeline ops
@@ -1392,22 +1418,28 @@ object SparkEntry {
     // exactly what the oracle computes
     Q("rollup_refresh_merge",
       (s, d) => {
+        // integer-cents measure — see agg_time_bucket
         val e = ev(s, d)
+          .withColumn("vc", floor(col("value") * 100 + lit(0.5)))
         val winStart = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
         val winEnd = lit("2024-02-10 00:00:00").cast("timestamp_ntz")
         val stale = Aggregates.timeBucketAgg(
           e.filter(col("ts") < winStart || col("event_id") % 7 =!= 0),
-          col("ts"), "1 hour", Seq(col("event_type")), col("value"))
+          col("ts"), "1 hour", Seq(col("event_type")), col("vc"))
         Rollups.refreshMerge(stale, e, col("ts"), "1 hour",
-            Seq(col("event_type")), col("value"), winStart, winEnd)
+            Seq(col("event_type")), col("vc"), winStart, winEnd)
           .select(col("bucket"), col("event_type"),
-            round(col("avg_v"), 6).as("avg_v"), col("min_v"), col("max_v"),
-            col("n"))
+            round(col("avg_v") / 100, 6).as("avg_v"),
+            (col("min_v") / 100).as("min_v"),
+            (col("max_v") / 100).as("max_v"), col("n"))
       },
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(value), 6) AS avg_v,
-                min(value) AS min_v, max(value) AS max_v, count(value) AS n
-              FROM events GROUP BY 1, 2""")),
+                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
+                count(vc) AS n
+              FROM (SELECT ts, event_type,
+                      floor(value * 100 + 0.5) AS vc FROM events)
+              GROUP BY 1, 2""")),
 
     // §3.2 end-to-end: the Model A feature view
     // (winterthur_net_load_features, init.sql:421-455) column-for-column —
@@ -1533,7 +1565,7 @@ object SparkEntry {
             floor(min(col("value")) + lit(0.5)).cast("double").as("wind_speed_10m"),
             floor(max(col("value")) + lit(0.5)).cast("double").as("shortwave_radiation"),
             count(col("value")).cast("double").as("cloud_cover"),
-            floor(sum(col("value")) / 100.0 + lit(0.5))
+            floor(sum(col("value")) / 100.0 + lit(0.5)).cast("double")
               .as("precipitation_mm"))
         val psr = when(col("event_type") === "click", "B12")
           .when(col("event_type") === "view", "B16").otherwise("B19")

@@ -29,9 +29,14 @@ object HourlyRollup {
   /** Streaming hourly rollup over `dir/events.parquet`, returned as a
     * static DataFrame once all available input is processed. Columns
     * match Aggregates.timeBucketAgg: (bucket, event_type, avg_v, min_v,
-    * max_v, n).
+    * max_v, n). `measure` defaults to the raw value column — pass a
+    * scaled/derived expression when the caller needs cross-engine-exact
+    * aggregation (see the stream_hourly_rollup query).
     */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def runToCompletion(
+      spark: SparkSession,
+      dir: String,
+      measure: org.apache.spark.sql.Column = col("value")): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob form: the streaming file source requires a directory or glob
     // basePath, and the testdata table is a single parquet file
@@ -47,10 +52,10 @@ object HourlyRollup {
           .cast("timestamp_ntz").as("bucket"),
         col("event_type"))
       .agg(
-        avg(col("value")).as("avg_v"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"),
-        count(col("value")).as("n"))
+        avg(measure).as("avg_v"),
+        min(measure).as("min_v"),
+        max(measure).as("max_v"),
+        count(measure).as("n"))
     val name = "graft_stream_rollup_" + java.util.UUID.randomUUID
       .toString.replace("-", "")
     val q = agg.writeStream
