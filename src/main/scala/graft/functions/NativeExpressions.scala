@@ -35,17 +35,24 @@ object GraftNative {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "float_dot"
 
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-        i += 1
+      val n = x.numElements()
+      // mismatched dimensions → null (matching the composable zip_with
+      // form), never a silently-truncated partial dot
+      if (n != y.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+          i += 1
+        }
+        acc
       }
-      acc
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,12 +61,16 @@ object GraftNative {
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 

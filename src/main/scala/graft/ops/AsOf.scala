@@ -46,18 +46,25 @@ object AsOf {
       leftTime: Column,
       rightTime: Column,
       payloadCols: Seq[String]): DataFrame = {
+    val P = "__graft_payload"
     val l = left.withColumn(T, leftTime).withColumn(L, lit(1))
+    // the payload travels as ONE struct (non-null for every right row):
+    // last(ignoreNulls) then selects the latest right ROW, so a null
+    // payload FIELD on the matched row is returned as null — not skipped
+    // in favor of an older value
     val r = right
-      .select((keys.map(col) :+ rightTime.as(T)) ++
-        payloadCols.map(col): _*)
+      .select(keys.map(col) :+ rightTime.as(T) :+
+        struct(payloadCols.map(col): _*).as(P): _*)
       .withColumn(L, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(T), col(L))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(L) === 1).drop(T, L)
+    val filled = unioned
+      .withColumn(P, last(col(P), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col(P).getField(c))
+      }
+      .filter(col(L) === 1).drop(T, L, P)
   }
 }

@@ -16,6 +16,14 @@ import graft.functions.PortableHash
   * All hashing is md5-based [[PortableHash]]: deterministic, executor-
   * independent, and reproducible by the DuckDB oracle, so even the
   * probabilistic pipelines are hash-exact verifiable end-to-end.
+  *
+  * Cache contract: the pair generators `persist(MEMORY_AND_DISK)` their
+  * reused intermediates (shingle bases, band keys) and cannot unpersist
+  * them before the caller consumes the returned plan. Long-lived
+  * sessions calling these per corpus batch should drop them afterwards
+  * (`spark.catalog.clearCache()` or `unpersist()` on the session's
+  * cached relations) — the Verify/Bench harnesses do exactly that
+  * between queries.
   */
 object Dedup {
 

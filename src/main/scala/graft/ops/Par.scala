@@ -14,6 +14,12 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // File count is a metadata-only parallelism proxy (listing, no job).
+    // df.rdd.getNumPartitions would be exact but materializes the AQE
+    // plan — executing any upstream shuffle eagerly just to read a
+    // number. Non-file-backed plans (empty inputFiles) pass through
+    // unchanged: they came out of a shuffle and are already parallel.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 }

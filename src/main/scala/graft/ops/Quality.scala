@@ -41,11 +41,14 @@ object Quality {
       .agg(count(lit(1)).as("n_violations"))
 
   /** Freshness: max(time) plus a stale flag against a cutoff
-    * (`export_pipeline.py:270-290`). */
+    * (`export_pipeline.py:270-290`). An empty (or all-null-time) input is
+    * the most-stale state → stale = 1, so an upstream ingest that
+    * silently produced nothing cannot pass the gate. */
   def freshness(df: DataFrame, timeCol: Column, cutoff: Column): DataFrame =
     df.agg(max(timeCol).as("max_ts"))
       .select(col("max_ts"),
-        when(col("max_ts") < cutoff, lit(1)).otherwise(lit(0)).as("stale"))
+        when(col("max_ts").isNull || col("max_ts") < cutoff, lit(1))
+          .otherwise(lit(0)).as("stale"))
 
   /** Leakage guard (`export_pipeline.py:96-126`): feature names that
     * collide with the forbidden target/ops set. Pure name-set logic. */

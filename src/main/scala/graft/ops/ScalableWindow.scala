@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-safe row-frame window computation over a global time ordering.
   *
@@ -19,21 +20,21 @@ import org.apache.spark.sql.functions._
   * row-for-row identical to the global window, and the sort is fully
   * parallel: each bucket sorts independently on its own executor.
   *
-  * Fringe routing is driven by the *observed* bucket population, not by
-  * bucket arithmetic: a tiny per-bucket count/offset table (one row per
-  * bucket) is self-joined to find, for every bucket, exactly which
-  * predecessor buckets hold its `fringeRows` preceding rows. Gaps in the
-  * bucket sequence and buckets smaller than `fringeRows` are therefore
-  * handled correctly — the fringe simply spans as many preceding buckets
-  * as needed. The bucket table must be small enough to broadcast
-  * (daily buckets over a century ≈ 36k rows — always true for
-  * time-bucketed data).
+  * Fringe routing is driven by the *observed* bucket population: ONE
+  * tiny per-bucket count aggregate is collected to the driver (bucket
+  * count is small by construction — daily buckets over a century ≈ 36k
+  * rows) and turned into a (source bucket → destination bucket, take
+  * last-N rows) routing table embedded back as a broadcast. Gaps in the
+  * bucket sequence and buckets smaller than `fringeRows` are handled
+  * exactly — the fringe simply spans as many preceding buckets as
+  * needed. Total cost: one count scan + the two window passes (fringe
+  * extraction, final windows); no repeated aggregates, no single-
+  * partition exchange on the data path.
   */
 object ScalableWindow {
 
   private val B = "__graft_bucket"
   private val F = "__graft_fringe"
-  private val RN = "__graft_rn"
 
   /** Adds window columns defined against a global `orderCols` ordering.
     *
@@ -50,47 +51,53 @@ object ScalableWindow {
       orderCols: Seq[Column],
       fringeRows: Int)(defs: (String, WindowSpec => Column)*): DataFrame = {
     val withB = df.withColumn(B, bucket)
+    val spark = df.sparkSession
+    val bucketType = withB.schema(B).dataType
 
-    // One row per bucket: count, global start offset (rows before it).
-    // The unpartitioned window runs over bucket-count rows only — tiny.
-    val buckets = withB.groupBy(col(B)).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__start",
-        coalesce(sum(col("__cnt")).over(Window.orderBy(col(B))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
-      .withColumn("__end", col("__start") + col("__cnt") - 1)
+    // one tiny job: bucket → row count, sorted by bucket value
+    val counts = withB.groupBy(col(B)).agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .sortWith((a, b) =>
+        a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0)
 
-    // Fringe routing map: source bucket contributes to destination bucket
-    // when its row range intersects [dst.start - fringeRows, dst.start-1].
-    // Tiny × tiny self-join.
-    val src = buckets.select(col(B).as("__srcB"), col("__start").as("__srcStart"),
-      col("__end").as("__srcEnd"))
-    val dst = buckets.select(col(B).as("__dstB"), col("__start").as("__dstStart"))
-    val routing = src.join(dst,
-      col("__srcEnd") >= col("__dstStart") - fringeRows &&
-        col("__srcEnd") < col("__dstStart"))
-      .select(col("__srcB"), col("__dstB"), col("__dstStart"))
+    // routing: for each bucket, take the last-N rows of as many
+    // immediately preceding buckets as needed to cover fringeRows
+    val routing = new scala.collection.mutable.ArrayBuffer[Row]
+    for (j <- counts.indices) {
+      var need = fringeRows.toLong
+      var i = j - 1
+      while (need > 0 && i >= 0) {
+        val take = math.min(counts(i).getLong(1), need)
+        routing += Row(counts(i).get(0), counts(j).get(0), take)
+        need -= take
+        i -= 1
+      }
+    }
+    val routingDf = spark.createDataFrame(
+      java.util.Arrays.asList(routing.toArray: _*),
+      StructType(Seq(
+        StructField("__srcB", bucketType),
+        StructField("__dstB", bucketType),
+        StructField("__take", LongType))))
 
-    // Global row number, computed bucket-locally + broadcast offsets.
-    val numbered = withB
-      .join(broadcast(buckets.select(col(B), col("__start"))), Seq(B))
-      .withColumn(RN,
-        row_number().over(Window.partitionBy(col(B)).orderBy(orderCols: _*))
-          .cast("long") + col("__start") - 1)
-      .drop("__start")
-
-    val fringe = numbered
-      .join(broadcast(routing), col(B) === col("__srcB"))
-      .filter(col(RN) >= col("__dstStart") - fringeRows)
+    val rnDesc = "__graft_rn_desc"
+    val fringe = withB
+      .withColumn(rnDesc, row_number().over(
+        Window.partitionBy(col(B)).orderBy(orderCols.map(_.desc): _*)))
+      .join(broadcast(routingDf), col(B) === col("__srcB"))
+      .filter(col(rnDesc) <= col("__take"))
       .withColumn(B, col("__dstB"))
-      .drop("__srcB", "__dstB", "__dstStart")
+      .drop("__srcB", "__dstB", "__take", rnDesc)
       .withColumn(F, lit(true))
 
-    val augmented = numbered.withColumn(F, lit(false)).unionByName(fringe)
-    val w = Window.partitionBy(col(B)).orderBy(col(RN))
+    // orderCols are globally monotone across buckets, so fringe rows
+    // (from earlier buckets) sort before the bucket's own rows
+    val augmented = withB.withColumn(F, lit(false)).unionByName(fringe)
+    val w = Window.partitionBy(col(B)).orderBy(orderCols: _*)
     val out = defs.foldLeft(augmented) { case (acc, (name, mk)) =>
       acc.withColumn(name, mk(w))
     }
-    out.filter(!col(F)).drop(B, F, RN)
+    out.filter(!col(F)).drop(B, F)
   }
 
   /** Rows-per-bucket profile — diagnostic for choosing bucket granularity

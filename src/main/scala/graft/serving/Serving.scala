@@ -34,10 +34,12 @@ object Serving {
     Relational.page(df, order, offset, limit)
 
   /** `GET /api/timeseries/{table}` numeric-column discovery minus a
-    * skip-set (`main.py:494-519`) — schema introspection, zero jobs. */
+    * skip-set (`main.py:494-519`) — schema introspection, zero jobs.
+    * Matches every numeric type (incl. decimal/short/byte), mirroring
+    * the reference's information_schema numeric whitelist. */
   def numericColumns(df: DataFrame, skip: Set[String]): Seq[String] =
     df.schema.fields.collect {
-      case f if f.dataType.typeName.matches("double|integer|long|float")
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
         && !skip.contains(f.name) => f.name
     }.toSeq
 

@@ -133,6 +133,17 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got(4L) == None)      // key with no right rows at all
   }
 
+  test("asof joinPrior: matched row with null payload wins over older value") {
+    val left = Seq((1L, "u", 20L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, Some("old")), ("u", 15L, None))
+      .toDF("k", "rt", "payload")
+    val got = AsOf.joinPrior(left, right, Seq("k"), col("t"), col("rt"),
+      Seq("payload")).select(col("payload")).first()
+    // the latest prior right ROW (t=15) matches; its payload is null —
+    // not skipped in favor of the older "old"
+    assert(got.isNullAt(0))
+  }
+
   test("flagInRanges marks containment inclusively") {
     val df = Seq("2024-01-05", "2024-02-01").toDF("d")
       .select(to_date($"d").as("d"))
