@@ -51,7 +51,13 @@ object ExportJob {
       targetCol: String): Map[String, (DataFrame, DataFrame)] = {
     val labeled = ScalableRank.chronoSplit(
       features.na.drop(Seq(targetCol)), bucket, order, testRatio)
+    // the reference raises ValueError when a split would be empty
+    // (export_pipeline.py:155-161) — one small counting job, eager like
+    // the reference
+    val sizes = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "test").map { name =>
+      require(sizes.getOrElse(name, 0L) > 0, s"empty split: $name")
       val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))

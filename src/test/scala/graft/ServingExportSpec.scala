@@ -75,6 +75,15 @@ class ServingExportSpec extends SparkSpecBase {
     assert(splits("train")._2.columns.toSeq == Seq("y"))
   }
 
+  test("splitXy raises on an empty split like the reference") {
+    // 2 rows, testRatio 0.99 → floor(n*(1-r)) = 0 → train split empty
+    val tiny = ev.limit(2).withColumn("y", col("value"))
+    intercept[IllegalArgumentException] {
+      ExportJob.splitXy(tiny, date_trunc("week", col("ts")),
+        Seq(col("ts"), col("event_id")), 0.99, Seq("event_id"), "y")
+    }
+  }
+
   test("writeSplits round-trips versioned parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
     val splits = ExportJob.splitXy(ev.withColumn("y", col("value")),
