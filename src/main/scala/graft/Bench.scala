@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-writer warmup outside the timed loop — first-
+    // query JIT and writer-class-loading costs (~4 s) would otherwise be
+    // attributed to whichever query happens to run first
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      spark.range(1000000).selectExpr("id", "id * 2 AS v")
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -96,15 +96,15 @@ object Dedup {
     val sigs = base.select(col("id"),
       minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
     // band key: the band's signature values joined as a string — no extra
-    // hash needed, and trivially portable to the oracle. Cached: consumed
-    // by the bucket-count aggregate and the prune join.
+    // hash needed, and trivially portable to the oracle. Not cached: both
+    // consumers (bucket-count aggregate, prune join) recompute only the
+    // cheap affine signatures on top of the cached md5 bases.
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         array_join(transform(
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
           v => v.cast("string")), "-")): _*))
         .as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketN = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
