@@ -1223,6 +1223,43 @@ object SparkEntry {
               INTERSECT
               SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
 
+    Q("win_rank_dense_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey)""")),
+
+    Q("dq_schema_drift",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        // declared contract with one planted type error and one planted
+        // missing column; the actual table also has extras
+        val expected = Seq(
+          "o_orderkey" -> "long", "o_custkey" -> "long",
+          "o_orderstatus" -> "integer" /* actually string */,
+          "o_missing_col" -> "double")
+        Quality.schemaDrift(Tables.orders(s, d), expected)
+          .toDF("col_name", "kind").orderBy("col_name", "kind")
+      },
+      Some("""SELECT * FROM (VALUES
+                ('o_missing_col', 'missing'),
+                ('o_orderdate', 'unexpected'),
+                ('o_orderpriority', 'unexpected'),
+                ('o_orderstatus', 'type_mismatch:string'),
+                ('o_totalprice', 'unexpected')) t(col_name, kind)""")),
+
     Q("agg_pivot",
       (s, d) => ev(s, d)
         .groupBy(to_date(col("ts")).as("day"))

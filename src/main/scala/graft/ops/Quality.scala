@@ -54,4 +54,29 @@ object Quality {
     * collide with the forbidden target/ops set. Pure name-set logic. */
   def leakageViolations(featureCols: Seq[String], forbidden: Set[String]): Seq[String] =
     featureCols.filter(forbidden.contains)
+
+  /** Schema-drift check against a declared schema (the Spark analog of
+    * the reference's fixed CREATE TABLE contracts + its collectors'
+    * required-key validation): reports missing columns, unexpected
+    * extras, and type mismatches as (column, kind) rows. Pure schema
+    * introspection — zero jobs.
+    */
+  def schemaDrift(
+      df: DataFrame,
+      expected: Seq[(String, String)] /* name -> typeName */)
+      : Seq[(String, String)] = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val exp = expected.toMap
+    val missing = expected.collect {
+      case (n, _) if !actual.contains(n) => n -> "missing"
+    }
+    val extra = actual.keys.toSeq.sorted.collect {
+      case n if !exp.contains(n) => n -> "unexpected"
+    }
+    val mismatched = expected.collect {
+      case (n, t) if actual.contains(n) && actual(n) != t =>
+        n -> s"type_mismatch:${actual(n)}"
+    }
+    missing ++ extra ++ mismatched
+  }
 }
