@@ -21,7 +21,12 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write evaluates the FULL selected plan — a bare
+      // .count() would let Catalyst prune every unreferenced column,
+      // so projection-only queries would time scan+count instead of
+      // their expression work
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside

@@ -660,6 +660,27 @@ object SparkEntry {
 
   // ------------------------------------------------- §2.8 remaining fns
   private val scalars2 = Seq(
+    // backfill window generation (airflow/dags/backfill_dag.py:72-74):
+    // one (window_start, window_end) row per day of the table's span —
+    // sequence() is evaluated on ONE aggregate row, so the explode is a
+    // single-row fanout, not a per-row array blowup
+    Q("f_date_sequence",
+      (s, d) => {
+        val span = Tables.orders(s, d)
+          .agg(to_date(min(col("o_orderdate"))).as("d0"),
+            to_date(max(col("o_orderdate"))).as("d1"))
+        span.select(explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("window_start"))
+          .withColumn("window_end", date_add(col("window_start"), 1))
+      },
+      Some("""WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                  CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+              days AS (SELECT CAST(unnest(generate_series(
+                  CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                  INTERVAL 1 DAY)) AS DATE) AS window_start FROM span)
+              SELECT window_start, window_start + 1 AS window_end
+              FROM days""")),
+
     Q("f_tz_normalize",
       (s, d) => ev(s, d).select(col("event_id"),
         ScalarFns.parseOffsetToUtc(
@@ -872,6 +893,28 @@ object SparkEntry {
     """list_distinct([array_to_string(toks[i+1:i+3], ' ')
        for i in range(0, greatest(len(toks) - 3, 0) + 1)])"""
 
+  /** DuckDB `VALUES (table_idx, bit_idx, plane)` rows embedding the exact
+    * hyperplane literals [[Similarity.planes]] generates. The planes are
+    * deterministic pure functions of (seed, bit, component), so the
+    * oracle can replicate the *full* LSH pipeline — signatures, candidate
+    * generation, exact re-rank — independently in SQL. Scala's
+    * `Double.toString` emits the shortest round-tripping decimal form,
+    * so the literals parse back to bit-identical doubles.
+    */
+  private def planesValuesSql(nBits: Int, tables: Int, dim: Int): String =
+    (0 until tables).flatMap { t =>
+      val pl = Similarity.planes(nBits, dim, t)
+      (0 until nBits).map(j =>
+        s"($t, $j, [${pl(j).mkString(",")}]::DOUBLE[])")
+    }.mkString(", ")
+
+  /** Shared oracle CTE prefix for the ANN queries (embeddings corpus +
+    * the id<5 query set, exact cosine in DOUBLE). */
+  private val annBaseSql =
+    """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings),
+       q AS (SELECT id AS query_id, vec AS qvec FROM e WHERE id < 5)"""
+
   private val llm = Seq(
     Q("dedup_exact",
       (s, d) => Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text")),
@@ -1032,7 +1075,40 @@ object SparkEntry {
         Similarity.lshTopK(e, q, k = 10)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
       },
-      None),
+      // full pipeline replicated: 4 tables × 8 hyperplane sign bits →
+      // signature equi-join candidates → exact cosine re-rank. The
+      // embedding dim is 64 in the testdata contract (the Spark side
+      // probes it; the literal planes here are generated for 64).
+      Some(s"""WITH $annBaseSql,
+              planes(table_idx, bit_idx, p) AS (VALUES
+                ${planesValuesSql(nBits = 8, tables = 4, dim = 64)}),
+              csig AS (SELECT id, table_idx,
+                  CAST(sum(CASE WHEN list_dot_product(vec, p) > 0
+                    THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END)
+                    AS BIGINT) AS sig
+                FROM e, planes GROUP BY 1, 2),
+              qsig AS (SELECT query_id, table_idx,
+                  CAST(sum(CASE WHEN list_dot_product(qvec, p) > 0
+                    THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END)
+                    AS BIGINT) AS sig
+                FROM q, planes GROUP BY 1, 2),
+              cand AS (SELECT DISTINCT qs.query_id, cs.id
+                FROM csig cs JOIN qsig qs
+                  ON cs.table_idx = qs.table_idx AND cs.sig = qs.sig
+                WHERE qs.query_id <> cs.id),
+              sc AS (SELECT c.query_id, c.id,
+                  list_dot_product(ev.vec, qv.qvec)
+                    / (sqrt(list_dot_product(ev.vec, ev.vec))
+                       * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
+                FROM cand c
+                JOIN e ev ON c.id = ev.id
+                JOIN q qv ON c.query_id = qv.query_id),
+              r AS (SELECT query_id, id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, id) AS INTEGER) AS rank
+                FROM sc)
+              SELECT query_id, id AS neighbor_id, rank
+              FROM r WHERE rank <= 10""")),
 
     Q("ann_ivf",
       (s, d) => {
@@ -1043,7 +1119,42 @@ object SparkEntry {
         Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 4)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
       },
-      None),
+      // full pipeline replicated: bottom-16-by-md5 centroid seeds →
+      // nearest-centroid assignment → 4-cell probe → exact cosine
+      // re-rank over probed cells only
+      Some(s"""WITH $annBaseSql,
+              cent AS (SELECT id AS centroid_id, vec AS cvec FROM e
+                ORDER BY CAST(concat('0x',
+                  substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+                LIMIT 16),
+              assigned AS (SELECT id, vec, cell FROM (
+                  SELECT e.id, e.vec, c.centroid_id AS cell,
+                    row_number() OVER (PARTITION BY e.id ORDER BY
+                      list_dot_product(e.vec, c.cvec)
+                        / (sqrt(list_dot_product(e.vec, e.vec))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id) AS r
+                  FROM e, cent c) WHERE r = 1),
+              probed AS (SELECT query_id, qvec, cell FROM (
+                  SELECT q.query_id, q.qvec, c.centroid_id AS cell,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      list_dot_product(q.qvec, c.cvec)
+                        / (sqrt(list_dot_product(q.qvec, q.qvec))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id) AS r
+                  FROM q, cent c) WHERE r <= 4),
+              sc AS (SELECT p.query_id, a.id,
+                  list_dot_product(a.vec, p.qvec)
+                    / (sqrt(list_dot_product(a.vec, a.vec))
+                       * sqrt(list_dot_product(p.qvec, p.qvec))) AS cos
+                FROM assigned a JOIN probed p ON a.cell = p.cell
+                WHERE p.query_id <> a.id),
+              r AS (SELECT query_id, id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, id) AS INTEGER) AS rank
+                FROM sc)
+              SELECT query_id, id AS neighbor_id, rank
+              FROM r WHERE rank <= 10""")),
 
     Q("text_langid",
       (s, d) => {
@@ -1490,7 +1601,12 @@ object SparkEntry {
         // Spark's BigDecimal rounding and DuckDB's diverge on boundary
         // values, the IEEE floor form is bit-identical
         def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-        val e = ev(s, d)
+        // hypertable-chunked read path: the view's time window is a
+        // partition filter on the day-partitioned layout (pruned before
+        // IO). The window here spans the whole dataset so the oracle —
+        // which reads the flat table — sees identical input; at 100 TB a
+        // typical export window prunes all but a few day chunks.
+        val e = Tables.eventsDayPartitioned(s, d, "2024-01-01", "2024-01-31")
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         // load/pv are rounded to INTEGER-valued doubles: the downstream
         // 24-row rolling sum then stays exact in IEEE double under any
@@ -1585,7 +1701,8 @@ object SparkEntry {
     // exact in IEEE double → bit-identical across engines, no rounding.
     Q("feature_training_view",
       (s, d) => {
-        val e = ev(s, d)
+        // chunk-pruned read path — see feature_net_load_view
+        val e = Tables.eventsDayPartitioned(s, d, "2024-01-01", "2024-01-31")
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         val CH = "10YCH-SWISSGRIDZ"
         val DE = "10Y1001A1001A83F"

@@ -27,6 +27,36 @@ object Tables {
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
+  /** Day-partitioned events layout — the Spark analog of the reference's
+    * hypertable time chunking (`create_hypertable(..., chunk_time_interval
+    * => INTERVAL '7 days')`, infra/db/init.sql:14-18), wired into the
+    * feature-view read path: the `[fromDay, toDay]` window becomes a
+    * PartitionFilter, so chunks outside it are pruned before any row
+    * group is opened. In a deployment this IS the table's storage
+    * layout; for the harness the layout is materialized once per
+    * (JVM, sfDir) under tmpdir from the flat testdata file.
+    */
+  def eventsDayPartitioned(
+      s: SparkSession,
+      d: String,
+      fromDay: String,
+      toDay: String): DataFrame = {
+    val dir = partitionedEvents.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_events_day").toString
+      loadEvents(s, d).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      tmp
+    })
+    val raw = s.read.parquet(dir)
+      .filter(col("day").between(fromDay, toDay))
+    // restore the flat-events column order; `day` is storage layout
+    raw.select(loadEvents(s, d).columns.map(col): _*)
+  }
+
+  private val partitionedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -85,7 +85,10 @@ object ExportJob {
   }
 
   /** Writes each split's X/y as parquet under `dir`, optionally
-    * timestamp-versioned (`X_train_<stamp>.parquet` style). */
+    * timestamp-versioned (`X_train_<stamp>.parquet` style). Pairing
+    * relies on the documented total-order contract of the two sorted
+    * writes — prefer [[writeSplitsUnified]]/[[readXy]], which removes
+    * the alignment hazard structurally. */
   def writeSplits(
       splits: Map[String, (DataFrame, DataFrame)],
       dir: String,
@@ -95,5 +98,60 @@ object ExportJob {
       x.write.mode("overwrite").parquet(s"$dir/X_$name$suffix.parquet")
       y.write.mode("overwrite").parquet(s"$dir/y_$name$suffix.parquet")
     }
+  }
+
+  /** Chronological split WITHOUT the X/y column separation: one
+    * DataFrame per split carrying `featureCols :+ targetCol`. Feed to
+    * [[writeSplitsUnified]]; consumers project X and y at read via
+    * [[readXy]]. Because X and y then come from the SAME rows of the
+    * same file, feature/label pairing survives any input shuffle, AQE
+    * re-plan, or task retry by construction — no total-order contract
+    * needed.
+    */
+  def splitUnified(
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String): Map[String, DataFrame] = {
+    val labeled = ScalableRank.chronoSplit(
+      features.na.drop(Seq(targetCol)), bucket, order, testRatio)
+    val sizes = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("train", "test").map { name =>
+      require(sizes.getOrElse(name, 0L) > 0, s"empty split: $name")
+      name -> labeled.filter(col("split") === name)
+        .select((featureCols :+ targetCol).map(col): _*)
+    }.toMap
+  }
+
+  /** One parquet per split (`xy_<name><suffix>.parquet`), features and
+    * target together. */
+  def writeSplitsUnified(
+      splits: Map[String, DataFrame],
+      dir: String,
+      version: Option[String] = None): Unit = {
+    val suffix = version.map("_" + _).getOrElse("")
+    splits.foreach { case (name, xy) =>
+      xy.write.mode("overwrite").parquet(s"$dir/xy_$name$suffix.parquet")
+    }
+  }
+
+  /** Reads a unified split back as the (X, y) pair the model consumer
+    * expects. Both are column projections of the same scan, so row i of
+    * X and row i of y are the same stored row — alignment is a property
+    * of the data layout, not of a sort convention.
+    */
+  def readXy(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      name: String,
+      featureCols: Seq[String],
+      targetCol: String,
+      version: Option[String] = None): (DataFrame, DataFrame) = {
+    val suffix = version.map("_" + _).getOrElse("")
+    val xy = spark.read.parquet(s"$dir/xy_$name$suffix.parquet")
+    (xy.select(featureCols.map(col): _*), xy.select(col(targetCol)))
   }
 }

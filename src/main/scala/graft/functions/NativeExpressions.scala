@@ -18,14 +18,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * twice. For ANN scoring — the one expression evaluated O(corpus ×
   * queries) times — a dedicated `BinaryExpression` with `doGenCode` is
   * justified (SURVEY §2.11 note): a single fused loop, no allocation,
-  * inside WholeStageCodegen. Semantics are identical to the composable
-  * form on equal-length arrays (each float widened to double, products
-  * accumulated in element order), so oracle results are bit-identical.
+  * inside WholeStageCodegen. On equal-length arrays of NON-NULL elements
+  * semantics are identical to the composable form (each float widened to
+  * double, products accumulated in element order), so oracle results are
+  * bit-identical. Arrays *containing* null elements are outside the
+  * embedding contract: the composable form propagates null, while this
+  * expression reads such slots as 0.0 — do not rely on either behavior.
   */
 object GraftNative {
 
   /** Σ aᵢ·bᵢ over two float arrays, double accumulation. Null if either
-    * side is null; array elements must be non-null (embedding contract).
+    * side is null or lengths mismatch; array ELEMENTS must be non-null
+    * (embedding contract — null slots read as 0.0, unlike the composable
+    * form which propagates null; see object doc).
     */
   case class FloatDotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {

@@ -81,7 +81,39 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashLshPairsWithCache(df, idCol, text, shingleK, numHashes, bands,
+      threshold, maxBucketSize)._1
+
+  /** Scoped variant of [[minhashLshPairs]]: runs `action` on the pair
+    * plan and unpersists the cached intermediates before returning —
+    * for long-lived sessions processing corpus batches in a loop, where
+    * the open-ended cache contract of the plain variant would accumulate
+    * cached relations.
+    */
+  def withMinhashLshPairs[T](
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000)(action: DataFrame => T): T = {
+    val (pairs, cached) = minhashLshPairsWithCache(df, idCol, text,
+      shingleK, numHashes, bands, threshold, maxBucketSize)
+    try action(pairs) finally cached.unpersist()
+  }
+
+  private def minhashLshPairsWithCache(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     // base is consumed three times (signatures + both verify joins);
     // cache it so the shingle computation runs once. The md5 bases are
@@ -116,7 +148,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -124,6 +156,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (verified, base)
   }
 
   /** SimHash width: 60 bits (15 md5 hex chars — the widest portable slice
@@ -197,7 +230,29 @@ object Dedup {
       text: Column,
       blockCol: Column,
       n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    ngramJaccardPairsWithCache(df, idCol, text, blockCol, n, threshold)._1
+
+  /** Scoped variant of [[ngramJaccardPairs]] — see [[withMinhashLshPairs]]. */
+  def withNgramJaccardPairs[T](
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      blockCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.3)(action: DataFrame => T): T = {
+    val (pairs, cached) =
+      ngramJaccardPairsWithCache(df, idCol, text, blockCol, n, threshold)
+    try action(pairs) finally cached.unpersist()
+  }
+
+  private def ngramJaccardPairsWithCache(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      blockCol: Column,
+      n: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     // cached: sizes + both sides of the self-join read it (4 consumers)
     val base = Par.widen(df).select(idCol.as("id"), blockCol.as("blk"),
       shingles(text, n).as("sh"))
@@ -210,12 +265,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val verified = inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (verified, base)
   }
 }

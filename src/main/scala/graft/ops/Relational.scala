@@ -47,17 +47,34 @@ object Relational {
     * zero shuffles, input cardinality preserved row-for-row (including
     * legitimately duplicate input rows, and dates covered by several
     * overlapping ranges flag exactly once).
+    *
+    * The tiny-dim contract is ENFORCED: more than `maxRanges` ranges
+    * fails fast — an unbounded ranges table would mean an unbounded
+    * driver collect and a codegen-hostile giant OR predicate. For a
+    * genuinely large ranges relation use a range join instead.
     */
   def flagInRanges(
       df: DataFrame,
       dateCol: Column,
       ranges: DataFrame, // columns: start DATE, end DATE
-      flagName: String): DataFrame = {
-    val rs = ranges.select(col("start"), col("end")).collect()
-    val hit = rs
+      flagName: String,
+      maxRanges: Int = 512): DataFrame = {
+    val rs = ranges.select(col("start"), col("end"))
+      .limit(maxRanges + 1).collect()
+    require(rs.length <= maxRanges,
+      s"flagInRanges: ranges table exceeds the tiny-dim contract " +
+        s"(> $maxRanges rows); fold-to-OR-predicate is for small " +
+        s"dimension tables only — use a range join for large ones")
+    // balanced OR tree: a linear reduce(_ || _) nests one stack frame
+    // per range in Catalyst's Column→Expression conversion and overflows
+    // around ~600 terms; pairwise folding keeps the depth logarithmic
+    def balancedOr(cs: IndexedSeq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else balancedOr(cs.grouped(2)
+        .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+    val preds = rs.toIndexedSeq
       .map(r => dateCol.between(lit(r.get(0)), lit(r.get(1))))
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
+    val hit = if (preds.isEmpty) lit(false) else balancedOr(preds)
     df.withColumn(flagName, when(hit, lit(1)).otherwise(lit(0)))
   }
 

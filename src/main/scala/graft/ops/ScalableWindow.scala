@@ -54,21 +54,27 @@ object ScalableWindow {
     val spark = df.sparkSession
     val bucketType = withB.schema(B).dataType
 
-    // one tiny job: bucket → row count, sorted by bucket value
+    // one tiny job: bucket → row count, sorted by bucket value. A null
+    // bucket (null in the ordering column) has no position in the global
+    // order — fail fast with a clear message instead of an opaque NPE
+    // from the Comparable cast below.
     val counts = withB.groupBy(col(B)).agg(count(lit(1)).as("__cnt"))
       .collect()
-      .sortWith((a, b) =>
-        a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0)
+    require(counts.forall(_.get(0) != null),
+      "ScalableWindow: bucket expression produced NULL (null rows in " +
+        "the ordering column?) — filter or impute them before windowing")
+    val sorted = counts.sortWith((a, b) =>
+      a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0)
 
     // routing: for each bucket, take the last-N rows of as many
     // immediately preceding buckets as needed to cover fringeRows
     val routing = new scala.collection.mutable.ArrayBuffer[Row]
-    for (j <- counts.indices) {
+    for (j <- sorted.indices) {
       var need = fringeRows.toLong
       var i = j - 1
       while (need > 0 && i >= 0) {
-        val take = math.min(counts(i).getLong(1), need)
-        routing += Row(counts(i).get(0), counts(j).get(0), take)
+        val take = math.min(sorted(i).getLong(1), need)
+        routing += Row(sorted(i).get(0), sorted(j).get(0), take)
         need -= take
         i -= 1
       }

@@ -71,16 +71,22 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** nBits hyperplanes of dimension `dim` for plane family `seed`. */
-  private def planes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+  /** nBits hyperplanes of dimension `dim` for plane family `seed`.
+    * `private[graft]` so the oracle SQL can embed the identical values
+    * as DuckDB array literals.
+    */
+  private[graft] def planes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim) { (j, i) =>
       val h = splitmix(seed.toLong * 1000003L + j.toLong * 8191L + i.toLong)
       (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
 
-  /** Probe the array length of `vecCol` from one row (plan-build time). */
-  def probeDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Probe the array length of `vecCol` from one row (plan-build time);
+    * None on an empty input so callers can degrade to an empty result
+    * instead of throwing.
+    */
+  def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
 
   /** nBits-bit random-hyperplane signature of a vector column. `seed`
     * selects an independent plane family — each LSH table passes its own
@@ -109,7 +115,9 @@ object Similarity {
       k: Int,
       nBits: Int = 8,
       tables: Int = 4): DataFrame = {
-    val dim = probeDim(corpus, "vec")
+    // empty corpus → dim 1 dummy planes; every stage below is then a
+    // plan over zero rows, yielding an empty result of the right schema
+    val dim = probeDim(corpus, "vec").getOrElse(1)
     def withSigs(df: DataFrame, vecCol: String, idCols: Seq[Column]): DataFrame =
       df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), nBits, dim, seed = t)): _*))
@@ -138,11 +146,13 @@ object Similarity {
   }
 
   /** IVF-style coarse quantizer: `nCentroids` seed vectors are picked
-    * deterministically from the corpus (hash-stride sampling), every
-    * corpus row is assigned to its nearest centroid (one broadcast-join
-    * pass), and a query probes the `nProbe` nearest centroid cells only.
-    * The 100 TB path: the expensive exact scoring touches roughly
-    * nProbe/nCentroids of the corpus.
+    * deterministically from the corpus (bottom-k by portable md5 hash —
+    * the classic bottom-k sample, one TakeOrdered pass, reproducible by
+    * the DuckDB oracle bit-for-bit), every corpus row is assigned to its
+    * nearest centroid (one broadcast-join pass), and a query probes the
+    * `nProbe` nearest centroid cells only. The 100 TB path: the
+    * expensive exact scoring touches roughly nProbe/nCentroids of the
+    * corpus.
     */
   def ivfTopK(
       corpus: DataFrame /* id, vec */,
@@ -150,13 +160,14 @@ object Similarity {
       k: Int,
       nCentroids: Int,
       nProbe: Int): DataFrame = {
-    // deterministic hash-stride sampling of centroid seeds: no global
-    // sort, one tiny count + one filtered scan; centroid norms travel
-    // with the broadcast
-    val total = corpus.agg(count(lit(1)).as("__n"))
-    val centroids = corpus.crossJoin(broadcast(total))
-      .filter(pmod(xxhash64(col("id")),
-        greatest(lit(1L), (col("__n") / nCentroids).cast("long"))) === 0)
+    // bottom-k-by-hash centroid seeds: orderBy+limit plans as a
+    // distributed TakeOrdered (per-partition top-k + driver merge of
+    // nCentroids rows per partition — no global sort, no count job),
+    // and unlike an unordered `limit` after a filter it is fully
+    // deterministic under any partitioning
+    val centroids = corpus
+      .orderBy(graft.functions.PortableHash
+        .md5Long(col("id").cast("string"), 15), col("id"))
       .limit(nCentroids)
       .select(col("id").as("centroid_id"), col("vec").as("cvec"),
         norm(col("vec")).as("__cn"))
@@ -198,7 +209,7 @@ object Similarity {
       threshold: Double,
       nBits: Int = 8,
       tables: Int = 4): DataFrame = {
-    val dim = probeDim(corpus, "vec")
+    val dim = probeDim(corpus, "vec").getOrElse(1) // empty → empty result
     val sigs = Par.widen(corpus).select(col("id"), col("vec"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col("vec"), nBits, dim, seed = t)): _*))

@@ -11,6 +11,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within a micro-batch events are sorted by (ts, event_id) so the
   * assignment is deterministic and equal to the batch window formulation
   * (`win_sessionize`), which is exactly what the oracle checks.
+  *
+  * MEMORY CONTRACT: the group function buffers ONE user's events of ONE
+  * micro-batch for the sort (persistent state stays two longs regardless
+  * — the hot-key hazard is per-batch only, not cumulative). Executors
+  * must therefore hold max-events-per-user-per-batch rows; with the file
+  * source, bound it via `maxFilesPerTrigger` (or pre-aggregate abusive
+  * keys upstream). The spec exercises a 100k-event single-user batch to
+  * pin the behavior.
   */
 object SessionizeStream {
 

@@ -103,6 +103,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(lshRecall >= 0.5, s"LSH recall $lshRecall too low")
   }
 
+  test("approximate ANN paths degrade gracefully on an empty corpus") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val q = Seq((0L, Array(1f, 0f))).toDF("query_id", "qvec")
+    assert(Similarity.lshTopK(empty, q, 5).count() == 0)
+    assert(Similarity.ivfTopK(empty, q, 5, nCentroids = 4, nProbe = 2)
+      .count() == 0)
+    assert(Similarity.cosineNearDupPairs(empty, 0.9).count() == 0)
+  }
+
+  test("scoped pair generators release their caches after the action") {
+    spark.catalog.clearCache()
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val n = Dedup.withMinhashLshPairs(df, col("doc_id"), col("text"),
+      threshold = 0.5)(_.count())
+    assert(n == 1)
+    val m = Dedup.withNgramJaccardPairs(df, col("doc_id"), col("text"),
+      lit(0), threshold = 0.5)(_.count())
+    assert(m == 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bracketed variants must leave no cached relations behind")
+  }
+
   test("cosineNearDupPairs finds planted exact duplicates") {
     val e = Tables.embeddings(spark, sf())
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

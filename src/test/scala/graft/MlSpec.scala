@@ -44,6 +44,62 @@ class MlSpec extends SparkSpecBase {
       s"GBT mae $gbtMae should beat naive mae $naiveMae")
   }
 
+  test("model persistence: save → load → identical predictions") {
+    // the reference's joblib round-trip test family
+    // (src/testing/unittests/test_model.py, docs/req.md:418-422):
+    // persisted model must predict exactly like the in-memory one
+    val df = Tables.lineitem(spark, sf())
+      .select(col("l_quantity").as("x"),
+        (col("l_quantity") * 900.0 + col("l_discount") * 100.0).as("y"),
+        col("l_discount").as("x2"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("x", "x2")).setOutputCol("features")
+      .transform(df)
+    val model = new GBTRegressor().setLabelCol("y").setMaxIter(5)
+      .setMaxDepth(3).setSeed(42).fit(assembled)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_model").toString
+    model.write.overwrite().save(s"$tmp/gbt")
+    val reloaded = org.apache.spark.ml.regression.GBTRegressionModel
+      .load(s"$tmp/gbt")
+    val diff = model.transform(assembled)
+      .select(col("x"), col("x2"), col("prediction").as("p1"))
+      .join(reloaded.transform(assembled)
+        .select(col("x"), col("x2"), col("prediction").as("p2")),
+        Seq("x", "x2"))
+      .filter(col("p1") =!= col("p2")).count()
+    assert(diff == 0L, "reloaded model must predict bit-identically")
+  }
+
+  test("metrics JSON artifact matches the reference shape") {
+    import graft.ml.MetricsJson
+    import graft.ml.MetricsJson.RegMetrics
+    val df = Seq((10.0, 12.0), (20.0, 19.0), (30.0, 33.0))
+      .toDF("y", "pred")
+    val m = MetricsJson.fromRow(
+      Aggregates.regressionMetrics(df, col("y"), col("pred")))
+    assert(m.mae == 2.0)
+    val naive = MetricsJson.fromRow(
+      Baselines.naiveMeanMetrics(df, col("y")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mx").toString
+    val path = MetricsJson.save(
+      Seq("naive" -> naive, "xgb" -> m), "metrics", tmp, "20260319")
+    assert(path.getFileName.toString == "metrics_20260319.json")
+    // artifact parses back and round-trips the values (reference shape:
+    // model name → {mae, rmse, mape}, models/metrics_20260319.json:2-16)
+    val parsed = spark.read.option("multiLine", true)
+      .json(path.toString)
+    assert(parsed.columns.sorted.toSeq == Seq("naive", "xgb"))
+    val row = parsed.select(col("xgb.mae"), col("xgb.rmse"),
+      col("naive.mae")).first()
+    assert(row.getDouble(0) == m.mae && row.getDouble(1) == m.rmse)
+    assert(row.getDouble(2) == naive.mae)
+    // quality gate: warn above threshold, silent below (evaluate.py:126)
+    assert(MetricsJson.checkLoadQuality(
+      Map("model_load" -> RegMetrics(1, 1, 9.5))).isDefined)
+    assert(MetricsJson.checkLoadQuality(
+      Map("model_load" -> RegMetrics(1, 1, 7.9))).isEmpty)
+  }
+
   test("ml.feature.Imputer(median) agrees with Aggregates.medianImpute") {
     val df = Seq(Some(1.0), Some(2.0), Some(9.0), None)
       .toDF("x").withColumn("g", lit("a"))

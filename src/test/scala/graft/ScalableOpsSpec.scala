@@ -155,4 +155,30 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got.filter($"d" === "2024-02-01").select("flag")
       .first().getInt(0) == 0)
   }
+
+  test("flagInRanges enforces the tiny-dim contract") {
+    val df = Seq("2024-01-05").toDF("d").select(to_date($"d").as("d"))
+    val big = spark.range(600)
+      .select(to_date(lit("2024-01-01")).as("start"),
+        to_date(lit("2024-01-02")).as("end"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.flagInRanges(df, $"d", big, "flag")
+    }
+    assert(e.getMessage.contains("tiny-dim"))
+    // and an explicitly raised cap accepts the same table
+    assert(Relational.flagInRanges(df, $"d", big, "flag", maxRanges = 1000)
+      .count() == 1)
+  }
+
+  test("ScalableWindow fails fast on a NULL bucket value") {
+    val df = Seq((Some("2024-01-01 10:00:00"), 1L), (None, 2L))
+      .toDF("t", "id")
+      .select(to_timestamp($"t").as("ts"), $"id", lit(1.0).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      ScalableWindow.withTrailingColumns(df, to_date($"ts"),
+        Seq($"ts", $"id"), 1)("prev" -> (w => lag($"v", 1).over(w)))
+        .count()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }

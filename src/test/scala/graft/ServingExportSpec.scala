@@ -93,4 +93,26 @@ class ServingExportSpec extends SparkSpecBase {
     val back = spark.read.parquet(s"$tmp/X_train_20240101.parquet")
     assert(back.count() == splits("train")._1.count())
   }
+
+  test("unified export: X/y pairing survives a repartition-shuffled input") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    // known rowwise relation y = 2·value + 1, input deliberately
+    // shuffled through an arbitrary repartition before the export
+    val shuffled = ev
+      .withColumn("y", col("value") * 2 + 1)
+      .repartition(13, col("user_id"))
+    val splits = ExportJob.splitUnified(shuffled,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")),
+      0.25, Seq("event_id", "value"), "y")
+    ExportJob.writeSplitsUnified(splits, tmp, version = Some("20240101"))
+    val (x, y) = ExportJob.readXy(spark, tmp, "train",
+      Seq("event_id", "value"), "y", version = Some("20240101"))
+    assert(x.count() == splits("train").count() && x.count() == y.count())
+    // rowwise zip of the two projections: same scan, same layout —
+    // every (X row, y row) pair must satisfy the planted relation
+    val mismatches = x.rdd.zip(y.rdd).filter { case (xr, yr) =>
+      math.abs(yr.getDouble(0) - (xr.getAs[Double]("value") * 2 + 1)) > 1e-12
+    }.count()
+    assert(mismatches == 0L)
+  }
 }

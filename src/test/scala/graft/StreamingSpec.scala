@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SessionizeStream
+
+/** Streaming operators beyond what the query oracles already pin:
+  * the SessionizeStream hot-key memory contract (one user's whole
+  * micro-batch buffers for the in-batch sort — per-batch only, state
+  * stays two longs).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("sessionize stream survives a 100k-event single-user batch " +
+    "and matches the batch window formulation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotkey").toString
+    val gapUs = 30L * 60 * 1000000
+    // one user, 100k events: mostly 1s apart, a session break every
+    // 10_000 events (gap of 31 minutes) -> 10 sessions
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    spark.range(100000).select(
+        col("id").as("event_id"),
+        // nanosecond longs, matching the raw events schema
+        ((lit(base) + col("id") * 1000000L +
+          (col("id") / 10000).cast("long") * (gapUs + 60000000L)) * 1000L)
+          .as("ts"),
+        lit(7L).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SessionizeStream.runToCompletion(spark, tmp)
+    assert(got.count() == 100000L)
+    assert(got.select(max("session_id")).first().getLong(0) == 10L)
+    // row-for-row equal to the batch formulation (win_sessionize shape)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val batch = spark.read.parquet(s"$tmp/events.parquet")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+      .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+      .withColumn("session_id",
+        sum(when($"gap".isNull || $"gap" > 30L * 60 * 1000000, 1)
+          .otherwise(0)).over(w))
+      .select($"event_id", $"user_id", $"session_id")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+}
