@@ -1606,7 +1606,7 @@ object SparkEntry {
         // IO). The window here spans the whole dataset so the oracle —
         // which reads the flat table — sees identical input; at 100 TB a
         // typical export window prunes all but a few day chunks.
-        val e = Tables.eventsDayPartitioned(s, d, "2024-01-01", "2024-01-31")
+        val e = Tables.eventsChunked(s, d, "2024-01-01", "2024-01-31")
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         // load/pv are rounded to INTEGER-valued doubles: the downstream
         // 24-row rolling sum then stays exact in IEEE double under any
@@ -1702,7 +1702,7 @@ object SparkEntry {
     Q("feature_training_view",
       (s, d) => {
         // chunk-pruned read path — see feature_net_load_view
-        val e = Tables.eventsDayPartitioned(s, d, "2024-01-01", "2024-01-31")
+        val e = Tables.eventsChunked(s, d, "2024-01-01", "2024-01-31")
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         val CH = "10YCH-SWISSGRIDZ"
         val DE = "10Y1001A1001A83F"

@@ -27,30 +27,43 @@ object Tables {
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
-  /** Day-partitioned events layout — the Spark analog of the reference's
+  /** Week-chunked events layout — the Spark analog of the reference's
     * hypertable time chunking (`create_hypertable(..., chunk_time_interval
     * => INTERVAL '7 days')`, infra/db/init.sql:14-18), wired into the
     * feature-view read path: the `[fromDay, toDay]` window becomes a
     * PartitionFilter, so chunks outside it are pruned before any row
-    * group is opened. In a deployment this IS the table's storage
-    * layout; for the harness the layout is materialized once per
-    * (JVM, sfDir) under tmpdir from the flat testdata file.
+    * group is opened. Chunks are the reference's 7-day interval — coarse
+    * enough that the file count stays small (small-file fanout is its
+    * own scale killer: per-file open/listing cost swamps the scan),
+    * fine enough that a typical export window prunes most of a year.
+    * In a deployment this IS the table's storage layout; for the
+    * harness it is materialized once per (JVM, sfDir) under tmpdir.
     */
-  def eventsDayPartitioned(
+  def eventsChunked(
       s: SparkSession,
       d: String,
       fromDay: String,
       toDay: String): DataFrame = {
     val dir = partitionedEvents.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft_events_day").toString
-      loadEvents(s, d).withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+        .createTempDirectory("graft_events_chunked").toString
+      // repartition on the chunk column before the write: one file per
+      // chunk instead of (shuffle partitions × chunks) small files
+      loadEvents(s, d)
+        .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
+        .repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
       tmp
     })
+    // the chunk containing fromDay starts at that week's Monday
+    // (date_trunc('week') is ISO — Monday), matching Spark's week rule
+    val fromChunk = java.time.LocalDate.parse(fromDay)
+      .`with`(java.time.temporal.TemporalAdjusters
+        .previousOrSame(java.time.DayOfWeek.MONDAY)).toString
     val raw = s.read.parquet(dir)
-      .filter(col("day").between(fromDay, toDay))
-    // restore the flat-events column order; `day` is storage layout
+      .filter(col("chunk").between(fromChunk, toDay))
+      .filter(to_date(col("ts")).between(fromDay, toDay))
+    // restore the flat-events column order; `chunk` is storage layout
     raw.select(loadEvents(s, d).columns.map(col): _*)
   }
 

@@ -27,17 +27,29 @@ object FeatureViews {
   private val order = Seq(col("time"))
   private val monthBucket = date_trunc("month", col("time"))
 
+  /** Bucketed lag/rolling over a POST-AGGREGATION series. The input is
+    * persisted first: every series here is an hourly aggregate of a big
+    * fact table, bounded by calendar-hours × dims regardless of input
+    * scale — and ScalableWindow evaluates its input three times (count
+    * routing, fringe extraction, final windows). Without the cache each
+    * pass would re-run the full upstream aggregation; with it, the fact
+    * table is aggregated exactly once per series at any scale. Cache
+    * contract: released by the caller/harness (`clearCache`), like the
+    * dedup pair generators.
+    */
   private def lagRolling(
       df: DataFrame,
       x: Column,
       defs: Seq[(String, Int, Boolean)] /* (name, n, isRollingAvg) */)
-      : DataFrame =
-    ScalableWindow.withTrailingColumns(df, monthBucket, order, 168)(
+      : DataFrame = {
+    val series = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ScalableWindow.withTrailingColumns(series, monthBucket, order, 168)(
       defs.map { case (name, n, rolling) =>
         name -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
           if (rolling) avg(x).over(w.rowsBetween(-(n - 1), 0))
           else lag(x, n).over(w))
       }: _*)
+  }
 
   /** Model B feature view. Inputs follow graft.Schemas table shapes. */
   def trainingFeatures(
@@ -117,9 +129,13 @@ object FeatureViews {
         Seq("time"), "left")
 
     // temp_rolling_avg_24h is computed AFTER the join in the reference
-    // (init.sql:324-326) — over the joined CH temperature column
+    // (init.sql:324-326) — over the joined CH temperature column. The
+    // joined frame is persisted for the same reason as lagRolling's
+    // input: ScalableWindow walks it three times, and re-deriving the
+    // 9-way join per pass would triple the whole job.
     ScalableWindow.withTrailingColumns(
-      joined, monthBucket, order, 24)(
+      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      monthBucket, order, 24)(
       "temp_rolling_avg_24h" ->
         (w => avg(col("temperature_2m")).over(w.rowsBetween(-23, 0))))
       .select(col("time"), col("price_eur_mwh"), col("lag_1h"),

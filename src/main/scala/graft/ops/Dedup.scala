@@ -137,11 +137,18 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
           v => v.cast("string")), "-")): _*))
         .as(Seq("band_idx", "band_key")))
-    val bucketN = banded.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("__n"))
+    // bucket-size prune as a count-window over the band key: ONE shuffle
+    // of `banded` instead of the groupBy-count + join-back formulation's
+    // two, and the downstream self-join on the same keys reuses this
+    // partitioning (no further exchange). Skew shape is unchanged — a
+    // degenerate bucket lands on one reducer under either plan (and is
+    // then dropped by the cap); WindowExec spills rather than OOMs.
+    val pruned = banded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
       .drop("__n")
-    val pruned = banded.join(bucketN, Seq("band_idx", "band_key"))
     val a = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
     val b = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "band_key"))

@@ -36,12 +36,22 @@ object ScalableWindow {
   private val B = "__graft_bucket"
   private val F = "__graft_fringe"
 
+  /** Inputs at or below this row count take the single-partition window
+    * directly: sorting ~10⁵ rows on one core is milliseconds, while the
+    * fringe machinery costs two extra passes — the bucketed plan only
+    * wins when the data is too big for one partition. The stats job that
+    * drives the choice is the same per-bucket count the routing needs
+    * anyway (AQE-style: observed stats pick the physical plan). */
+  val SmallInputRows: Long = 1L << 17
+
   /** Adds window columns defined against a global `orderCols` ordering.
     *
     * @param bucket      coarse bucket expression, monotone non-decreasing
     *                    in `orderCols` (e.g. `date_trunc("day", $"ts")`)
     * @param orderCols   global ordering (include a tiebreaker for determinism)
     * @param fringeRows  max lookback any `defs` column needs, in rows
+    * @param smallInput  row-count threshold below which the plain global
+    *                    window is used (pass 0 to force the bucketed path)
     * @param defs        (columnName, spec => column) pairs; the passed
     *                    WindowSpec is already partitioned + ordered
     */
@@ -49,7 +59,9 @@ object ScalableWindow {
       df: DataFrame,
       bucket: Column,
       orderCols: Seq[Column],
-      fringeRows: Int)(defs: (String, WindowSpec => Column)*): DataFrame = {
+      fringeRows: Int,
+      smallInput: Long = SmallInputRows)(
+      defs: (String, WindowSpec => Column)*): DataFrame = {
     val withB = df.withColumn(B, bucket)
     val spark = df.sparkSession
     val bucketType = withB.schema(B).dataType
@@ -63,6 +75,16 @@ object ScalableWindow {
     require(counts.forall(_.get(0) != null),
       "ScalableWindow: bucket expression produced NULL (null rows in " +
         "the ordering column?) — filter or impute them before windowing")
+
+    if (counts.map(_.getLong(1)).sum <= smallInput) {
+      // bounded series (e.g. hourly post-aggregation): one partition is
+      // the optimal physical plan, row-for-row identical by definition
+      val w = Window.orderBy(orderCols: _*)
+      return defs.foldLeft(df) { case (acc, (name, mk)) =>
+        acc.withColumn(name, mk(w))
+      }
+    }
+
     val sorted = counts.sortWith((a, b) =>
       a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0)
 

@@ -17,8 +17,10 @@ class ScalableOpsSpec extends SparkSpecBase {
 
   test("ScalableWindow lag/rolling equals global window") {
     val order = Seq(col("ts"), col("event_id"))
+    // smallInput = 0 forces the bucketed-fringe path (10k test rows
+    // would otherwise take the adaptive single-partition shortcut)
     val got = ScalableWindow.withTrailingColumns(
-      ev, date_trunc("week", col("ts")), order, 168)(
+      ev, date_trunc("week", col("ts")), order, 168, smallInput = 0)(
       "lag_1" -> (w => lag(col("value"), 1).over(w)),
       "lag_168" -> (w => lag(col("value"), 168).over(w)),
       "roll_24" -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))))
@@ -39,7 +41,7 @@ class ScalableOpsSpec extends SparkSpecBase {
       .withColumn("v", col("id") * 2.0)
     val order = Seq(col("id"))
     val got = ScalableWindow.withTrailingColumns(
-      df, floor(col("id") / 10), order, 4)(
+      df, floor(col("id") / 10), order, 4, smallInput = 0)(
       "lag_1" -> (w => lag(col("v"), 1).over(w)),
       "lag_3" -> (w => lag(col("v"), 3).over(w)),
       "roll_4" -> (w => avg(col("v")).over(w.rowsBetween(-3, 0))))
@@ -50,6 +52,18 @@ class ScalableOpsSpec extends SparkSpecBase {
       lag(col("v"), 3).over(wG).as("lag_3"),
       avg(col("v")).over(wG.rowsBetween(-3, 0)).as("roll_4"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("adaptive small-input shortcut matches the bucketed path") {
+    val order = Seq(col("ts"), col("event_id"))
+    def run(threshold: Long) = ScalableWindow.withTrailingColumns(
+      ev, date_trunc("week", col("ts")), order, 24, smallInput = threshold)(
+      "l" -> (w => lag(col("value"), 1).over(w)),
+      "r" -> (w => avg(col("value")).over(w.rowsBetween(-23, 0))))
+    val small = run(Long.MaxValue) // force single-partition plan
+    val bucketed = run(0)          // force fringe plan
+    assert(small.exceptAll(bucketed).isEmpty &&
+      bucketed.exceptAll(small).isEmpty)
   }
 
   test("ScalableRank.globalRowNumber equals global row_number") {
@@ -176,7 +190,7 @@ class ScalableOpsSpec extends SparkSpecBase {
       .select(to_timestamp($"t").as("ts"), $"id", lit(1.0).as("v"))
     val e = intercept[IllegalArgumentException] {
       ScalableWindow.withTrailingColumns(df, to_date($"ts"),
-        Seq($"ts", $"id"), 1)("prev" -> (w => lag($"v", 1).over(w)))
+        Seq($"ts", $"id"), 1, smallInput = 0)("prev" -> (w => lag($"v", 1).over(w)))
         .count()
     }
     assert(e.getMessage.contains("NULL"))
