@@ -1237,6 +1237,84 @@ object SparkEntry {
                   (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
               FROM documents""")),
 
+    // end-to-end corpus-curation job composed from the library's text +
+    // dedup operators: language gate → quality gate → exact dedup →
+    // curated representatives with duplicate counts — the shape of a
+    // daily training-data refresh at 100 TB. Exact duplicates are
+    // planted under shifted ids so the dedup stage provably has signal.
+    // Plan shape: every stage is a key-bounded shuffle (doc id / content
+    // hash); the profile table is broadcast; no all-pairs path.
+    Q("pipeline_corpus_curation",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = Tables.documents(s, d)
+        val planted = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+            col("text")))
+        val profiles = Seq(
+          ("en", "the"), ("en", "a"), ("en", "fast"),
+          ("de", "der"), ("de", "die"), ("de", "slow"),
+          ("fr", "le"), ("fr", "la"), ("fr", "table"),
+          ("es", "el"), ("es", "los"), ("es", "data"),
+          ("zh", "big"), ("zh", "spark")).toDF("lang", "word")
+        val lang = TextOps.langId(planted, col("doc_id"), col("text"),
+          profiles, idName = "doc_id")
+        val gated = TextOps.qualityFeatures(planted, col("text"),
+            Seq("the", "a"))
+          .join(lang, Seq("doc_id"))
+          .filter(col("pred_lang") === "en" && col("n_words") >= 40 &&
+            col("stopword_ratio") >= 0.02)
+          .select(col("doc_id"), col("text"), col("n_words"),
+            col("pred_lang"))
+        val reps = Dedup.exact(gated, col("doc_id"), col("text"))
+        reps
+          .join(gated.select(col("doc_id").as("rep_id"), col("pred_lang"),
+            col("n_words")), Seq("rep_id"))
+          .select(col("rep_id"), col("pred_lang"),
+            col("n_words").cast("long").as("n_words"), col("n_dups"))
+      },
+      Some("""WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents),
+              profiles(lang, word) AS (VALUES
+                ('en', 'the'), ('en', 'a'), ('en', 'fast'),
+                ('de', 'der'), ('de', 'die'), ('de', 'slow'),
+                ('fr', 'le'), ('fr', 'la'), ('fr', 'table'),
+                ('es', 'el'), ('es', 'los'), ('es', 'data'),
+                ('zh', 'big'), ('zh', 'spark')),
+              toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS word
+                FROM planted),
+              hits AS (SELECT t.doc_id, p.lang, count(*) AS n
+                FROM toks t JOIN profiles p USING (word) GROUP BY 1, 2),
+              lang AS (SELECT p.doc_id, coalesce(b.lang, 'und')
+                  AS pred_lang
+                FROM planted p LEFT JOIN (
+                  SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY n DESC, lang) AS r
+                  FROM hits) b ON p.doc_id = b.doc_id AND b.r = 1),
+              q AS (SELECT doc_id, text,
+                  len(string_split_regex(trim(text), '\s+')) AS n_words,
+                  CAST(len(list_filter(
+                      string_split_regex(trim(text), '\s+'),
+                      x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                    / len(string_split_regex(trim(text), '\s+'))
+                    AS stopword_ratio
+                FROM planted),
+              gated AS (SELECT q.doc_id, q.text, q.n_words, l.pred_lang
+                FROM q JOIN lang l USING (doc_id)
+                WHERE l.pred_lang = 'en' AND q.n_words >= 40
+                  AND q.stopword_ratio >= 0.02),
+              reps AS (SELECT sha256(text) AS h, min(doc_id) AS rep_id,
+                  count(*) AS n_dups
+                FROM gated GROUP BY 1)
+              SELECT g.doc_id AS rep_id, g.pred_lang,
+                CAST(g.n_words AS BIGINT) AS n_words, r.n_dups
+              FROM reps r JOIN gated g ON g.doc_id = r.rep_id""")),
+
     Q("mm_decode",
       (s, d) => {
         val payload = Multimodal.asPayload(Tables.documents(s, d),

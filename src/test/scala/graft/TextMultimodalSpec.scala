@@ -48,6 +48,26 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  test("composed curation pipeline gates languages and dedups exactly") {
+    import graft.ops.Dedup
+    val profiles = Seq(("en", "the"), ("de", "der")).toDF("lang", "word")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"), // en, long
+      (2L, "the quick brown fox jumps over the lazy dog again"), // exact dup
+      (3L, "der schnelle braune fuchs springt wirklich sehr hoch"), // de
+      (4L, "the end")) // en but too short
+      .toDF("doc_id", "text")
+    val lang = TextOps.langId(docs, $"doc_id", $"text", profiles,
+      idName = "doc_id")
+    val gated = TextOps.qualityFeatures(docs, $"text", Seq("the"))
+      .join(lang, Seq("doc_id"))
+      .filter($"pred_lang" === "en" && $"n_words" >= 5)
+      .select($"doc_id", $"text")
+    val reps = Dedup.exact(gated, $"doc_id", $"text")
+    val r = reps.select($"rep_id", $"n_dups").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L))) // de + short gated out, dup collapsed
+  }
+
   test("mapPartitions batch decode matches the expression stub") {
     val df = Seq((1L, "x" * 100), (2L, "y" * 700)).toDF("doc_id", "text")
     val payload = Multimodal.asPayload(df, $"doc_id", $"text")
