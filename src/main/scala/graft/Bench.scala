@@ -31,19 +31,27 @@ object Bench {
       // .count() would let Catalyst prune every unreferenced column,
       // so projection-only queries would time scan+count instead of
       // their expression work
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside
       // the timed window — teardown is not the query's cost)
       spark.catalog.clearCache()
-      name -> elapsed
+      name -> (if (ok) elapsed else -1.0) // -1 marks failure, never a time
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // a failing query must not pass off its time-to-throw as a result:
+    // it reports as -1 in `queries`, is excluded from `value`, and is
+    // listed in `failed`
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

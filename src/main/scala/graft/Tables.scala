@@ -46,25 +46,34 @@ object Tables {
       toDay: String): DataFrame = {
     val dir = partitionedEvents.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft_events_chunked").toString
+        .createTempDirectory("graft_events_chunked")
+      // harness hygiene: the materialized copy dies with the JVM (in a
+      // deployment the layout is the permanent table, not a copy)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        F.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => F.deleteIfExists(p))
+      }))
       // repartition on the chunk column before the write: one file per
       // chunk instead of (shuffle partitions × chunks) small files
       loadEvents(s, d)
         .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
         .repartition(col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
-      tmp
+        .write.mode("overwrite").partitionBy("chunk").parquet(tmp.toString)
+      tmp.toString
     })
     // the chunk containing fromDay starts at that week's Monday
     // (date_trunc('week') is ISO — Monday), matching Spark's week rule
     val fromChunk = java.time.LocalDate.parse(fromDay)
       .`with`(java.time.temporal.TemporalAdjusters
         .previousOrSame(java.time.DayOfWeek.MONDAY)).toString
-    val raw = s.read.parquet(dir)
+    s.read.parquet(dir)
       .filter(col("chunk").between(fromChunk, toDay))
       .filter(to_date(col("ts")).between(fromDay, toDay))
-    // restore the flat-events column order; `chunk` is storage layout
-    raw.select(loadEvents(s, d).columns.map(col): _*)
+      // partitioned reads append the partition column last, so dropping
+      // it restores the flat-events column order exactly
+      .drop("chunk")
   }
 
   private val partitionedEvents =

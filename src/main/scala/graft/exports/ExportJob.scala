@@ -121,7 +121,11 @@ object ExportJob {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "test").map { name =>
       require(sizes.getOrElse(name, 0L) > 0, s"empty split: $name")
+      // chronological order like splitXy — not needed for X/y pairing
+      // (that's structural here), but consumers reading sequentially
+      // (walk-forward eval, sequential mini-batches) rely on it
       name -> labeled.filter(col("split") === name)
+        .orderBy(order: _*)
         .select((featureCols :+ targetCol).map(col): _*)
     }.toMap
   }

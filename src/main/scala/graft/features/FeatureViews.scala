@@ -40,9 +40,10 @@ object FeatureViews {
   private def lagRolling(
       df: DataFrame,
       x: Column,
-      defs: Seq[(String, Int, Boolean)] /* (name, n, isRollingAvg) */)
-      : DataFrame = {
+      defs: Seq[(String, Int, Boolean)], /* (name, n, isRollingAvg) */
+      track: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val series = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track += series
     ScalableWindow.withTrailingColumns(series, monthBucket, order, 168)(
       defs.map { case (name, n, rolling) =>
         name -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
@@ -51,14 +52,48 @@ object FeatureViews {
       }: _*)
   }
 
-  /** Model B feature view. Inputs follow graft.Schemas table shapes. */
+  /** Model B feature view. Inputs follow graft.Schemas table shapes.
+    * Persists its intermediate series (see [[lagRolling]]); release via
+    * the harness `clearCache()` or use [[withTrainingFeatures]] in
+    * long-lived sessions.
+    */
   def trainingFeatures(
       dayAheadPrices: DataFrame,
       weatherHourly: DataFrame,
       generation: DataFrame,
       actualLoad: DataFrame,
       crossborderFlows: DataFrame,
-      loadForecast: DataFrame): DataFrame = {
+      loadForecast: DataFrame): DataFrame =
+    trainingFeaturesTracked(dayAheadPrices, weatherHourly, generation,
+      actualLoad, crossborderFlows, loadForecast,
+      scala.collection.mutable.Buffer.empty)
+
+  /** Scoped variant: runs `action` on the view and unpersists the seven
+    * cached intermediates before returning — for sessions computing the
+    * view in a loop (per-day refresh), where the plain variant's caches
+    * would accumulate until a global clearCache.
+    */
+  def withTrainingFeatures[T](
+      dayAheadPrices: DataFrame,
+      weatherHourly: DataFrame,
+      generation: DataFrame,
+      actualLoad: DataFrame,
+      crossborderFlows: DataFrame,
+      loadForecast: DataFrame)(action: DataFrame => T): T = {
+    val track = scala.collection.mutable.Buffer.empty[DataFrame]
+    val view = trainingFeaturesTracked(dayAheadPrices, weatherHourly,
+      generation, actualLoad, crossborderFlows, loadForecast, track)
+    try action(view) finally track.foreach(_.unpersist())
+  }
+
+  private def trainingFeaturesTracked(
+      dayAheadPrices: DataFrame,
+      weatherHourly: DataFrame,
+      generation: DataFrame,
+      actualLoad: DataFrame,
+      crossborderFlows: DataFrame,
+      loadForecast: DataFrame,
+      track: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
 
     val pf = lagRolling(
       dayAheadPrices.filter(col("domain") === CH)
@@ -66,7 +101,7 @@ object FeatureViews {
       col("price_eur_mwh"),
       Seq(("lag_1h", 1, false), ("lag_24h", 24, false),
         ("lag_168h", 168, false), ("rolling_avg_24h", 24, true),
-        ("rolling_avg_7d", 168, true)))
+        ("rolling_avg_7d", 168, true)), track)
       .withColumn("hour_of_day", ScalarFns.hourOfDay(col("time")))
       .withColumn("day_of_week", ScalarFns.dowPg(col("time")))
       .withColumn("month", ScalarFns.monthOf(col("time")))
@@ -78,7 +113,8 @@ object FeatureViews {
         generation.filter(col("domain") === domain && col("psr_type") === psr)
           .select(col("time"), col("quantity_mwh")),
         col("quantity_mwh"),
-        Seq((s"${p}_lag_24h", 24, false), (s"${p}_lag_168h", 168, false)))
+        Seq((s"${p}_lag_24h", 24, false), (s"${p}_lag_168h", 168, false)),
+        track)
         .drop("quantity_mwh")
 
     val loadLags = lagRolling(
@@ -86,7 +122,7 @@ object FeatureViews {
         .select(col("time"), col("load_mwh")),
       col("load_mwh"),
       Seq(("actual_load_ch_lag_24h", 24, false),
-        ("actual_load_ch_lag_168h", 168, false)))
+        ("actual_load_ch_lag_168h", 168, false)), track)
       .drop("load_mwh")
 
     val netPosRaw = Aggregates.conditionalNetSum(
@@ -97,7 +133,7 @@ object FeatureViews {
       .withColumnRenamed("net", "net_position_ch")
     val netPos = lagRolling(netPosRaw, col("net_position_ch"),
       Seq(("net_position_ch_lag_24h", 24, false),
-        ("net_position_ch_lag_168h", 168, false)))
+        ("net_position_ch_lag_168h", 168, false)), track)
       .drop("net_position_ch")
 
     val joined = pf
@@ -133,9 +169,11 @@ object FeatureViews {
     // joined frame is persisted for the same reason as lagRolling's
     // input: ScalableWindow walks it three times, and re-deriving the
     // 9-way join per pass would triple the whole job.
+    val joinedCached = joined
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track += joinedCached
     ScalableWindow.withTrailingColumns(
-      joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      monthBucket, order, 24)(
+      joinedCached, monthBucket, order, 24)(
       "temp_rolling_avg_24h" ->
         (w => avg(col("temperature_2m")).over(w.rowsBetween(-23, 0))))
       .select(col("time"), col("price_eur_mwh"), col("lag_1h"),
@@ -170,7 +208,8 @@ object FeatureViews {
 
     val withLags = lagRolling(net, col("net_load_kwh"),
       Seq(("load_lag_1h", 1, false), ("load_lag_1d", 24, false),
-        ("load_lag_7d", 168, false), ("load_rolling_avg_24h", 24, true)))
+        ("load_lag_7d", 168, false), ("load_rolling_avg_24h", 24, true)),
+      scala.collection.mutable.Buffer.empty)
 
     // coarse as-of alignment of 15-min rows to hourly weather:
     // date_trunc('hour', load.time) = weather.time (init.sql:452-455)

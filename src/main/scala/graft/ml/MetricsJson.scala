@@ -44,7 +44,10 @@ object MetricsJson {
   def render(metrics: Seq[(String, RegMetrics)]): String = {
     def num(d: Double): String =
       if (d.isNaN) "NaN" else d.toString
-    metrics.map { case (name, m) =>
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    metrics.map { case (rawName, m) =>
+      val name = esc(rawName)
       s"""  "$name": {
          |    "mae": ${num(m.mae)},
          |    "rmse": ${num(m.rmse)},

@@ -67,6 +67,23 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("eventsChunked equals the flat table under any day range") {
+    val flat = Tables.events(spark, sf())
+    // full span, a mid-month window, a window starting mid-week, and an
+    // empty range — the chunk prune + residual day filter must bound
+    // rows exactly in every case
+    val ranges = Seq(
+      ("2024-01-01", "2024-01-31"), ("2024-01-10", "2024-01-14"),
+      ("2024-01-04", "2024-01-04"), ("2025-06-01", "2025-06-30"))
+    ranges.foreach { case (from, to) =>
+      val chunked = Tables.eventsChunked(spark, sf(), from, to)
+      val want = flat.filter(to_date(col("ts")).between(from, to))
+      assert(chunked.columns.toSeq == flat.columns.toSeq)
+      assert(chunked.exceptAll(want).isEmpty &&
+        want.exceptAll(chunked).isEmpty, s"mismatch for [$from, $to]")
+    }
+  }
+
   test("salted aggregation equals unsalted for random bucket counts") {
     val ev = Tables.events(spark, sf())
     val want = ev.groupBy(col("event_type"))
