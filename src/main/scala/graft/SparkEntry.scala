@@ -1237,6 +1237,70 @@ object SparkEntry {
                   (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
               FROM documents""")),
 
+    // L2-normalize + int8 quantization — the standard pre-index embedding
+    // prep (scalar quantization). Per-row arithmetic only (codegen'd, no
+    // shuffle); verified by reducing each quantized vector to scalar
+    // stats (sum/min/max) so the oracle compare stays on scalar columns.
+    // Round-half-up in explicit floor form — portable across engines.
+    Q("emb_normalize_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("vec"))
+          .withColumn("nrm", Similarity.norm(col("vec")))
+        def q = transform(col("vec"),
+          x => floor(x.cast("double") * lit(127.0) / col("nrm") + lit(0.5)))
+        e.select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+          aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
+          array_min(q).as("q_min"), array_max(q).as("q_max"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                FROM embeddings),
+              n AS (SELECT vec_id, vec,
+                  sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+              qz AS (SELECT vec_id, nrm,
+                  list_transform(vec,
+                    x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT)) AS q
+                FROM n)
+              SELECT vec_id, round(nrm, 6) AS norm,
+                CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
+                CAST(list_reduce(q, (a, b) -> least(a, b)) AS BIGINT)
+                  AS q_min,
+                CAST(list_reduce(q, (a, b) -> greatest(a, b)) AS BIGINT)
+                  AS q_max
+              FROM qz""")),
+
+    // PII scrubbing (email redaction) — synthetic emails are planted so
+    // the scrubber provably has signal; output is the redaction count +
+    // content hash of the scrubbed text (scalar compare). The regex is
+    // deliberately in the Java ∩ RE2 dialect subset so Spark and the
+    // oracle match byte-for-byte.
+    Q("text_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +41 79 "),
+            (col("doc_id") % 1000).cast("string"), lit(" 00 11 re: "),
+            col("text")).as("text"))
+        planted.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          sha2(regexp_replace(col("text"), emailRe, "<EMAIL>"), 256)
+            .as("scrubbed_hash"))
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+                  concat('contact user', doc_id, '@example.com or +41 79 ',
+                    doc_id % 1000, ' 00 11 re: ', text) AS text
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                sha256(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g')) AS scrubbed_hash
+              FROM planted""")),
+
     // end-to-end corpus-curation job composed from the library's text +
     // dedup operators: language gate → quality gate → exact dedup →
     // curated representatives with duplicate counts — the shape of a
