@@ -1237,6 +1237,31 @@ object SparkEntry {
                   (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
               FROM documents""")),
 
+    // deterministic stratified (per-class) downsampling via hash
+    // thresholding — the class-rebalancing op of a training-data
+    // pipeline. Unlike RNG sampling (`sampleBy`), the md5 threshold is
+    // reproducible across engines, executors, retries, AND reruns —
+    // the property that makes a 100 TB sample auditable. Pure pushable
+    // filter: no shuffle, no state.
+    Q("sample_stratified",
+      (s, d) => {
+        val perMille = when(col("event_type") === "click", 100)
+          .when(col("event_type") === "view", 500)
+          .otherwise(1000)
+        ev(s, d)
+          .filter(pmod(graft.functions.PortableHash
+            .md5Long(col("event_id").cast("string"), 15), lit(1000))
+            < perMille)
+          .select(col("event_id"), col("event_type"))
+      },
+      Some("""SELECT event_id, event_type FROM events
+              WHERE CAST(concat('0x',
+                  substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000
+                < CASE WHEN event_type = 'click' THEN 100
+                       WHEN event_type = 'view' THEN 500
+                       ELSE 1000 END""")),
+
     // L2-normalize + int8 quantization — the standard pre-index embedding
     // prep (scalar quantization). Per-row arithmetic only (codegen'd, no
     // shuffle); verified by reducing each quantized vector to scalar
@@ -1324,6 +1349,9 @@ object SparkEntry {
           ("zh", "big"), ("zh", "spark")).toDF("lang", "word")
         val lang = TextOps.langId(planted, col("doc_id"), col("text"),
           profiles, idName = "doc_id")
+        // persisted: consumed twice (dedup + representative join-back);
+        // without the cache the langid pipeline would run twice.
+        // Harness clears the cache per query, like the dedup generators.
         val gated = TextOps.qualityFeatures(planted, col("text"),
             Seq("the", "a"))
           .join(lang, Seq("doc_id"))
@@ -1331,6 +1359,7 @@ object SparkEntry {
             col("stopword_ratio") >= 0.02)
           .select(col("doc_id"), col("text"), col("n_words"),
             col("pred_lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val reps = Dedup.exact(gated, col("doc_id"), col("text"))
         reps
           .join(gated.select(col("doc_id").as("rep_id"), col("pred_lang"),
