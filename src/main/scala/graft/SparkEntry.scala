@@ -915,19 +915,12 @@ object SparkEntry {
             FROM embeddings),
        q AS (SELECT id AS query_id, vec AS qvec FROM e WHERE id < 5)"""
 
-  private val llm = Seq(
-    Q("dedup_exact",
-      (s, d) => Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text")),
-      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS rep_id,
-                count(*) AS n_dups
-              FROM documents GROUP BY 1""")),
-
-    Q("dedup_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairs(
-        withPlantedDups(Tables.documents(s, d)),
-        col("doc_id"), col("text"), threshold = 0.5),
-      Some(s"""WITH $plantedDocsSql,
-              base AS (SELECT id, $shinglesSql AS sh
+  /** Shared DuckDB CTE chain computing the verified MinHash-LSH pair
+    * set over the planted docs (follows [[plantedDocsSql]] in a WITH) —
+    * ends with CTE `verified(id_a, id_b, j)`. One definition shared by
+    * the pair query and the connected-components query.
+    */
+  private val minhashCtesSql = s"""base AS (SELECT id, $shinglesSql AS sh
                        FROM (SELECT id,
                                string_split_regex(lower(trim(text)), '\\s+')
                                  AS toks
@@ -959,9 +952,48 @@ object SparkEntry {
                                AS j
                            FROM pairs p
                            JOIN base x ON p.id_a = x.id
-                           JOIN base y ON p.id_b = y.id)
+                           JOIN base y ON p.id_b = y.id)"""
+
+  private val llm = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text")),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS rep_id,
+                count(*) AS n_dups
+              FROM documents GROUP BY 1""")),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(
+        withPlantedDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.5),
+      Some(s"""WITH $plantedDocsSql,
+              $minhashCtesSql
               SELECT id_a, id_b, round(j, 6) AS jaccard
               FROM verified WHERE j >= 0.5""")),
+
+    // dedup GROUPS from the pair list: connected components via
+    // min-label propagation (ops/Components) — the step that turns
+    // pairwise near-dup output into clusters with one canonical
+    // representative. The oracle recomputes the identical pair set and
+    // clusters it with a recursive transitive closure.
+    Q("dedup_components",
+      (s, d) => {
+        val pairs = Dedup.minhashLshPairs(
+          withPlantedDups(Tables.documents(s, d)),
+          col("doc_id"), col("text"), threshold = 0.5)
+        Components.connectedComponents(pairs)
+      },
+      Some(s"""WITH RECURSIVE $plantedDocsSql,
+              $minhashCtesSql,
+              dup AS (SELECT id_a, id_b FROM verified WHERE j >= 0.5),
+              sym AS (SELECT id_a AS src, id_b AS dst FROM dup
+                      UNION SELECT id_b, id_a FROM dup),
+              reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s2.dst FROM reach r JOIN sym s2
+                  ON r.dst = s2.src)
+              SELECT src AS id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src""")),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a near-duplicate pair list — the step that
+  * turns pairwise dedup output (`Dedup.minhashLshPairs` etc.) into
+  * dedup GROUPS: every document gets the minimum reachable doc id as
+  * its component label, and the label is the cluster's canonical
+  * representative.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the min of its own label and its neighbors' labels; the loop
+  * stops when a round changes nothing (probed with a `limit(1)` count —
+  * the probe short-circuits on the first changed row). Rounds needed =
+  * graph diameter, and near-duplicate clusters are dense/shallow by
+  * construction (a dup cluster's diameter is tiny), so convergence is a
+  * handful of rounds. Per round the work is one equi-join of the edge
+  * list with the label table plus a min-aggregate — bounded shuffles on
+  * node ids, no driver-side data. For adversarial long-chain graphs use
+  * the alternating large-star/small-star contraction instead; for dedup
+  * clustering this simple variant is the right cost profile.
+  *
+  * Caches: the symmetric edge list and the current labels persist
+  * MEMORY_AND_DISK during the loop; intermediates unpersist as soon as
+  * superseded, and the edge cache is released before returning. The
+  * returned label plan is computed (the loop materializes it), so it is
+  * safe to consume after the internal caches are gone.
+  */
+object Components {
+
+  /** Materialize `df` and return a lineage-free view of it plus the
+    * backing cached frame (for explicit release). Iterative algorithms
+    * MUST cut lineage every round: `persist` caches data but the
+    * logical plan still nests the whole history, so by round ~10 the
+    * optimizer is walking an exponentially-sized tree (observed: OOM in
+    * plan stringification on a 9-round chain). Rebuilding from the
+    * materialized RDD makes each round's plan a flat scan.
+    *
+    * The materializing job doubles as the convergence probe: it returns
+    * the exact decimal sum of `label` (decimal so no ANSI overflow at
+    * any node count). Labels only ever decrease, so an unchanged sum ⟺
+    * a fixed point — no separate compare-join job per round.
+    */
+  private def cutLineage(df: DataFrame): (DataFrame, DataFrame, BigDecimal) = {
+    val backing = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val labelSum = Option(
+      backing.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0))
+      .map(d => BigDecimal(d.asInstanceOf[java.math.BigDecimal]))
+      .getOrElse(BigDecimal(0))
+    (backing.sparkSession.createDataFrame(backing.rdd, backing.schema),
+      backing, labelSum)
+  }
+
+  /** Lineage cut for the (label-less) edge list. */
+  private def cutEdges(df: DataFrame): (DataFrame, DataFrame) = {
+    val backing = df.persist(StorageLevel.MEMORY_AND_DISK)
+    backing.count()
+    (backing.sparkSession.createDataFrame(backing.rdd, backing.schema),
+      backing)
+  }
+
+  /** @param edges (id_a, id_b) pair rows, any orientation, dups allowed
+    * @return (id, component) — component = min reachable id
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val (sym, symBacking) = cutEdges(edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct())
+    var (labels, labelsBacking, labelSum) = cutLineage(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nlabel"))
+      val (updated, updatedBacking, updatedSum) = cutLineage(labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label")))
+      labelsBacking.unpersist()
+      labels = updated
+      labelsBacking = updatedBacking
+      converged = updatedSum == labelSum
+      labelSum = updatedSum
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the dedup-cluster contract; use " +
+        "star-contraction for long-chain graphs")
+    symBacking.unpersist()
+    // final labels stay materialized in `labelsBacking` so the returned
+    // plan is a cached scan; harness-level clearCache releases it
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

@@ -103,6 +103,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(lshRecall >= 0.5, s"LSH recall $lshRecall too low")
   }
 
+  test("connectedComponents: chains merge, islands stay separate") {
+    import graft.ops.Components
+    // chain 1-2-3 (transitively one cluster), island 10-11, dup edge
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    // empty edge list -> empty labels
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(empty).count() == 0)
+    // long chain converges within the iteration budget (diameter 9)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(chain)
+      .select("component").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(1L))
+  }
+
   test("approximate ANN paths degrade gracefully on an empty corpus") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     val q = Seq((0L, Array(1f, 0f))).toDF("query_id", "qvec")
