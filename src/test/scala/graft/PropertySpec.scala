@@ -84,6 +84,35 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents equals driver union-find on random graphs") {
+    import graft.ops.Components
+    val gens = samples(for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1L, n.toLong)
+        b <- Gen.chooseNum(1L, n.toLong) if a != b
+      } yield (a, b))
+    } yield edges, 4)
+    gens.foreach { edges =>
+      val got = Components.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: driver-side union-find with min-id representatives
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want, s"mismatch on ${edges.take(10)}...")
+    }
+  }
+
   test("salted aggregation equals unsalted for random bucket counts") {
     val ev = Tables.events(spark, sf())
     val want = ev.groupBy(col("event_type"))
