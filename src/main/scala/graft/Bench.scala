@@ -22,8 +22,10 @@ object Bench {
       // loop: it is the table's STORAGE layout (the hypertable analog),
       // not part of any query's work — in a deployment it exists before
       // the first query runs
-      Tables.eventsChunked(spark, sfDir, "2024-01-01", "2024-01-31")
-        .count()
+      locally {
+        val span = Tables.eventsSpan(spark, sfDir)
+        Tables.eventsChunked(spark, sfDir, span._1, span._2).count()
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

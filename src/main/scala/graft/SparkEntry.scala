@@ -1805,11 +1805,13 @@ object SparkEntry {
         // values, the IEEE floor form is bit-identical
         def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
         // hypertable-chunked read path: the view's time window is a
-        // partition filter on the day-partitioned layout (pruned before
-        // IO). The window here spans the whole dataset so the oracle —
-        // which reads the flat table — sees identical input; at 100 TB a
-        // typical export window prunes all but a few day chunks.
-        val e = Tables.eventsChunked(s, d, "2024-01-01", "2024-01-31")
+        // partition filter on the week-chunked layout (pruned before
+        // IO). The window here is the dataset's observed span (derived,
+        // not hardcoded) so the oracle — which reads the flat table —
+        // sees identical input; at 100 TB a typical export window
+        // prunes all but a few chunks.
+        val span = Tables.eventsSpan(s, d)
+        val e = Tables.eventsChunked(s, d, span._1, span._2)
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         // load/pv are rounded to INTEGER-valued doubles: the downstream
         // 24-row rolling sum then stays exact in IEEE double under any
@@ -1905,7 +1907,8 @@ object SparkEntry {
     Q("feature_training_view",
       (s, d) => {
         // chunk-pruned read path — see feature_net_load_view
-        val e = Tables.eventsChunked(s, d, "2024-01-01", "2024-01-31")
+        val span = Tables.eventsSpan(s, d)
+        val e = Tables.eventsChunked(s, d, span._1, span._2)
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         val CH = "10YCH-SWISSGRIDZ"
         val DE = "10Y1001A1001A83F"

@@ -79,6 +79,23 @@ object Tables {
   private val partitionedEvents =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** (min day, max day) of the events table, cached per (JVM, sfDir) —
+    * one 1-column scan at plan-build time. Callers that want "the whole
+    * table, but through the chunk-pruned path" (the feature views over
+    * the harness data) use this instead of hardcoding dates, so the
+    * window tracks whatever the testdata generator produced. */
+  def eventsSpan(s: SparkSession, d: String): (String, String) =
+    eventsSpans.computeIfAbsent(d, _ => {
+      val r = loadEvents(s, d)
+        .agg(min(to_date(col("ts"))).cast("string"),
+          max(to_date(col("ts"))).cast("string"))
+        .first()
+      (r.getString(0), r.getString(1))
+    })
+
+  private val eventsSpans =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
