@@ -1304,19 +1304,28 @@ object SparkEntry {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").as("vec"))
           .withColumn("nrm", Similarity.norm(col("vec")))
-        def q = transform(col("vec"),
-          x => floor(x.cast("double") * lit(127.0) / col("nrm") + lit(0.5)))
-        e.select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-          aggregate(q, lit(0L), (a, b) => a + b).as("q_sum"),
-          array_min(q).as("q_min"), array_max(q).as("q_max"))
+        // zero-norm guard: an all-zero vector has no direction — both
+        // engines emit NULL stats for it (Spark's 0-divisor NULL and
+        // DuckDB's inf/NaN would otherwise diverge). The quantized
+        // array materializes ONCE in its own projection: transform() is
+        // non-cheap and used three times, which CollapseProject must
+        // not (and does not) re-inline.
+        val q = when(col("nrm") > 0, transform(col("vec"),
+          x => floor(x.cast("double") * lit(127.0) / col("nrm") + lit(0.5))))
+        e.select(col("vec_id"), round(col("nrm"), 6).as("norm"), q.as("q"))
+          .select(col("vec_id"), col("norm"),
+            aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
                 FROM embeddings),
               n AS (SELECT vec_id, vec,
                   sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
               qz AS (SELECT vec_id, nrm,
-                  list_transform(vec,
-                    x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT)) AS q
+                  CASE WHEN nrm > 0 THEN list_transform(vec,
+                    x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT))
+                  END AS q
                 FROM n)
               SELECT vec_id, round(nrm, 6) AS norm,
                 CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,

@@ -90,6 +90,11 @@ object Tables {
         .agg(min(to_date(col("ts"))).cast("string"),
           max(to_date(col("ts"))).cast("string"))
         .first()
+      // min/max over zero rows are NULL — fail with a clear message
+      // instead of caching a poisoned (null, null) span that would NPE
+      // in every later eventsChunked call this JVM
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"eventsSpan: events table at $d is empty or all-null ts")
       (r.getString(0), r.getString(1))
     })
 

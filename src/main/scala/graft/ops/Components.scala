@@ -12,8 +12,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: iterative min-label propagation. Each round every node
   * takes the min of its own label and its neighbors' labels; the loop
-  * stops when a round changes nothing (probed with a `limit(1)` count —
-  * the probe short-circuits on the first changed row). Rounds needed =
+  * stops at a fixed point, detected from the exact decimal label sum
+  * that the round's materializing job already computes (labels are
+  * monotone decreasing, so an unchanged sum ⟺ nothing changed — no
+  * separate compare job; see [[cutLineage]]). Rounds needed =
   * graph diameter, and near-duplicate clusters are dense/shallow by
   * construction (a dup cluster's diameter is tiny), so convergence is a
   * handful of rounds. Per round the work is one equi-join of the edge
@@ -65,12 +67,19 @@ object Components {
     * @return (id, component) — component = min reachable id
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val (sym, symBacking) = cutEdges(edges
+    // materialize the DIRECTED pairs first: the input is typically an
+    // expensive pipeline (e.g. the full MinHash candidate generation),
+    // and referencing it in both union branches would execute that
+    // whole plan twice — Spark does not dedupe identical subplans
+    // across a union. Symmetrization then reads the cached cut twice.
+    val (pairsCut, pairsBacking) = cutEdges(edges
       .select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .unionByName(edges.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+        col("id_b").cast("long").as("dst")))
+    val (sym, symBacking) = cutEdges(pairsCut
+      .unionByName(pairsCut.select(col("dst").as("src"),
+        col("src").as("dst")))
       .distinct())
+    pairsBacking.unpersist()
     var (labels, labelsBacking, labelSum) = cutLineage(
       sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
