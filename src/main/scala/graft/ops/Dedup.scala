@@ -149,6 +149,11 @@ object Dedup {
           .partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
       .drop("__n")
+    // NOT cached although both self-join sides read it: the two
+    // branches canonicalize to the same exchange, so AQE's
+    // ReusedExchange already shares the one banded shuffle — a persist
+    // here was measured slightly SLOWER (adds materialization cost for
+    // work that was already deduplicated at runtime)
     val a = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
     val b = pruned.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "band_key"))
