@@ -1497,6 +1497,23 @@ object SparkEntry {
   // the reference (no PG equivalent in the reference's SQL, standard in
   // any analytics engine): exact percentiles, rollup, set ops, pivot
   private val widening = Seq(
+    // columnar-format matrix beyond parquet: ORC write → read roundtrip
+    // (Spark-native ORC datasource; same pushdown/pruning machinery).
+    // The oracle reads the same rows from the original parquet table,
+    // so the roundtrip itself is what is verified.
+    Q("sink_orc",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_orc").toString
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_shipdate"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+              FROM lineitem""")),
+
     Q("agg_percentiles",
       (s, d) => ev(s, d).groupBy(col("event_type"))
         .agg(percentile(col("value"), lit(0.25)).as("p"),
