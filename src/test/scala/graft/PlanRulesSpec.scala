@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GraftNative.FloatDotProduct
+
+import graft.ops.Similarity
+import graft.plans.FuseFloatDot
+
+/** The SparkSessionExtensions optimizer rule: the composable
+  * zip_with+aggregate dot product must be rewritten to the native
+  * codegen'd FloatDotProduct — same values, fused plan — and arrays
+  * whose elements are nullable must be left untouched (the two forms
+  * disagree on null elements).
+  *
+  * Inputs are built over `spark.range` rather than local Seqs: a
+  * LocalRelation projection is constant-folded away by the optimizer,
+  * leaving no expression tree to assert on.
+  */
+class PlanRulesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // a = [id+1, id+2, id+3], b = [id+2, id+4, id+6] as non-null floats
+  private def vecs = spark.range(2).select(
+    col("id"),
+    transform(sequence(lit(1L), lit(3L)),
+      i => (i + col("id")).cast("float")).as("a"),
+    transform(sequence(lit(1L), lit(3L)),
+      i => (i * 2 + col("id")).cast("float")).as("b"))
+
+  private def optimizedHasNativeDot(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[FloatDotProduct]))
+
+  test("FuseFloatDot rewrites the composable form and preserves values") {
+    FuseFloatDot.install(spark)
+    try {
+      val composable = vecs.select(
+        Similarity.dotComposable($"a", $"b").as("dot"))
+      assert(optimizedHasNativeDot(composable),
+        "composable dot should be fused to FloatDotProduct")
+      val viaNative = vecs.select(Similarity.dot($"a", $"b").as("dot"))
+      assert(composable.as[Double].collect().toSeq ==
+        viaNative.as[Double].collect().toSeq)
+      // id=0: 1*2+2*4+3*6 = 28; id=1: 2*3+3*5+4*7 = 49
+      assert(composable.orderBy("dot").as[Double].collect().toSeq ==
+        Seq(28.0, 49.0))
+    } finally FuseFloatDot.uninstall(spark)
+  }
+
+  test("FuseFloatDot leaves nullable-element arrays untouched") {
+    FuseFloatDot.install(spark)
+    try {
+      // when() makes the element nullable -> containsNull = true
+      val nullable = spark.range(2).select(
+        transform(sequence(lit(1L), lit(3L)),
+          i => when(i > col("id"), i.cast("float"))).as("a"),
+        transform(sequence(lit(1L), lit(3L)),
+          i => i.cast("float")).as("b"))
+      val q = nullable.select(aggregate(
+        zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+      assert(!optimizedHasNativeDot(q),
+        "nullable elements must not fuse — null semantics differ")
+      // composable null-propagation semantics preserved: id=1 row has a
+      // null element -> null dot; id=0 row is fully defined -> 1+4+9=14
+      val got = q.collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSet
+      assert(got == Set(Some(14.0), None))
+    } finally FuseFloatDot.uninstall(spark)
+  }
+
+  test("rule is inert after uninstall") {
+    val q = vecs.select(Similarity.dotComposable($"a", $"b").as("dot"))
+    assert(!optimizedHasNativeDot(q))
+    assert(q.orderBy("dot").as[Double].collect().toSeq == Seq(28.0, 49.0))
+  }
+}
