@@ -64,9 +64,30 @@ object ExportJob {
     }.toMap
   }
 
+  /** Calendar split variant of [[splitUnified]]: one DataFrame per
+    * split (train/val/test) carrying features+target — alignment-hazard-
+    * free like its ratio sibling; write via [[writeSplitsUnified]]. */
+  def splitUnifiedByDates(
+      features: DataFrame,
+      dateCol: Column,
+      order: Seq[Column],
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String): Map[String, DataFrame] = {
+    val labeled = Relational.splitByDates(
+      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
+    Seq("train", "val", "test").map { name =>
+      name -> labeled.filter(col("split") === name)
+        .orderBy(order: _*)
+        .select((featureCols :+ targetCol).map(col): _*)
+    }.toMap
+  }
+
   /** Calendar split variant anchored to max(date)
     * (`export_pipeline.py:626-641`). `order` must be a total order —
-    * same X/y row-alignment contract as [[splitXy]]. */
+    * same X/y row-alignment contract as [[splitXy]]; prefer
+    * [[splitUnifiedByDates]]. */
   def splitXyByDates(
       features: DataFrame,
       dateCol: Column,

@@ -66,7 +66,7 @@ object Components {
   /** @param edges (id_a, id_b) pair rows, any orientation, dups allowed
     * @return (id, component) — component = min reachable id
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     // materialize the DIRECTED pairs first: the input is typically an
     // expensive pipeline (e.g. the full MinHash candidate generation),
     // and referencing it in both union branches would execute that

@@ -94,6 +94,18 @@ class ServingExportSpec extends SparkSpecBase {
     assert(back.count() == splits("train")._1.count())
   }
 
+  test("unified calendar split: three splits, features+target together") {
+    val splits = ExportJob.splitUnifiedByDates(
+      ev.withColumn("y", col("value")).withColumn("d", to_date(col("ts"))),
+      col("d"), Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5,
+      Seq("event_id", "value"), "y")
+    assert(splits.keySet == Set("train", "val", "test"))
+    val n = ev.count()
+    assert(splits.values.map(_.count()).sum == n)
+    splits.values.foreach(df =>
+      assert(df.columns.toSeq == Seq("event_id", "value", "y")))
+  }
+
   test("unified export: X/y pairing survives a repartition-shuffled input") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_uni").toString
     // known rowwise relation y = 2·value + 1, input deliberately
