@@ -102,6 +102,18 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got.select("k").distinct().count() == 2)
   }
 
+  test("upsertNothing is idempotent like the reference's conflict writes") {
+    // test_db_write.py's insert-then-reinsert family: applying the same
+    // batch on top of its own result inserts nothing the second time
+    val existing = ev.limit(100).select($"event_id", $"value")
+    val batch = ev.limit(150).select($"event_id", $"value")
+    val first = Relational.upsertNothing(batch, existing, Seq("event_id"))
+    val afterFirst = existing.unionByName(first)
+    val second = Relational.upsertNothing(batch, afterFirst, Seq("event_id"))
+    assert(second.count() == 0)
+    assert(afterFirst.count() == 150)
+  }
+
   test("downsampleStride keeps ceil(n/max) spacing incl. first row") {
     val got = ScalableRank.downsampleStride(ev,
       date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")), 100)
