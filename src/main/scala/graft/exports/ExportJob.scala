@@ -77,7 +77,16 @@ object ExportJob {
       targetCol: String): Map[String, DataFrame] = {
     val labeled = Relational.splitByDates(
       features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
+    val sizes = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "val", "test").map { name =>
+      // empty-split guard at parity with splitUnified — but a zero-day
+      // val/test window is an intentional narrower split, so only
+      // windows that were actually requested must be non-empty
+      val requested = name == "train" ||
+        (name == "val" && valDays > 0) || (name == "test" && testDays > 0)
+      require(!requested || sizes.getOrElse(name, 0L) > 0,
+        s"empty split: $name")
       name -> labeled.filter(col("split") === name)
         .orderBy(order: _*)
         .select((featureCols :+ targetCol).map(col): _*)

@@ -27,9 +27,11 @@ class PlanRulesSpec extends SparkSpecBase {
     transform(sequence(lit(1L), lit(3L)),
       i => (i * 2 + col("id")).cast("float")).as("b"))
 
+  // search the WHOLE plan tree — root-only .expressions would let the
+  // negative assertions pass vacuously if the projection sits deeper
   private def optimizedHasNativeDot(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.optimizedPlan.expressions
-      .exists(_.exists(_.isInstanceOf[FloatDotProduct]))
+    df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[FloatDotProduct])))
 
   test("FuseFloatDot rewrites the composable form and preserves values") {
     FuseFloatDot.install(spark)

@@ -104,9 +104,13 @@ class ScalableOpsSpec extends SparkSpecBase {
 
   test("upsertNothing is idempotent like the reference's conflict writes") {
     // test_db_write.py's insert-then-reinsert family: applying the same
-    // batch on top of its own result inserts nothing the second time
-    val existing = ev.limit(100).select($"event_id", $"value")
-    val batch = ev.limit(150).select($"event_id", $"value")
+    // batch on top of its own result inserts nothing the second time.
+    // Deterministic key-range subsets — limit() without order takes
+    // arbitrary rows and re-evaluates per plan.
+    val existing = ev.filter($"event_id" < 100)
+      .select($"event_id", $"value")
+    val batch = ev.filter($"event_id" < 150)
+      .select($"event_id", $"value")
     val first = Relational.upsertNothing(batch, existing, Seq("event_id"))
     val afterFirst = existing.unionByName(first)
     val second = Relational.upsertNothing(batch, afterFirst, Seq("event_id"))

@@ -94,16 +94,38 @@ class ServingExportSpec extends SparkSpecBase {
     assert(back.count() == splits("train")._1.count())
   }
 
-  test("unified calendar split: three splits, features+target together") {
+  test("unified calendar split: boundaries, totality, dropna, guard") {
+    val withNulls = ev
+      .withColumn("y", when(col("event_id") % 10 === 0,
+        lit(null).cast("double")).otherwise(col("value")))
+      .withColumn("d", to_date(col("ts")))
     val splits = ExportJob.splitUnifiedByDates(
-      ev.withColumn("y", col("value")).withColumn("d", to_date(col("ts"))),
-      col("d"), Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5,
-      Seq("event_id", "value"), "y")
+      withNulls, col("d"), Seq(col("ts"), col("event_id")),
+      valDays = 5, testDays = 5, Seq("event_id", "value", "d"), "y")
     assert(splits.keySet == Set("train", "val", "test"))
-    val n = ev.count()
+    // target-dropna totality, like the ratio sibling
+    val n = withNulls.na.drop(Seq("y")).count()
     assert(splits.values.map(_.count()).sum == n)
     splits.values.foreach(df =>
-      assert(df.columns.toSeq == Seq("event_id", "value", "y")))
+      assert(df.columns.toSeq == Seq("event_id", "value", "d", "y")))
+    // calendar boundaries anchored to max(d): test = last 5 days,
+    // val = the 5 days before that, train = everything earlier
+    val maxD = withNulls.agg(max(col("d"))).first().getDate(0).toLocalDate
+    def spanOf(name: String) = {
+      val r = splits(name).agg(min(col("d")), max(col("d"))).first()
+      (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    }
+    assert(spanOf("test")._2 == maxD)
+    assert(spanOf("test")._1.isAfter(maxD.minusDays(6)))
+    assert(spanOf("val")._2.isBefore(spanOf("test")._1))
+    assert(spanOf("val")._1.isAfter(maxD.minusDays(11)))
+    assert(spanOf("train")._2.isBefore(spanOf("val")._1))
+    // requested-but-empty split fails fast like the ratio sibling
+    intercept[IllegalArgumentException] {
+      ExportJob.splitUnifiedByDates(withNulls, col("d"),
+        Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5000,
+        Seq("event_id"), "y")
+    }
   }
 
   test("unified export: X/y pairing survives a repartition-shuffled input") {
