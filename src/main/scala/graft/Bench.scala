@@ -14,7 +14,7 @@ object Bench {
     // query JIT and writer-class-loading costs (~4 s) would otherwise be
     // attributed to whichever query happens to run first
     locally {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      val tmp = Scratch.dir("graft_warm")
       spark.range(1000000).selectExpr("id", "id * 2 AS v")
         .write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp).count()

@@ -45,8 +45,7 @@ object SparkEntry {
 
     Q("sink_parquet",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sink").toString
+        val tmp = Scratch.dir("graft_sink")
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
           .write.mode("overwrite").parquet(tmp)
@@ -70,8 +69,7 @@ object SparkEntry {
       // chunking (SURVEY §4): the read-back filter prunes partitions
       // before any row group is opened
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_part").toString
+        val tmp = Scratch.dir("graft_part")
         ev(s, d)
           .withColumn("day", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("day").parquet(tmp)
@@ -90,8 +88,7 @@ object SparkEntry {
     Q("scan_raw_snapshot",
       (s, d) => {
         // raw-zone roundtrip: persist text lines, re-read, summarize
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_raw").toString
+        val tmp = Scratch.dir("graft_raw")
         Tables.documents(s, d).select(col("text")).write
           .mode("overwrite").text(tmp)
         s.read.text(tmp)
@@ -121,8 +118,7 @@ object SparkEntry {
       (s, d) => {
         val e = ev(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv").toString
+        val tmp = Scratch.dir("graft_csv")
         e.filter(col("event_id") % 2 === 0)
           .write.option("header", "true").mode("overwrite").csv(s"$tmp/a")
         // second file with a DIFFERENT column order — union is by name
@@ -216,8 +212,7 @@ object SparkEntry {
       (s, d) => {
         // append-only operational log: two batches appended to the same
         // path, read back, summarized (base_collector.py:13-49)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_log").toString
+        val tmp = Scratch.dir("graft_log")
         val logs = ev(s, d).select(col("event_id"),
           col("event_type").as("source"),
           when(col("value") >= 100, 200).otherwise(500).as("status"))
@@ -1102,6 +1097,14 @@ object SparkEntry {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // the oracle SQL below bakes dim=64 hyperplane literals while
+        // lshTopK adapts to the probed dim — enforce the contract here
+        // so a testdata dim change fails loudly instead of surfacing as
+        // an opaque oracle hash mismatch
+        val dim = Similarity.probeDim(e, "vec")
+        require(dim.forall(_ == 64),
+          s"ann_lsh oracle is generated for dim=64 but embeddings have " +
+            s"dim=${dim.get}; regenerate planesValuesSql for the new dim")
         val q = e.filter(col("id") < 5)
           .select(col("id").as("query_id"), col("vec").as("qvec"))
         Similarity.lshTopK(e, q, k = 10)
@@ -1503,8 +1506,7 @@ object SparkEntry {
     // so the roundtrip itself is what is verified.
     Q("sink_orc",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_orc").toString
+        val tmp = Scratch.dir("graft_orc")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"), col("l_shipdate"))

@@ -45,23 +45,16 @@ object Tables {
       fromDay: String,
       toDay: String): DataFrame = {
     val dir = partitionedEvents.computeIfAbsent(d, _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_events_chunked")
       // harness hygiene: the materialized copy dies with the JVM (in a
       // deployment the layout is the permanent table, not a copy)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files => F}
-        import scala.jdk.CollectionConverters._
-        F.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => F.deleteIfExists(p))
-      }))
+      val tmp = Scratch.dir("graft_events_chunked")
       // repartition on the chunk column before the write: one file per
       // chunk instead of (shuffle partitions × chunks) small files
       loadEvents(s, d)
         .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
         .repartition(col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(tmp.toString)
-      tmp.toString
+        .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
+      tmp
     })
     // the chunk containing fromDay starts at that week's Monday
     // (date_trunc('week') is ISO — Monday), matching Spark's week rule

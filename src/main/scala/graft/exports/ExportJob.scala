@@ -17,6 +17,16 @@ import graft.ops.{Quality, Relational, ScalableRank}
   */
 object ExportJob {
 
+  /** Every split function evaluates its labeled plan several times (one
+    * sizes count plus one filter+orderBy per split), and the input is
+    * typically the full feature pipeline — persist so the upstream job
+    * runs once, not once per evaluation. Cache contract mirrors
+    * FeatureViews.lagRolling: released by the harness `clearCache()`,
+    * or scoped via [[withSplitUnified]]/[[withSplitUnifiedByDates]].
+    */
+  private def cacheLabeled(labeled: DataFrame): DataFrame =
+    labeled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Raises (like the reference's RuntimeError) when a feature column
     * collides with the target/ops set or the newest row is stale. */
   def guard(
@@ -49,8 +59,8 @@ object ExportJob {
       testRatio: Double,
       featureCols: Seq[String],
       targetCol: String): Map[String, (DataFrame, DataFrame)] = {
-    val labeled = ScalableRank.chronoSplit(
-      features.na.drop(Seq(targetCol)), bucket, order, testRatio)
+    val labeled = cacheLabeled(ScalableRank.chronoSplit(
+      features.na.drop(Seq(targetCol)), bucket, order, testRatio))
     // the reference raises ValueError when a split would be empty
     // (export_pipeline.py:155-161) — one small counting job, eager like
     // the reference
@@ -74,9 +84,34 @@ object ExportJob {
       valDays: Int,
       testDays: Int,
       featureCols: Seq[String],
-      targetCol: String): Map[String, DataFrame] = {
-    val labeled = Relational.splitByDates(
-      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
+      targetCol: String): Map[String, DataFrame] =
+    splitUnifiedByDatesTracked(features, dateCol, order, valDays, testDays,
+      featureCols, targetCol)._1
+
+  /** Scoped variant of [[splitUnifiedByDates]] — see [[withSplitUnified]]. */
+  def withSplitUnifiedByDates[T](
+      features: DataFrame,
+      dateCol: Column,
+      order: Seq[Column],
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String)(action: Map[String, DataFrame] => T): T = {
+    val (splits, backing) = splitUnifiedByDatesTracked(features, dateCol,
+      order, valDays, testDays, featureCols, targetCol)
+    try action(splits) finally backing.unpersist()
+  }
+
+  private def splitUnifiedByDatesTracked(
+      features: DataFrame,
+      dateCol: Column,
+      order: Seq[Column],
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String): (Map[String, DataFrame], DataFrame) = {
+    val labeled = cacheLabeled(Relational.splitByDates(
+      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays))
     val sizes = labeled.groupBy(col("split")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "val", "test").map { name =>
@@ -90,7 +125,7 @@ object ExportJob {
       name -> labeled.filter(col("split") === name)
         .orderBy(order: _*)
         .select((featureCols :+ targetCol).map(col): _*)
-    }.toMap
+    }.toMap -> labeled
   }
 
   /** Calendar split variant anchored to max(date)
@@ -105,8 +140,8 @@ object ExportJob {
       testDays: Int,
       featureCols: Seq[String],
       targetCol: String): Map[String, (DataFrame, DataFrame)] = {
-    val labeled = Relational.splitByDates(
-      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays)
+    val labeled = cacheLabeled(Relational.splitByDates(
+      features.na.drop(Seq(targetCol)), dateCol, valDays, testDays))
     Seq("train", "val", "test").map { name =>
       val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
@@ -144,9 +179,35 @@ object ExportJob {
       order: Seq[Column],
       testRatio: Double,
       featureCols: Seq[String],
-      targetCol: String): Map[String, DataFrame] = {
-    val labeled = ScalableRank.chronoSplit(
-      features.na.drop(Seq(targetCol)), bucket, order, testRatio)
+      targetCol: String): Map[String, DataFrame] =
+    splitUnifiedTracked(features, bucket, order, testRatio,
+      featureCols, targetCol)._1
+
+  /** Scoped variant of [[splitUnified]]: runs `action` on the splits and
+    * unpersists the cached labeled plan before returning — for sessions
+    * exporting in a loop, where the plain variant's cache would
+    * accumulate until a global clearCache. */
+  def withSplitUnified[T](
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String)(action: Map[String, DataFrame] => T): T = {
+    val (splits, backing) = splitUnifiedTracked(features, bucket, order,
+      testRatio, featureCols, targetCol)
+    try action(splits) finally backing.unpersist()
+  }
+
+  private def splitUnifiedTracked(
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String): (Map[String, DataFrame], DataFrame) = {
+    val labeled = cacheLabeled(ScalableRank.chronoSplit(
+      features.na.drop(Seq(targetCol)), bucket, order, testRatio))
     val sizes = labeled.groupBy(col("split")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "test").map { name =>
@@ -157,7 +218,7 @@ object ExportJob {
       name -> labeled.filter(col("split") === name)
         .orderBy(order: _*)
         .select((featureCols :+ targetCol).map(col): _*)
-    }.toMap
+    }.toMap -> labeled
   }
 
   /** One parquet per split (`xy_<name><suffix>.parquet`), features and

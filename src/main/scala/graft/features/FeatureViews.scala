@@ -195,11 +195,35 @@ object FeatureViews {
 
   /** Model A feature view, duplicate aliases included (SURVEY.md §7.4(7):
     * every column emitted explicitly, never `select(*)` across dups).
+    * Persists its net-load series (see [[lagRolling]]); release via the
+    * harness `clearCache()` or use [[withNetLoadFeatures]] in long-lived
+    * sessions — the same cache contract as [[trainingFeatures]].
     */
   def netLoadFeatures(
       winterthurLoad: DataFrame,
       winterthurPv: DataFrame,
-      weatherHourly: DataFrame): DataFrame = {
+      weatherHourly: DataFrame): DataFrame =
+    netLoadFeaturesTracked(winterthurLoad, winterthurPv, weatherHourly,
+      scala.collection.mutable.Buffer.empty)
+
+  /** Scoped variant: runs `action` on the view and unpersists the cached
+    * net-load series before returning — mirrors [[withTrainingFeatures]].
+    */
+  def withNetLoadFeatures[T](
+      winterthurLoad: DataFrame,
+      winterthurPv: DataFrame,
+      weatherHourly: DataFrame)(action: DataFrame => T): T = {
+    val track = scala.collection.mutable.Buffer.empty[DataFrame]
+    val view = netLoadFeaturesTracked(winterthurLoad, winterthurPv,
+      weatherHourly, track)
+    try action(view) finally track.foreach(_.unpersist())
+  }
+
+  private def netLoadFeaturesTracked(
+      winterthurLoad: DataFrame,
+      winterthurPv: DataFrame,
+      weatherHourly: DataFrame,
+      track: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
 
     val net = winterthurLoad
       .join(winterthurPv, Seq("time"), "left")
@@ -209,7 +233,7 @@ object FeatureViews {
     val withLags = lagRolling(net, col("net_load_kwh"),
       Seq(("load_lag_1h", 1, false), ("load_lag_1d", 24, false),
         ("load_lag_7d", 168, false), ("load_rolling_avg_24h", 24, true)),
-      scala.collection.mutable.Buffer.empty)
+      track)
 
     // coarse as-of alignment of 15-min rows to hourly weather:
     // date_trunc('hour', load.time) = weather.time (init.sql:452-455)

@@ -66,7 +66,24 @@ object Components {
   /** @param edges (id_a, id_b) pair rows, any orientation, dups allowed
     * @return (id, component) — component = min reachable id
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    connectedComponentsTracked(edges, maxIter)._1
+
+  /** Scoped variant: runs `action` on the label table and unpersists the
+    * final label cache before returning — for long-lived sessions
+    * clustering in a loop, where the plain variant would leak one cached
+    * relation per call until a global clearCache (the same bracket
+    * pattern as Dedup.withMinhashLshPairs). The labels are fully
+    * materialized while cached, so `action` must consume them (write,
+    * collect, join-and-materialize) before returning. */
+  def withConnectedComponents[T](edges: DataFrame, maxIter: Int = 64)(
+      action: DataFrame => T): T = {
+    val (labels, backing) = connectedComponentsTracked(edges, maxIter)
+    try action(labels) finally backing.unpersist()
+  }
+
+  private def connectedComponentsTracked(
+      edges: DataFrame, maxIter: Int): (DataFrame, DataFrame) = {
     // materialize the DIRECTED pairs first: the input is typically an
     // expensive pipeline (e.g. the full MinHash candidate generation),
     // and referencing it in both union branches would execute that
@@ -109,7 +126,8 @@ object Components {
         "star-contraction for long-chain graphs")
     symBacking.unpersist()
     // final labels stay materialized in `labelsBacking` so the returned
-    // plan is a cached scan; harness-level clearCache releases it
-    labels.select(col("id"), col("label").as("component"))
+    // plan is a cached scan; released by harness-level clearCache or the
+    // withConnectedComponents bracket
+    (labels.select(col("id"), col("label").as("component")), labelsBacking)
   }
 }

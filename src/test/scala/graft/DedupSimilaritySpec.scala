@@ -122,6 +122,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(labels.toSeq == Seq(1L))
   }
 
+  test("withConnectedComponents releases the label cache after the action") {
+    import graft.ops.Components
+    spark.catalog.clearCache()
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Components.withConnectedComponents(edges)(
+      _.as[(Long, Long)].collect().toMap)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bracketed components must leave no cached relations behind")
+  }
+
   test("approximate ANN paths degrade gracefully on an empty corpus") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     val q = Seq((0L, Array(1f, 0f))).toDF("query_id", "qvec")

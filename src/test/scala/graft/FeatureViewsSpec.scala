@@ -96,4 +96,27 @@ class FeatureViewsSpec extends SparkSpecBase {
     assert(r150.getAs[Double]("load_lag_1h") ==
       rows(149).getAs[Double]("net_load_kwh"))
   }
+
+  test("scoped feature views release their caches after the action") {
+    spark.catalog.clearCache()
+    val load = hourly(200).withColumnRenamed("price_eur_mwh", "load_kwh")
+    val pv = hourly(100).select($"time",
+      ($"price_eur_mwh" * 0.1).as("pv_kwh"))
+    val weather = hourly(200).select($"time", lit(47.5001).as("latitude"),
+      lit(8.7502).as("longitude"), lit(10.0).as("temperature_2m"),
+      lit(3.0).as("wind_speed_10m"), lit(0.0).as("shortwave_radiation"),
+      lit(50.0).as("cloud_cover"), lit(0.0).as("precipitation_mm"))
+    val n = FeatureViews.withNetLoadFeatures(load, pv, weather)(_.count())
+    assert(n == 200)
+    val m = FeatureViews.withTrainingFeatures(
+      prices,
+      empty(Schemas.weatherHourly),
+      empty(Schemas.entsoeGeneration),
+      empty(Schemas.entsoeActualLoad),
+      empty(Schemas.entsoeCrossborderFlows),
+      empty(Schemas.entsoeLoadForecast))(_.count())
+    assert(m == 400)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bracketed feature views must leave no cached relations behind")
+  }
 }

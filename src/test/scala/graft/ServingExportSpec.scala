@@ -149,4 +149,19 @@ class ServingExportSpec extends SparkSpecBase {
     }.count()
     assert(mismatches == 0L)
   }
+
+  test("scoped split brackets release the labeled-plan cache") {
+    spark.catalog.clearCache()
+    val labeled = ev.withColumn("y", col("value"))
+      .withColumn("d", to_date(col("ts")))
+    val n1 = ExportJob.withSplitUnified(labeled,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")),
+      0.25, Seq("event_id", "value"), "y")(_.values.map(_.count()).sum)
+    val n2 = ExportJob.withSplitUnifiedByDates(labeled, col("d"),
+      Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5,
+      Seq("event_id", "value", "d"), "y")(_.values.map(_.count()).sum)
+    assert(n1 > 0 && n1 == n2) // both splits partition the same rows
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bracketed split variants must leave no cached relations behind")
+  }
 }
