@@ -97,9 +97,14 @@ object Components {
         col("src").as("dst")))
       .distinct())
     pairsBacking.unpersist()
+    // initial labels fold round 1 in: every node appears as `src` in the
+    // symmetric edge list, so one aggregate yields both the node set and
+    // min(self, direct neighbors) — one shuffle replaces the distinct
+    // job plus the first join round of the loop
     var (labels, labelsBacking, labelSum) = cutLineage(
-      sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .withColumnRenamed("src", "id"))
 
     var converged = false
     var i = 0

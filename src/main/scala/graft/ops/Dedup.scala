@@ -36,13 +36,29 @@ object Dedup {
     df.groupBy(sha2(text, 256).as("content_hash"))
       .agg(min(idCol).as("rep_id"), count(lit(1)).as("n_dups"))
 
-  /** Lowercased whitespace-token k-shingles of a text column, distinct. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  /** Lowercased whitespace tokenization for [[shinglesFromTokens]]. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct k-shingles from a PRE-MATERIALIZED token-array column.
+    * The token array must come from its own projection (`.select(
+    * tokens(text).as("toks"))` first): Catalyst does not eliminate
+    * common subexpressions across lambda boundaries, so inlining the
+    * split into the slice lambda re-tokenizes the whole document once
+    * per shingle — measured ~5× slower on the sf0.1 documents table.
+    * A multiply-referenced non-trivial alias survives CollapseProject,
+    * so the two-step form keeps the split at once-per-row.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+
+  /** Lowercased whitespace-token k-shingles of a text column, distinct.
+    * Convenience single-expression form — inside operators prefer the
+    * two-step [[tokens]]/[[shinglesFromTokens]] (see the CSE note there).
+    */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
 
   /** MinHash signature from a PRE-HASHED shingle array (28-bit bases):
     * signature element i is the min over shingles of affine family
@@ -122,7 +138,8 @@ object Dedup {
     // members — an InMemoryRelation column can't be inlined past.
     // MEMORY_AND_DISK: spills rather than OOMs at corpus scale.
     val base = Par.widen(df)
-      .select(idCol.as("id"), shingles(text, shingleK).as("sh"))
+      .select(idCol.as("id"), tokens(text).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
       .withColumn("hb", transform(col("sh"), s => PortableHash.base28(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("id"),
@@ -266,8 +283,9 @@ object Dedup {
       n: Int,
       threshold: Double): (DataFrame, DataFrame) = {
     // cached: sizes + both sides of the self-join read it (4 consumers)
-    val base = Par.widen(df).select(idCol.as("id"), blockCol.as("blk"),
-      shingles(text, n).as("sh"))
+    val base = Par.widen(df)
+      .select(idCol.as("id"), blockCol.as("blk"), tokens(text).as("toks"))
+      .select(col("id"), col("blk"), shinglesFromTokens(col("toks"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = base.select(col("id"), col("blk"), size(col("sh")).as("sz"))
     val ex = base.select(col("id"), col("blk"), explode(col("sh")).as("s"))
