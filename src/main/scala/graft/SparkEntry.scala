@@ -2123,11 +2123,164 @@ object SparkEntry {
               FROM joined""")),
   )
 
+  // -------------------------------------------- round-4 widening:
+  // corpus-curation signals, sketch aggregates, interval join, bucketed
+  // storage — the operations a 100 TB training-data pipeline leans on
+  // when exact global state (distinct counts, nested-loop joins,
+  // shuffle-heavy layouts) stops being affordable
+  private val curation = Seq(
+    // Gopher-style repetition signals per document: distinct-token
+    // ratio and most-frequent-bigram share. Token and bigram arrays
+    // each materialize in their OWN projection — Catalyst does not CSE
+    // across lambda boundaries (see Dedup.shinglesFromTokens).
+    Q("text_repetition",
+      (s, d) => {
+        val toksed = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bg = toksed.select(col("doc_id"), col("toks"),
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))).as("bg"))
+        bg.select(col("doc_id"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("distinct_tok_ratio"),
+          round(array_max(transform(array_distinct(col("bg")),
+            x => size(filter(col("bg"), y => y === x)))).cast("double") /
+            size(col("bg")), 6).as("top_bigram_ratio"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                     FROM documents),
+              b AS (SELECT doc_id, toks,
+                      list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bg
+                    FROM base WHERE len(toks) >= 2)
+              SELECT doc_id,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / len(toks), 6) AS distinct_tok_ratio,
+                round(CAST(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                  / len(bg), 6) AS top_bigram_ratio
+              FROM b""")),
+
+    // corpus-wide vocabulary heavy hitters: token frequency top-20 with
+    // a deterministic tie-break. orderBy+limit plans as TakeOrdered
+    // (per-partition top-k + driver merge of k rows), so no global sort
+    // ever materializes; the row_number window then runs on 20 rows.
+    Q("text_vocab_topk",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .select(explode(col("toks")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        counts.orderBy(col("n").desc, col("token")).limit(20)
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("n").desc, col("token"))).cast("int"))
+          .select(col("rk"), col("token"), col("n"))
+      },
+      Some(s"""WITH tok AS (SELECT
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS token
+                     FROM documents),
+              c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+              r AS (SELECT token, n,
+                      CAST(row_number() OVER (ORDER BY n DESC, token)
+                        AS INTEGER) AS rk
+                    FROM c)
+              SELECT rk, token, n FROM r WHERE rk <= 20""")),
+
+    // HLL distinct-count estimate checked against the exact count: the
+    // verified property is the error BOUND (each engine computes its
+    // own estimate — the estimates differ, the bound must not).
+    Q("agg_approx_distinct",
+      (s, d) => ev(s, d).groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .cast("int").as("hll_ok")),
+      Some("""SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                CAST(1 AS INTEGER) AS hll_ok
+              FROM events GROUP BY 1""")),
+
+    // mergeable-sketch rollup — the 100 TB pattern for distinct counts:
+    // per-day Datasketches HLL sketches union into weekly estimates
+    // without re-touching raw rows (exact distinct needs the full id
+    // set per window; sketches are constant-size and associative, the
+    // same shape rollup_refresh_merge gives sums). Verified property:
+    // merged weekly estimate within 5% of the exact weekly distinct.
+    Q("agg_sketch_rollup",
+      (s, d) => {
+        val e = ev(s, d)
+          .withColumn("week", to_date(date_trunc("week", col("ts"))))
+        val daily = e.groupBy(col("week"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val weekly = daily.groupBy(col("week"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = e.groupBy(col("week"))
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+        exact.join(weekly, Seq("week"))
+          .select(col("week"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+              .cast("int").as("merged_ok"))
+      },
+      Some("""SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                  AS DATE) AS week,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                CAST(1 AS INTEGER) AS merged_ok
+              FROM events GROUP BY 1""")),
+
+    // interval join through the banded equi-join decomposition
+    // (ops/RangeJoin) — no broadcast nested loop, no size ceiling on
+    // the ranges side; overlapping bands deliberately included
+    Q("join_range_banded",
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        val bands = Seq((0, 0.0, 60.0), (1, 50.0, 120.0),
+          (2, 120.0, 250.0), (3, 250.0, 1000.0)).toDF("band_id", "lo", "hi")
+        RangeJoin.banded(ev(s, d), col("value"), bands,
+            col("lo"), col("hi"), bucketWidth = 50.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      },
+      Some("""WITH bands(band_id, lo, hi) AS (VALUES
+                (0, 0.0, 60.0), (1, 50.0, 120.0),
+                (2, 120.0, 250.0), (3, 250.0, 1000.0)),
+              j AS (SELECT b.band_id, e.value FROM events e
+                    JOIN bands b ON e.value >= b.lo AND e.value < b.hi)
+              SELECT band_id, count(*) AS n, round(sum(value), 6) AS total
+              FROM j GROUP BY 1""")),
+
+    // hash-bucketed storage layout (CLUSTERED BY): the write pays one
+    // shuffle once; every later aggregation/join on the bucket key runs
+    // exchange-free (BucketedScan provides the hash partitioning). The
+    // read-back aggregate here is that shuffle-free plan —
+    // PlanRulesSpec asserts no Exchange under it.
+    Q("sink_bucketed",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_bucket")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$tmp/orders_bucketed")
+          .mode("overwrite").saveAsTable("graft_bucketed_orders")
+        s.table("graft_bucketed_orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 6).as("total"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 6) AS total
+              FROM orders GROUP BY 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      extras
+      curation ++ extras
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

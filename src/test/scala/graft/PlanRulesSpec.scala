@@ -76,4 +76,26 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(!optimizedHasNativeDot(q))
     assert(q.orderBy("dot").as[Double].collect().toSeq == Seq(28.0, 49.0))
   }
+
+  test("bucketed table aggregation on the bucket key plans no shuffle") {
+    val tmp = Scratch.dir("graft_bucket_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_t")
+    spark.range(1000)
+      .select(col("id"), (col("id") % 37).as("k"),
+        (col("id") * 2).cast("double").as("v"))
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$tmp/t").mode("overwrite")
+      .saveAsTable("graft_bucket_spec_t")
+    val agg = spark.table("graft_bucket_spec_t")
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+    val rows = agg.collect()
+    assert(rows.length == 37)
+    // after execution the adaptive plan is final; a bucketed scan
+    // already provides hash distribution on k, so no Exchange may appear
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed-key aggregation must be shuffle-free, got:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      "scan must actually use the bucketed layout")
+  }
 }

@@ -48,6 +48,29 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  test("repetition signals: crafted docs hit exact ratios") {
+    import graft.ops.Dedup
+    // mirror the text_repetition query shape on fixture docs
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "x y x y x"))
+      .toDF("doc_id", "text")
+    val toksed = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val bg = toksed.select(col("doc_id"), col("toks"),
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2)))).as("bg"))
+    val got = bg.select(col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("dr"),
+        (array_max(transform(array_distinct(col("bg")),
+          x => size(filter(col("bg"), y => y === x)))).cast("double") /
+          size(col("bg"))).as("tb"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0.25, 1.0))           // "a a a a": all bigrams "a a"
+    assert(got(2L) == (1.0, 1.0 / 3))        // all unique
+    assert(got(3L) == (0.4, 0.5))            // "x y" 2 of 4 bigrams
+  }
+
   test("composed curation pipeline gates languages and dedups exactly") {
     import graft.ops.Dedup
     val profiles = Seq(("en", "the"), ("de", "der")).toDF("lang", "word")
