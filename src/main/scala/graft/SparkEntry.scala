@@ -2252,6 +2252,125 @@ object SparkEntry {
               SELECT band_id, count(*) AS n, round(sum(value), 6) AS total
               FROM j GROUP BY 1""")),
 
+    // substring-level duplication signal: fraction of each doc's
+    // distinct 8-token spans occurring in >= 2 docs — catches shared
+    // boilerplate that document-level dedup misses. Dups planted for
+    // every third doc so the signal is provably bimodal (0 .. 1).
+    Q("dedup_substring_frac",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val planted = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat_ws(" ", slice(split(trim(col("text")), "\\s+"),
+                2, 100000)).as("text")))
+        Dedup.substringDupFraction(planted, col("doc_id"), col("text"),
+          k = 8)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 1000000,
+                       array_to_string(list_slice(
+                         string_split_regex(trim(text), '\\s+'),
+                         2, 100000), ' ')
+                     FROM documents WHERE doc_id % 3 = 0),
+              base AS (SELECT id, list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 8, 0) + 2),
+                         i -> array_to_string(list_slice(toks, i, i + 7),
+                           ' '))) AS sh
+                       FROM (SELECT id,
+                               string_split_regex(lower(trim(text)),
+                                 '\\s+') AS toks
+                             FROM docs)),
+              ex AS (SELECT id, unnest(sh) AS s FROM base),
+              shared AS (SELECT s FROM ex GROUP BY s
+                         HAVING count(DISTINCT id) >= 2),
+              per_doc AS (SELECT ex.id AS id, count(*) AS n_shared
+                          FROM ex JOIN shared USING (s) GROUP BY 1)
+              SELECT b.id AS id, len(b.sh) AS n_spans,
+                round(CAST(coalesce(p.n_shared, 0) AS DOUBLE)
+                  / len(b.sh), 6) AS dup_frac
+              FROM base b LEFT JOIN per_doc p ON b.id = p.id""")),
+
+    // watermarked stream-stream interval join (state bounded by
+    // watermark + join window) — checked against the equivalent batch
+    // interval join
+    Q("stream_join_enrich",
+      (s, d) => graft.streaming.JoinStream.runToCompletion(s, d),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+              SELECT c.event_id AS click_id, v.event_id AS view_id,
+                round(v.value, 6) AS view_value
+              FROM e c JOIN e v ON c.user_id = v.user_id
+                AND c.event_type = 'click' AND v.event_type = 'view'
+                AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts""")),
+
+    // URL extraction + domain blocklist gate (curation filter); the
+    // regex stays in the Java∩RE2 common dialect so both engines
+    // evaluate it identically
+    Q("f_url_extract",
+      (s, d) => {
+        val urlRe = "https?://[A-Za-z0-9.-]+[^ ]*"
+        val domRe = "https?://([A-Za-z0-9.-]+)"
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("see https://site"),
+            (col("doc_id") % 50).cast("string"),
+            lit(".example.com/p?q=1 and http://blocked.example.org/x "),
+            col("text")).as("text"))
+        planted.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+            .cast("int").as("n_urls"),
+          regexp_extract(col("text"), domRe, 1).as("first_domain"),
+          regexp_extract(col("text"), domRe, 1)
+            .isin("blocked.example.org", "spam.example.net")
+            .cast("int").as("is_blocked"))
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+                  'see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/p?q=1 and http://blocked.example.org/x '
+                    || text AS text
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  'https?://[A-Za-z0-9.-]+[^ ]*')) AS INTEGER) AS n_urls,
+                regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1)
+                  AS first_domain,
+                CAST(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1)
+                  IN ('blocked.example.org', 'spam.example.net')
+                  AS INTEGER) AS is_blocked
+              FROM planted""")),
+
+    // co-located join of two bucketed tables: both sides pay their
+    // layout shuffle at write time, the join itself runs exchange-free
+    // (merge hint pins SMJ so the bucketed distribution is used instead
+    // of a broadcast). PlanRulesSpec asserts the shuffle-free join plan.
+    Q("join_bucketed",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_bucketj")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_o")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_c")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$tmp/o").mode("overwrite")
+          .saveAsTable("graft_bucketed_o")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$tmp/c").mode("overwrite")
+          .saveAsTable("graft_bucketed_c")
+        s.table("graft_bucketed_o").hint("merge")
+          .join(s.table("graft_bucketed_c"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 6).as("total"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n,
+                round(sum(o_totalprice), 6) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1""")),
+
     // hash-bucketed storage layout (CLUSTERED BY): the write pays one
     // shuffle once; every later aggregation/join on the bucket key runs
     // exchange-free (BucketedScan provides the hash partitioning). The

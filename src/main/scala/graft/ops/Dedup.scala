@@ -304,4 +304,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     (verified, base)
   }
+
+  /** Substring-level duplication signal (the bounded form of exact
+    * substring dedup): for each document, the fraction of its distinct
+    * k-token spans that also occur in at least one other document.
+    * Boilerplate headers, license blocks, and template text score high
+    * even when the whole documents are not near-duplicates — the case
+    * document-level dedup misses.
+    *
+    * Scale shape: spans travel as short rows through one groupBy (span →
+    * distinct-doc count) and one equi-join back; no pairwise step at
+    * all, so cost is corpus-linear in total span count regardless of how
+    * many documents share a span.
+    */
+  def substringDupFraction(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 8): DataFrame =
+    substringDupFractionWithCache(df, idCol, text, k)._1
+
+  /** Scoped variant of [[substringDupFraction]] — see
+    * [[withMinhashLshPairs]]. */
+  def withSubstringDupFraction[T](
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 8)(action: DataFrame => T): T = {
+    val (out, cached) = substringDupFractionWithCache(df, idCol, text, k)
+    try action(out) finally cached.unpersist()
+  }
+
+  private def substringDupFractionWithCache(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int): (DataFrame, DataFrame) = {
+    // cached: span sizes + the explode read it (3 consumers)
+    val base = Par.widen(df)
+      .select(idCol.as("id"), tokens(text).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("id"), explode(col("sh")).as("s"))
+    val shared = ex.groupBy(col("s"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("s"))
+    val perDoc = ex.join(shared, Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val out = base.select(col("id"), size(col("sh")).as("n_spans"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_spans"), 6).as("dup_frac"))
+    (out, base)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join: click events enriched with
+  * the same user's view events from the preceding 30 minutes.
+  *
+  * Both sides carry a watermark and the join condition bounds the event
+  * time range, so each side's buffered state expires as the watermark
+  * advances — state is (events within the lateness horizon + the 30 min
+  * join window), not the whole stream. Without the time-range predicate
+  * Spark would have to keep every row ever seen on both sides; this is
+  * the 100 TB-safe shape of stream enrichment.
+  */
+object JoinStream {
+
+  /** Runs the join to completion over the static events input (memory
+    * sink). Output: one row per (click, view-within-30-min) pair.
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(HourlyRollup.eventsRawSchema)
+      .parquet(s"$dir/events.{parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"), col("value"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v_ts") <= col("c_ts"))
+      .select(col("click_id"), col("view_id"),
+        round(col("value"), 6).as("view_value"))
+    val name = "graft_stream_join_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -122,6 +122,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(labels.toSeq == Seq(1L))
   }
 
+  test("substringDupFraction: shared spans score, unique docs score 0") {
+    // doc 1 and 2 share their last 4 tokens (one 4-gram span); doc 3
+    // is fully unique; doc 4 duplicates doc 1 entirely
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x y z a t u v w"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = Dedup.substringDupFraction(docs, col("doc_id"), col("text"),
+        k = 4)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (5, 1.0))       // all spans shared with doc 4
+    assert(got(2L) == (5, 0.2))       // only "t u v w" shared
+    assert(got(3L) == (5, 0.0))
+    assert(got(4L) == (5, 1.0))
+    // bracket variant releases its cache
+    spark.catalog.clearCache()
+    Dedup.withSubstringDupFraction(docs, col("doc_id"), col("text"), 4)(
+      _.count())
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("withConnectedComponents releases the label cache after the action") {
     import graft.ops.Components
     spark.catalog.clearCache()

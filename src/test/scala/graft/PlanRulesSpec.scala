@@ -98,4 +98,24 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(plan.contains("Bucketed: true"),
       "scan must actually use the bucketed layout")
   }
+
+  test("co-bucketed merge join plans no shuffle on either side") {
+    val tmp = Scratch.dir("graft_cobucket_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_cob_a")
+    spark.sql("DROP TABLE IF EXISTS graft_cob_b")
+    spark.range(500).select(col("id").as("k"), (col("id") * 3).as("va"))
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$tmp/a").mode("overwrite").saveAsTable("graft_cob_a")
+    spark.range(200).select(col("id").as("k2"), (col("id") + 7).as("vb"))
+      .write.bucketBy(4, "k2").sortBy("k2")
+      .option("path", s"$tmp/b").mode("overwrite").saveAsTable("graft_cob_b")
+    val j = spark.table("graft_cob_a").hint("merge")
+      .join(spark.table("graft_cob_b"), col("k") === col("k2"))
+      .select(col("k"), col("va"), col("vb"))
+    assert(j.count() == 200)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed merge join must be shuffle-free, got:\n$plan")
+  }
 }
