@@ -2371,6 +2371,26 @@ object SparkEntry {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1""")),
 
+    // one-pass column profiling (pipeline monitoring snapshot): all
+    // stats for all profiled columns from a single aggregate, unpivoted
+    // on the 1-row result
+    Q("dq_profile",
+      (s, d) => Quality.profile(ev(s, d), Seq("value", "user_id")),
+      Some("""SELECT 'value' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(value) AS BIGINT) AS n_nonnull,
+                CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+                round(CAST(min(value) AS DOUBLE), 6) AS min_v,
+                round(CAST(max(value) AS DOUBLE), 6) AS max_v,
+                round(avg(value), 6) AS mean_v
+              FROM events
+              UNION ALL
+              SELECT 'user_id', count(*), count(user_id),
+                count(DISTINCT user_id),
+                round(CAST(min(user_id) AS DOUBLE), 6),
+                round(CAST(max(user_id) AS DOUBLE), 6),
+                round(avg(user_id), 6)
+              FROM events""")),
+
     // hash-bucketed storage layout (CLUSTERED BY): the write pays one
     // shuffle once; every later aggregation/join on the bucket key runs
     // exchange-free (BucketedScan provides the hash partitioning). The

@@ -79,4 +79,34 @@ object Quality {
     }
     missing ++ extra ++ mismatched
   }
+
+  /** One-pass numeric column profile: (col_name, n_rows, n_nonnull,
+    * n_distinct, min, max, mean) — the pipeline-monitoring summary a
+    * curation job emits per snapshot.
+    *
+    * All columns' stats come from a SINGLE aggregate over the input (one
+    * scan regardless of how many columns are profiled), then unpivot to
+    * per-column rows via an explode over a literal struct array — the
+    * row fanout happens on the 1-row aggregate output, never on data.
+    * The exact distinct counts make Spark plan an Expand (input
+    * duplicated once per distinct aggregate); at corpus scale swap in
+    * approx_count_distinct if that pass dominates.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      round(min(col(c)).cast("double"), 6).as(s"${c}__mn"),
+      round(max(col(c)).cast("double"), 6).as(s"${c}__mx"),
+      round(avg(col(c)), 6).as(s"${c}__av")))
+    val wide = df.agg(count(lit(1)).as("__n"),
+      aggs: _*)
+    val perCol = cols.map(c => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+      col(s"${c}__mn").as("min_v"), col(s"${c}__mx").as("max_v"),
+      col(s"${c}__av").as("mean_v")))
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
 }

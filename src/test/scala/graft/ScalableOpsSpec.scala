@@ -211,4 +211,16 @@ class ScalableOpsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("NULL"))
   }
+
+  test("Quality.profile: one row per column, null-aware stats") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, null), (3L, 30.0), (3L, 30.0))
+      .toDF("k", "v")
+    val got = Quality.profile(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 4L, 4L, 3L, 1.0, 3.0, 2.25)))
+    // nulls excluded from n_nonnull / distinct / mean
+    assert(got("v") == (("v", 4L, 3L, 2L, 10.0, 30.0, 23.333333)))
+  }
 }
