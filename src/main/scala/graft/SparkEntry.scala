@@ -2371,6 +2371,48 @@ object SparkEntry {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1""")),
 
+    // second-moment aggregates (variance/correlation families): both
+    // engines use numerically-stable one-pass forms; round(6) absorbs
+    // the summation-order difference
+    Q("agg_stats_moments",
+      (s, d) => ev(s, d).groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 6).as("sd"),
+          round(var_samp(col("value")), 6).as("var"),
+          round(corr(col("value"), col("user_id")), 6).as("c"),
+          round(covar_samp(col("value"), col("user_id")), 6).as("cv")),
+      Some("""SELECT event_type,
+                round(stddev_samp(value), 6) AS sd,
+                round(var_samp(value), 6) AS var,
+                round(corr(value, user_id), 6) AS c,
+                round(covar_samp(value, user_id), 6) AS cv
+              FROM events GROUP BY 1""")),
+
+    // explicit left-semi join (EXISTS pushed into the join operator —
+    // the probe side streams, no duplicate expansion, build side carries
+    // only the key)
+    Q("join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_nationkey")),
+      Some("""SELECT c_custkey, c_nationkey FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')""")),
+
+    // ordered string aggregation — deterministic via explicit sort, the
+    // portable form of LISTAGG/string_agg(ORDER BY)
+    Q("agg_string_agg",
+      (s, d) => Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("names")),
+      Some("""SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS names
+              FROM nation GROUP BY 1""")),
+
     // one-pass column profiling (pipeline monitoring snapshot): all
     // stats for all profiled columns from a single aggregate, unpivoted
     // on the 1-row result
