@@ -25,22 +25,27 @@ object TextOps {
 
   /** Quality-scoring feature bundle: lengths, word stats, stopword ratio,
     * punctuation ratio. Stopword list is inlined into the expression
-    * (array_contains over a literal array) — no join, no shuffle.
+    * (array_contains over a literal array) — no join, no shuffle. The
+    * token array materializes once in its own column (five consumers —
+    * inlined, the regex split would re-run per consumer; a multiply-
+    * referenced non-trivial alias survives CollapseProject).
     */
   def qualityFeatures(df: DataFrame, text: Column, stopwords: Seq[String])
       : DataFrame = {
-    val toks = tokens(text)
+    val toks = col("__q_toks")
     val nWords = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val punctFree = regexp_replace(text, "[^A-Za-z0-9\\s]", "")
-    df.withColumn("n_chars", length(text))
+    df.withColumn("__q_toks", tokens(text))
+      .withColumn("n_chars", length(text))
       .withColumn("n_words", nWords)
       .withColumn("avg_word_len",
         (length(text) - (nWords - 1)).cast("double") / nWords)
       .withColumn("stopword_ratio", nStop.cast("double") / nWords)
       .withColumn("punct_ratio",
         (length(text) - length(punctFree)).cast("double") / length(text))
+      .drop("__q_toks")
   }
 
   /** Language ID by stopword-profile voting: explode tokens, broadcast-
