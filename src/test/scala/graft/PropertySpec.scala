@@ -113,6 +113,57 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("banded range join equals naive non-equi join on random inputs") {
+    import graft.ops.RangeJoin
+    val facts = samples(Gen.chooseNum(-500.0, 500.0), 120)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val ranges = samples(for {
+      lo <- Gen.chooseNum(-400.0, 400.0)
+      span <- Gen.chooseNum(0.0, 150.0)
+    } yield (lo, lo + span), 25)
+      .zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+    val factDf = facts.toDF("row_id", "v")
+    val rangeDf = ranges.toDF("range_id", "lo", "hi")
+    val want = facts.flatMap { case (id, v) =>
+      ranges.collect { case (rid, lo, hi) if v >= lo && v < hi => (id, rid) }
+    }.toSet
+    samples(Gen.chooseNum(3.0, 300.0), 3).foreach { w =>
+      val got = RangeJoin.banded(factDf, col("v"), rangeDf,
+          col("lo"), col("hi"), bucketWidth = w)
+        .select("row_id", "range_id").as[(Long, Int)].collect().toSet
+      assert(got == want, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("substringDupFraction equals driver-side naive on random docs") {
+    import graft.ops.Dedup
+    // random docs over a tiny vocab so span collisions actually happen
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = samples(for {
+      n <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" "), 40)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val k = 3
+    def spans(t: String): Set[String] = {
+      val ts = t.split("\\s+").toSeq
+      if (ts.length <= k) Set(ts.mkString(" "))
+      else ts.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> spans(t) }
+    val want = all.map { case (id, sh) =>
+      val shared = sh.count(s => all.exists { case (o, os) =>
+        o != id && os.contains(s) })
+      id -> (sh.size, BigDecimal(shared.toDouble / sh.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Dedup.substringDupFraction(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+  }
+
   test("salted aggregation equals unsalted for random bucket counts") {
     val ev = Tables.events(spark, sf())
     val want = ev.groupBy(col("event_type"))
