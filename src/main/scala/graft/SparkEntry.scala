@@ -905,6 +905,10 @@ object SparkEntry {
 
   /** Shared oracle CTE prefix for the ANN queries (embeddings corpus +
     * the id<5 query set, exact cosine in DOUBLE). */
+  /** Probed embedding dim per sfDir (see the ann_lsh dim-64 contract). */
+  private val annDims =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
   private val annBaseSql =
     """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
             FROM embeddings),
@@ -1100,8 +1104,11 @@ object SparkEntry {
         // the oracle SQL below bakes dim=64 hyperplane literals while
         // lshTopK adapts to the probed dim — enforce the contract here
         // so a testdata dim change fails loudly instead of surfacing as
-        // an opaque oracle hash mismatch
-        val dim = Similarity.probeDim(e, "vec")
+        // an opaque oracle hash mismatch. Memoized per sfDir: the probe
+        // is a driver round-trip that would otherwise land inside the
+        // timed bench path on every invocation.
+        val dim = annDims.computeIfAbsent(d,
+          _ => Similarity.probeDim(e, "vec"))
         require(dim.forall(_ == 64),
           s"ann_lsh oracle is generated for dim=64 but embeddings have " +
             s"dim=${dim.get}; regenerate planesValuesSql for the new dim")
@@ -2287,7 +2294,7 @@ object SparkEntry {
                          HAVING count(DISTINCT id) >= 2),
               per_doc AS (SELECT ex.id AS id, count(*) AS n_shared
                           FROM ex JOIN shared USING (s) GROUP BY 1)
-              SELECT b.id AS id, len(b.sh) AS n_spans,
+              SELECT b.id AS id, CAST(len(b.sh) AS INTEGER) AS n_spans,
                 round(CAST(coalesce(p.n_shared, 0) AS DOUBLE)
                   / len(b.sh), 6) AS dup_frac
               FROM base b LEFT JOIN per_doc p ON b.id = p.id""")),
@@ -2307,15 +2314,19 @@ object SparkEntry {
 
     // URL extraction + domain blocklist gate (curation filter); the
     // regex stays in the Java∩RE2 common dialect so both engines
-    // evaluate it identically
+    // evaluate it identically. Every fourth doc leads with a blocked
+    // URL so BOTH branches of the gate carry verified rows.
     Q("f_url_extract",
       (s, d) => {
         val urlRe = "https?://[A-Za-z0-9.-]+[^ ]*"
         val domRe = "https?://([A-Za-z0-9.-]+)"
         val planted = Tables.documents(s, d).select(col("doc_id"),
-          concat(lit("see https://site"),
+          concat(
+            when(col("doc_id") % 4 === 0,
+              lit("ref http://blocked.example.org/x ")).otherwise(lit("")),
+            lit("see https://site"),
             (col("doc_id") % 50).cast("string"),
-            lit(".example.com/p?q=1 and http://blocked.example.org/x "),
+            lit(".example.com/p?q=1 "),
             col("text")).as("text"))
         planted.select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
@@ -2326,9 +2337,10 @@ object SparkEntry {
             .cast("int").as("is_blocked"))
       },
       Some("""WITH planted AS (SELECT doc_id,
-                  'see https://site' || CAST(doc_id % 50 AS VARCHAR)
-                    || '.example.com/p?q=1 and http://blocked.example.org/x '
-                    || text AS text
+                  CASE WHEN doc_id % 4 = 0
+                    THEN 'ref http://blocked.example.org/x ' ELSE '' END
+                    || 'see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/p?q=1 ' || text AS text
                 FROM documents)
               SELECT doc_id,
                 CAST(len(regexp_extract_all(text,

@@ -22,7 +22,8 @@ object ExportJob {
     * typically the full feature pipeline — persist so the upstream job
     * runs once, not once per evaluation. Cache contract mirrors
     * FeatureViews.lagRolling: released by the harness `clearCache()`,
-    * or scoped via [[withSplitUnified]]/[[withSplitUnifiedByDates]].
+    * or scoped via the matching with* bracket ([[withSplitUnified]],
+    * [[withSplitUnifiedByDates]], [[withSplitXy]], [[withSplitXyByDates]]).
     */
   private def cacheLabeled(labeled: DataFrame): DataFrame =
     labeled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,7 +59,31 @@ object ExportJob {
       order: Seq[Column],
       testRatio: Double,
       featureCols: Seq[String],
-      targetCol: String): Map[String, (DataFrame, DataFrame)] = {
+      targetCol: String): Map[String, (DataFrame, DataFrame)] =
+    splitXyTracked(features, bucket, order, testRatio,
+      featureCols, targetCol)._1
+
+  /** Scoped variant of [[splitXy]] — see [[withSplitUnified]]. */
+  def withSplitXy[T](
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String)(
+      action: Map[String, (DataFrame, DataFrame)] => T): T = {
+    val (splits, backing) = splitXyTracked(features, bucket, order,
+      testRatio, featureCols, targetCol)
+    try action(splits) finally backing.unpersist()
+  }
+
+  private def splitXyTracked(
+      features: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      testRatio: Double,
+      featureCols: Seq[String],
+      targetCol: String): (Map[String, (DataFrame, DataFrame)], DataFrame) = {
     val labeled = cacheLabeled(ScalableRank.chronoSplit(
       features.na.drop(Seq(targetCol)), bucket, order, testRatio))
     // the reference raises ValueError when a split would be empty
@@ -71,7 +96,7 @@ object ExportJob {
       val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))
-    }.toMap
+    }.toMap -> labeled
   }
 
   /** Calendar split variant of [[splitUnified]]: one DataFrame per
@@ -139,14 +164,40 @@ object ExportJob {
       valDays: Int,
       testDays: Int,
       featureCols: Seq[String],
-      targetCol: String): Map[String, (DataFrame, DataFrame)] = {
+      targetCol: String): Map[String, (DataFrame, DataFrame)] =
+    splitXyByDatesTracked(features, dateCol, order, valDays, testDays,
+      featureCols, targetCol)._1
+
+  /** Scoped variant of [[splitXyByDates]] — see [[withSplitUnified]]. */
+  def withSplitXyByDates[T](
+      features: DataFrame,
+      dateCol: Column,
+      order: Seq[Column],
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String)(
+      action: Map[String, (DataFrame, DataFrame)] => T): T = {
+    val (splits, backing) = splitXyByDatesTracked(features, dateCol, order,
+      valDays, testDays, featureCols, targetCol)
+    try action(splits) finally backing.unpersist()
+  }
+
+  private def splitXyByDatesTracked(
+      features: DataFrame,
+      dateCol: Column,
+      order: Seq[Column],
+      valDays: Int,
+      testDays: Int,
+      featureCols: Seq[String],
+      targetCol: String): (Map[String, (DataFrame, DataFrame)], DataFrame) = {
     val labeled = cacheLabeled(Relational.splitByDates(
       features.na.drop(Seq(targetCol)), dateCol, valDays, testDays))
     Seq("train", "val", "test").map { name =>
       val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))
-    }.toMap
+    }.toMap -> labeled
   }
 
   /** Writes each split's X/y as parquet under `dir`, optionally

@@ -16,24 +16,10 @@ object DedupStream {
     * over the static input (memory sink). Output: one row per event_id.
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(HourlyRollup.eventsRawSchema)
-      .parquet(s"$dir/events.{parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val deduped = stream
+    val deduped = EventsStream.source(spark, dir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
-    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID
-      .toString.replace("-", "")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    EventsStream.runToMemory(spark, deduped, "graft_stream_dedup", "append")
   }
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the streaming harness entries: the events file
+  * source (one construction to keep in sync, not four) and the
+  * drive-to-completion memory sink with bounded table accumulation.
+  */
+object EventsStream {
+
+  /** Streaming source over `dir/events.parquet` — nanosecond `ts` longs
+    * truncated to microsecond timestamps (TimestampType, not NTZ:
+    * `withWatermark` requires it; session TZ is UTC so the wall-clock
+    * value is identical). Glob form because the streaming file source
+    * requires a directory or glob basePath and the testdata table is a
+    * single file.
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(HourlyRollup.eventsRawSchema)
+      .parquet(s"$dir/events.{parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Runs `df` to completion into a uniquely-named memory sink and
+    * returns the result table. The previous invocation's sink table for
+    * the same `prefix` is dropped first, so a long-lived JVM (bench
+    * loops, A/B shells) holds at most ONE result table per stream
+    * family instead of accumulating one per run. Contract: the caller
+    * consumes the returned DataFrame before invoking the same stream
+    * family again.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      df: DataFrame,
+      prefix: String,
+      outputMode: String): DataFrame = {
+    val name = prefix + "_" + java.util.UUID.randomUUID
+      .toString.replace("-", "")
+    Option(lastNames.put(prefix, name))
+      .foreach(prev => spark.catalog.dropTempView(prev))
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private val lastNames =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+}

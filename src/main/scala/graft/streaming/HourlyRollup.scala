@@ -37,16 +37,7 @@ object HourlyRollup {
       spark: SparkSession,
       dir: String,
       measure: org.apache.spark.sql.Column = col("value")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // glob form: the streaming file source requires a directory or glob
-    // basePath, and the testdata table is a single parquet file
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(s"$dir/events.{parquet}")
-      // NB: stays TimestampType (not NTZ) — withWatermark requires it;
-      // session TZ is UTC so the wall-clock value is identical
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = EventsStream.source(spark, dir)
       .withWatermark("ts", "2 days") // ≙ continuous-agg start_offset
       .groupBy(window(col("ts"), "1 hour").getField("start")
           .cast("timestamp_ntz").as("bucket"),
@@ -56,15 +47,6 @@ object HourlyRollup {
         min(measure).as("min_v"),
         max(measure).as("max_v"),
         count(measure).as("n"))
-    val name = "graft_stream_rollup_" + java.util.UUID.randomUUID
-      .toString.replace("-", "")
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    EventsStream.runToMemory(spark, agg, "graft_stream_rollup", "complete")
   }
 }

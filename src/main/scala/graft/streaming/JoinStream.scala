@@ -35,10 +35,7 @@ object JoinStream {
   }
 
   private def runJoin(spark: SparkSession, dir: String): DataFrame = {
-    def src = spark.readStream
-      .schema(HourlyRollup.eventsRawSchema)
-      .parquet(s"$dir/events.{parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = EventsStream.source(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("c_ts"))
@@ -53,15 +50,6 @@ object JoinStream {
           col("v_ts") <= col("c_ts"))
       .select(col("click_id"), col("view_id"),
         round(col("value"), 6).as("view_value"))
-    val name = "graft_stream_join_" + java.util.UUID.randomUUID
-      .toString.replace("-", "")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    EventsStream.runToMemory(spark, joined, "graft_stream_join", "append")
   }
 }

@@ -31,13 +31,10 @@ object SessionizeStream {
       dir: String,
       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
-    val stream = spark.readStream
-      .schema(HourlyRollup.eventsRawSchema)
-      .parquet(s"$dir/events.{parquet}")
+    val stream = EventsStream.source(spark, dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
     val sessions = stream
       .groupByKey(_.user_id)
@@ -56,15 +53,7 @@ object SessionizeStream {
           if (sorted.nonEmpty) state.update(SessionState(last, sid))
           out.iterator
       }
-    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID
-      .toString.replace("-", "")
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    EventsStream.runToMemory(spark, sessions.toDF(),
+      "graft_stream_sessions", "append")
   }
 }

@@ -112,7 +112,10 @@ class PlanRulesSpec extends SparkSpecBase {
     val j = spark.table("graft_cob_a").hint("merge")
       .join(spark.table("graft_cob_b"), col("k") === col("k2"))
       .select(col("k"), col("va"), col("vb"))
-    assert(j.count() == 200)
+    // collect() (not count(), which builds a DIFFERENT QueryExecution)
+    // so the inspected plan below is the adaptive FINAL plan of the
+    // execution that actually ran
+    assert(j.collect().length == 200)
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
     assert(!plan.contains("Exchange"),

@@ -161,6 +161,13 @@ class ServingExportSpec extends SparkSpecBase {
       Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5,
       Seq("event_id", "value", "d"), "y")(_.values.map(_.count()).sum)
     assert(n1 > 0 && n1 == n2) // both splits partition the same rows
+    val n3 = ExportJob.withSplitXy(labeled,
+      date_trunc("week", col("ts")), Seq(col("ts"), col("event_id")),
+      0.25, Seq("event_id", "value"), "y")(_.values.map(_._1.count()).sum)
+    val n4 = ExportJob.withSplitXyByDates(labeled, col("d"),
+      Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5,
+      Seq("event_id", "value"), "y")(_.values.map(_._2.count()).sum)
+    assert(n3 == n1 && n4 == n1)
     assert(spark.sharedState.cacheManager.isEmpty,
       "bracketed split variants must leave no cached relations behind")
   }
