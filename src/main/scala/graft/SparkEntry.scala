@@ -2425,6 +2425,78 @@ object SparkEntry {
                 string_agg(n_name, ',' ORDER BY n_name) AS names
               FROM nation GROUP BY 1""")),
 
+    // approximate percentile checked against the exact percentile by
+    // error bound — the same cross-engine contract as the HLL queries.
+    // At 100 TB the KLL/GK sketch is the only affordable per-group
+    // quantile; exact percentile needs the full value set per group.
+    Q("agg_approx_percentile",
+      (s, d) => ev(s, d).groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("ex"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"))
+        .select(col("event_type"), round(col("ex"), 6).as("p50_exact"),
+          (abs(col("ap") - col("ex")) <=
+            greatest(abs(col("ex")) * 0.02, lit(0.5)))
+            .cast("int").as("approx_ok")),
+      Some("""SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                CAST(1 AS INTEGER) AS approx_ok
+              FROM events GROUP BY 1""")),
+
+    // time-series gap filling + LOCF — TimescaleDB's
+    // time_bucket_gapfill/locf re-expressed: calendar grid from one
+    // 1-row span aggregate (broadcast crossJoin, no driver round-trip),
+    // left join of the hourly rollup, forward fill via ignore-nulls
+    // last() over a PARTITIONED window (the grid is calendar-bounded ×
+    // dims, so no global sort at any input scale)
+    Q("f_gap_fill_locf",
+      (s, d) => {
+        val e = ev(s, d)
+          .filter(col("event_type").isin("click", "signup"))
+          .select(col("event_type"), col("ts"), col("value"))
+        val span = e.agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val hourly = e
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(round(avg(col("value")), 6).as("v"))
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            when(col("v").isNull, 1).otherwise(0).as("was_gap"),
+            last(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy(col("event_type")).orderBy(col("h"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("v_filled"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       value FROM events
+                     WHERE event_type IN ('click', 'signup')),
+              span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                         date_trunc('hour', max(ts)) AS h1 FROM e),
+              grid AS (SELECT t.event_type, g.h
+                       FROM (SELECT DISTINCT event_type FROM e) t,
+                            (SELECT unnest(generate_series(
+                               (SELECT h0 FROM span), (SELECT h1 FROM span),
+                               INTERVAL 1 HOUR)) AS h) g),
+              hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           round(avg(value), 6) AS v
+                         FROM e GROUP BY 1, 2),
+              joined AS (SELECT g.event_type, g.h, hv.v,
+                           CASE WHEN hv.v IS NULL THEN 1 ELSE 0 END
+                             AS was_gap
+                         FROM grid g LEFT JOIN hourly hv
+                           ON g.event_type = hv.event_type AND g.h = hv.h)
+              SELECT event_type, h, was_gap,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+                  ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS v_filled
+              FROM joined""")),
+
     // one-pass column profiling (pipeline monitoring snapshot): all
     // stats for all profiled columns from a single aggregate, unpivoted
     // on the 1-row result
