@@ -909,6 +909,28 @@ object SparkEntry {
   private val annDims =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
 
+  /** Shared scaffold of the gap-fill family: hourly calendar grid per
+    * event_type (span from one broadcast 1-row aggregate) left-joined
+    * with the hourly rollup — `v` is NULL exactly on the gap hours.
+    */
+  private def hourlyGapGrid(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+      .filter(col("event_type").isin("click", "signup"))
+      .select(col("event_type"), col("ts"), col("value"))
+    val span = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+  }
+
   private val annBaseSql =
     """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
             FROM embeddings),
@@ -2449,30 +2471,13 @@ object SparkEntry {
     // last() over a PARTITIONED window (the grid is calendar-bounded ×
     // dims, so no global sort at any input scale)
     Q("f_gap_fill_locf",
-      (s, d) => {
-        val e = ev(s, d)
-          .filter(col("event_type").isin("click", "signup"))
-          .select(col("event_type"), col("ts"), col("value"))
-        val span = e.agg(
-          date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
-        val grid = e.select(col("event_type")).distinct()
-          .crossJoin(broadcast(span))
-          .select(col("event_type"),
-            explode(sequence(col("h0"), col("h1"),
-              expr("INTERVAL 1 HOUR"))).as("h"))
-        val hourly = e
-          .groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("h"))
-          .agg(round(avg(col("value")), 6).as("v"))
-        grid.join(hourly, Seq("event_type", "h"), "left")
-          .select(col("event_type"), col("h"),
-            when(col("v").isNull, 1).otherwise(0).as("was_gap"),
-            last(col("v"), ignoreNulls = true)
-              .over(Window.partitionBy(col("event_type")).orderBy(col("h"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .as("v_filled"))
-      },
+      (s, d) => hourlyGapGrid(s, d)
+        .select(col("event_type"), col("h"),
+          when(col("v").isNull, 1).otherwise(0).as("was_gap"),
+          last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy(col("event_type")).orderBy(col("h"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("v_filled")),
       Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
                        value FROM events
                      WHERE event_type IN ('click', 'signup')),
@@ -2496,6 +2501,70 @@ object SparkEntry {
                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW) AS v_filled
               FROM joined""")),
+
+    // linear interpolation across gaps (TimescaleDB interpolate()):
+    // previous/next known point via ignore-nulls last/first over the
+    // backward and forward partitioned frames, then the time-weighted
+    // blend; edges (no prior / no next point) fall back to the nearest
+    // known value
+    Q("f_gap_fill_interp",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val pv = last(col("v"), ignoreNulls = true).over(w)
+        val ph = last(when(col("v").isNotNull, col("h")),
+          ignoreNulls = true).over(w)
+        val nv = first(col("v"), ignoreNulls = true).over(wf)
+        val nh = first(when(col("v").isNotNull, col("h")),
+          ignoreNulls = true).over(wf)
+        def secs(c: Column) = unix_seconds(c.cast("timestamp"))
+        hourlyGapGrid(s, d)
+          .select(col("event_type"), col("h"),
+            round(
+              when(col("v").isNotNull, col("v"))
+                .otherwise(when(pv.isNull, nv).when(nv.isNull, pv)
+                  .otherwise(pv + (nv - pv) *
+                    (secs(col("h")) - secs(ph)) / (secs(nh) - secs(ph)))),
+              6).as("v_interp"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       value FROM events
+                     WHERE event_type IN ('click', 'signup')),
+              span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                         date_trunc('hour', max(ts)) AS h1 FROM e),
+              grid AS (SELECT t.event_type, g.h
+                       FROM (SELECT DISTINCT event_type FROM e) t,
+                            (SELECT unnest(generate_series(
+                               (SELECT h0 FROM span), (SELECT h1 FROM span),
+                               INTERVAL 1 HOUR)) AS h) g),
+              hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           round(avg(value), 6) AS v
+                         FROM e GROUP BY 1, 2),
+              joined AS (SELECT g.event_type, g.h, hv.v FROM grid g
+                         LEFT JOIN hourly hv
+                           ON g.event_type = hv.event_type AND g.h = hv.h),
+              ctx AS (SELECT event_type, h, v,
+                        last_value(v IGNORE NULLS) OVER w AS pv,
+                        last_value(CASE WHEN v IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER w AS ph,
+                        first_value(v IGNORE NULLS) OVER wf AS nv,
+                        first_value(CASE WHEN v IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER wf AS nh
+                      FROM joined
+                      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        wf AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT event_type, h,
+                round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+                    / (epoch(nh) - epoch(ph))
+                END, 6) AS v_interp
+              FROM ctx""")),
 
     // one-pass column profiling (pipeline monitoring snapshot): all
     // stats for all profiled columns from a single aggregate, unpivoted
