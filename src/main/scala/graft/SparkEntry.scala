@@ -2566,6 +2566,50 @@ object SparkEntry {
                 END, 6) AS v_interp
               FROM ctx""")),
 
+    // native unpivot (wide → long melt) — the inverse of agg_pivot
+    Q("agg_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "measure", "v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("v"), 6).as("val")),
+      Some("""SELECT l_orderkey, l_linenumber, measure,
+                round(val, 6) AS val
+              FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount
+                    FROM lineitem WHERE l_orderkey < 100)
+              UNPIVOT (val FOR measure
+                IN (l_quantity, l_extendedprice, l_discount))""")),
+
+    // explicit GROUPING SETS with grouping() indicators — the general
+    // form under rollup/cube: per-type totals, per-day totals, and the
+    // grand total in ONE pass (Expand), not three scans
+    Q("agg_grouping_sets",
+      (s, d) => {
+        ev(s, d).withColumn("day", to_date(col("ts")))
+          .filter(col("day") <= "2024-01-03")
+          .createOrReplaceTempView("graft_gs_events")
+        s.sql("""SELECT event_type, day, count(*) AS n,
+                   round(sum(value), 6) AS total,
+                   CAST(grouping(event_type) AS INT) AS g_type,
+                   CAST(grouping(day) AS INT) AS g_day
+                 FROM graft_gs_events
+                 GROUP BY GROUPING SETS ((event_type), (day), ())""")
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+                round(sum(value), 6) AS total,
+                CAST(grouping(event_type) AS INTEGER) AS g_type,
+                CAST(grouping(CAST(ts AS DATE)) AS INTEGER) AS g_day
+              FROM events
+              WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+              GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+                ())""")),
+
     // one-pass column profiling (pipeline monitoring snapshot): all
     // stats for all profiled columns from a single aggregate, unpivoted
     // on the 1-row result
