@@ -909,6 +909,24 @@ object SparkEntry {
   private val annDims =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
 
+  /** DuckDB twin of [[hourlyGapGrid]] — shared CTE body for the two
+    * gap-fill oracles (same pattern as minhashCtesSql: one definition,
+    * zero drift between the sibling queries). */
+  private val gapGridCtesSql =
+    """e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value FROM events
+           WHERE event_type IN ('click', 'signup')),
+    span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1 FROM e),
+    grid AS (SELECT t.event_type, g.h
+             FROM (SELECT DISTINCT event_type FROM e) t,
+                  (SELECT unnest(generate_series(
+                     (SELECT h0 FROM span), (SELECT h1 FROM span),
+                     INTERVAL 1 HOUR)) AS h) g),
+    hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                 round(avg(value), 6) AS v
+               FROM e GROUP BY 1, 2)"""
+
   /** Shared scaffold of the gap-fill family: hourly calendar grid per
     * event_type (span from one broadcast 1-row aggregate) left-joined
     * with the hourly rollup — `v` is NULL exactly on the gap hours.
@@ -2478,19 +2496,7 @@ object SparkEntry {
             .over(Window.partitionBy(col("event_type")).orderBy(col("h"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("v_filled")),
-      Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-                       value FROM events
-                     WHERE event_type IN ('click', 'signup')),
-              span AS (SELECT date_trunc('hour', min(ts)) AS h0,
-                         date_trunc('hour', max(ts)) AS h1 FROM e),
-              grid AS (SELECT t.event_type, g.h
-                       FROM (SELECT DISTINCT event_type FROM e) t,
-                            (SELECT unnest(generate_series(
-                               (SELECT h0 FROM span), (SELECT h1 FROM span),
-                               INTERVAL 1 HOUR)) AS h) g),
-              hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                           round(avg(value), 6) AS v
-                         FROM e GROUP BY 1, 2),
+      Some(s"""WITH $gapGridCtesSql,
               joined AS (SELECT g.event_type, g.h, hv.v,
                            CASE WHEN hv.v IS NULL THEN 1 ELSE 0 END
                              AS was_gap
@@ -2529,19 +2535,7 @@ object SparkEntry {
                     (secs(col("h")) - secs(ph)) / (secs(nh) - secs(ph)))),
               6).as("v_interp"))
       },
-      Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-                       value FROM events
-                     WHERE event_type IN ('click', 'signup')),
-              span AS (SELECT date_trunc('hour', min(ts)) AS h0,
-                         date_trunc('hour', max(ts)) AS h1 FROM e),
-              grid AS (SELECT t.event_type, g.h
-                       FROM (SELECT DISTINCT event_type FROM e) t,
-                            (SELECT unnest(generate_series(
-                               (SELECT h0 FROM span), (SELECT h1 FROM span),
-                               INTERVAL 1 HOUR)) AS h) g),
-              hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                           round(avg(value), 6) AS v
-                         FROM e GROUP BY 1, 2),
+      Some(s"""WITH $gapGridCtesSql,
               joined AS (SELECT g.event_type, g.h, hv.v FROM grid g
                          LEFT JOIN hourly hv
                            ON g.event_type = hv.event_type AND g.h = hv.h),
@@ -2576,6 +2570,11 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount")),
           "measure", "v")
+        // Spark's unpivot RETAINS null measure rows, DuckDB's UNPIVOT
+        // drops them — make the exclude-nulls semantics explicit so the
+        // pair stays equivalent on nullable inputs, not just on this
+        // (currently non-null) table
+        .filter(col("v").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
           round(col("v"), 6).as("val")),
       Some("""SELECT l_orderkey, l_linenumber, measure,
