@@ -2492,9 +2492,7 @@ object SparkEntry {
       (s, d) => hourlyGapGrid(s, d)
         .select(col("event_type"), col("h"),
           when(col("v").isNull, 1).otherwise(0).as("was_gap"),
-          last(col("v"), ignoreNulls = true)
-            .over(Window.partitionBy(col("event_type")).orderBy(col("h"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          GapFill.locf(Seq(col("event_type")), col("h"), col("v"))
             .as("v_filled")),
       Some(s"""WITH $gapGridCtesSql,
               joined AS (SELECT g.event_type, g.h, hv.v,
@@ -2514,27 +2512,11 @@ object SparkEntry {
     // blend; edges (no prior / no next point) fall back to the nearest
     // known value
     Q("f_gap_fill_interp",
-      (s, d) => {
-        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wf = Window.partitionBy(col("event_type")).orderBy(col("h"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val pv = last(col("v"), ignoreNulls = true).over(w)
-        val ph = last(when(col("v").isNotNull, col("h")),
-          ignoreNulls = true).over(w)
-        val nv = first(col("v"), ignoreNulls = true).over(wf)
-        val nh = first(when(col("v").isNotNull, col("h")),
-          ignoreNulls = true).over(wf)
-        def secs(c: Column) = unix_seconds(c.cast("timestamp"))
-        hourlyGapGrid(s, d)
-          .select(col("event_type"), col("h"),
-            round(
-              when(col("v").isNotNull, col("v"))
-                .otherwise(when(pv.isNull, nv).when(nv.isNull, pv)
-                  .otherwise(pv + (nv - pv) *
-                    (secs(col("h")) - secs(ph)) / (secs(nh) - secs(ph)))),
-              6).as("v_interp"))
-      },
+      (s, d) => hourlyGapGrid(s, d)
+        .select(col("event_type"), col("h"),
+          round(GapFill.interpolate(Seq(col("event_type")), col("h"),
+              col("v"), c => unix_seconds(c.cast("timestamp"))),
+            6).as("v_interp")),
       Some(s"""WITH $gapGridCtesSql,
               joined AS (SELECT g.event_type, g.h, hv.v FROM grid g
                          LEFT JOIN hourly hv

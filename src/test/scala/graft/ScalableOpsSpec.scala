@@ -212,6 +212,36 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("GapFill: LOCF and interpolation pin edge and interior semantics") {
+    // series: leading gap, known 10, gap, gap, known 40, trailing gap
+    val rows = Seq[(String, Int, java.lang.Double)](
+      ("a", 0, null), ("a", 1, 10.0), ("a", 2, null), ("a", 3, null),
+      ("a", 4, 40.0), ("a", 5, null),
+      // second series must not bleed into the first
+      ("b", 0, 7.0), ("b", 1, null))
+      .toDF("k", "t", "v")
+    val got = rows.select(col("k"), col("t"),
+        GapFill.locf(Seq(col("k")), col("t"), col("v")).as("locf"),
+        GapFill.interpolate(Seq(col("k")), col("t"), col("v"),
+          c => c.cast("double")).as("interp"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    // LOCF: leading gap stays null, interior + trailing carry forward
+    assert(got(("a", 0))._1.isEmpty)
+    assert(got(("a", 2))._1.contains(10.0))
+    assert(got(("a", 3))._1.contains(10.0))
+    assert(got(("a", 5))._1.contains(40.0))
+    // interpolation: leading gap -> next value, interior -> time-weighted
+    // blend, trailing gap -> prev value, knowns pass through
+    assert(got(("a", 0))._2.contains(10.0))
+    assert(got(("a", 1))._2.contains(10.0))
+    assert(got(("a", 2))._2.contains(20.0)) // 10 + (40-10) * 1/3
+    assert(got(("a", 3))._2.contains(30.0))
+    assert(got(("a", 5))._2.contains(40.0))
+    assert(got(("b", 1))._1.contains(7.0) && got(("b", 1))._2.contains(7.0))
+  }
+
   test("Quality.profile: one row per column, null-aware stats") {
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 10.0), (2L, null), (3L, 30.0), (3L, 30.0))
