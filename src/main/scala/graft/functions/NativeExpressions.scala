@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the embedding hot path. Lives in an
   * `org.apache.spark.sql` subpackage because `AbstractDataType` /
@@ -88,4 +89,76 @@ object GraftNative {
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 28 bits of md5(s) as a long — bit-identical to
+    * `conv(substring(md5(s), 1, 7), 16, 10)` (the first 7 lowercase hex
+    * chars are the first 3.5 digest bytes), without materializing the
+    * 32-char hex string. Public static so generated code can call it.
+    */
+  def md5Base28(s: UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    ((h(0) & 0xffL) << 20) | ((h(1) & 0xffL) << 12) |
+      ((h(2) & 0xffL) << 4) | ((h(3) & 0xffL) >>> 4)
+  }
+
+  /** Per-element [[md5Base28]] over a string array — the MinHash
+    * base-hash pass. The composable form (`transform(sh, s =>
+    * conv(substring(md5(s), 1, 7), 16, 10))`) runs as an INTERPRETED
+    * higher-order function (lambdas are outside whole-stage codegen) and
+    * builds a 32-char hex string plus a decimal-conversion string per
+    * shingle; this expression is one codegen'd loop over digest bytes.
+    * Evaluated once per document in the (cached) minhash base build —
+    * the dedup pipeline's hot scan-side pass at corpus scale. Array
+    * elements must be non-null (the shingle contract: concat_ws output).
+    */
+  case class Md5Base28Array(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_base28_array"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = md5Base28(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val cls = "org.apache.spark.sql.graftnative.GraftNative"
+        s"""
+           |final int $n = $a.numElements();
+           |final long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $cls.md5Base28($a.getUTF8String($i));
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column API entry point. */
+  def md5Base28Array(arr: Column): Column =
+    ExpressionUtils.column(Md5Base28Array(ExpressionUtils.expression(arr)))
 }

@@ -140,7 +140,12 @@ object Dedup {
     val base = Par.widen(df)
       .select(idCol.as("id"), tokens(text).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
-      .withColumn("hb", transform(col("sh"), s => PortableHash.base28(s)))
+      // native codegen'd md5 pass (bit-identical to the composable
+      // transform + PortableHash.base28 form — spec-verified): the
+      // interpreted HOF lambda and its per-shingle hex/conv strings are
+      // the scan-side hot spot of the cache build at corpus scale
+      .withColumn("hb", org.apache.spark.sql.graftnative.GraftNative
+        .md5Base28Array(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("id"),
       minhashSignatureFromBases(col("hb"), numHashes).as("sig"))

@@ -113,6 +113,36 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("native md5Base28Array equals the composable md5 transform") {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.graftnative.GraftNative
+    // random strings incl. unicode, empties, and whitespace
+    val strs = samples(for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+        ' ', 'é', 'ß', '中', '€', '\t')))
+    } yield cs.mkString, 150)
+    val docs = strs.grouped(5).toSeq.zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }
+    val df = docs.toDF("id", "arr")
+    val native = df.select(col("id"),
+      GraftNative.md5Base28Array(col("arr")).as("h"))
+    val composable = df.select(col("id"),
+      transform(col("arr"), s => PortableHash.base28(s)).as("h"))
+    assert(native.exceptAll(composable).isEmpty &&
+      composable.exceptAll(native).isEmpty)
+    // range contract: 28-bit values
+    val all = native.select(explode(col("h"))).as[Long].collect()
+    assert(all.forall(v => v >= 0 && v < (1L << 28)))
+    // null array -> null, empty array -> empty
+    val edge = Seq((1L, null), (2L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .select(col("id"), GraftNative.md5Base28Array(col("arr")).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(1L).isEmpty)
+    assert(edge(2L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+  }
+
   test("banded range join equals naive non-equi join on random inputs") {
     import graft.ops.RangeJoin
     val facts = samples(Gen.chooseNum(-500.0, 500.0), 120)
