@@ -31,6 +31,15 @@ object EventsStream {
     * family instead of accumulating one per run. Contract: the caller
     * consumes the returned DataFrame before invoking the same stream
     * family again.
+    *
+    * The stateful shuffle runs at 8 partitions (session conf restored
+    * after): every stateful operator commits one state-store delta file
+    * per partition per micro-batch, so the commit fan-out at the batch
+    * shuffle default costs more than the operator itself at harness
+    * scale (measured 2× on dedup/sessionize, more on the 4-store
+    * stream-stream join). State partition count is fixed at the query's
+    * FIRST start — size it to expected state volume, not to the batch
+    * default.
     */
   def runToMemory(
       spark: SparkSession,
@@ -41,13 +50,17 @@ object EventsStream {
       .toString.replace("-", "")
     Option(lastNames.put(prefix, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
 

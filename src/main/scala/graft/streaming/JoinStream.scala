@@ -16,25 +16,12 @@ import org.apache.spark.sql.functions._
 object JoinStream {
 
   /** Runs the join to completion over the static events input (memory
-    * sink). Output: one row per (click, view-within-30-min) pair.
-    *
-    * The stateful shuffle runs at 8 partitions (restored after): a
-    * stream-stream join keeps FOUR state stores per partition, and each
-    * micro-batch commits a delta file per store — at 32 partitions the
-    * per-batch commit fan-out costs more than the join itself at
-    * harness scale (measured ~2×). State partition count is fixed at
-    * the query's first start, so size it to expected state volume, not
-    * to the session's batch-shuffle default.
+    * sink; state partitioning sized by EventsStream.runToMemory — a
+    * stream-stream join keeps FOUR state stores per partition, the
+    * worst case for commit fan-out). Output: one row per
+    * (click, view-within-30-min) pair.
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try runJoin(spark, dir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def runJoin(spark: SparkSession, dir: String): DataFrame = {
     def src = EventsStream.source(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
