@@ -39,6 +39,26 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(naive.exists(_._2 == 1) && naive.exists(_._2 == 2))
   }
 
+  test("banded plans an equi-join where the naive form plans a nested loop") {
+    val fact = spark.range(100).select(col("id"), col("id").cast("double").as("v"))
+    val ranges = spark.range(5).select(col("id").as("rid"),
+      (col("id") * 100).cast("double").as("lo"),
+      (col("id") * 100 + 150).cast("double").as("hi"))
+    val naivePlan = fact.join(ranges,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the naive interval join to be a nested loop:\n$naivePlan")
+    val bandedPlan = RangeJoin.banded(fact, col("v"), ranges,
+        col("lo"), col("hi"), bucketWidth = 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("NestedLoop"),
+      s"banded decomposition must not nested-loop:\n$bandedPlan")
+    assert(bandedPlan.contains("Join") &&
+      bandedPlan.contains("__bucket"),
+      s"banded form must equi-join on the bucket key:\n$bandedPlan")
+  }
+
   test("banded passes all fact and range columns through") {
     val fact = Seq((1L, 10.0, "x")).toDF("id", "v", "payload")
     val ranges = Seq((7, 0.0, 20.0, "low")).toDF("rid", "lo", "hi", "tag")
