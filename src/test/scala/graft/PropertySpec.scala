@@ -141,6 +141,18 @@ class PropertySpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(edge(1L).isEmpty)
     assert(edge(2L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    // the local-Seq inputs above constant-fold through the INTERPRETED
+    // eval; a spark.range input goes through WholeStageCodegen, pinning
+    // doGenCode to the same values (PlanRulesSpec convention)
+    val ranged = spark.range(64).select(col("id"),
+      transform(sequence(lit(0L), col("id") % 6),
+        i => concat(lit("tok_"), (col("id") * 7 + i).cast("string")))
+        .as("arr"))
+    val nr = ranged.select(col("id"),
+      GraftNative.md5Base28Array(col("arr")).as("h"))
+    val cr = ranged.select(col("id"),
+      transform(col("arr"), s => PortableHash.base28(s)).as("h"))
+    assert(nr.exceptAll(cr).isEmpty && cr.exceptAll(nr).isEmpty)
   }
 
   test("banded range join equals naive non-equi join on random inputs") {
