@@ -13,14 +13,21 @@ object Scratch {
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
 
-  // single hook for all scratch dirs (not one thread per dir)
+  // single hook for all scratch dirs (not one thread per dir) — but
+  // per-dir failure isolation: a dir still being written at shutdown
+  // (e.g. a task killed mid-write) must not abort cleanup of the rest
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     import java.nio.file.{Files => F}
     import scala.jdk.CollectionConverters._
     dirs.iterator().asScala.foreach { d =>
-      if (F.exists(d))
-        F.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => F.deleteIfExists(p))
+      try {
+        if (F.exists(d)) {
+          val walk = F.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => F.deleteIfExists(p))
+          finally walk.close()
+        }
+      } catch { case _: Exception => /* leave this dir, clean the rest */ }
     }
   }))
 

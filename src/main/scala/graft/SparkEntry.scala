@@ -903,8 +903,6 @@ object SparkEntry {
         s"($t, $j, [${pl(j).mkString(",")}]::DOUBLE[])")
     }.mkString(", ")
 
-  /** Shared oracle CTE prefix for the ANN queries (embeddings corpus +
-    * the id<5 query set, exact cosine in DOUBLE). */
   /** Probed embedding dim per sfDir (see the ann_lsh dim-64 contract). */
   private val annDims =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
@@ -949,6 +947,8 @@ object SparkEntry {
     grid.join(hourly, Seq("event_type", "h"), "left")
   }
 
+  /** Shared oracle CTE prefix for the ANN queries (embeddings corpus +
+    * the id<5 query set, exact cosine in DOUBLE). */
   private val annBaseSql =
     """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
             FROM embeddings),
@@ -2177,23 +2177,32 @@ object SparkEntry {
   // shuffle-heavy layouts) stops being affordable
   private val curation = Seq(
     // Gopher-style repetition signals per document: distinct-token
-    // ratio and most-frequent-bigram share. Token and bigram arrays
-    // each materialize in their OWN projection — Catalyst does not CSE
-    // across lambda boundaries (see Dedup.shinglesFromTokens).
+    // ratio and most-frequent-bigram share. The token array
+    // materializes in its own projection (no lambda-CSE re-split; see
+    // Dedup.shinglesFromTokens); the top-bigram count goes through
+    // explode + groupBy rather than a per-row nested-lambda scan —
+    // the lambda form is O(distinct_bigrams × bigrams) inside ONE task
+    // per document, quadratic in document length, while the aggregate
+    // form is corpus-linear with ordinary parallelism (max(count) /
+    // sum(count) ≡ top bigram share, since sum of counts = |bigrams|)
     Q("text_repetition",
       (s, d) => {
         val toksed = Tables.documents(s, d)
           .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 2)
-        val bg = toksed.select(col("doc_id"), col("toks"),
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", slice(col("toks"), i, lit(2)))).as("bg"))
-        bg.select(col("doc_id"),
+        val tokStats = toksed.select(col("doc_id"),
           round(size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")), 6).as("distinct_tok_ratio"),
-          round(array_max(transform(array_distinct(col("bg")),
-            x => size(filter(col("bg"), y => y === x)))).cast("double") /
-            size(col("bg")), 6).as("top_bigram_ratio"))
+            size(col("toks")), 6).as("distinct_tok_ratio"))
+        val bgAgg = toksed
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+            .as("top_bigram_ratio"))
+        tokStats.join(bgAgg, Seq("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id,
                        string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -193,7 +193,16 @@ object ExportJob {
       targetCol: String): (Map[String, (DataFrame, DataFrame)], DataFrame) = {
     val labeled = cacheLabeled(Relational.splitByDates(
       features.na.drop(Seq(targetCol)), dateCol, valDays, testDays))
+    // requested-window-aware empty-split guard, at parity with
+    // splitUnifiedByDates — an empty val/test window that WAS requested
+    // must raise, not silently train on a zero-row validation set
+    val sizes = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("train", "val", "test").map { name =>
+      val requested = name == "train" ||
+        (name == "val" && valDays > 0) || (name == "test" && testDays > 0)
+      require(!requested || sizes.getOrElse(name, 0L) > 0,
+        s"empty split: $name")
       val part = labeled.filter(col("split") === name).orderBy(order: _*)
       name -> (part.select(featureCols.map(col): _*),
         part.select(col(targetCol)))

@@ -39,17 +39,22 @@ object RangeJoin {
       hiCol: Column,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val factB = fact.withColumn("__bucket",
+    // collision-free working column: a caller's own "__bucket" column
+    // must pass through untouched, as the scaladoc promises
+    val taken = (fact.columns ++ ranges.columns).toSet
+    val bucket = Iterator.iterate("__bucket")(_ + "_")
+      .dropWhile(taken.contains).next()
+    val factB = fact.withColumn(bucket,
       floor(valueCol / bucketWidth).cast("long"))
     // hi is exclusive but floor(hi/W) may still be the range's last
     // overlapped bucket (hi mid-bucket); when hi sits exactly on a
     // bucket edge the extra bucket only costs one exploded row — the
     // residual filter drops its false candidates
-    val rangesB = ranges.withColumn("__bucket",
+    val rangesB = ranges.withColumn(bucket,
       explode(sequence(floor(loCol / bucketWidth).cast("long"),
         floor(hiCol / bucketWidth).cast("long"))))
-    factB.join(rangesB, Seq("__bucket"))
+    factB.join(rangesB, Seq(bucket))
       .filter(valueCol >= loCol && valueCol < hiCol)
-      .drop("__bucket")
+      .drop(bucket)
   }
 }
