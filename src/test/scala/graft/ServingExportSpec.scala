@@ -120,9 +120,15 @@ class ServingExportSpec extends SparkSpecBase {
     assert(spanOf("val")._2.isBefore(spanOf("test")._1))
     assert(spanOf("val")._1.isAfter(maxD.minusDays(11)))
     assert(spanOf("train")._2.isBefore(spanOf("val")._1))
-    // requested-but-empty split fails fast like the ratio sibling
+    // requested-but-empty split fails fast like the ratio sibling —
+    // in BOTH calendar variants (the X/y form regressed once)
     intercept[IllegalArgumentException] {
       ExportJob.splitUnifiedByDates(withNulls, col("d"),
+        Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5000,
+        Seq("event_id"), "y")
+    }
+    intercept[IllegalArgumentException] {
+      ExportJob.splitXyByDates(withNulls, col("d"),
         Seq(col("ts"), col("event_id")), valDays = 5, testDays = 5000,
         Seq("event_id"), "y")
     }
