@@ -2642,6 +2642,100 @@ object SparkEntry {
       Some("""SELECT o_custkey, count(*) AS n_orders,
                 round(sum(o_totalprice), 6) AS total
               FROM orders GROUP BY 1""")),
+
+    // stride-windowed token chunking (the RAG / pretraining chunker):
+    // 32-token windows every 24 tokens, last window short, >=1 chunk
+    // per doc. Pure explode over Column exprs — fanout is data-derived
+    Q("text_chunk",
+      (s, d) => TextOps.chunk(Tables.documents(s, d), col("doc_id"),
+        col("text"), size = 32, stride = 24),
+      Some(s"""WITH base AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                     FROM documents),
+              c AS (SELECT doc_id, toks,
+                      unnest(range(0, greatest(CAST(ceil((len(toks)-32)/24.0)
+                        AS INT), 0) + 1)) AS k
+                    FROM base)
+              SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+                CAST(len(list_slice(toks, k*24+1, k*24+32)) AS INTEGER)
+                  AS n_tokens,
+                array_to_string(list_slice(toks, k*24+1, k*24+32), ' ')
+                  AS chunk_text
+              FROM c""")),
+
+    // benchmark decontamination: per-train-doc count of distinct
+    // 8-token shingles shared with the eval set (doc_id % 23), flag at
+    // >50% overlap. Contamination planted by copying every 46th doc
+    // into train with its first token dropped — those rows flag 1, the
+    // bulk flags 0, so the signal is provably bimodal. The benchmark
+    // shingle set is broadcast (eval suites stay tiny at any corpus
+    // scale); train shingles meet it without shuffling shingle strings
+    Q("dq_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 23 === 0)
+        val train = docs.filter(col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 46 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat_ws(" ", slice(split(trim(col("text")), "\\s+"),
+                2, 100000)).as("text")))
+        Quality.contamination(train, col("doc_id"), col("text"),
+          bench, col("text"), k = 8)
+      },
+      Some(s"""WITH train0 AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, array_to_string(list_slice(
+                    string_split_regex(trim(text), '\\s+'), 2, 100000), ' ')
+                FROM documents WHERE doc_id % 46 = 0),
+              ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 8, 0) + 2),
+                       i -> array_to_string(list_slice(toks, i, i + 7),
+                         ' ')))) AS s
+                     FROM (SELECT string_split_regex(lower(trim(text)),
+                             '\\s+') AS toks
+                           FROM documents WHERE doc_id % 23 = 0)),
+              tr AS (SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 8, 0) + 2),
+                       i -> array_to_string(list_slice(toks, i, i + 7),
+                         ' '))) AS sh
+                     FROM (SELECT doc_id, string_split_regex(lower(trim(
+                             text)), '\\s+') AS toks FROM train0)),
+              t AS (SELECT doc_id, unnest(sh) AS s FROM tr),
+              shared AS (SELECT doc_id, count(*) AS n_shared FROM t
+                         WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
+              SELECT tr.doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+                CAST(coalesce(shared.n_shared, 0) AS INTEGER) AS n_shared,
+                CAST(coalesce(shared.n_shared, 0) > 0.5 * len(sh) AS INTEGER)
+                  AS contaminated
+              FROM tr LEFT JOIN shared USING (doc_id)""")),
+
+    // concatenate-and-split sequence packing: every doc's position in
+    // the endless token stream cut into 256-token training sequences.
+    // The global running sum comes from ScalableRank.globalPrefixSum
+    // (bucket totals → broadcast offsets → within-bucket sum), so no
+    // global sort / single-partition window ever materializes
+    Q("text_pack_sequences",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"))
+        ScalableRank.packSequences(base, floor(col("doc_id") / 100),
+          Seq(col("doc_id")), col("n_tokens"), seqLen = 256)
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+                       CAST(len(string_split_regex(lower(trim(text)),
+                         '\\s+')) AS BIGINT) AS n_tokens
+                     FROM documents),
+              p AS (SELECT doc_id, n_tokens,
+                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS pref
+                    FROM base)
+              SELECT doc_id, n_tokens, CAST(pref // 256 AS BIGINT) AS seq_id,
+                CAST(pref % 256 AS BIGINT) AS seq_offset FROM p""")),
   )
 
   // ----------------------------------------------------------------

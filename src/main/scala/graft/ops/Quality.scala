@@ -80,6 +80,58 @@ object Quality {
     missing ++ extra ++ mismatched
   }
 
+  /** Benchmark decontamination (the Gopher/GPT-3 eval-overlap gate):
+    * for every training document, the number of its distinct k-token
+    * shingles that also occur anywhere in the benchmark corpus, plus a
+    * contaminated flag when more than `threshold` of its shingles are
+    * shared. A training document that quotes an eval item wholesale is
+    * exactly what this catches — and document-level dedup misses.
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB train
+    * corpus (eval suites are thousands of documents, not billions), so
+    * its distinct shingle set is BROADCAST; the train side explodes
+    * shingles, hits the broadcast set with an inner join (no shuffle of
+    * shingle strings), and aggregates per doc id — one shuffle, id-sized
+    * rows. Shingle arrays are distinct per doc, so the post-join count
+    * is the distinct shared count with no second dedup pass.
+    */
+  def contamination(
+      train: DataFrame,
+      idCol: Column,
+      text: Column,
+      bench: DataFrame,
+      benchText: Column,
+      k: Int,
+      threshold: Double = 0.5,
+      idName: String = "doc_id"): DataFrame = {
+    // two-step tokenize→shingle (the lambda-CSE rule — see
+    // Dedup.shinglesFromTokens: inlined, the split re-runs per shingle)
+    val benchShingles = bench
+      .select(Dedup.tokens(benchText).as("__t"))
+      .select(explode(Dedup.shinglesFromTokens(col("__t"), k)).as("__s"))
+      .distinct()
+    // single pass over the corpus: explode shingles carrying the per-doc
+    // shingle count, mark broadcast hits with a left join, aggregate per
+    // doc. No join back onto the shingle plan — a second reference would
+    // recompute the whole tokenize→shingle pipeline (Spark does not
+    // dedup a subplan across branches). Shingle arrays are never empty
+    // (a short doc yields one whole-doc shingle), so the explode keeps
+    // every document and the groupBy is total.
+    train
+      .select(idCol.as(idName), Dedup.tokens(text).as("__t"))
+      .select(col(idName), Dedup.shinglesFromTokens(col("__t"), k).as("__sh"))
+      .select(col(idName), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("__s"))
+      .join(broadcast(benchShingles.withColumn("__hit", lit(1))),
+        Seq("__s"), "left")
+      .groupBy(col(idName))
+      .agg(first(col("__n")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("int").as("n_shared"))
+      .select(col(idName), col("n_shingles"), col("n_shared"),
+        (col("n_shared") > lit(threshold) * col("n_shingles"))
+          .cast("int").as("contaminated"))
+  }
+
   /** One-pass numeric column profile: (col_name, n_rows, n_nonnull,
     * n_distinct, min, max, mean) — the pipeline-monitoring summary a
     * curation job emits per snapshot.

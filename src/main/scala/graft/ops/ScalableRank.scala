@@ -81,6 +81,67 @@ object ScalableRank {
       .drop(rn, "__graft_n")
   }
 
+  /** Adds a global running sum of `value` over the global ordering —
+    * the same bucket-offset decomposition as [[globalRowNumber]], but
+    * summing a value column instead of counting rows: per-bucket totals
+    * (tiny aggregate) → exclusive bucket offsets (window over the bucket
+    * list) → broadcast back → within-bucket running sum. By default the
+    * sum is EXCLUSIVE (tokens/bytes *before* this row), which is the
+    * form positional packing needs; `inclusive = true` gives the
+    * classic cumulative sum. `value` must be non-null; `bucket` must be
+    * monotone in `orderCols`.
+    */
+  def globalPrefixSum(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      name: String,
+      inclusive: Boolean = false): DataFrame = {
+    val withB = df.withColumn(B, bucket).withColumn("__graft_v", value.cast("long"))
+    val offsets = withB
+      .groupBy(col(B))
+      .agg(sum(col("__graft_v")).as("__graft_bsum"))
+      .withColumn(
+        "__graft_offset",
+        coalesce(
+          sum(col("__graft_bsum"))
+            .over(Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__graft_bsum")
+    val upper = if (inclusive) 0L else -1L
+    val wLocal = Window.partitionBy(col(B)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, upper)
+    withB
+      .join(broadcast(offsets), Seq(B))
+      .withColumn(name,
+        coalesce(sum(col("__graft_v")).over(wLocal), lit(0L)) + col("__graft_offset"))
+      .drop(B, "__graft_v", "__graft_offset")
+  }
+
+  /** Concatenate-and-split sequence packing — the pretraining layout
+    * where every document's tokens are appended to one endless stream
+    * that is then cut into fixed `seqLen`-token training sequences.
+    * Emits, per document: `seq_id` (the sequence its first token lands
+    * in) and `seq_offset` (position within that sequence); a document
+    * whose tokens cross a cut simply continues into the next sequence,
+    * exactly as GPT-style packing does. Built on [[globalPrefixSum]],
+    * so no global sort ever materializes. `tokens` must be non-null.
+    */
+  def packSequences(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      tokens: Column,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val p = "__graft_prefix"
+    globalPrefixSum(df, bucket, orderCols, tokens, p)
+      .withColumn("seq_id", floor(col(p) / lit(seqLen.toLong)))
+      .withColumn("seq_offset", pmod(col(p), lit(seqLen.toLong)))
+      .drop(p)
+  }
+
   /** Stride downsample to at most `maxPoints` rows (reference
     * `src/api/main.py:1038-1045`): step = ceil(n / maxPoints), keep rows at
     * global positions 0, step, 2·step, … of the given ordering.

@@ -79,6 +79,41 @@ object TextOps {
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
   }
 
+  /** Stride-windowed token chunking — the RAG / pretraining chunker:
+    * cut each document into `size`-token windows starting every
+    * `stride` tokens (overlap = size − stride), final window allowed
+    * short, every document yields at least one chunk. Pure per-row
+    * explode over Column expressions: no shuffle, no UDF, and the chunk
+    * count is data-derived (`ceil((n − size) / stride) + 1`), so the
+    * fanout is bounded by document length, not a literal cap.
+    *
+    * Emits (idName, chunk_id, n_tokens, chunk_text). The token array
+    * materializes once in its own projection before the explode (the
+    * lambda-CSE rule: inlined, the split would re-run per chunk).
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      size: Int,
+      stride: Int,
+      idName: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = col("__c_toks")
+    val nChunks = greatest(
+      ceil((org.apache.spark.sql.functions.size(toks) - size) /
+        lit(stride.toDouble)).cast("int"), lit(0)) + lit(1)
+    val ch = slice(toks, col("chunk_id") * stride + 1, lit(size))
+    df.select(idCol.as(idName), tokens(lower(text)).as("__c_toks"))
+      .select(col(idName), toks,
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idName), col("chunk_id").cast("int"), ch.as("__ch"))
+      .select(col(idName), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("__ch")).as("n_tokens"),
+        concat_ws(" ", col("__ch")).as("chunk_text"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream — the
     * Rabin-Karp-style document fingerprint. Folded with `aggregate`;
     * every step is reduced mod 2^31−1 so the accumulator never overflows

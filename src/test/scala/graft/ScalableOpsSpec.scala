@@ -253,4 +253,45 @@ class ScalableOpsSpec extends SparkSpecBase {
     // nulls excluded from n_nonnull / distinct / mean
     assert(got("v") == (("v", 4L, 3L, 2L, 10.0, 30.0, 23.333333)))
   }
+
+  test("globalPrefixSum equals the global window sum, both forms") {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.orderBy(order: _*)
+    for (inclusive <- Seq(false, true)) {
+      val upper = if (inclusive) 0L else -1L
+      val got = ScalableRank.globalPrefixSum(ev,
+          date_trunc("day", col("ts")), order, col("user_id"), "p",
+          inclusive = inclusive)
+        .select(col("event_id"), col("p"))
+      val want = ev.select(col("event_id"),
+        coalesce(sum(col("user_id"))
+          .over(w.rowsBetween(Window.unboundedPreceding, upper)), lit(0L))
+          .as("p"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"inclusive=$inclusive")
+    }
+  }
+
+  test("packSequences: offsets in range, stream positions exact") {
+    // synthetic corpus off spark.range so the plan can't constant-fold
+    val docs = spark.range(0, 237)
+      .select(col("id").as("doc_id"),
+        (col("id") * 37 % 50 + 1).as("n_tokens"))
+    val L = 64
+    val packed = ScalableRank.packSequences(docs, floor(col("doc_id") / 10),
+      Seq(col("doc_id")), col("n_tokens"), seqLen = L)
+    assert(packed.filter(col("seq_offset") < 0 ||
+      col("seq_offset") >= L).count() == 0)
+    // seq_id * L + seq_offset must reconstruct the exclusive prefix sum
+    val naive = docs.withColumn("p",
+      coalesce(sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = packed.join(naive.select(col("doc_id"), col("p")), Seq("doc_id"))
+    assert(joined.filter(
+      col("seq_id") * L + col("seq_offset") =!= col("p")).count() == 0)
+    // a seqLen beyond the total token count packs everything into seq 0
+    val one = ScalableRank.packSequences(docs, floor(col("doc_id") / 10),
+      Seq(col("doc_id")), col("n_tokens"), seqLen = 1000000)
+    assert(one.filter(col("seq_id") =!= 0).count() == 0)
+  }
 }

@@ -120,4 +120,33 @@ class TextMultimodalSpec extends SparkSpecBase {
       .as[(Int, Int)].collect().toMap
     assert(frames == Map(0 -> 64, 2 -> 32)) // frames 0,1,2; stride keeps 0,2
   }
+
+  test("chunk: stride windows, short tail, one chunk per short doc") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, size 3 stride 2 -> 3 chunks
+      (2L, "a b")                   // shorter than size -> 1 whole chunk
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, col("doc_id"), col("text"),
+        size = 3, stride = 2)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 3, "t1 t2 t3"), (1L, 1, 3, "t3 t4 t5"), (1L, 2, 3, "t5 t6 t7"),
+      (2L, 0, 2, "a b")))
+    // invalid window shapes fail fast
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(docs, col("doc_id"), col("text"), size = 2, stride = 3)
+    }
+  }
+
+  test("contamination counts shared shingles and flags heavy overlap") {
+    val bench = Seq("b1 b2 b3 b4 b5 b6 b7 b8").toDF("text")
+    val train = Seq(
+      (10L, "x b1 b2 b3 b4 b5 y"), // 4 shingles, 2 shared with bench
+      (11L, "p q r s t")           // 2 shingles, fully disjoint
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Quality.contamination(train, col("doc_id"),
+        col("text"), bench, col("text"), k = 4, threshold = 0.4)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((10L, 4, 2, 1), (11L, 2, 0, 0)))
+  }
 }
