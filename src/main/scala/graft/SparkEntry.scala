@@ -2195,7 +2195,10 @@ object SparkEntry {
             size(col("toks")), 6).as("distinct_tok_ratio"))
         val bgAgg = toksed
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            // explode_outer: ≥2-token docs always yield ≥1 bigram, and a
+            // plain explode would infer size>0 and re-build the bigram
+            // array (split inlined per element) below this projection
+            explode_outer(transform(sequence(lit(1), size(col("toks")) - 1),
               i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("b"))
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("cnt"))
@@ -2738,11 +2741,201 @@ object SparkEntry {
                 CAST(pref % 256 AS BIGINT) AS seq_offset FROM p""")),
   )
 
+  // ------------------------------------------------------- §2.15 round 6
+  // The hyperfunction family of the reference's platform (TimescaleDB
+  // ships candlestick_agg/time_weight/counter_agg/lttb/heartbeat_agg on
+  // the hypertables the reference builds on, infra/db/init.sql:14-18),
+  // plus the remaining analytic-SQL families (CUBE, cumulative-rank
+  // windows, JSON extraction) and pipeline sampling/histogram ops.
+  private val hyper = Seq(
+    // candlestick per (event_type, hour): ONE hash aggregate — open and
+    // close are min_by/max_by over the padded (µs, id) order key, so no
+    // window sort exists anywhere in the plan (TimeSeries.ohlc)
+    Q("agg_ohlc",
+      (s, d) => TimeSeries.ohlc(ev(s, d), col("event_type"),
+        date_trunc("hour", col("ts")), col("ts"), col("value"),
+        col("event_id")),
+      Some("""WITH k AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                       value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                         lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                     FROM events)
+              SELECT event_type AS series, bucket,
+                arg_min(value, ok) AS open, max(value) AS high,
+                min(value) AS low, arg_max(value, ok) AS close,
+                count(*) AS n
+              FROM k GROUP BY 1, 2""")),
+
+    // LOCF time-weighted average per (event_type, day) — each value
+    // weighted by its holding interval; the day's last point closes the
+    // span with weight 0 (TimescaleDB time_weight('LOCF'))
+    Q("agg_time_weighted",
+      (s, d) => TimeSeries.timeWeightedAvg(ev(s, d),
+        Seq(col("event_type"), to_date(col("ts")).as("day")),
+        col("ts"), col("value"), col("event_id")),
+      Some("""WITH p AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+                       epoch_us(lead(ts) OVER (PARTITION BY event_type,
+                           CAST(ts AS DATE) ORDER BY ts, event_id))
+                         - epoch_us(ts) AS w
+                     FROM events)
+              SELECT event_type, day,
+                round(sum(value * w) / sum(w), 6) AS twa,
+                count(*) AS n_points
+              FROM p GROUP BY 1, 2""")),
+
+    // counter semantics over each user's value stream: a drop is a
+    // reset and the post-reset reading is its own increment
+    // (TimescaleDB counter_agg/delta)
+    Q("f_counter_delta",
+      (s, d) => TimeSeries.counterDelta(ev(s, d), col("user_id"),
+        col("ts"), col("value"), col("event_id"), keyName = "user_id"),
+      Some("""WITH d AS (SELECT user_id, value,
+                       value - lag(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS d
+                     FROM events)
+              SELECT user_id, count(*) AS n_points,
+                count(*) FILTER (WHERE d < 0) AS n_resets,
+                round(sum(CASE WHEN d IS NULL THEN 0
+                               WHEN d < 0 THEN value ELSE d END), 6)
+                  AS total_increase
+              FROM d GROUP BY 1""")),
+
+    // largest-triangle downsample to 6 h buckets per event_type — the
+    // parallel LTOB variant of TimescaleDB's lttb (fixed neighbours, so
+    // it fans out as partitioned windows; classic LTTB's
+    // previously-selected anchor is inherently sequential)
+    Q("downsample_lt3b",
+      (s, d) => TimeSeries.largestTriangle(ev(s, d), col("event_type"),
+        col("ts"), col("value"), col("event_id"), bucketSeconds = 21600L),
+      Some("""WITH p AS (SELECT event_type, ts, event_id, value,
+                       make_timestamp(CAST(floor(epoch_us(ts) / 21600e6)
+                         * 21600000000 AS BIGINT)) AS bucket,
+                       epoch_us(ts) AS x,
+                       lag(epoch_us(ts)) OVER w AS x0, lag(value) OVER w AS y0,
+                       lead(epoch_us(ts)) OVER w AS x1, lead(value) OVER w AS y1
+                     FROM events
+                     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+              a AS (SELECT event_type, bucket, ts, value,
+                      row_number() OVER (PARTITION BY event_type, bucket
+                        ORDER BY abs((x0 - x1) * (value - y0)
+                          - (x0 - x) * (y1 - y0)) DESC NULLS LAST,
+                        ts, event_id) AS rn
+                    FROM p)
+              SELECT event_type AS series, bucket, ts, value
+              FROM a WHERE rn = 1""")),
+
+    // heartbeat liveness per (event_type, day): every event keeps the
+    // stream "live" for 600 s; uptime is the clipped union of those
+    // intervals over the day (TimescaleDB heartbeat_agg)
+    Q("dq_heartbeat_uptime",
+      (s, d) => TimeSeries.heartbeatUptime(ev(s, d), col("event_type"),
+        col("ts"), col("event_id"), threshSeconds = 600.0),
+      Some("""WITH p AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
+                       lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts, event_id) AS nxt
+                     FROM events)
+              SELECT event_type AS series, day, count(*) AS n_beats,
+                round(sum(CASE WHEN nxt IS NULL
+                    THEN least(600.0,
+                      (epoch_us(day + INTERVAL 1 DAY) - epoch_us(ts)) / 1e6)
+                    ELSE least(600.0, (epoch_us(nxt) - epoch_us(ts)) / 1e6)
+                    END) / 86400.0, 6) AS uptime_frac
+              FROM p GROUP BY 1, 2""")),
+
+    // CUBE completes the rollup/grouping-sets family: all four
+    // (event_type × dow) marginal combinations in one pass, grouping
+    // flags exported so the oracle's NULL markers disambiguate
+    Q("agg_cube",
+      (s, d) => ev(s, d)
+        .withColumn("dow", ScalarFns.dowPg(col("ts")))
+        .cube(col("event_type"), col("dow"))
+        .agg(grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("dow")).cast("int").as("g_dow"),
+          count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value")),
+      Some("""WITH e AS (SELECT event_type, dayofweek(ts) AS dow, value
+                     FROM events)
+              SELECT event_type, dow,
+                CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+                CAST(GROUPING(dow) AS INTEGER) AS g_dow,
+                count(*) AS n, round(sum(value), 6) AS sum_value
+              FROM e GROUP BY CUBE (event_type, dow)""")),
+
+    // cumulative-distribution window family: percent_rank + cume_dist
+    // within order priority — tie-stable, so deterministic on doubles
+    Q("win_cume_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice)""")),
+
+    // JSON field extraction from the raw event props payload — per-row
+    // codegen'd path access, no UDF
+    Q("f_json_extract",
+      (s, d) => ev(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        length(col("props")).cast("int").as("props_len")),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                CAST(len(props) AS INTEGER) AS props_len
+              FROM events""")),
+
+    // domain-mixture sampling: per-source retention weights decided by
+    // a portable per-row hash coin — reproducible, shuffle-free, and
+    // the per-domain keep-rate concentrates at its weight at scale
+    Q("sample_mixture_weights",
+      (s, d) => Sampling.mixtureSample(Tables.documents(s, d),
+        col("doc_id"), col("source"),
+        weightsPerMille = Map(
+          "src0" -> 900, "src1" -> 900, "src2" -> 900, "src3" -> 900,
+          "src4" -> 500, "src5" -> 500, "src6" -> 500, "src7" -> 500,
+          "src8" -> 250, "src9" -> 250),
+        defaultPerMille = 100)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+              WHERE CAST(concat('0x',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000
+                < CASE WHEN source IN ('src0','src1','src2','src3') THEN 900
+                       WHEN source IN ('src4','src5','src6','src7') THEN 500
+                       WHEN source IN ('src8','src9') THEN 250
+                       ELSE 100 END""")),
+
+    // equi-width histogram per event_type: tiny per-group min/max
+    // aggregate broadcast back, then one hash aggregate over
+    // (group, bin) — two scans, two group-sized shuffles at any scale
+    Q("agg_histogram",
+      (s, d) => TimeSeries.equiWidthHistogram(ev(s, d), col("event_type"),
+        col("value"), nBins = 20)
+        .select(col("group").as("event_type"), col("bin"), col("bin_lo"),
+          col("n")),
+      Some("""WITH s AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                     FROM events GROUP BY 1),
+              b AS (SELECT e.event_type,
+                      CAST(least(floor((e.value - s.lo) / ((s.hi - s.lo) / 20)),
+                        19) AS INTEGER) AS bin,
+                      s.lo, s.hi
+                    FROM events e JOIN s USING (event_type))
+              SELECT event_type, bin,
+                round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+                count(*) AS n
+              FROM b GROUP BY 1, 2, 3""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      curation ++ extras
+      curation ++ extras ++ hyper
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics — the hyperfunction family of the reference's
+  * platform (TimescaleDB ships these as `ohlc`/`candlestick_agg`,
+  * `time_weight`, `counter_agg`, `lttb`, `heartbeat_agg`; the reference
+  * sits on that platform per infra/db/init.sql:14-18), re-expressed as
+  * Spark aggregates and partitioned windows.
+  *
+  * Shared conventions:
+  *  - every positional op takes an explicit unique `tie` column so the
+  *    per-series order (ts, tie) is total — results are deterministic
+  *    even when two points share a timestamp;
+  *  - per-series windows partition on the series key only (never a
+  *    global `Window.orderBy`), so the sort is per-partition and the
+  *    plan scales with the number of series, the standard layout for
+  *    telemetry at 100 TB (many series, each fitting an executor).
+  */
+object TimeSeries {
+
+  /** µs epoch of a (possibly TIMESTAMP_NTZ) column — the NTZ→TZ cast is
+    * exact under the library's UTC session timezone. */
+  private def micros(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Zero-padded sortable string encoding of (unix_micros(ts), tie) —
+    * lexicographic order == chronological order. Lets first/last-by-time
+    * be a plain `min_by`/`max_by` HASH AGGREGATE (one shuffle, map-side
+    * partials, no window sort) while staying reproducible in ANSI SQL
+    * (`arg_min(x, VARCHAR)`). 20 digits hold any non-negative µs epoch
+    * and id; both testdata domains are non-negative.
+    */
+  def orderKey(ts: Column, tie: Column): Column =
+    concat(lpad(micros(ts).cast("string"), 20, "0"),
+      lpad(tie.cast("string"), 20, "0"))
+
+  /** Candlestick (open/high/low/close/n) of `value` per (series, bucket).
+    * Single aggregation pass: open/close are min_by/max_by over the
+    * [[orderKey]], so the whole op is one shuffle on the group keys.
+    */
+  def ohlc(
+      df: DataFrame,
+      series: Column,
+      bucket: Column,
+      ts: Column,
+      value: Column,
+      tie: Column): DataFrame = {
+    val k = orderKey(ts, tie)
+    df.groupBy(series.as("series"), bucket.as("bucket"))
+      .agg(min_by(value, k).as("open"), max(value).as("high"),
+        min(value).as("low"), max_by(value, k).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** LOCF time-weighted average of `value` per group — TimescaleDB's
+    * `time_weight('LOCF', ts, value)`: each point holds its value until
+    * the next point, so the average weights each value by its holding
+    * interval (µs). The final point of a group spans no interval and
+    * contributes weight 0 (it IS the closing boundary); a 1-point group
+    * therefore has no weighted span and yields NULL.
+    *
+    * One partitioned window (lead) + one aggregation — two shuffles on
+    * the same group keys.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      groups: Seq[Column],
+      ts: Column,
+      value: Column,
+      tie: Column,
+      out: String = "twa"): DataFrame = {
+    val w = Window.partitionBy(groups: _*).orderBy(ts, tie)
+    val proj = df.select(groups :+ value.as("__v") :+
+      (micros(lead(ts, 1).over(w)) - micros(ts)).as("__w"): _*)
+    // regroup on the projection's OUTPUT names: the group expressions
+    // themselves (e.g. to_date(ts).as("day")) no longer resolve here
+    val gCols = proj.columns.dropRight(2).map(col).toSeq
+    proj.groupBy(gCols: _*)
+      .agg(round(sum(col("__v") * col("__w")) / sum(col("__w")), 6).as(out),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Monotonic-counter aggregation with reset detection — TimescaleDB's
+    * `counter_agg`/`delta`: a drop in the raw counter value is a reset
+    * (process restart), and the post-reset reading is itself the
+    * increment since the reset. Emits per-key point count, reset count
+    * and total increase. One partitioned window (lag) + one aggregation.
+    */
+  def counterDelta(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      tie: Column,
+      keyName: String = "key"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    df.select(key.as(keyName), value.as("__v"),
+        (value - lag(value, 1).over(w)).as("__d"))
+      .groupBy(col(keyName))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(col("__d") < 0, 1)).as("n_resets"),
+        round(sum(when(col("__d").isNull, lit(0.0))
+          .when(col("__d") < 0, col("__v"))
+          .otherwise(col("__d"))), 6).as("total_increase"))
+  }
+
+  /** Largest-triangle downsampling: keep, per (series, bucket), the
+    * point whose triangle area against its immediate neighbours is
+    * largest — the one-pass LTOB variant of TimescaleDB's `lttb`
+    * (classic LTTB anchors each triangle on the previously *selected*
+    * point, a sequential dependence that cannot fan out; LTOB uses the
+    * fixed neighbours instead, which parallelizes as two partitioned
+    * windows and keeps the visually-dominant extrema all the same).
+    * Series endpoints have no neighbour → NULL area, ranked last, so
+    * they are still emitted when alone in their bucket.
+    */
+  def largestTriangle(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      value: Column,
+      tie: Column,
+      bucketSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(ts, tie)
+    val x = micros(ts)
+    val withNbr = df.select(series.as("series"), ts.as("ts"),
+      tie.as("__tie"), value.as("value"),
+      timestamp_seconds(floor(x / 1e6 / bucketSeconds)
+        .cast("long") * bucketSeconds).cast("timestamp_ntz").as("bucket"),
+      x.as("__x"), lag(x, 1).over(w).as("__x0"),
+      lag(value, 1).over(w).as("__y0"),
+      lead(x, 1).over(w).as("__x1"), lead(value, 1).over(w).as("__y1"))
+    val area = abs((col("__x0") - col("__x1")) * (col("value") - col("__y0")) -
+      (col("__x0") - col("__x")) * (col("__y1") - col("__y0")))
+    val pick = Window.partitionBy(col("series"), col("bucket"))
+      .orderBy(area.desc_nulls_last, col("ts"), col("__tie"))
+    withNbr.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("series"), col("bucket"), col("ts"), col("value"))
+  }
+
+  /** Heartbeat/uptime aggregation — TimescaleDB's `heartbeat_agg`: each
+    * point keeps the series "live" for `threshSeconds`; liveness is the
+    * union of those intervals clipped to the point's own UTC day, and
+    * uptime is live seconds / 86400. Consecutive intervals only ever
+    * overlap pairwise under the (ts, tie) order, so the union length is
+    * Σ min(thresh, gap-to-next) with the day's last point clipped at
+    * midnight — one partitioned lead + one aggregation.
+    */
+  def heartbeatUptime(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      tie: Column,
+      threshSeconds: Double): DataFrame = {
+    val day = to_date(ts)
+    val w = Window.partitionBy(series, day).orderBy(ts, tie)
+    val dayEndUs = (unix_date(day).cast("long") + 1) * 86400000000L
+    val nxt = lead(ts, 1).over(w)
+    // explicit WHEN on the missing-next case: Spark's `least` skips
+    // NULL arguments, so least(thresh, NULL-gap) would silently yield
+    // thresh for the day's last point instead of its midnight clip
+    df.select(series.as("series"), day.as("day"),
+        when(nxt.isNull,
+            least(lit(threshSeconds),
+              (dayEndUs - micros(ts)).cast("double") / 1e6))
+          .otherwise(least(lit(threshSeconds),
+            (micros(nxt) - micros(ts)).cast("double") / 1e6)).as("__live"))
+      .groupBy(col("series"), col("day"))
+      .agg(count(lit(1)).as("n_beats"),
+        round(sum(col("__live")) / 86400.0, 6).as("uptime_frac"))
+  }
+
+  /** Equi-width histogram of `value` per group: global per-group
+    * min/max in a first aggregate (tiny: one row per group), broadcast
+    * back, then a second aggregate over (group, bin). `nBins` equal
+    * bins over [lo, hi]; the hi endpoint folds into the last bin. Both
+    * passes are map-side-combinable hash aggregates; the histogram of a
+    * 100 TB column is two scans and two group-count-sized shuffles.
+    */
+  def equiWidthHistogram(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, "histogram needs at least one bin")
+    val stats = df.groupBy(group.as("__g"))
+      .agg(min(value).as("__lo"), max(value).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins
+    df.select(group.as("__g"), value.as("__v"))
+      .join(broadcast(stats), "__g")
+      .select(col("__g"),
+        least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1))
+          .cast("int").as("bin"), col("__lo"), col("__hi"))
+      .groupBy(col("__g").as("group"), col("bin"))
+      .agg(round(first(col("__lo")) +
+          col("bin") * ((first(col("__hi")) - first(col("__lo"))) / nBins), 6)
+          .as("bin_lo"),
+        count(lit(1)).as("n"))
+  }
+}
