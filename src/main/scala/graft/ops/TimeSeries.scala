@@ -189,11 +189,15 @@ object TimeSeries {
     val stats = df.groupBy(group.as("__g"))
       .agg(min(value).as("__lo"), max(value).as("__hi"))
     val width = (col("__hi") - col("__lo")) / nBins
+    // constant-valued group → width 0 → (v-lo)/width is 0/0 = NaN, and
+    // the ANSI int cast would throw; such a group is all bin 0
+    val bin = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(floor((col("__v") - col("__lo")) / width),
+        lit(nBins - 1)))
     df.select(group.as("__g"), value.as("__v"))
       .join(broadcast(stats), "__g")
-      .select(col("__g"),
-        least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1))
-          .cast("int").as("bin"), col("__lo"), col("__hi"))
+      .select(col("__g"), bin.cast("int").as("bin"),
+        col("__lo"), col("__hi"))
       .groupBy(col("__g").as("group"), col("bin"))
       .agg(round(first(col("__lo")) +
           col("bin") * ((first(col("__hi")) - first(col("__lo"))) / nBins), 6)

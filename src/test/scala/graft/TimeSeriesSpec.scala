@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, TimeSeries}
+
+/** The hyperfunction family (§2.15): each op against either a
+  * hand-computed fixture or an independent naive formulation, plus the
+  * degenerate inputs the oracle data never exercises (constant-valued
+  * histogram groups, midnight-clipped heartbeats, 1-point TWA groups).
+  */
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("ohlc single-aggregate equals windowed first/last formulation") {
+    val ev = Tables.events(spark, sf())
+    val got = TimeSeries.ohlc(ev, col("event_type"),
+      date_trunc("hour", col("ts")), col("ts"), col("value"),
+      col("event_id"))
+    val w = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val want = ev
+      .select(col("event_type").as("series"),
+        date_trunc("hour", col("ts")).as("bucket"),
+        first(col("value")).over(w).as("open"),
+        max(col("value")).over(w).as("high"),
+        min(col("value")).over(w).as("low"),
+        last(col("value")).over(w).as("close"),
+        count(lit(1)).over(w).as("n"))
+      .distinct()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("timeWeightedAvg weights each value by its holding interval") {
+    // 10:00 v=1 (held 600 s), 10:10 v=4 (held 300 s), 10:15 v=9 (closes)
+    // → twa = (1*600e6 + 4*300e6) / 900e6 = 2.0
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1.0),
+      (2L, ts("2024-03-01 10:10:00"), 4.0),
+      (3L, ts("2024-03-01 10:15:00"), 9.0),
+      (4L, ts("2024-03-02 08:00:00"), 7.0) // 1-point day → NULL twa
+    ).toDF("id", "t", "v")
+    val out = TimeSeries.timeWeightedAvg(df,
+      Seq(to_date(col("t")).as("day")), col("t"), col("v"), col("id"))
+      .orderBy("day").collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(out(0).fieldIndex("twa")) === 2.0)
+    assert(out(0).getLong(out(0).fieldIndex("n_points")) === 3L)
+    assert(out(1).isNullAt(out(1).fieldIndex("twa")))
+  }
+
+  test("counterDelta counts resets and sums increments across them") {
+    // 5 → 8 (+3) → 2 (reset, +2) → 6 (+4): total 9, resets 1
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 5.0),
+      (2L, ts("2024-03-01 10:01:00"), 8.0),
+      (3L, ts("2024-03-01 10:02:00"), 2.0),
+      (4L, ts("2024-03-01 10:03:00"), 6.0)
+    ).toDF("id", "t", "v")
+    val r = TimeSeries.counterDelta(df, lit("m1"), col("t"), col("v"),
+      col("id")).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_points")) === 4L)
+    assert(r.getLong(r.fieldIndex("n_resets")) === 1L)
+    assert(r.getDouble(r.fieldIndex("total_increase")) === 9.0)
+  }
+
+  test("largestTriangle keeps the spike point and series endpoints") {
+    // one series, one point per minute, flat at 1.0 except a spike;
+    // buckets of 300 s → the spike's bucket must select the spike, and
+    // the endpoints (NULL-area rows) must still be emitted when alone
+    val pts = (0 until 10).map(i =>
+      (i.toLong, ts(f"2024-03-01 10:0$i:00"), if (i == 6) 50.0 else 1.0))
+    val df = pts.toDF("id", "t", "v")
+    val out = TimeSeries.largestTriangle(df, lit("s"), col("t"), col("v"),
+      col("id"), bucketSeconds = 300L)
+    val picked = out.select("value").as[Double].collect().toSet
+    assert(out.count() === 2) // two 5-min buckets
+    assert(picked.contains(50.0)) // the spike survives downsampling
+  }
+
+  test("heartbeatUptime clips the day's last beat at midnight") {
+    // beats at 23:50 and 23:55 with a 600 s threshold: first covers
+    // 300 s (gap), last covers min(600, 300) = 300 s to midnight
+    // → uptime = 600 / 86400
+    val df = Seq(
+      (1L, ts("2024-03-01 23:50:00")),
+      (2L, ts("2024-03-01 23:55:00"))
+    ).toDF("id", "t")
+    val r = TimeSeries.heartbeatUptime(df, lit("s"), col("t"), col("id"),
+      threshSeconds = 600.0).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_beats")) === 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("uptime_frac")) -
+      600.0 / 86400.0) < 1e-6)
+  }
+
+  test("heartbeatUptime caps long gaps at the threshold") {
+    // beats at 00:00 and 12:00: each contributes the full 600 s
+    val df = Seq(
+      (1L, ts("2024-03-01 00:00:00")),
+      (2L, ts("2024-03-01 12:00:00"))
+    ).toDF("id", "t")
+    val r = TimeSeries.heartbeatUptime(df, lit("s"), col("t"), col("id"),
+      threshSeconds = 600.0).collect()(0)
+    assert(math.abs(r.getDouble(r.fieldIndex("uptime_frac")) -
+      1200.0 / 86400.0) < 1e-6)
+  }
+
+  test("equiWidthHistogram bins cover the range and count every row") {
+    val ev = Tables.events(spark, sf())
+    val h = TimeSeries.equiWidthHistogram(ev, col("event_type"),
+      col("value"), nBins = 20)
+    val total = h.agg(sum("n")).as[Long].collect()(0)
+    assert(total === ev.count())
+    val bins = h.select("bin").as[Int].collect()
+    assert(bins.forall(b => b >= 0 && b < 20))
+  }
+
+  test("equiWidthHistogram survives a constant-valued group") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rows = TimeSeries.equiWidthHistogram(df, col("g"), col("v"), 4)
+      .orderBy("group", "bin").collect()
+    // group b is constant → single bin 0 with both rows, no NaN crash
+    val b = rows.filter(_.getString(0) == "b")
+    assert(b.length === 1 && b(0).getInt(1) === 0 &&
+      b(0).getLong(b(0).fieldIndex("n")) === 2L)
+  }
+
+  test("mixtureSample is deterministic and tracks its weights") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val weights = Map("src0" -> 900, "src1" -> 100)
+    val s1 = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+      weights, defaultPerMille = 500)
+    val s2 = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+      weights, defaultPerMille = 500)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val rates = s1.groupBy("source").count()
+      .join(docs.groupBy("source").count().withColumnRenamed("count", "tot"),
+        "source")
+      .select(col("source"), col("count") / col("tot"))
+      .as[(String, Double)].collect().toMap
+    // 25 docs per source at sf0.01 — generous tolerance on the coin
+    assert(rates("src0") > 0.6)
+    assert(rates("src1") < 0.4)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+        Map("src0" -> 1001), 100)
+    }.getMessage.contains("per-mille"))
+  }
+}
