@@ -121,4 +121,40 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"),
       s"co-bucketed merge join must be shuffle-free, got:\n$plan")
   }
+
+  test("ohlc plans as one aggregation shuffle, no window sort") {
+    val ev = Tables.events(spark, sf())
+    val df = graft.ops.TimeSeries.ohlc(ev, col("event_type"),
+      date_trunc("hour", col("ts")), col("ts"), col("value"),
+      col("event_id"))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // a windowed first/last formulation would add a Window node and a
+    // second sort-for-window; the min_by/max_by form is agg-only
+    assert(!plan.contains("Window"), s"ohlc must not window, got:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"ohlc must shuffle once, got $exchanges:\n$plan")
+  }
+
+  test("histogram broadcasts its stats — no data-sized join shuffle") {
+    val ev = Tables.events(spark, sf())
+    val df = graft.ops.TimeSeries.equiWidthHistogram(
+      ev, col("event_type"), col("value"), 20)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats must attach via broadcast, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"histogram must never shuffle the fact side for the join:\n$plan")
+  }
+
+  test("mixture sampling is a pure pushed-down filter — zero shuffles") {
+    val docs = Tables.documents(spark, sf())
+    val df = graft.ops.Sampling.mixtureSample(docs, col("doc_id"),
+      col("source"), Map("src0" -> 900), 100)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampling must be a map-only filter, got:\n$plan")
+  }
 }
