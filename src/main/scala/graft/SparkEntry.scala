@@ -2741,6 +2741,13 @@ object SparkEntry {
                 CAST(pref % 256 AS BIGINT) AS seq_offset FROM p""")),
   )
 
+  /** The oracle twin of [[ScalarFns.zorderKey]] over (l_partkey,
+    * l_suppkey) mod 1024: column 0 supplies even bit positions, column 1
+    * odd — identical shift/mask terms, OR-folded. */
+  private val zorderSqlTerms: String = (0 until 10).flatMap(i => Seq(
+    s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i})",
+    s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   // ------------------------------------------------------- §2.15 round 6
   // The hyperfunction family of the reference's platform (TimescaleDB
   // ships candlestick_agg/time_weight/counter_agg/lttb/heartbeat_agg on
@@ -2909,6 +2916,117 @@ object SparkEntry {
                        WHEN source IN ('src4','src5','src6','src7') THEN 500
                        WHEN source IN ('src8','src9') THEN 250
                        ELSE 100 END""")),
+
+    // deterministic mode per group: count pairs, then per-group argmax
+    // with an explicit tie-break (built-in mode() is tie-arbitrary in
+    // both engines, so neither side uses it)
+    Q("agg_mode",
+      (s, d) => {
+        val c = ev(s, d).groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id"))
+        c.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("event_type"), col("user_id").as("mode_user"),
+            col("n").as("n_occurrences"))
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS n
+                     FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, user_id, n,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY n DESC, user_id) AS rn
+                    FROM c)
+              SELECT event_type, user_id AS mode_user, n AS n_occurrences
+              FROM r WHERE rn = 1""")),
+
+    // exactly-k-per-group sample: md5-ranked rows, first 10 per source —
+    // guarantees the stratum SIZE where rate-based sampling only
+    // guarantees the expectation
+    Q("sample_fixed_k",
+      (s, d) => Sampling.fixedKPerGroup(Tables.documents(s, d),
+        col("doc_id"), col("source"), k = 10)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents)
+              SELECT doc_id, source FROM r WHERE rn <= 10""")),
+
+    // per-group z-score outlier flags from explicit moment sums,
+    // broadcast back onto the fact side (μ/σ formulas spelled out so
+    // both engines run identical arithmetic)
+    Q("dq_anomaly_zscore",
+      (s, d) => Quality.anomalyZscore(ev(s, d), col("event_type"),
+        Seq(col("event_id"), col("event_type"), col("value")),
+        col("value"), threshold = 2.5),
+      Some("""WITH s AS (SELECT event_type, sum(value) AS sv,
+                       sum(value * value) AS sq, count(*) AS n
+                     FROM events GROUP BY 1),
+              z AS (SELECT e.event_id, e.event_type, e.value,
+                      (e.value - s.sv / s.n)
+                        / sqrt(s.sq / s.n - (s.sv / s.n) * (s.sv / s.n)) AS z
+                    FROM events e JOIN s USING (event_type))
+              SELECT event_id, event_type, value, round(z, 6) AS z,
+                CAST(abs(z) > 2.5 AS INTEGER) AS is_anomaly
+              FROM z""")),
+
+    // unigram-LM document scoring: corpus token frequencies (vocab =
+    // count ≥ 500, which makes the planted "dup" token the one OOV
+    // word), broadcast vocabulary, per-doc mean log10 probability —
+    // the cheap perplexity proxy of a curation pipeline
+    Q("text_unigram_logprob",
+      (s, d) => TextOps.unigramLogProb(Tables.documents(s, d),
+        col("doc_id"), col("text"), minCount = 500L),
+      Some("""WITH tok AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                         '\s+')) AS t
+                     FROM documents),
+              f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+              v AS (SELECT t, c FROM f WHERE c >= 500)
+              SELECT doc_id,
+                round(avg(log10(coalesce(v.c, 1)
+                  / (SELECT n FROM tot))), 6) AS avg_logprob,
+                count(*) AS n_tokens,
+                count(*) FILTER (WHERE v.c IS NULL) AS n_oov
+              FROM tok LEFT JOIN v USING (t) GROUP BY doc_id""")),
+
+    // frequent-items sketch with its containment guarantee as the
+    // cross-engine contract (the §2.14 sketch pattern): every exactly-
+    // frequent item must appear in the sketch result — a missed item
+    // surfaces as contained=0 and fails the hash compare
+    Q("agg_freq_items",
+      (s, d) => {
+        val e = ev(s, d)
+        val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("tot"))
+        val sketch = e.stat.freqItems(Array("event_type"), 0.1)
+        counts.crossJoin(broadcast(tot))
+          .filter(col("n") > lit(0.1) * col("tot"))
+          .crossJoin(broadcast(sketch))
+          .select(col("event_type"),
+            array_contains(col("event_type_freqItems"), col("event_type"))
+              .cast("int").as("contained"))
+      },
+      Some("""WITH c AS (SELECT event_type, count(*) AS n
+                     FROM events GROUP BY 1),
+              t AS (SELECT sum(n) AS tot FROM c)
+              SELECT event_type, 1 AS contained
+              FROM c, t WHERE n > 0.1 * tot""")),
+
+    // Z-order (Morton) layout key over two dims — interleaved-bit sort
+    // key so parquet min/max pruning serves predicates on either
+    // column; pure codegen'd long arithmetic, bit-identical in the
+    // oracle's replayed shift/mask expression
+    Q("f_zorder_key",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ScalarFns.zorderKey(Seq(pmod(col("l_partkey"), lit(1024L)),
+            pmod(col("l_suppkey"), lit(1024L))), bitsPer = 10).as("zkey")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+                CAST(($zorderSqlTerms) AS BIGINT) AS zkey
+              FROM lineitem""")),
 
     // equi-width histogram per event_type: tiny per-group min/max
     // aggregate broadcast back, then one hash aggregate over

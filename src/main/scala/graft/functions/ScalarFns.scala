@@ -79,4 +79,33 @@ object ScalarFns {
     */
   def parseOffsetToUtc(s: Column): Column =
     to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX").cast("timestamp_ntz")
+
+  /** Z-order (Morton) key: interleave the low `bitsPer` bits of each
+    * column, column j supplying bit position i·n+j from its bit i. A
+    * multi-dimensional sort/partition key for data layout — sorting by
+    * it clusters EVERY input dimension tolerably instead of one dim
+    * perfectly and the rest not at all, so parquet min/max row-group
+    * pruning works for predicates on any of the interleaved columns.
+    * Pure long arithmetic (codegen'd, ANSI-safe: inputs must already be
+    * in [0, 2^bitsPer), callers clamp with pmod); the oracle replays the
+    * identical shift/mask expression.
+    */
+  def zorderKey(cols: Seq[Column], bitsPer: Int): Column = {
+    require(cols.nonEmpty && bitsPer >= 1 &&
+      bitsPer * cols.length <= 62, "z-key must fit a positive long")
+    val terms = for {
+      i <- 0 until bitsPer
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * cols.length + j)
+    // balanced OR fold: a linear fold of many terms nests the expression
+    // tree deep enough to matter for analysis/codegen at higher widths
+    def fold(ts: Seq[Column]): Column = ts match {
+      case Seq(t) => t
+      case _ =>
+        val (a, b) = ts.splitAt(ts.length / 2)
+        fold(a).bitwiseOR(fold(b))
+    }
+    fold(terms)
+  }
 }

@@ -167,4 +167,29 @@ object Quality {
       col(s"${c}__av").as("mean_v")))
     wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group z-score outlier flags: |value − μ_g| / σ_g > threshold.
+    * μ/σ come from EXPLICIT moment sums (Σv, Σv², n) so an external
+    * engine reproduces the identical arithmetic (built-in stddev
+    * implementations differ in accumulation scheme); the stats frame is
+    * one row per group and broadcasts back onto the fact side — two
+    * scans, no data-sized shuffle, the same shape as the histogram.
+    */
+  def anomalyZscore(
+      df: DataFrame,
+      group: Column,
+      keep: Seq[Column],
+      value: Column,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(group.as("__g"))
+      .agg(sum(value).as("__sv"), sum(value * value).as("__sq"),
+        count(lit(1)).as("__n"))
+    val mean = col("__sv") / col("__n")
+    val z = (col("__v") - mean) /
+      sqrt(col("__sq") / col("__n") - mean * mean)
+    df.select(keep :+ group.as("__g") :+ value.as("__v"): _*)
+      .join(broadcast(stats), "__g")
+      .select(keep ++ Seq(round(z, 6).as("z"),
+        (abs(z) > threshold).cast("int").as("is_anomaly")): _*)
+  }
 }

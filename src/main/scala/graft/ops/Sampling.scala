@@ -35,4 +35,25 @@ object Sampling {
     df.filter(
       pmod(PortableHash.md5Long(idCol.cast("string"), 15), lit(1000)) < rate)
   }
+
+  /** Exactly-k-per-group deterministic sample: rank rows within each
+    * group by the md5 of their id (a uniform, engine-portable shuffle
+    * order) and keep the first k. Unlike rate-based sampling this
+    * guarantees the per-stratum sample SIZE — the "k examples per
+    * domain for eval" cut. One partitioned window; the per-group sort
+    * is over group-sized data, never global.
+    */
+  def fixedKPerGroup(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

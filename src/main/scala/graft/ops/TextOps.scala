@@ -130,4 +130,45 @@ object TextOps {
       (acc, t) => pmod(acc * lit(1000003L) +
         graft.functions.PortableHash.base28(t), lit(M)))
   }
+
+  /** Unigram language-model scoring — the cheap corpus-statistics
+    * "perplexity" proxy a curation pipeline uses to rank documents
+    * before any neural filter: p(token) = corpus_count / corpus_total
+    * over a frequency vocabulary (count ≥ minCount), out-of-vocabulary
+    * tokens get the floor 1/corpus_total, and a document scores the
+    * mean log10 probability of its tokens. Low scores = rare/garbled
+    * text; a high OOV count marks tokens the corpus has effectively
+    * never seen.
+    *
+    * Scale shape: the corpus pass is one token-count aggregate; the
+    * thresholded vocabulary (plus the scalar total as a literal-sized
+    * single row) is BROADCAST, so the scoring pass is scan → map-side
+    * join → per-doc aggregate. Token strings cross a shuffle only in
+    * the vocabulary-building aggregate, never row-wise.
+    */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      minCount: Long): DataFrame = {
+    // explode_outer: whitespace-split arrays are never empty (empty text
+    // yields one "" token), and a plain explode would infer size>0 and
+    // re-tokenize below the projection just for the emptiness check
+    val toks = df.select(idCol.as("__id"),
+      explode_outer(Dedup.tokens(text)).as("__t"))
+    val freq = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    // corpus total WITHOUT re-running the count aggregate: one scan of
+    // per-row token-array sizes, no explode, no shuffle of token strings
+    val total = df.agg(sum(size(Dedup.tokens(text))).as("__tot"))
+    val vocab = freq.filter(col("__c") >= minCount)
+    toks
+      .join(broadcast(vocab), Seq("__t"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        round(avg(log10(coalesce(col("__c"), lit(1L)) / col("__tot"))), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__c").isNull, 1)).as("n_oov"))
+  }
 }

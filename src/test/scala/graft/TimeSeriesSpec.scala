@@ -132,6 +132,69 @@ class TimeSeriesSpec extends SparkSpecBase {
       b(0).getLong(b(0).fieldIndex("n")) === 2L)
   }
 
+  test("zorderKey interleaves bits and clusters both dimensions") {
+    import graft.functions.ScalarFns
+    // z(3, 2): x bits 11 → positions 0,2; y bits 10 → positions 1,3
+    // → 1 + 4 + 8 = 13
+    val pt = Seq((3L, 2L)).toDF("x", "y")
+      .select(ScalarFns.zorderKey(Seq(col("x"), col("y")), 10).as("z"))
+      .as[Long].collect()(0)
+    assert(pt === 13L)
+    // locality: on a 32×32 grid z-sorted into 64-cell blocks, a
+    // predicate on EITHER dimension overlaps few blocks; under a
+    // single-dim sort the other dimension's predicate hits every block
+    val grid = spark.range(1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+    def blocksHit(sorted: org.apache.spark.sql.DataFrame,
+        pred: org.apache.spark.sql.Column) = {
+      val w = Window.orderBy(col("k"))
+      sorted.withColumn("blk", ((row_number().over(w) - 1) / 64).cast("int"))
+        .filter(pred).select("blk").distinct().count()
+    }
+    val zsorted = grid.withColumn("k",
+      ScalarFns.zorderKey(Seq(col("x"), col("y")), 5))
+    val xsorted = grid.withColumn("k", col("x") * 32 + col("y"))
+    // y < 4 selects 128 cells: z-order keeps them in ≤ 4 of 16 blocks,
+    // an x-major sort scatters them across all 16
+    assert(blocksHit(zsorted, col("y") < 4) <= 4)
+    assert(blocksHit(xsorted, col("y") < 4) === 16L)
+  }
+
+  test("fixedKPerGroup returns exactly k rows per group, deterministically") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val s1 = Sampling.fixedKPerGroup(docs, col("doc_id"), col("source"), 7)
+    val sizes = s1.groupBy("source").count().select("count")
+      .as[Long].collect()
+    assert(sizes.length === 20 && sizes.forall(_ === 7L))
+    val s2 = Sampling.fixedKPerGroup(docs, col("doc_id"), col("source"), 7)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("anomalyZscore flags a planted outlier and nothing else") {
+    import graft.ops.Quality
+    val base = (1 to 99).map(i => (i.toLong, "g", 10.0 + (i % 3)))
+    val df = (base :+ (100L, "g", 1000.0)).toDF("id", "g", "v")
+    val out = Quality.anomalyZscore(df, col("g"),
+      Seq(col("id"), col("v")), col("v"), threshold = 3.0)
+    val flagged = out.filter(col("is_anomaly") === 1)
+      .select("id").as[Long].collect()
+    assert(flagged.toSeq === Seq(100L))
+  }
+
+  test("unigramLogProb ranks OOV-bearing docs below in-vocab docs") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "the cat sat on the cat"),
+      (2L, "the cat sat on the qzxv") // one token the corpus sees once
+    ).toDF("id", "text")
+    val out = TextOps.unigramLogProb(df, col("id"), col("text"),
+      minCount = 2L).collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap
+    assert(out(2L)._2 === 1L) // qzxv is OOV
+    assert(out(1L)._2 === 0L)
+    assert(out(2L)._1 < out(1L)._1) // rare token drags the score down
+  }
+
   test("mixtureSample is deterministic and tracks its weights") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val weights = Map("src0" -> 900, "src1" -> 100)
