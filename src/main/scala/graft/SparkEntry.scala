@@ -2741,6 +2741,28 @@ object SparkEntry {
                 CAST(pref % 256 AS BIGINT) AS seq_offset FROM p""")),
   )
 
+  /** Parameterized DuckDB twin of [[Dedup.bandKeys]]: the tokenize →
+    * shingle → md5-base → affine-signature → band-key chain over source
+    * CTE `src`, CTE names prefixed with `p` so two sides (corpus and
+    * batch) coexist in one WITH. Ends with `{p}bands(id, band_idx,
+    * band_key)`. */
+  private def bandCtesSql(src: String, p: String): String =
+    s"""${p}base AS (SELECT id, $shinglesSql AS sh
+                 FROM (SELECT id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                       FROM $src)),
+    ${p}hb AS (SELECT id,
+                 CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS b
+               FROM (SELECT id, unnest(sh) AS s FROM ${p}base)),
+    ${p}sigs AS (SELECT id, j,
+                   min((1000003 * (j + 1) * b + 666019 * (j + 1))
+                     % 2147483647) AS sig
+                 FROM ${p}hb, range(16) r(j) GROUP BY 1, 2),
+    ${p}bands AS (SELECT id, (j // 4) AS band_idx,
+                    string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j)
+                      AS band_key
+                  FROM ${p}sigs GROUP BY 1, 2)"""
+
   /** The oracle twin of [[ScalarFns.zorderKey]] over (l_partkey,
     * l_suppkey) mod 1024: column 0 supplies even bit positions, column 1
     * odd — identical shift/mask terms, OR-folded. */
@@ -3027,6 +3049,61 @@ object SparkEntry {
       Some(s"""SELECT l_orderkey, l_linenumber,
                 CAST(($zorderSqlTerms) AS BIGINT) AS zkey
               FROM lineitem""")),
+
+    // sliding-window streaming rollup: overlapping 6 h windows sliding
+    // 1 h — each event fans out to six windows before the stateful
+    // shuffle; integer-cents measure keeps the cross-engine sum exact
+    Q("stream_sliding_rollup",
+      (s, d) => HourlyRollup.runSlidingToCompletion(s, d,
+          measure = floor(col("value") * 100 + lit(0.5)))
+        .select(col("bucket"), col("event_type"),
+          round(col("sum_v") / 100, 6).as("sum_v"), col("n")),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                       floor(value * 100 + 0.5) AS vc FROM events),
+              w AS (SELECT event_type, vc,
+                      unnest(generate_series(
+                        date_trunc('hour', ts) - INTERVAL 5 HOUR,
+                        date_trunc('hour', ts), INTERVAL 1 HOUR)) AS bucket
+                    FROM e)
+              SELECT bucket, event_type, round(sum(vc) / 100, 6) AS sum_v,
+                count(*) AS n
+              FROM w GROUP BY 1, 2""")),
+
+    // incremental ingestion dedup: an arriving batch checked against the
+    // standing corpus's LSH band index — near-copies (first token
+    // dropped) band-match and are dropped, token-reversed docs share no
+    // 3-shingles and survive. The corpus is never re-deduplicated.
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toksOf = split(trim(col("text")), "\\s+")
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("id"),
+            concat_ws(" ", slice(toksOf, 2, 100000)).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 3000000L).as("id"),
+              concat_ws(" ", reverse(toksOf)).as("text")))
+        Dedup.incrementalNewIds(batch,
+          docs.select(col("doc_id").as("id"), col("text")),
+          col("id"), col("text"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+              batch AS (SELECT doc_id + 2000000 AS id,
+                          array_to_string(list_slice(
+                            string_split_regex(trim(text), '\\s+'),
+                            2, 100000), ' ') AS text
+                        FROM documents WHERE doc_id % 7 = 0
+                        UNION ALL
+                        SELECT doc_id + 3000000,
+                          array_to_string(list_reverse(
+                            string_split_regex(trim(text), '\\s+')), ' ')
+                        FROM documents WHERE doc_id % 5 = 0),
+              ${bandCtesSql("corpus", "c")},
+              ${bandCtesSql("batch", "b")},
+              dup AS (SELECT DISTINCT bb.id FROM bbands bb
+                      JOIN cbands cb USING (band_idx, band_key))
+              SELECT id FROM batch
+              WHERE id NOT IN (SELECT id FROM dup)""")),
 
     // equi-width histogram per event_type: tiny per-group min/max
     // aggregate broadcast back, then one hash aggregate over

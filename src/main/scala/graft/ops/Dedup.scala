@@ -121,6 +121,63 @@ object Dedup {
     try action(pairs) finally cached.unpersist()
   }
 
+  /** (id, band_idx, band_key) MinHash-LSH banding of a corpus — the
+    * per-document index rows an incremental pipeline persists alongside
+    * the corpus. One pass: tokenize → shingle → native md5 bases →
+    * affine signatures → band keys; no cache (single consumer).
+    */
+  def bandKeys(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    Par.widen(df)
+      .select(idCol.as("id"), tokens(text).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .withColumn("hb", org.apache.spark.sql.graftnative.GraftNative
+        .md5Base28Array(col("sh")))
+      .select(col("id"),
+        minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            v => v.cast("string")), "-")): _*))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Incremental ingestion dedup — the pattern that makes near-dup
+    * filtering affordable at 100 TB: the standing corpus is NEVER
+    * re-deduplicated; an arriving batch is checked against the corpus's
+    * LSH band index and only band-novel documents survive. Returns the
+    * surviving batch ids.
+    *
+    * Scale shape: in deployment `corpus` band keys are the persisted
+    * index (computed once per document ever); here they are derived
+    * inline. The batch↔index match is a semi join on (band_idx,
+    * band_key) — band-key-sized rows through one shuffle — and the
+    * final anti join is over the (small) duplicate id set. Nothing is
+    * ever all-pairs, and the batch side is typically broadcastable.
+    */
+  def incrementalNewIds(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bb = bandKeys(batch, idCol, text, shingleK, numHashes, bands)
+    val cb = bandKeys(corpus, idCol, text, shingleK, numHashes, bands)
+      .select(col("band_idx"), col("band_key"))
+    val dup = bb.join(cb, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("id")).distinct()
+    batch.select(idCol.as("id")).join(dup, Seq("id"), "left_anti")
+  }
+
   private def minhashLshPairsWithCache(
       df: DataFrame,
       idCol: Column,

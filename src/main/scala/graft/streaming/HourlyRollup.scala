@@ -49,4 +49,23 @@ object HourlyRollup {
         count(measure).as("n"))
     EventsStream.runToMemory(spark, agg, "graft_stream_rollup", "complete")
   }
+
+  /** Sliding-window streaming rollup: overlapping 6 h windows sliding
+    * by 1 h (each event contributes to six windows — the Expand the
+    * planner inserts fans rows out BEFORE the shuffle, so state stays
+    * one row per (window, dim) like the tumbling case). Same
+    * watermark/late-data contract as [[runToCompletion]].
+    */
+  def runSlidingToCompletion(
+      spark: SparkSession,
+      dir: String,
+      measure: org.apache.spark.sql.Column = col("value")): DataFrame = {
+    val agg = EventsStream.source(spark, dir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "6 hours", "1 hour").getField("start")
+          .cast("timestamp_ntz").as("bucket"),
+        col("event_type"))
+      .agg(sum(measure).as("sum_v"), count(measure).as("n"))
+    EventsStream.runToMemory(spark, agg, "graft_stream_sliding", "complete")
+  }
 }

@@ -192,4 +192,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     ids.foreach(i => assert(pairs.contains((i, i + 1000L)),
       s"missing planted pair $i"))
   }
+
+  test("incrementalNewIds drops exact corpus copies, keeps novel docs") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id").as("id"), col("text")).limit(100)
+    // batch: 20 verbatim corpus copies (must ALL band-match and drop)
+    // + 20 token-reversed docs (share no 3-shingles with the corpus)
+    val copies = docs.limit(20).withColumn("id", col("id") + 5000L)
+    val novel = docs.limit(20)
+      .select((col("id") + 6000L).as("id"),
+        concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+          .as("text"))
+    val survivors = Dedup.incrementalNewIds(
+      copies.unionByName(novel), docs, col("id"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(survivors.forall(_ >= 6000L),
+      s"verbatim copies must never survive, got $survivors")
+    // reversed docs overwhelmingly survive (a rare accidental band
+    // collision is legitimate — require most, not all)
+    assert(survivors.count(_ >= 6000L) >= 15)
+  }
 }

@@ -45,4 +45,18 @@ class StreamingSpec extends SparkSpecBase {
       .select($"event_id", $"user_id", $"session_id")
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("sliding streaming rollup equals the batch sliding-window agg") {
+    val got = graft.streaming.HourlyRollup
+      .runSlidingToCompletion(spark, sf())
+      .select(col("bucket"), col("event_type"),
+        round(col("sum_v"), 6).as("sum_v"), col("n"))
+    val batch = Tables.events(spark, sf())
+      .groupBy(window(col("ts"), "6 hours", "1 hour").getField("start")
+          .cast("timestamp_ntz").as("bucket"),
+        col("event_type"))
+      .agg(round(sum(col("value")), 6).as("sum_v"),
+        count(col("value")).as("n"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
 }
