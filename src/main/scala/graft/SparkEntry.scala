@@ -3105,6 +3105,33 @@ object SparkEntry {
               SELECT id FROM batch
               WHERE id NOT IN (SELECT id FROM dup)""")),
 
+    // cross-table FK audit against deliberately-corrupted dimension
+    // snapshots (1% of orders dropped, 10% of customers dropped; part
+    // intact as the clean control) — orphan counts per relationship
+    Q("dq_referential_integrity",
+      (s, d) => Quality.referentialOrphans(Seq(
+        ("lineitem_orders", Tables.lineitem(s, d), col("l_orderkey"),
+          Tables.orders(s, d).filter(col("o_orderkey") % 100 =!= 0),
+          col("o_orderkey")),
+        ("orders_customer", Tables.orders(s, d), col("o_custkey"),
+          Tables.customer(s, d).filter(col("c_custkey") % 10 =!= 0),
+          col("c_custkey")),
+        ("lineitem_part", Tables.lineitem(s, d), col("l_partkey"),
+          Tables.part(s, d), col("p_partkey")))),
+      Some("""SELECT 'lineitem_orders' AS relationship, count(*) AS n_orphans
+              FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM orders
+                 WHERE o_orderkey % 100 <> 0 AND o_orderkey = l_orderkey)
+              UNION ALL
+              SELECT 'orders_customer', count(*) FROM orders
+              WHERE NOT EXISTS
+                (SELECT 1 FROM customer
+                 WHERE c_custkey % 10 <> 0 AND c_custkey = o_custkey)
+              UNION ALL
+              SELECT 'lineitem_part', count(*) FROM lineitem
+              WHERE NOT EXISTS
+                (SELECT 1 FROM part WHERE p_partkey = l_partkey)""")),
+
     // equi-width histogram per event_type: tiny per-group min/max
     // aggregate broadcast back, then one hash aggregate over
     // (group, bin) — two scans, two group-sized shuffles at any scale

@@ -175,6 +175,25 @@ object Quality {
     * one row per group and broadcasts back onto the fact side — two
     * scans, no data-sized shuffle, the same shape as the histogram.
     */
+  /** Cross-table referential-integrity audit: orphan count per declared
+    * (child FK → parent PK) relationship. Each relationship is one
+    * anti join against the DISTINCT parent keys reduced to a 1-row
+    * count, unioned into a relationship-per-row report — the FK gate a
+    * warehouse runs after every partial/corrupted dimension reload.
+    * Parent key sets are usually dimension-sized (broadcastable); the
+    * child side streams through the anti join un-shuffled in that case.
+    */
+  def referentialOrphans(
+      rels: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
+    require(rels.nonEmpty, "need at least one relationship")
+    rels.map { case (name, child, fk, parent, pk) =>
+      child.select(fk.as("__k"))
+        .join(parent.select(pk.as("__k")).distinct(), Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   def anomalyZscore(
       df: DataFrame,
       group: Column,

@@ -206,6 +206,78 @@ class PropertySpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("zorderKey round-trips: de-interleaving recovers both inputs") {
+    val rows = samples(for {
+      x <- Gen.chooseNum(0L, 1023L)
+      y <- Gen.chooseNum(0L, 1023L)
+    } yield (x, y), 300)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ScalarFns.zorderKey(Seq(col("x"), col("y")), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      val xs = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ys = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xs == x && ys == y, s"z=$z must decode to ($x, $y)")
+    }
+  }
+
+  test("timeWeightedAvg stays within [min, max] of its group's values") {
+    import graft.ops.TimeSeries
+    val rows = samples(for {
+      g <- Gen.chooseNum(0, 10)
+      off <- Gen.chooseNum(0L, 86399L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (g, off, v), 400).zipWithIndex
+      .map { case ((g, off, v), i) =>
+        (i.toLong, g, new java.sql.Timestamp(1704067200000L + off * 1000), v)
+      }
+    val df = rows.toDF("id", "g", "t", "v")
+    val twa = TimeSeries.timeWeightedAvg(df, Seq(col("g")), col("t"),
+      col("v"), col("id")).filter(col("twa").isNotNull)
+    val bounds = df.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+    val joined = twa.join(bounds, "g")
+      .select("g", "twa", "lo", "hi").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (twaV, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(twaV >= lo - 1e-9 && twaV <= hi + 1e-9,
+        s"TWA $twaV escapes [$lo, $hi] for group ${r.get(0)}")
+    }
+  }
+
+  test("heartbeatUptime is always in (0, 1] for random beat patterns") {
+    import graft.ops.TimeSeries
+    val rows = samples(for {
+      g <- Gen.chooseNum(0, 5)
+      off <- Gen.chooseNum(0L, 86399L)
+    } yield (g, off), 300).zipWithIndex.map { case ((g, off), i) =>
+      (i.toLong, g, new java.sql.Timestamp(1704067200000L + off * 1000))
+    }
+    val ups = TimeSeries.heartbeatUptime(rows.toDF("id", "g", "t"),
+        col("g"), col("t"), col("id"), threshSeconds = 600.0)
+      .select("uptime_frac").as[Double].collect()
+    assert(ups.nonEmpty)
+    ups.foreach(u => assert(u > 0.0 && u <= 1.0, s"uptime $u out of (0,1]"))
+  }
+
+  test("histogram: per-group bin counts always total the group size") {
+    import graft.ops.TimeSeries
+    val rows = samples(for {
+      g <- Gen.chooseNum(0, 4)
+      v <- Gen.chooseNum(-1e4, 1e4)
+    } yield (g, v), 500)
+    val df = rows.toDF("g", "v")
+    samples(Gen.chooseNum(1, 40), 3).foreach { bins =>
+      val h = TimeSeries.equiWidthHistogram(df, col("g"), col("v"), bins)
+      val perGroup = h.groupBy("group").agg(sum("n").as("total"))
+      val want = df.groupBy(col("g").as("group")).count()
+      assert(perGroup.join(want, "group")
+        .filter(col("total") =!= col("count")).isEmpty,
+        s"bin counts must partition the group at nBins=$bins")
+    }
+  }
+
   test("salted aggregation equals unsalted for random bucket counts") {
     val ev = Tables.events(spark, sf())
     val want = ev.groupBy(col("event_type"))
