@@ -1790,6 +1790,34 @@ object SparkEntry {
               FROM clicks c ASOF LEFT JOIN views v
                 ON c.user_id = v.user_id AND c.ts2 >= v.ts2""")),
 
+    // as-of with a staleness bound: the matched prior view must be at
+    // most 30 min old or the payload is nulled — same one-shuffle plan,
+    // the bound is a row-local filter on the carried match timestamp
+    Q("join_asof_tolerance",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOf.joinPriorWithin(clicks, views, Seq("user_id"),
+            col("ts"), col("ts"), Seq("v_value"), toleranceSeconds = 1800L)
+          .select(col("event_id"), col("user_id"), col("v_value"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2
+                FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                  arg_max(value, event_id) AS v_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT c.event_id, c.user_id,
+                CASE WHEN epoch_us(c.ts2) - epoch_us(v.ts2)
+                       <= 1800 * 1000000
+                     THEN v.v_value END AS v_value
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts2 >= v.ts2""")),
+
     // skew mitigation: salted two-phase aggregation and a salted join
     // must equal their unsalted formulations — which is what the oracles
     // compute
@@ -2230,7 +2258,9 @@ object SparkEntry {
       (s, d) => {
         val counts = Tables.documents(s, d)
           .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-          .select(explode(col("toks")).as("token"))
+          // explode_outer: token arrays are never empty (see the
+          // contamination note) — avoids the inferred size>0 re-split
+          .select(explode_outer(col("toks")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
         counts.orderBy(col("n").desc, col("token")).limit(20)
           .withColumn("rk", row_number()

@@ -67,4 +67,32 @@ object AsOf {
       }
       .filter(col(L) === 1).drop(T, L, P)
   }
+
+  /** [[joinPrior]] with a staleness bound — the backtest/serving form
+    * "latest quote, but only if it is fresh enough": a match older than
+    * `toleranceSeconds` is treated as no match (payload nulled). Same
+    * single shuffle+sort; the matched right timestamp rides along in
+    * the payload struct and the bound is a post-window row-local filter.
+    */
+  def joinPriorWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val RT = "__graft_rt"
+    val joined = joinPrior(left, right.withColumn(RT, rightTime),
+      keys, leftTime, rightTime, payloadCols :+ RT)
+    val fresh = col(RT).isNotNull &&
+      (unix_micros(leftTime.cast("timestamp")) -
+        unix_micros(col(RT).cast("timestamp"))) <=
+        toleranceSeconds * 1000000L
+    payloadCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(fresh, col(c)))
+      }
+      .drop(RT)
+  }
 }

@@ -262,8 +262,10 @@ object Dedup {
     * Output: (id, simhash).
     */
   def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    // explode_outer: a plain explode would infer size>0 and re-split
+    // below the projection; split arrays are never empty, so identical
     val toks = Par.widen(df).select(idCol.as("id"),
-      explode(split(lower(trim(text)), "\\s+")).as("tok"))
+      explode_outer(split(lower(trim(text)), "\\s+")).as("tok"))
       .withColumn("h", PortableHash.md5Long(col("tok"), 15))
     val bitSums = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)

@@ -61,8 +61,11 @@ object TextOps {
       text: Column,
       profiles: DataFrame /* columns: lang, word */,
       idName: String = "id"): DataFrame = {
+    // explode_outer: split arrays are never empty, and a plain explode
+    // infers size>0 below the projection, re-tokenizing per row just
+    // for the emptiness check; a NULL word would drop at the inner join
     val exploded = df
-      .select(idCol.as("__id"), explode(tokens(lower(text))).as("word"))
+      .select(idCol.as("__id"), explode_outer(tokens(lower(text))).as("word"))
     val hits = exploded
       .join(broadcast(profiles), Seq("word"))
       .groupBy(col("__id"), col("lang"))

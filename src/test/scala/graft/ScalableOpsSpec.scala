@@ -174,6 +174,19 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got.isNullAt(0))
   }
 
+  test("asof joinPriorWithin nulls stale matches, keeps fresh ones") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 200L), (3L, "u", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 95L, "fresh")).toDF("k", "rt", "payload")
+    val got = AsOf.joinPriorWithin(left, right, Seq("k"), col("t"),
+        col("rt"), Seq("payload"), toleranceSeconds = 10L)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("fresh")) // 5 s old: within tolerance
+    assert(got(2L) == None)          // 105 s old: stale → nulled
+    assert(got(3L) == None)          // no prior row at all
+  }
+
   test("flagInRanges marks containment inclusively") {
     val df = Seq("2024-01-05", "2024-02-01").toDF("d")
       .select(to_date($"d").as("d"))
