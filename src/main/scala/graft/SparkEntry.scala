@@ -3162,6 +3162,42 @@ object SparkEntry {
               WHERE NOT EXISTS
                 (SELECT 1 FROM part WHERE p_partkey = l_partkey)""")),
 
+    // end-to-end multimodal retrieval pipeline: opaque binary payload →
+    // per-partition feature extraction (byte-vector embed stub with the
+    // real codec dataflow) → broadcast brute-force cosine top-k. Byte
+    // values ≤ 255 over 16 dims keep float and double dot products
+    // bit-identical, so ranks are engine-exact
+    Q("pipeline_mm_embed_ann",
+      (s, d) => {
+        val media = Multimodal.asPayload(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        val feats = Multimodal.byteFeatures(media, 16)
+          .select(col("media_id").as("id"),
+            transform(col("features"), x => x.cast("float")).as("vec"))
+        val q = feats.filter(col("id") < 3)
+          .select(col("id").as("query_id"), col("vec").as("qvec"))
+        Similarity.bruteForceTopK(feats, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS id,
+                       list_transform(range(1, 17), i ->
+                         CAST(CASE WHEN i <= len(text)
+                              THEN ord(substr(text, i, 1))
+                              ELSE 0 END AS DOUBLE)) AS vec
+                     FROM documents),
+              q AS (SELECT id AS query_id, vec AS qvec FROM f WHERE id < 3),
+              s AS (SELECT q.query_id, f.id,
+                      list_dot_product(f.vec, q.qvec)
+                        / (sqrt(list_dot_product(f.vec, f.vec))
+                           * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+                    FROM f, q WHERE f.id <> q.query_id),
+              r AS (SELECT query_id, id,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, id) AS INTEGER) AS rank
+                    FROM s)
+              SELECT query_id, id AS neighbor_id, rank
+              FROM r WHERE rank <= 5""")),
+
     // equi-width histogram per event_type: tiny per-group min/max
     // aggregate broadcast back, then one hash aggregate over
     // (group, bin) — two scans, two group-sized shuffles at any scale
