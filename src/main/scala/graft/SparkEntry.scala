@@ -3198,6 +3198,47 @@ object SparkEntry {
               SELECT query_id, id AS neighbor_id, rank
               FROM r WHERE rank <= 5""")),
 
+    // RANGE-frame window: trailing 6 h average per event_type — the
+    // time-based frame (all peers within the interval, however many
+    // rows) vs the ROWS frames elsewhere; partitioned, no global sort
+    Q("win_time_range_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-21600000000L, 0)
+        ev(s, d).select(col("event_id"),
+          round(avg(col("value")).over(w), 6).as("avg_6h"),
+          count(lit(1)).over(w).as("n_6h"))
+      },
+      Some("""SELECT event_id,
+                round(avg(value) OVER w, 6) AS avg_6h,
+                CAST(count(*) OVER w AS BIGINT) AS n_6h
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""")),
+
+    // schema-evolution scan: two parquet generations (one lacks a
+    // column) merged into a single read — mergeSchema unions the
+    // schemas and back-fills the missing column with NULLs
+    Q("scan_schema_evolution",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val tmp = Scratch.dir("graft_schema_evo")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                  AS o_orderpriority
+              FROM orders""")),
+
     // equi-width histogram per event_type: tiny per-group min/max
     // aggregate broadcast back, then one hash aggregate over
     // (group, bin) — two scans, two group-sized shuffles at any scale
