@@ -3260,11 +3260,144 @@ object SparkEntry {
               FROM b GROUP BY 1, 2, 3""")),
   )
 
+  // ---------------------------------------------------------------- §2.16
+  // event-stream analytics (funnel / retention / streaks), retrieval
+  // scoring, and the Benford ingest audit — see ops/EventAnalytics.scala
+  // for the scale shapes (user-keyed shuffles only, no global windows)
+  private val analytics = Seq(
+    // gaps-and-islands: longest consecutive purchase-day streak per user.
+    // day − row_number() is constant within a run, so a run is one
+    // (user, anchor) group — two user-keyed hash aggs + one per-user
+    // window over post-distinct days, never over raw events
+    Q("win_streak",
+      (s, d) => EventAnalytics.dayStreaks(
+        ev(s, d).filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts")),
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events WHERE event_type = 'purchase'),
+              a AS (SELECT user_id, d,
+                      d - CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY d) AS INTEGER) AS anchor
+                    FROM days),
+              runs AS (SELECT user_id, anchor, count(*) AS len
+                       FROM a GROUP BY 1, 2)
+              SELECT user_id, CAST(sum(len) AS INTEGER) AS n_active_days,
+                     CAST(max(len) AS INTEGER) AS longest_streak
+              FROM runs GROUP BY user_id""")),
+
+    // strict ordered funnel view→click→purchase: stage k needs an event
+    // strictly after the user's stage-(k−1) time; one min-aggregate +
+    // broadcastable per-user join per step, histogram of deepest stage
+    Q("agg_funnel",
+      (s, d) => EventAnalytics.funnelStages(ev(s, d), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase")),
+      Some("""WITH ev0 AS (SELECT user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+              v AS (SELECT user_id, min(ts) AS t1 FROM ev0
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev0 e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev0 e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    GROUP BY 1)
+              SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+                     CAST(count(*) AS INTEGER) AS n_users
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+              GROUP BY 1""")),
+
+    // weekly cohort retention: cohort = Monday of first active week; the
+    // (user, week) grid is distinct before counting so count(*) is the
+    // distinct-user count — no count-distinct shuffle
+    Q("agg_retention_cohort",
+      (s, d) => EventAnalytics.cohortRetention(ev(s, d), col("user_id"),
+        col("ts")),
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts) AS w FROM events),
+              f AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1)
+              SELECT cohort_week,
+                     CAST((w - cohort_week) // 7 AS INTEGER) AS week_offset,
+                     CAST(count(*) AS INTEGER) AS n_active
+              FROM wk JOIN f USING (user_id) GROUP BY 1, 2""")),
+
+    // BM25 corpus scoring against a fixed query-term probe: per-term tf
+    // via size(filter(tokens)) — pure codegen, no explode, no token
+    // shuffle; single-row corpus stats broadcast back; fixed-order float
+    // sum so the doubles reproduce bit-for-bit (see TextOps.bm25TopK).
+    // Oracle mirrors the expression tree exactly — incl. (1.2 + 1.0)
+    // computed IN-ENGINE both sides, since the Scala-side k1+1 constant
+    // folds to a double that the SQL literal 2.2 would not equal
+    Q("text_bm25",
+      (s, d) => TextOps.bm25TopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), Seq("hash", "join", "scan"), topK = 50),
+      Some(s"""WITH base AS (
+                SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                  CAST(len(list_filter(toks, t -> t = 'hash')) AS DOUBLE)
+                    AS tf0,
+                  CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE)
+                    AS tf1,
+                  CAST(len(list_filter(toks, t -> t = 'scan')) AS DOUBLE)
+                    AS tf2
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)),
+                        '\\s+') AS toks FROM documents)),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                       sum(CAST(tf0 > 0 AS DOUBLE)) AS df0,
+                       sum(CAST(tf1 > 0 AS DOUBLE)) AS df1,
+                       sum(CAST(tf2 > 0 AS DOUBLE)) AS df2
+                     FROM base),
+              sc AS (SELECT doc_id, round(
+                  ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
+                    / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
+                    / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+                + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
+                    / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 6) AS bm25
+                FROM base, st)
+              SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id LIMIT 50""")),
+
+    // Benford leading-digit audit on the price measure: 9-group hash agg
+    // + broadcast total; digit extraction is floor/log10 arithmetic —
+    // no string formatting (engine-dependent), no UDF
+    Q("dq_benford",
+      (s, d) => Quality.benfordDigits(Tables.lineitem(s, d),
+        col("l_extendedprice")),
+      Some("""WITH pos AS (SELECT l_extendedprice AS v FROM lineitem
+                     WHERE l_extendedprice > 0),
+              c AS (SELECT CAST(floor(v / power(10, floor(log10(v))))
+                      AS INTEGER) AS digit, count(*) AS n
+                    FROM pos GROUP BY 1),
+              t AS (SELECT count(*) AS tot FROM pos)
+              SELECT digit, n, round(n / tot, 6) AS observed_freq,
+                     round(log10(1.0 + 1.0 / digit), 6) AS expected_freq,
+                     round(abs(n / tot - log10(1.0 + 1.0 / digit)), 6)
+                       AS abs_dev
+              FROM c, t""")),
+
+    // trailing 25-row EXACT median per user (robust rolling level of a
+    // noisy measure) — the percentile aggregate over a user-partitioned
+    // ROWS frame; no global sort, frame buffer bounded at 25 rows
+    Q("win_rolling_median",
+      (s, d) => ev(s, d).select(col("event_id"), col("user_id"),
+        col("value"),
+        round(expr("percentile(value, 0.5D) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT " +
+          "ROW)"), 6).as("roll_median")),
+      Some("""SELECT event_id, user_id, value,
+                round(median(value) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6)
+                  AS roll_median
+              FROM events""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      curation ++ extras ++ hyper
+      curation ++ extras ++ hyper ++ analytics
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, ts, type) activity log: ordered
+  * funnels, weekly cohort retention, and consecutive-day streaks — the
+  * product-analytics queries a reference user runs on the same `events`
+  * telemetry the validation/streaming operators consume.
+  *
+  * Scale shape: every operator here is keyed by user (or by the derived
+  * cohort key), so all shuffles are bounded equi-partitions; the only
+  * windows are per-user (never global), and every post-aggregate join
+  * input is at most one row per user — broadcastable at any corpus size
+  * where the user dimension fits an executor, and a plain shuffled
+  * equi-join beyond that. No driver-side data, no global sort.
+  */
+object EventAnalytics {
+
+  /** Consecutive-day activity streaks per user (gaps-and-islands).
+    *
+    * Classic anchor trick: over a user's DISTINCT active days in date
+    * order, `day - row_number()` is constant within a consecutive run,
+    * so a run is one (user, anchor) group. Returns per user the total
+    * active-day count and the longest streak length.
+    *
+    * The window partitions by user over post-distinct data (≤ one row
+    * per user-day), so the sort is per-partition and bounded by the
+    * calendar, not the event volume.
+    */
+  def dayStreaks(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val days = df.select(user.as("user_id"), to_date(ts).as("__d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__d"))
+    days
+      .withColumn("__anchor", date_sub(col("__d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__len")).cast("int").as("n_active_days"),
+        max(col("__len")).cast("int").as("longest_streak"))
+  }
+
+  /** Ordered conversion funnel: a user reaches stage k iff some event of
+    * `steps(k-1)` happens STRICTLY AFTER the time the user reached stage
+    * k-1 (min-ts semantics, the standard strict-funnel definition).
+    * Returns the (stage, n_users) histogram over users who completed at
+    * least stage 1; stage = deepest step reached.
+    *
+    * Each stage is one conditional aggregate producing ≤ one row per
+    * user, then an equi-join back onto the raw stream for the next step
+    * — the per-user stage table is aggregate output (tiny relative to
+    * events) so Catalyst broadcast-plans these joins; the event side is
+    * never shuffled more than once per step, and steps are a short fixed
+    * list (funnel depth), not data-dependent.
+    */
+  def funnelStages(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = df.filter(typeCol === steps.head)
+      .groupBy(user.as("user_id")).agg(min(ts).as("__t1"))
+    val reached = steps.drop(1).zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"__t${i + 1}"
+        val cur = s"__t${i + 2}"
+        val nxt = df.filter(typeCol === step)
+          .select(user.as("user_id"), ts.as("__ts"))
+          .join(acc.select(col("user_id"), col(prev)), "user_id")
+          .filter(col("__ts") > col(prev))
+          .groupBy(col("user_id")).agg(min(col("__ts")).as(cur))
+        acc.join(nxt, Seq("user_id"), "left")
+    }
+    // ascending fold so the DEEPEST stage's check ends up outermost:
+    // when(t_n)…otherwise(when(t_{n-1})…otherwise(…1))
+    val stage = (2 to steps.length).foldLeft(lit(1)) {
+      case (els, k) => when(col(s"__t$k").isNotNull, lit(k)).otherwise(els)
+    }
+    reached
+      .groupBy(stage.as("stage"))
+      .agg(count(lit(1)).cast("int").as("n_users"))
+  }
+
+  /** Weekly cohort retention: cohort = the Monday of a user's first
+    * active week; one output row per (cohort_week, week_offset) with the
+    * number of cohort users active that week. The (user, week) grid is
+    * DISTINCT before the count, so `count(*)` IS the distinct-user count
+    * — no count-distinct shuffle. The per-user first-week table is
+    * aggregate output (≤ one row per user), broadcast into the grid.
+    */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val wk = df
+      .select(user.as("user_id"), to_date(date_trunc("week", ts)).as("__wk"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("__wk")).as("cohort_week"))
+    wk.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("__wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).cast("int").as("n_active"))
+  }
+}

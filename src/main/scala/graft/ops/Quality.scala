@@ -194,6 +194,29 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Benford first-significant-digit audit: the distribution of leading
+    * digits of a positive numeric column vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-data / broken-ingest signal
+    * for scale-spanning measures. One hash aggregate over the scan (9
+    * groups) plus a broadcast single-row total; the digit extraction is
+    * pure codegen arithmetic (floor/log10), no strings.
+    */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val pos = df.select(value.as("__v")).filter(col("__v") > 0)
+    val counts = pos
+      .select(floor(col("__v") / pow(lit(10.0), floor(log10(col("__v")))))
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = pos.agg(count(lit(1)).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__tot"), 6).as("observed_freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("expected_freq"),
+        round(abs(col("n") / col("__tot") -
+          log10(lit(1.0) + lit(1.0) / col("digit"))), 6).as("abs_dev"))
+  }
+
   def anomalyZscore(
       df: DataFrame,
       group: Column,

@@ -149,6 +149,59 @@ object TextOps {
     * join → per-doc aggregate. Token strings cross a shuffle only in
     * the vocabulary-building aggregate, never row-wise.
     */
+  /** BM25 retrieval scoring of every document against a FIXED term set
+    * (the batch "score the corpus against this query" job, e.g. ranking
+    * training documents by relevance to a topic probe).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene form, always
+    * positive). Per-term tf comes from `size(filter(tokens, = t))` — a
+    * pure codegen'd per-row expression, NO explode and NO token shuffle
+    * anywhere: the only aggregate is the single-row corpus-stats pass
+    * (N, avgdl, per-term df), which is broadcast back. The per-document
+    * score sums the fixed term list in ONE fixed left-to-right order, so
+    * the double arithmetic is reproducible (a groupBy-sum over exploded
+    * terms would add in partition order — nondeterministic floats).
+    * Top-k by (score desc, id) is a TakeOrdered — no global sort.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      terms: Seq[String],
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("__toks"), t => t === lit(terms(i))))
+        .cast("double").as(s"__tf$i")
+    }
+    val base = df
+      .select(idCol.as("doc_id"), Dedup.tokens(text).as("__toks"))
+      .select(col("doc_id") +:
+        size(col("__toks")).cast("double").as("__dl") +: tfCols: _*)
+    val statCols = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf$i") > 0).cast("double")).as(s"__df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices
+      .map { i =>
+        val idf = log((col("__n") - col(s"__df$i") + 0.5) /
+          (col(s"__df$i") + 0.5) + 1.0)
+        val tf = col(s"__tf$i")
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+      }
+      .reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def unigramLogProb(
       df: DataFrame,
       idCol: Column,

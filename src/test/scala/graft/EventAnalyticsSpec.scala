@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Hand-computable fixtures for the event-analytics family (§2.16):
+  * streak islands with gaps, a strict funnel with an out-of-order step,
+  * cohort offsets across a week gap, BM25 tf/idf monotonicity, and the
+  * Benford digit extraction at power-of-ten boundaries.
+  */
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("dayStreaks: islands split on gaps, totals count distinct days") {
+    // user 1: days 1,2,3 then 5,6 → longest 3, total 5 (day 2 twice —
+    // distinct first); user 2: single day
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-05 12:00:00")), (1L, ts("2024-01-06 12:00:00")),
+      (2L, ts("2024-01-10 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.dayStreaks(df, col("user_id"), col("ts"))
+      .orderBy("user_id").as[(Long, Int, Int)].collect().toSeq
+    assert(got === Seq((1L, 5, 3), (2L, 1, 1)))
+  }
+
+  test("funnelStages: strict order — a click before the first view does not count") {
+    // u1 completes all 3 in order; u2 clicks BEFORE its first view (stage
+    // stays 1); u3 views+clicks, purchase precedes the click (stage 2)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:05:00"), "purchase"),
+      (3L, ts("2024-01-01 10:06:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelStages(df, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("stage").as[(Int, Int)].collect().toSeq
+    assert(got === Seq((1, 1), (2, 1), (3, 1)))
+  }
+
+  test("cohortRetention: offsets are whole weeks from the cohort Monday") {
+    // u1 first active week of Mon 2024-01-01, active again two weeks
+    // later; u2 first active in the week of Mon 2024-01-08
+    val df = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // wk 2024-01-01, offset 0
+      (1L, ts("2024-01-15 10:00:00")), // wk 2024-01-15, offset 2
+      (2L, ts("2024-01-08 10:00:00")), // wk 2024-01-08, offset 0
+      (2L, ts("2024-01-10 10:00:00"))  // same user-week — no double count
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(df, col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset")
+      .as[(Date, Int, Int)].collect().toSeq
+    assert(got === Seq(
+      (Date.valueOf("2024-01-01"), 0, 1),
+      (Date.valueOf("2024-01-01"), 2, 1),
+      (Date.valueOf("2024-01-08"), 0, 1)))
+  }
+
+  test("bm25TopK: higher tf wins at equal length; absent terms score zero") {
+    val df = Seq(
+      (1L, "hash hash hash pad pad pad"),
+      (2L, "hash pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("hash"), topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    // doc 3 filtered out (score 0); doc 1 outranks doc 2 (same dl, more tf)
+    assert(got.map(_._1) === Seq(1L, 2L))
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > 0)
+  }
+
+  test("benfordDigits: boundary values land on the right digit") {
+    // 1.0, 10.0, 100.0 → digit 1; 9.99 → 9; 0.02 → 2 (negative exponent);
+    // 0 and negatives excluded
+    val df = Seq(1.0, 10.0, 100.0, 9.99, 0.02, 0.0, -5.0).toDF("v")
+    val got = Quality.benfordDigits(df, col("v"))
+      .select(col("digit"), col("n")).orderBy("digit")
+      .as[(Int, Long)].collect().toSeq
+    assert(got === Seq((1, 3L), (2, 1L), (9, 1L)))
+    val freqs = Quality.benfordDigits(df, col("v"))
+      .agg(round(sum(col("observed_freq")), 6)).as[Double].head()
+    assert(freqs === 1.0)
+  }
+}
