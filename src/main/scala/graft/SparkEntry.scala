@@ -3376,6 +3376,48 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // deterministic k-means (2 Lloyd rounds, k=8) over integer-quantized
+    // embeddings: hash-stride init, broadcast centroids, exact integer
+    // distance/mean arithmetic so the assignment is partition-order
+    // independent — see ml/KMeans.scala for the determinism contract
+    Q("ml_kmeans_iter",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(100.0))).as("qv"))
+        graft.ml.KMeans.assignIterations(q, col("vec_id"), col("qv"),
+          k = 8, stride = 37, iters = 2)
+      },
+      Some("""WITH q AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> floor(x * 100.0)) AS v FROM embeddings),
+              init AS (SELECT vec_id, v FROM q WHERE vec_id % 37 = 0
+                       ORDER BY vec_id LIMIT 8),
+              c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                       AS INTEGER) AS cid, v FROM init),
+              d1 AS (SELECT q.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+                     FROM q, c0 c),
+              a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+              m1 AS (SELECT a1.cid, i AS pos, avg(q.v[i]) AS m
+                     FROM a1 JOIN q USING (vec_id),
+                       unnest(range(1, 65)) AS t(i)
+                     GROUP BY 1, 2),
+              c1 AS (SELECT cid, array_agg(m ORDER BY pos) AS v
+                     FROM m1 GROUP BY cid),
+              d2 AS (SELECT q.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+                     FROM q, c1 c),
+              a2 AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid,
+                       dist, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+              SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+              FROM a2""")),
+
     // trailing 25-row EXACT median per user (robust rolling level of a
     // noisy measure) — the percentile aggregate over a user-partitioned
     // ROWS frame; no global sort, frame buffer bounded at 25 rows

@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{Imputer, VectorAssembler}
 import org.apache.spark.ml.regression.GBTRegressor
 import org.apache.spark.sql.functions._
 
-import graft.ml.Baselines
+import graft.ml.{Baselines, KMeans}
 import graft.ops.{Aggregates, Rollups}
 
 /** The reference's modelling stack (`src/modelling/train.py:36-95`)
@@ -124,5 +124,25 @@ class MlSpec extends SparkSpecBase {
     val full = Aggregates.timeBucketAgg(e, col("ts"), "1 hour",
       Seq(col("event_type")), col("value"))
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("KMeans: seeds, one-round assignment, and the recompute round by hand") {
+    // 1-d vectors; stride 2 → seeds id0=[0] (cid 1), id2=[1] (cid 2)
+    val df = Seq((0L, Seq(0.0)), (1L, Seq(10.0)), (2L, Seq(1.0)),
+      (3L, Seq(11.0)), (4L, Seq(2.0)), (5L, Seq(12.0)))
+      .toDF("vec_id", "qv")
+    // iters=1: nearest seed — id4 is closer to [1] than [0]
+    val a1 = KMeans.assignIterations(df, col("vec_id"), col("qv"),
+      k = 2, stride = 2, iters = 1)
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    assert(a1.map(r => r._1 -> r._2) ===
+      Seq(0L -> 1, 1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2))
+    // iters=2: c1=[0], c2=mean(10,1,11,2,12)=[7.2] → ids 0,2,4 go to c1
+    val a2 = KMeans.assignIterations(df, col("vec_id"), col("qv"),
+      k = 2, stride = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    assert(a2.map(r => r._1 -> r._2) ===
+      Seq(0L -> 1, 1L -> 2, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+    assert(a2.find(_._1 == 1L).get._3 === 7.84) // (10 − 7.2)²
   }
 }
