@@ -3376,6 +3376,71 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // Shannon entropy of each user's event-type mix, from counts alone:
+    // H = ln N − Σ n·ln n / N — two user-keyed hash aggs, the float sum
+    // is over ≤5 type terms and round(6) absorbs partial-sum order
+    Q("agg_entropy",
+      (s, d) => {
+        val c = ev(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        c.groupBy(col("user_id"))
+          .agg(round(log(sum(col("n"))) -
+            sum(col("n") * log(col("n"))) / sum(col("n")), 6).as("entropy"),
+            sum(col("n")).as("n_events"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+                     FROM events GROUP BY 1, 2)
+              SELECT user_id,
+                round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+                CAST(sum(n) AS BIGINT) AS n_events
+              FROM c GROUP BY user_id""")),
+
+    // local-minima detection (the price-dip scan of the reference's
+    // domain): value strictly below both neighbours in the user's
+    // (ts, event_id) order — one partitioned lag/lead window, then a
+    // user-keyed count; min is exact so no rounding needed
+    Q("win_dip_count",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d).select(col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("__pv"),
+          lead(col("value"), 1).over(w).as("__nv"))
+          .filter(col("value") < col("__pv") && col("value") < col("__nv"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("int").as("n_dips"),
+            min(col("value")).as("min_dip"))
+      },
+      Some("""WITH x AS (SELECT user_id, value,
+                  lag(value) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv,
+                  lead(value) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nv
+                FROM events)
+              SELECT user_id, CAST(count(*) AS INTEGER) AS n_dips,
+                     min(value) AS min_dip
+              FROM x WHERE value < pv AND value < nv GROUP BY 1""")),
+
+    // per-group min-max feature scaling: broadcast per-type stats joined
+    // back onto the scan (the median-impute shape); degenerate hi = lo
+    // groups scale to NULL identically in both engines
+    Q("f_minmax_scale",
+      (s, d) => {
+        val stats = ev(s, d).groupBy(col("event_type").as("__t"))
+          .agg(min(col("value")).as("__lo"), max(col("value")).as("__hi"))
+        ev(s, d).join(broadcast(stats), col("event_type") === col("__t"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("__hi") > col("__lo"),
+              round((col("value") - col("__lo")) /
+                (col("__hi") - col("__lo")), 6)).as("scaled"))
+      },
+      Some("""WITH s AS (SELECT event_type, min(value) AS lo,
+                     max(value) AS hi FROM events GROUP BY 1)
+              SELECT event_id, e.event_type, value,
+                CASE WHEN hi > lo
+                  THEN round((value - lo) / (hi - lo), 6) END AS scaled
+              FROM events e JOIN s USING (event_type)""")),
+
     // deterministic k-means (2 Lloyd rounds, k=8) over integer-quantized
     // embeddings: hash-stride init, broadcast centroids, exact integer
     // distance/mean arithmetic so the assignment is partition-order

@@ -157,4 +157,42 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"),
       s"sampling must be a map-only filter, got:\n$plan")
   }
+
+  test("funnel stage joins broadcast the per-user tables") {
+    val ev = Tables.events(spark, sf())
+    val df = graft.ops.EventAnalytics.funnelStages(ev, col("user_id"),
+      col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-user stage tables are aggregate output — a sort-merge join
+    // would shuffle the event scan once per funnel step
+    assert(!plan.contains("SortMergeJoin"),
+      s"funnel must broadcast its per-user stage tables, got:\n$plan")
+  }
+
+  test("bm25 never explodes tokens and ends in a top-k, not a global sort") {
+    val docs = Tables.documents(spark, sf())
+    val df = graft.ops.TextOps.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("hash", "join"), topK = 10)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"tf must come from size(filter()), not an explode, got:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, got:\n$plan")
+  }
+
+  test("k-means assignment broadcasts centroids — vectors never shuffle") {
+    val q = Tables.embeddings(spark, sf()).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(100.0))).as("qv"))
+    val df = graft.ml.KMeans.assignIterations(q, col("vec_id"), col("qv"),
+      k = 4, stride = 37, iters = 1)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must attach via broadcast, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the vector side must never shuffle for the join, got:\n$plan")
+  }
 }
