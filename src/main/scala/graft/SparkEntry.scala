@@ -3376,6 +3376,58 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // first-order Markov transition counts of each user's event stream —
+    // one partitioned lag window + one hash agg on the (from, to) pair
+    Q("agg_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        ev(s, d).select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("__prev"))
+          .filter(col("__prev").isNotNull)
+          .groupBy(col("__prev").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+                FROM events)
+              SELECT prev AS from_type, event_type AS to_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""")),
+
+    // conversion latency over the SAME strict funnel chain as agg_funnel:
+    // per-user stage times from funnelTimes, then one global aggregate
+    // of exact µs diffs (integers in doubles — order-independent sums)
+    Q("agg_time_to_convert",
+      (s, d) => {
+        val t = EventAnalytics.funnelTimes(ev(s, d), col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+        val secs = (unix_micros(col("t3").cast("timestamp")) -
+          unix_micros(col("t1").cast("timestamp"))) / lit(1e6)
+        t.filter(col("t3").isNotNull)
+          .agg(count(lit(1)).cast("int").as("n_converted"),
+            round(avg(secs), 6).as("avg_seconds"),
+            round(max(secs), 6).as("max_seconds"))
+      },
+      Some("""WITH ev0 AS (SELECT user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+              v AS (SELECT user_id, min(ts) AS t1 FROM ev0
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev0 e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev0 e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    GROUP BY 1)
+              SELECT CAST(count(*) AS INTEGER) AS n_converted,
+                round(avg((epoch_us(t3) - epoch_us(t1)) / 1e6), 6)
+                  AS avg_seconds,
+                round(max((epoch_us(t3) - epoch_us(t1)) / 1e6), 6)
+                  AS max_seconds
+              FROM v JOIN c USING (user_id) JOIN p USING (user_id)""")),
+
     // Shannon entropy of each user's event-type mix, from counts alone:
     // H = ln N − Σ n·ln n / N — two user-keyed hash aggs, the float sum
     // is over ≤5 type terms and round(6) absorbs partial-sum order

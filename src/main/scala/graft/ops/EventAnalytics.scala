@@ -60,13 +60,34 @@ object EventAnalytics {
       ts: Column,
       typeCol: Column,
       steps: Seq[String]): DataFrame = {
+    // ascending fold so the DEEPEST stage's check ends up outermost:
+    // when(t_n)…otherwise(when(t_{n-1})…otherwise(…1))
+    val stage = (2 to steps.length).foldLeft(lit(1)) {
+      case (els, k) => when(col(s"t$k").isNotNull, lit(k)).otherwise(els)
+    }
+    funnelTimes(df, user, ts, typeCol, steps)
+      .groupBy(stage.as("stage"))
+      .agg(count(lit(1)).cast("int").as("n_users"))
+  }
+
+  /** The per-user funnel-times table behind [[funnelStages]]: one row per
+    * user who completed stage 1, columns `t1..tn` = the time each stage
+    * was reached (NULL from the first uncompleted stage on). Exposed so
+    * time-to-convert metrics can aggregate the same strict-funnel chain.
+    */
+  def funnelTimes(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val first = df.filter(typeCol === steps.head)
-      .groupBy(user.as("user_id")).agg(min(ts).as("__t1"))
-    val reached = steps.drop(1).zipWithIndex.foldLeft(first) {
+      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
+    steps.drop(1).zipWithIndex.foldLeft(first) {
       case (acc, (step, i)) =>
-        val prev = s"__t${i + 1}"
-        val cur = s"__t${i + 2}"
+        val prev = s"t${i + 1}"
+        val cur = s"t${i + 2}"
         val nxt = df.filter(typeCol === step)
           .select(user.as("user_id"), ts.as("__ts"))
           .join(acc.select(col("user_id"), col(prev)), "user_id")
@@ -74,14 +95,6 @@ object EventAnalytics {
           .groupBy(col("user_id")).agg(min(col("__ts")).as(cur))
         acc.join(nxt, Seq("user_id"), "left")
     }
-    // ascending fold so the DEEPEST stage's check ends up outermost:
-    // when(t_n)…otherwise(when(t_{n-1})…otherwise(…1))
-    val stage = (2 to steps.length).foldLeft(lit(1)) {
-      case (els, k) => when(col(s"__t$k").isNotNull, lit(k)).otherwise(els)
-    }
-    reached
-      .groupBy(stage.as("stage"))
-      .agg(count(lit(1)).cast("int").as("n_users"))
   }
 
   /** Weekly cohort retention: cohort = the Monday of a user's first
