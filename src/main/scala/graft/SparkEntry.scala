@@ -3376,6 +3376,28 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // winsorization: clip each value to its group's [p05, p95] band —
+    // exact percentile aggregate per type (5 rows), broadcast back onto
+    // the scan; both engines interpolate rank p·(n−1) linearly and the
+    // clipped output is rounded at the emit boundary
+    Q("f_winsorize",
+      (s, d) => {
+        val stats = ev(s, d).groupBy(col("event_type").as("__t"))
+          .agg(expr("percentile(value, 0.05D)").as("__lo"),
+            expr("percentile(value, 0.95D)").as("__hi"))
+        ev(s, d).join(broadcast(stats), col("event_type") === col("__t"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(least(greatest(col("value"), col("__lo")), col("__hi")), 6)
+              .as("winsorized"))
+      },
+      Some("""WITH s AS (SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+                   FROM events GROUP BY 1)
+              SELECT event_id, e.event_type, value,
+                round(least(greatest(value, lo), hi), 6) AS winsorized
+              FROM events e JOIN s USING (event_type)""")),
+
     // first-order Markov transition counts of each user's event stream —
     // one partitioned lag window + one hash agg on the (from, to) pair
     Q("agg_transition_matrix",

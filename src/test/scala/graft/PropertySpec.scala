@@ -278,6 +278,52 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("dayStreaks invariants on random day sets: bounds and gap splits") {
+    val rows = samples(for {
+      user <- Gen.chooseNum(1L, 20L)
+      day <- Gen.chooseNum(1, 60)
+    } yield (user, java.sql.Timestamp.valueOf(
+      f"2024-01-01 12:00:00").toInstant.plusSeconds(day * 86400L)), 400)
+    val df = rows.map { case (u, i) =>
+      (u, java.sql.Timestamp.from(i))
+    }.toDF("user_id", "ts")
+    val got = graft.ops.EventAnalytics.dayStreaks(df, col("user_id"),
+      col("ts")).collect()
+    val byUser = rows.map { case (u, i) =>
+      u -> i.getEpochSecond / 86400
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    got.foreach { r =>
+      val (u, total, longest) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val days = byUser(u)
+      assert(total == days.length)
+      // longest = max run of consecutive day numbers — the same anchor
+      // trick computed naively on the driver over sorted distinct days
+      val naiveLongest = days.zipWithIndex.map { case (d, i) =>
+        d - i
+      }.groupBy(identity).values.map(_.size).max
+      assert(longest == naiveLongest && longest >= 1 && longest <= total)
+    }
+    assert(got.map(_.getLong(0)).toSet == byUser.keySet)
+  }
+
+  test("entropy bounds: 0 ≤ H ≤ ln(k) over random event mixes") {
+    val rows = samples(for {
+      user <- Gen.chooseNum(1L, 30L)
+      t <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (user, t), 600)
+    val c = rows.toDF("user_id", "event_type")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val h = c.groupBy(col("user_id"))
+      .agg((log(sum(col("n"))) -
+        sum(col("n") * log(col("n"))) / sum(col("n"))).as("entropy"))
+      .collect()
+    h.foreach { r =>
+      val e = r.getDouble(1)
+      assert(e >= -1e-12 && e <= math.log(5.0) + 1e-12)
+    }
+  }
+
   test("salted aggregation equals unsalted for random bucket counts") {
     val ev = Tables.events(spark, sf())
     val want = ev.groupBy(col("event_type"))
