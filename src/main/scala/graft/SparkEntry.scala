@@ -3376,6 +3376,22 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // weighted k-per-group sampling (A-ES exponential keys): longer
+    // documents proportionally likelier, deterministic via the portable
+    // md5 uniform — one partitioned window, no RNG anywhere
+    Q("sample_weighted_k",
+      (s, d) => Sampling.weightedKPerGroup(Tables.documents(s, d),
+        col("doc_id"), col("source"), col("n_chars").cast("double"), k = 10)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source ORDER BY
+                        (0.0 - ln((CAST(concat('0x', substring(md5(
+                          CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                          + 1.0) / 4503599627370497.0))
+                        / CAST(n_chars AS DOUBLE), doc_id) AS rn
+                    FROM documents)
+              SELECT doc_id, source FROM r WHERE rn <= 10""")),
+
     // winsorization: clip each value to its group's [p05, p95] band —
     // exact percentile aggregate per type (5 rows), broadcast back onto
     // the scan; both engines interpolate rank p·(n−1) linearly and the

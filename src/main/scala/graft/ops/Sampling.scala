@@ -56,4 +56,33 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** WEIGHTED exactly-k-per-group sample without replacement
+    * (Efraimidis–Spirakis A-ES): rank rows by the exponential key
+    * −ln(u)/w — the k smallest keys are a weighted sample, so a row
+    * with twice the weight is (asymptotically) twice as likely to be
+    * drawn. `u` is the portable md5 uniform in (0, 1], so the draw is
+    * deterministic, rerun-stable, and engine-replicable — no RNG ships.
+    * Same scale shape as [[fixedKPerGroup]]: one partitioned window,
+    * per-group sort over group-sized data.
+    */
+  def weightedKPerGroup(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // 13 hex chars = 2^52: (h + 1) / (2^52 + 1) ∈ (0, 1], every value
+    // exactly representable in double
+    val u = (PortableHash.md5Long(idCol.cast("string"), 13).cast("double")
+      + 1.0) / lit(math.pow(16, 13) + 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("__key"), idCol)
+    df.withColumn("__key", (lit(0.0) - log(u)) / weight)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__key", "__rn")
+  }
 }

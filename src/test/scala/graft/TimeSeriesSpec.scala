@@ -170,6 +170,20 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
 
+  test("weightedKPerGroup: exact k, deterministic, dominant weight always drawn") {
+    // weight 1e9 vs 1: the heavy row's key −ln(u)/w is ~1e9× smaller
+    // than any light row's, so it must appear in every group's sample
+    val df = (1 to 50).map(i =>
+      (i.toLong, s"g${i % 5}", if (i <= 5) 1e9 else 1.0))
+      .toDF("id", "g", "w")
+    val s1 = Sampling.weightedKPerGroup(df, col("id"), col("g"), col("w"), 3)
+    val sizes = s1.groupBy("g").count().select("count").as[Long].collect()
+    assert(sizes.length === 5 && sizes.forall(_ === 3L))
+    assert(s1.filter(col("w") === 1e9).count() === 5L)
+    val s2 = Sampling.weightedKPerGroup(df, col("id"), col("g"), col("w"), 3)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
   test("anomalyZscore flags a planted outlier and nothing else") {
     import graft.ops.Quality
     val base = (1 to 99).map(i => (i.toLong, "g", 10.0 + (i % 3)))
