@@ -1852,6 +1852,30 @@ object SparkEntry {
 
     // win_sessionize's stateful-streaming twin: flatMapGroupsWithState
     // custom state per user; must equal the batch window formulation
+    // stateful streaming funnel: two-scalar per-user state advanced by
+    // the same strictly-after rule as agg_funnel — the oracle IS the
+    // batch funnel histogram, so streaming ≡ batch is the verified
+    // contract (the stream_sessionize pattern)
+    Q("stream_funnel_state",
+      (s, d) => graft.streaming.FunnelStream.runToCompletion(s, d,
+        Seq("view", "click", "purchase")),
+      Some("""WITH ev0 AS (SELECT user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+              v AS (SELECT user_id, min(ts) AS t1 FROM ev0
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev0 e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev0 e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    GROUP BY 1)
+              SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+                     CAST(count(*) AS INTEGER) AS n_users
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+              GROUP BY 1""")),
+
     Q("stream_sessionize",
       (s, d) => graft.streaming.SessionizeStream.runToCompletion(s, d)
         .select(col("event_id"), col("user_id"), col("session_id")),

@@ -46,6 +46,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("stateful streaming funnel equals the batch funnel histogram") {
+    val got = graft.streaming.FunnelStream.runToCompletion(spark, sf(),
+      Seq("view", "click", "purchase"))
+    val batch = graft.ops.EventAnalytics.funnelStages(
+      Tables.events(spark, sf()), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("sliding streaming rollup equals the batch sliding-window agg") {
     val got = graft.streaming.HourlyRollup
       .runSlidingToCompletion(spark, sf())
