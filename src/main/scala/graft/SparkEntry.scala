@@ -3400,6 +3400,34 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // Gini concentration coefficient per group from the rank formula
+    // G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n — one partitioned rank window
+    // (tie-stable on event_id) + one hash aggregate
+    Q("agg_gini",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val cnt = Window.partitionBy(col("event_type"))
+        ev(s, d).select(col("event_type"), col("value"),
+          row_number().over(w).as("__i"),
+          count(lit(1)).over(cnt).as("__n"))
+          .groupBy(col("event_type"), col("__n"))
+          .agg(round(lit(2.0) * sum(col("__i") * col("value")) /
+            (col("__n") * sum(col("value"))) -
+            (col("__n") + lit(1.0)) / col("__n"), 6).as("gini"))
+          .select(col("event_type"), col("gini"), col("__n").as("n"))
+      },
+      Some("""WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS i,
+                      count(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+              SELECT event_type,
+                round(2.0 * sum(i * value) / (n * sum(value))
+                  - (n + 1.0) / n, 6) AS gini,
+                CAST(n AS BIGINT) AS n
+              FROM r GROUP BY event_type, n""")),
+
     // weighted k-per-group sampling (A-ES exponential keys): longer
     // documents proportionally likelier, deterministic via the portable
     // md5 uniform — one partitioned window, no RNG anywhere
