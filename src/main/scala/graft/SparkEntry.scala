@@ -3400,6 +3400,58 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // lag-1 autocorrelation per series from explicit moment sums over
+    // (x, prev x) pairs — one partitioned lag window + one hash agg,
+    // the Pearson formula spelled out so both engines run identical
+    // arithmetic (the anomalyZscore convention)
+    Q("agg_autocorr",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(evOrder: _*)
+        val p = ev(s, d).select(col("event_type"), col("value").as("__x"),
+          lag(col("value"), 1).over(w).as("__y"))
+          .filter(col("__y").isNotNull)
+        p.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round((count(lit(1)) * sum(col("__x") * col("__y")) -
+              sum(col("__x")) * sum(col("__y"))) /
+              sqrt((count(lit(1)) * sum(col("__x") * col("__x")) -
+                sum(col("__x")) * sum(col("__x"))) *
+                (count(lit(1)) * sum(col("__y") * col("__y")) -
+                  sum(col("__y")) * sum(col("__y")))), 6).as("autocorr"))
+      },
+      Some("""WITH p AS (SELECT event_type, value AS x,
+                      lag(value) OVER (PARTITION BY event_type
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS y
+                    FROM events)
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round((count(*) * sum(x * y) - sum(x) * sum(y))
+                  / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                    * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+                  AS autocorr
+              FROM p WHERE y IS NOT NULL GROUP BY event_type""")),
+
+    // maximum drawdown per user: running max then the largest drop from
+    // it — two stacked windows on the same (user, time) partition order,
+    // every step exact (max/subtract of raw doubles), no rounding needed
+    Q("win_drawdown",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d).select(col("user_id"), col("value"),
+          max(col("value")).over(w).as("__peak"))
+          .groupBy(col("user_id"))
+          .agg(max(col("__peak") - col("value")).as("max_drawdown"),
+            max(col("__peak")).as("peak"))
+      },
+      Some("""WITH x AS (SELECT user_id, value,
+                      max(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+                    FROM events)
+              SELECT user_id, max(peak - value) AS max_drawdown,
+                     max(peak) AS peak
+              FROM x GROUP BY user_id""")),
+
     // Gini concentration coefficient per group from the rank formula
     // G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n — one partitioned rank window
     // (tie-stable on event_id) + one hash aggregate
