@@ -3400,6 +3400,38 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // time-to-next-error per event (reliability/churn analytics): a
+    // running min of error timestamps over the REVERSED per-user order,
+    // frame ending 1 PRECEDING so "next" is strictly after — one
+    // partitioned window, exact µs arithmetic
+    Q("win_time_to_event",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d).select(col("event_id"), col("event_type"),
+          col("ts"),
+          min(when(col("event_type") === "error", col("ts"))).over(w)
+            .as("__next_err"))
+          .select(col("event_id"), col("event_type"),
+            ((unix_micros(col("__next_err").cast("timestamp")) -
+              unix_micros(col("ts").cast("timestamp"))) / lit(1e6))
+              .as("secs_to_error"))
+      },
+      Some("""WITH x AS (SELECT event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      min(CASE WHEN event_type = 'error'
+                            THEN CAST(ts AS TIMESTAMP) END)
+                        OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                            event_id DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS next_err
+                    FROM events)
+              SELECT event_id, event_type,
+                (epoch_us(next_err) - epoch_us(ts2)) / 1e6 AS secs_to_error
+              FROM x""")),
+
     // lag-1 autocorrelation per series from explicit moment sums over
     // (x, prev x) pairs — one partitioned lag window + one hash agg,
     // the Pearson formula spelled out so both engines run identical
