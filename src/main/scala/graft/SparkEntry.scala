@@ -3400,6 +3400,32 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // bigram-LM document scoring with hapax counts — the proper
+    // conditional p(w2|w1) over the corpus's own bigram statistics; the
+    // planted "dup dup dup" runs surface as high-probability repeats,
+    // garbled text as hapax-heavy (see TextOps.bigramLogProb)
+    Q("text_bigram_logprob",
+      (s, d) => TextOps.bigramLogProb(Tables.documents(s, d),
+        col("doc_id"), col("text")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(
+                      text)), '\\s+') AS toks FROM documents),
+              b AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg,
+                      unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i])) AS w1
+                    FROM t WHERE len(toks) >= 2),
+              bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+              uc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+              SELECT doc_id,
+                round(avg(log10(CAST(c2 AS DOUBLE) / c1)), 6)
+                  AS avg_logprob,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax
+              FROM b JOIN bc USING (bg) JOIN uc USING (w1)
+              GROUP BY doc_id""")),
+
     // time-to-next-error per event (reliability/churn analytics): a
     // running min of error timestamps over the REVERSED per-user order,
     // frame ending 1 PRECEDING so "next" is strictly after — one

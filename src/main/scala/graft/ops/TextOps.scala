@@ -202,6 +202,44 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Bigram-LM document scoring — the step up from [[unigramLogProb]]:
+    * p(w2|w1) = c(w1 w2) / c(w1 ·) over the corpus's own bigram counts
+    * (c(w1 ·) = bigrams starting with w1, so the conditional is proper
+    * and self-scoring needs no smoothing — every scored bigram has
+    * count ≥ 1). Emits the per-doc mean log10 probability plus the
+    * hapax-bigram count (bigrams seen exactly once corpus-wide — the
+    * garbled-text signal).
+    *
+    * Scale shape: bigram strings shuffle exactly where they must — the
+    * two count aggregates and the two scoring equi-joins, all hash-
+    * partitioned on the bigram/unigram key, never broadcast (the bigram
+    * vocabulary grows with the corpus, unlike the thresholded unigram
+    * vocabulary). Pair generation is a per-row codegen'd transform over
+    * the pre-materialized token array.
+    */
+  def bigramLogProb(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = df.select(idCol.as("__id"), Dedup.tokens(text).as("__t"))
+    val pairs = toks
+      .filter(size(col("__t")) >= 2)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(
+            element_at(col("__t"), i).as("__w1"),
+            concat_ws(" ", element_at(col("__t"), i),
+              element_at(col("__t"), i + 1)).as("__bg")))).as("__p"))
+      .select(col("__id"), col("__p.__w1").as("__w1"),
+        col("__p.__bg").as("__bg"))
+    val bc = pairs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    val uc = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    pairs.join(bc, "__bg").join(uc, "__w1")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(
+        round(avg(log10(col("__c2").cast("double") / col("__c1"))), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c2") === 1, 1).otherwise(0)).as("n_hapax"))
+  }
+
   def unigramLogProb(
       df: DataFrame,
       idCol: Column,
