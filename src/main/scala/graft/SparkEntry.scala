@@ -3400,6 +3400,47 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // SCD2 point-in-time join: the fact row joins the dimension VERSION
+    // whose [valid_from, valid_to) window covers its ship date — the
+    // warehouse pattern behind "price as of the order date". The
+    // versioned dim is synthesized from supplier with disjoint total
+    // windows; dim stays broadcast-sized (versions × suppliers), so the
+    // fact side never shuffles
+    Q("join_scd2",
+      (s, d) => {
+        val versions = array(
+          struct(lit("1900-01-01 00:00:00").as("vf"),
+            lit("1997-01-01 00:00:00").as("vt"), lit(1.0).as("f")),
+          struct(lit("1997-01-01 00:00:00").as("vf"),
+            lit("1999-07-01 00:00:00").as("vt"), lit(1.1).as("f")),
+          struct(lit("1999-07-01 00:00:00").as("vf"),
+            lit("9999-01-01 00:00:00").as("vt"), lit(1.2).as("f")))
+        val dim = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_acctbal"),
+            explode(versions).as("v"))
+          .select(col("s_suppkey"),
+            (col("s_acctbal") * col("v.f")).as("rate"),
+            col("v.vf").cast("timestamp").as("valid_from"),
+            col("v.vt").cast("timestamp").as("valid_to"))
+        Tables.lineitem(s, d)
+          .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+            col("l_shipdate") >= col("valid_from") &&
+            col("l_shipdate") < col("valid_to"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("rate"), 6).as("rate"))
+      },
+      Some("""WITH dim AS (SELECT s_suppkey, s_acctbal * f AS rate,
+                      CAST(vf AS TIMESTAMP) AS valid_from,
+                      CAST(vt AS TIMESTAMP) AS valid_to
+                    FROM supplier, (VALUES
+                      ('1900-01-01 00:00:00', '1997-01-01 00:00:00', 1.0),
+                      ('1997-01-01 00:00:00', '1999-07-01 00:00:00', 1.1),
+                      ('1999-07-01 00:00:00', '9999-01-01 00:00:00', 1.2))
+                      AS v(vf, vt, f))
+              SELECT l_orderkey, l_linenumber, round(rate, 6) AS rate
+              FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+                AND l_shipdate >= valid_from AND l_shipdate < valid_to""")),
+
     // bigram-LM document scoring with hapax counts — the proper
     // conditional p(w2|w1) over the corpus's own bigram statistics; the
     // planted "dup dup dup" runs surface as high-probability repeats,
