@@ -1541,6 +1541,43 @@ object SparkEntry {
                     CAST(ceil(length(text) / 64.0) AS INTEGER) - 1, 2)) * 64)
                   AS INTEGER) AS frame_len
               FROM documents""")),
+
+    // patch/tile grid for vision pipelines: every media fans out to its
+    // 128×128 tile coordinates (edge tiles clipped) — the pre-decode
+    // planning step that drives patch-level parallelism; pure integer
+    // arithmetic over the decoded dims, two stacked explodes for the 2D
+    // grid, zero-size media dropped identically in both engines
+    Q("mm_tile_grid",
+      (s, d) => {
+        val dec = Multimodal.decodeStub(Multimodal.asPayload(
+          Tables.documents(s, d), col("doc_id"), col("text")))
+        dec.select(col("media_id"), col("decoded.width").as("w"),
+          col("decoded.height").as("h"))
+          .filter(col("w") > 0 && col("h") > 0)
+          .withColumn("tx", explode(sequence(lit(0),
+            ceil(col("w") / lit(128.0)).cast("int") - 1)))
+          .withColumn("ty", explode(sequence(lit(0),
+            ceil(col("h") / lit(128.0)).cast("int") - 1)))
+          .select(col("media_id"), col("tx"), col("ty"),
+            least(lit(128), col("w") - col("tx") * 128).as("tile_w"),
+            least(lit(128), col("h") - col("ty") * 128).as("tile_h"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                      length(text) % 640 AS w, length(text) % 480 AS h
+                    FROM documents),
+              g AS (SELECT media_id, w, h,
+                      unnest(generate_series(0,
+                        CAST(ceil(w / 128.0) AS INTEGER) - 1)) AS tx
+                    FROM m WHERE w > 0 AND h > 0),
+              g2 AS (SELECT media_id, w, h, tx,
+                       unnest(generate_series(0,
+                         CAST(ceil(h / 128.0) AS INTEGER) - 1)) AS ty
+                     FROM g)
+              SELECT media_id, CAST(tx AS INTEGER) AS tx,
+                CAST(ty AS INTEGER) AS ty,
+                CAST(least(128, w - tx * 128) AS INTEGER) AS tile_w,
+                CAST(least(128, h - ty * 128) AS INTEGER) AS tile_h
+              FROM g2""")),
   )
 
   // ---------------------------------- engine-surface widening beyond
