@@ -3437,6 +3437,58 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // hour-of-day seasonal profile per series: hourly means plus each
+    // hour's deviation from the series' overall mean — two hash aggs
+    // and a broadcast of the per-type overall means
+    Q("agg_seasonal_profile",
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+          .agg(avg(col("value")).as("__m"), count(lit(1)).as("n"))
+        val overall = ev(s, d).groupBy(col("event_type").as("__t"))
+          .agg(avg(col("value")).as("__o"))
+        hourly.join(broadcast(overall), col("event_type") === col("__t"))
+          .select(col("event_type"), col("hod"),
+            round(col("__m"), 6).as("mean_v"),
+            round(col("__m") - col("__o"), 6).as("dev_from_overall"),
+            col("n"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                      hour(CAST(ts AS TIMESTAMP)) AS hod,
+                      avg(value) AS m, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              o AS (SELECT event_type, avg(value) AS o FROM events
+                    GROUP BY 1)
+              SELECT event_type, CAST(hod AS INTEGER) AS hod,
+                round(m, 6) AS mean_v,
+                round(m - o, 6) AS dev_from_overall,
+                CAST(n AS BIGINT) AS n
+              FROM h JOIN o USING (event_type)""")),
+
+    // day-over-day ingest-volume drift: daily counts, lag-1 delta, and
+    // a >50% swing flag — the window runs over AGGREGATE output (one
+    // row per day), so the single-partition sort is calendar-sized,
+    // never data-sized
+    Q("dq_row_drift",
+      (s, d) => {
+        val w = Window.orderBy(col("day"))
+        ev(s, d).groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("day"), col("n"),
+            (col("n") - lag(col("n"), 1).over(w)).as("delta"),
+            (abs(col("n") - lag(col("n"), 1).over(w)) >
+              lag(col("n"), 1).over(w) * lit(0.5)).cast("int")
+              .as("drift_flag"))
+      },
+      Some("""WITH dcnt AS (SELECT CAST(ts AS DATE) AS day,
+                      count(*) AS n FROM events GROUP BY 1)
+              SELECT day, CAST(n AS BIGINT) AS n,
+                CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta,
+                CAST(abs(n - lag(n) OVER (ORDER BY day))
+                  > lag(n) OVER (ORDER BY day) * 0.5 AS INTEGER)
+                  AS drift_flag
+              FROM dcnt""")),
+
     // SCD2 point-in-time join: the fact row joins the dimension VERSION
     // whose [valid_from, valid_to) window covers its ship date — the
     // warehouse pattern behind "price as of the order date". The
