@@ -215,7 +215,12 @@ object TextOps {
     * partitioned on the bigram/unigram key, never broadcast (the bigram
     * vocabulary grows with the corpus, unlike the thresholded unigram
     * vocabulary). Pair generation is a per-row codegen'd transform over
-    * the pre-materialized token array.
+    * the pre-materialized token array, and the pair table persists
+    * behind a cache boundary — it has THREE consumers (both count
+    * aggregates and the scoring join) and Spark does not share a
+    * subplan across branches, so without the cache the corpus would be
+    * re-tokenized three times (the Dedup cache contract: the harness
+    * clears caches between queries).
     */
   def bigramLogProb(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = df.select(idCol.as("__id"), Dedup.tokens(text).as("__t"))
@@ -229,6 +234,7 @@ object TextOps {
               element_at(col("__t"), i + 1)).as("__bg")))).as("__p"))
       .select(col("__id"), col("__p.__w1").as("__w1"),
         col("__p.__bg").as("__bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = pairs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
     val uc = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
     pairs.join(bc, "__bg").join(uc, "__w1")
