@@ -3437,6 +3437,35 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // OHLC MERGEABILITY (the continuous-aggregate rollup property):
+    // weekly candles computed by MERGING daily candles — open/close
+    // re-argmin/argmax over the day key, high/low/n re-min/max/sum —
+    // must equal candles computed directly from raw events, which is
+    // what the oracle does. At scale this is why a daily rollup can
+    // serve any coarser granularity without rescanning the facts
+    Q("agg_ohlc_merge",
+      (s, d) => {
+        val daily = TimeSeries.ohlc(ev(s, d), col("event_type"),
+          date_trunc("day", col("ts")), col("ts"), col("value"),
+          col("event_id"))
+        daily.groupBy(col("series"),
+          to_date(date_trunc("week", col("bucket"))).as("week"))
+          .agg(min_by(col("open"), col("bucket")).as("open"),
+            max(col("high")).as("high"), min(col("low")).as("low"),
+            max_by(col("close"), col("bucket")).as("close"),
+            sum(col("n")).as("n"))
+      },
+      Some("""WITH k AS (SELECT event_type, date_trunc('week', ts) AS wk,
+                      value,
+                      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                    FROM events)
+              SELECT event_type AS series, wk AS week,
+                arg_min(value, ok) AS open, max(value) AS high,
+                min(value) AS low, arg_max(value, ok) AS close,
+                CAST(count(*) AS BIGINT) AS n
+              FROM k GROUP BY 1, 2""")),
+
     // hour-of-day seasonal profile per series: hourly means plus each
     // hour's deviation from the series' overall mean — two hash aggs
     // and a broadcast of the per-type overall means
