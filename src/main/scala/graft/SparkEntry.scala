@@ -3437,6 +3437,95 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // trailing 50-row rolling correlation of value with its lag-1 — six
+    // frame aggregates feeding the explicit Pearson formula; guarded to
+    // frames with variance on both sides so the degenerate 0/0 is NULL
+    // identically in both engines
+    Q("win_rolling_corr",
+      (s, d) => {
+        val ord = Window.partitionBy(col("event_type"))
+          .orderBy(evOrder: _*)
+        val f = ord.rowsBetween(-49, 0)
+        val base = ev(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value").as("x"),
+          lag(col("value"), 1).over(ord).as("y"))
+          .filter(col("y").isNotNull)
+        val (n, sx, sy) = (count(lit(1)).over(f).cast("double"),
+          sum(col("x")).over(f), sum(col("y")).over(f))
+        val (sxy, sxx, syy) = (sum(col("x") * col("y")).over(f),
+          sum(col("x") * col("x")).over(f),
+          sum(col("y") * col("y")).over(f))
+        val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        base.select(col("event_id"),
+          when(den > 0,
+            round((n * sxy - sx * sy) / sqrt(den), 6)).as("roll_corr"))
+      },
+      Some("""WITH b AS (SELECT event_id, event_type, value AS x,
+                      lag(value) OVER (PARTITION BY event_type
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS y,
+                      CAST(ts AS TIMESTAMP) AS ts2
+                    FROM events),
+              w AS (SELECT event_id,
+                      CAST(count(*) OVER f AS DOUBLE) AS n,
+                      sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+                      sum(x * y) OVER f AS sxy,
+                      sum(x * x) OVER f AS sxx,
+                      sum(y * y) OVER f AS syy
+                    FROM b WHERE y IS NOT NULL
+                    WINDOW f AS (PARTITION BY event_type
+                      ORDER BY ts2, event_id
+                      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+              SELECT event_id,
+                CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                  THEN round((n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS roll_corr
+              FROM w""")),
+
+    // funnel conversion rate per weekly cohort: composes cohortRetention's
+    // first-week table with funnelTimes' completion flags — one
+    // broadcastable per-user join, exact integer ratios
+    Q("agg_conversion_by_cohort",
+      (s, d) => {
+        val e = ev(s, d)
+        val first = e
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("__wk"))
+          .groupBy(col("user_id")).agg(min(col("__wk")).as("cohort_week"))
+        val t = EventAnalytics.funnelTimes(e, col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        first.join(t.select(col("user_id"), col("t3")), Seq("user_id"),
+            "left")
+          .groupBy(col("cohort_week"))
+          .agg(count(lit(1)).cast("int").as("n_users"),
+            sum(when(col("t3").isNotNull, 1).otherwise(0)).cast("int")
+              .as("n_converted"),
+            round(sum(when(col("t3").isNotNull, 1).otherwise(0)) /
+              count(lit(1)), 6).as("conversion_rate"))
+      },
+      Some("""WITH ev0 AS (SELECT user_id, event_type,
+                       CAST(events.ts AS TIMESTAMP) AS ts,
+                       date_trunc('week', events.ts) AS wk FROM events),
+              f AS (SELECT user_id, min(wk) AS cohort_week FROM ev0
+                    GROUP BY 1),
+              v AS (SELECT user_id, min(ts) AS t1 FROM ev0
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev0 e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev0 e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    GROUP BY 1)
+              SELECT cohort_week,
+                CAST(count(*) AS INTEGER) AS n_users,
+                CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS INTEGER) AS n_converted,
+                round(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*), 6) AS conversion_rate
+              FROM f LEFT JOIN p USING (user_id)
+              GROUP BY cohort_week""")),
+
     // OHLC MERGEABILITY (the continuous-aggregate rollup property):
     // weekly candles computed by MERGING daily candles — open/close
     // re-argmin/argmax over the day key, high/low/n re-min/max/sum —
