@@ -3437,6 +3437,42 @@ object SparkEntry {
                        AS abs_dev
               FROM c, t""")),
 
+    // character-level near-dup pairs: exact Levenshtein inside cheap
+    // prefix blocks — catches typo/OCR edits that token shingles dilute;
+    // integer distances, so no float anywhere (see Dedup.editDistancePairs)
+    Q("dedup_edit_distance",
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), prefixLen = 12, maxDist = 20),
+      Some("""WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+                    FROM documents),
+              p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                      levenshtein(a.t, c.t) AS dist
+                    FROM d a JOIN d c
+                      ON substring(a.t, 1, 12) = substring(c.t, 1, 12)
+                      AND a.doc_id < c.doc_id)
+              SELECT id1, id2, CAST(dist AS INTEGER) AS dist
+              FROM p WHERE dist <= 20""")),
+
+    // robust dispersion: per-group median absolute deviation — two
+    // exact-percentile stages, the group median broadcast back for the
+    // deviation pass (the winsorize/median-impute shape)
+    Q("agg_mad",
+      (s, d) => {
+        val med = ev(s, d).groupBy(col("event_type").as("__t"))
+          .agg(expr("percentile(value, 0.5D)").as("__m"))
+        ev(s, d).join(broadcast(med), col("event_type") === col("__t"))
+          .groupBy(col("event_type"))
+          .agg(round(min(col("__m")), 6).as("median"),
+            round(expr("percentile(abs(value - __m), 0.5D)"), 6).as("mad"))
+      },
+      Some("""WITH m AS (SELECT event_type,
+                      quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY 1)
+              SELECT e.event_type, round(min(med), 6) AS median,
+                round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+              FROM events e JOIN m USING (event_type)
+              GROUP BY e.event_type""")),
+
     // trailing 50-row rolling correlation of value with its lag-1 — six
     // frame aggregates feeding the explicit Pearson formula; guarded to
     // frames with variance on both sides so the degenerate 0/0 is NULL

@@ -422,4 +422,35 @@ object Dedup {
           col("n_spans"), 6).as("dup_frac"))
     (out, base)
   }
+
+  /** Edit-distance near-duplicate pairs — the dedup variant that catches
+    * CHARACTER-level edits (typos, OCR noise, small insertions) that
+    * token-shingle methods dilute. Candidate pairs come from a cheap
+    * prefix block (documents whose normalized text shares the first
+    * `prefixLen` chars), then exact Levenshtein ≤ `maxDist` inside each
+    * block. The blocking contract is the usual one (the minhash
+    * `maxBucketSize` family): recall is bounded by the blocking key —
+    * an edit inside the prefix escapes the block, which is the explicit
+    * trade for never running the O(len²) distance on the cross product.
+    * Scale shape: one equi-join on the block key, distances computed
+    * only on in-block pairs, integer output (no float drift anywhere).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val base = df.select(idCol.as("__id"), lower(trim(text)).as("__t"))
+      .withColumn("__blk", substring(col("__t"), 1, prefixLen))
+    val left = base.select(col("__blk"), col("__id").as("id1"),
+      col("__t").as("__t1"))
+    val right = base.select(col("__blk"), col("__id").as("id2"),
+      col("__t").as("__t2"))
+    left.join(right, Seq("__blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__t1"), col("__t2")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }
