@@ -431,9 +431,12 @@ object Dedup {
     * block. The blocking contract is the usual one (the minhash
     * `maxBucketSize` family): recall is bounded by the blocking key —
     * an edit inside the prefix escapes the block, which is the explicit
-    * trade for never running the O(len²) distance on the cross product.
-    * Scale shape: one equi-join on the block key, distances computed
-    * only on in-block pairs, integer output (no float drift anywhere).
+    * trade for never running the quadratic distance on the cross
+    * product. Scale shape: one equi-join on the block key; in-block
+    * pairs first pass the free length guard (|len a − len b| > d ⟹
+    * dist > d), then the THRESHOLDED Levenshtein — banded O(len·d)
+    * instead of O(len²), ~len/d times cheaper per surviving pair.
+    * Integer output, no float drift anywhere.
     */
   def editDistancePairs(
       df: DataFrame,
@@ -449,8 +452,11 @@ object Dedup {
       col("__t").as("__t2"))
     left.join(right, Seq("__blk"))
       .filter(col("id1") < col("id2"))
+      .filter(abs(length(col("__t1")) - length(col("__t2"))) <= maxDist)
+      // thresholded form returns −1 above the bound (and computes the
+      // banded DP); equal to the plain distance whenever dist ≤ maxDist
       .select(col("id1"), col("id2"),
-        levenshtein(col("__t1"), col("__t2")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__t1"), col("__t2"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
