@@ -209,18 +209,41 @@ object ExportJob {
     }.toMap -> labeled
   }
 
+  /** float32 downcast of the feature matrix, the reference's deliberate
+    * export narrowing for ML-consumer speed ("spaltenorientiert, schnell
+    * für XGBoost", docs/req.md:373-375; the float casts at
+    * export_pipeline.py:258-262): every DoubleType column becomes
+    * FloatType. Opt-in because it halves X storage/IO at the cost of
+    * ~7 significant digits — right for gradient-boosted consumers,
+    * wrong for an exact-arithmetic downstream. Non-double columns
+    * (ids, timestamps, the label) pass through untouched.
+    */
+  def downcastFloat32(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        acc.withColumn(f.name, col(f.name).cast("float"))
+      else acc
+    }
+
   /** Writes each split's X/y as parquet under `dir`, optionally
     * timestamp-versioned (`X_train_<stamp>.parquet` style). Pairing
     * relies on the documented total-order contract of the two sorted
     * writes — prefer [[writeSplitsUnified]]/[[readXy]], which removes
-    * the alignment hazard structurally. */
+    * the alignment hazard structurally.
+    *
+    * `float32X = true` applies [[downcastFloat32]] to the X side only —
+    * the label keeps full precision (export_pipeline.py narrows the
+    * feature matrix, not y).
+    */
   def writeSplits(
       splits: Map[String, (DataFrame, DataFrame)],
       dir: String,
-      version: Option[String] = None): Unit = {
+      version: Option[String] = None,
+      float32X: Boolean = false): Unit = {
     val suffix = version.map("_" + _).getOrElse("")
     splits.foreach { case (name, (x, y)) =>
-      x.write.mode("overwrite").parquet(s"$dir/X_$name$suffix.parquet")
+      val xOut = if (float32X) downcastFloat32(x) else x
+      xOut.write.mode("overwrite").parquet(s"$dir/X_$name$suffix.parquet")
       y.write.mode("overwrite").parquet(s"$dir/y_$name$suffix.parquet")
     }
   }
@@ -282,14 +305,22 @@ object ExportJob {
   }
 
   /** One parquet per split (`xy_<name><suffix>.parquet`), features and
-    * target together. */
+    * target together.
+    *
+    * `float32Cols` names the feature columns to narrow to FloatType on
+    * write (the [[downcastFloat32]] contract, per-column because the
+    * unified file carries the label too and the label must keep full
+    * precision). */
   def writeSplitsUnified(
       splits: Map[String, DataFrame],
       dir: String,
-      version: Option[String] = None): Unit = {
+      version: Option[String] = None,
+      float32Cols: Seq[String] = Nil): Unit = {
     val suffix = version.map("_" + _).getOrElse("")
     splits.foreach { case (name, xy) =>
-      xy.write.mode("overwrite").parquet(s"$dir/xy_$name$suffix.parquet")
+      val out = float32Cols.foldLeft(xy)((df, c) =>
+        df.withColumn(c, col(c).cast("float")))
+      out.write.mode("overwrite").parquet(s"$dir/xy_$name$suffix.parquet")
     }
   }
 

@@ -94,6 +94,29 @@ class ServingExportSpec extends SparkSpecBase {
     assert(back.count() == splits("train")._1.count())
   }
 
+  test("float32 export narrows X doubles, keeps y and the unified label") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_f32").toString
+    val feats = ev.withColumn("y", col("value") * 2)
+    // X/y form: every double feature narrows, ids stay, y stays double
+    val splits = ExportJob.splitXy(feats, date_trunc("week", col("ts")),
+      Seq(col("ts"), col("event_id")), 0.3, Seq("event_id", "value"), "y")
+    ExportJob.writeSplits(splits, tmp, float32X = true)
+    val x = spark.read.parquet(s"$tmp/X_train.parquet").schema
+    assert(x("value").dataType == FloatType)
+    assert(x("event_id").dataType == LongType)
+    val y = spark.read.parquet(s"$tmp/y_train.parquet").schema
+    assert(y("y").dataType == DoubleType)
+    // unified form: only the NAMED feature columns narrow — the label
+    // shares the file and must keep full precision
+    val uni = ExportJob.splitUnified(feats, date_trunc("week", col("ts")),
+      Seq(col("ts"), col("event_id")), 0.3, Seq("event_id", "value"), "y")
+    ExportJob.writeSplitsUnified(uni, tmp, float32Cols = Seq("value"))
+    val xy = spark.read.parquet(s"$tmp/xy_train.parquet").schema
+    assert(xy("value").dataType == FloatType)
+    assert(xy("y").dataType == DoubleType)
+  }
+
   test("unified calendar split: boundaries, totality, dropna, guard") {
     val withNulls = ev
       .withColumn("y", when(col("event_id") % 10 === 0,
