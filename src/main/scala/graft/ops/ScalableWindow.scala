@@ -44,6 +44,12 @@ object ScalableWindow {
     * anyway (AQE-style: observed stats pick the physical plan). */
   val SmallInputRows: Long = 1L << 17
 
+  /** Upper bound on bucket cardinality — the routing table is a driver
+    * collect + broadcast, so it must stay dimension-sized (a century of
+    * daily buckets is ~36k; 128k leaves generous headroom without
+    * letting a per-key bucket slip through). */
+  val MaxBuckets: Int = 1 << 17
+
   /** Adds window columns defined against a global `orderCols` ordering.
     *
     * @param bucket      coarse bucket expression, monotone non-decreasing
@@ -75,6 +81,17 @@ object ScalableWindow {
     require(counts.forall(_.get(0) != null),
       "ScalableWindow: bucket expression produced NULL (null rows in " +
         "the ordering column?) — filter or impute them before windowing")
+    // coarse-bucket contract, enforced like flagInRanges' tiny-dim one:
+    // the routing table lives on the driver and is broadcast, so bucket
+    // cardinality must stay dimension-sized (daily buckets over a
+    // century ≈ 36k). A fine-grained bucket (per-second, per-key) would
+    // mean an unbounded driver collect — that's a partitioning bug at
+    // the call site, so fail fast instead of OOMing the driver.
+    require(counts.length <= MaxBuckets,
+      s"ScalableWindow: ${counts.length} buckets exceeds the coarse-" +
+        s"bucket contract (> $MaxBuckets); choose a coarser bucket " +
+        "expression (day/week/month) so the routing table stays " +
+        "driver-sized")
 
     if (counts.map(_.getLong(1)).sum <= smallInput) {
       // bounded series (e.g. hourly post-aggregation): one partition is

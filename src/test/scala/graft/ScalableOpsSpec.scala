@@ -225,6 +225,20 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("ScalableWindow fails fast on a fine-grained bucket expression") {
+    // bucket = the row id itself: one bucket per row, the partitioning
+    // bug the coarse-bucket contract exists to catch (the routing table
+    // would be input-sized on the driver)
+    val df = spark.range(ScalableWindow.MaxBuckets + 1L)
+      .select($"id", $"id".cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      ScalableWindow.withTrailingColumns(df, $"id", Seq($"id"), 1,
+        smallInput = 0)("prev" -> (w => lag($"v", 1).over(w)))
+        .count()
+    }
+    assert(e.getMessage.contains("coarse"))
+  }
+
   test("GapFill: LOCF and interpolation pin edge and interior semantics") {
     // series: leading gap, known 10, gap, gap, known 40, trailing gap
     val rows = Seq[(String, Int, java.lang.Double)](
