@@ -65,6 +65,13 @@ object Sampling {
     * deterministic, rerun-stable, and engine-replicable — no RNG ships.
     * Same scale shape as [[fixedKPerGroup]]: one partitioned window,
     * per-group sort over group-sized data.
+    *
+    * Weight contract: A-ES is defined for `weight > 0`. Non-positive
+    * weights are pinned to key = +∞ (w = 0 lands there naturally via
+    * −ln(u)/0; a NEGATIVE w would otherwise produce a negative key that
+    * ranks FIRST, silently inverting the semantics) — such rows can
+    * only enter the sample as tail-fillers when a group has fewer than
+    * k positively-weighted rows.
     */
   def weightedKPerGroup(
       df: DataFrame,
@@ -80,7 +87,9 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(col("__key"), idCol)
-    df.withColumn("__key", (lit(0.0) - log(u)) / weight)
+    df.withColumn("__key",
+        when(weight > 0, (lit(0.0) - log(u)) / weight)
+          .otherwise(lit(Double.PositiveInfinity)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__key", "__rn")
