@@ -18,6 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * buffers one user's events of one micro-batch for the sort; persistent
   * state stays two scalars. Bound per-batch volume via
   * `maxFilesPerTrigger` on the file source.
+  *
+  * ORDERING PRECONDITION (cross-batch): the per-batch sort only orders
+  * events WITHIN a micro-batch, and the greedy state advance never
+  * rolls a stage time back — so streaming ≡ batch holds only when
+  * batches arrive in global (ts, event_id) order. With a multi-file
+  * source under `maxFilesPerTrigger`, that means files must be
+  * time-partitioned and delivered in time order; an earlier-ts
+  * qualifying event landing in a LATER batch can lock in a later stage
+  * time than the batch semantics would. The harness satisfies this
+  * trivially (single file, one batch); a deployment must provide it.
   */
 object FunnelStream {
 
