@@ -160,8 +160,14 @@ object SparkEntry {
         val prices = transform(col("arr"), x =>
           struct(x.getField("event_id").as("t"),
             mkComponents(x).as("components")))
+        // one document per (event_type, hour), NOT per event_type: a
+        // per-type doc concatenates the type's whole history into one
+        // JSON string — multi-MB rows at sf0.1, GB rows at 100× (row
+        // size must be bounded by a RATE, not by table size). Hourly
+        // docs match the reference's per-delivery tariff payloads and
+        // keep the bench timing the parser, not string construction.
         val docs = ev(s, d)
-          .groupBy(col("event_type"))
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")))
           .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
             .as("arr"))
           .select(to_json(struct(prices.as("prices"))).as("js"))
@@ -173,14 +179,22 @@ object SparkEntry {
     Q("scan_xml_points",
       (s, d) => {
         // ENTSO-E Period documents synthesized per event_type; parse must
-        // reconstruct point_ts = start + (position-1)*PT15M
+        // reconstruct point_ts = start + (position-1)*resolution. Each
+        // event_type carries a DIFFERENT resolution code so all four
+        // branches of the reference's PT15M/PT30M/PT60M/P1D map
+        // (entsoe_collector.py:446-448) are oracle-checked, not just
+        // the 15-minute one.
+        val resCode = when(col("event_type") === "view", "PT30M")
+          .when(col("event_type") === "purchase", "PT60M")
+          .when(col("event_type") === "error", "P1D")
+          .otherwise("PT15M")
         val docs = ev(s, d)
           .groupBy(col("event_type"))
           .agg(array_sort(collect_list(
             struct(col("ts"), col("event_id"), col("value")))).as("arr"))
           .select(col("event_type"), concat(
             lit("<Period><timeInterval><start>2024-01-01T00:00Z</start>" +
-              "</timeInterval><resolution>PT15M</resolution>"),
+              "</timeInterval><resolution>"), resCode, lit("</resolution>"),
             concat_ws("", transform(col("arr"), (x, i) =>
               concat(lit("<Point><position>"), (i + 1).cast("string"),
                 lit("</position><price.amount>"),
@@ -192,7 +206,10 @@ object SparkEntry {
       },
       Some("""SELECT event_type,
                 TIMESTAMP '2024-01-01 00:00:00'
-                  + to_minutes(15 * (row_number() OVER
+                  + to_minutes((CASE event_type WHEN 'view' THEN 30
+                      WHEN 'purchase' THEN 60 WHEN 'error' THEN 1440
+                      ELSE 15 END)
+                    * (row_number() OVER
                       (PARTITION BY event_type ORDER BY ts, event_id) - 1))
                   AS point_ts,
                 value AS price
@@ -1887,8 +1904,6 @@ object SparkEntry {
                 e.value * coalesce(d.weight, 0.0) AS weighted
               FROM events e LEFT JOIN dim d USING (event_type)""")),
 
-    // win_sessionize's stateful-streaming twin: flatMapGroupsWithState
-    // custom state per user; must equal the batch window formulation
     // stateful streaming funnel: two-scalar per-user state advanced by
     // the same strictly-after rule as agg_funnel — the oracle IS the
     // batch funnel histogram, so streaming ≡ batch is the verified
@@ -1913,6 +1928,8 @@ object SparkEntry {
               FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
               GROUP BY 1""")),
 
+    // win_sessionize's stateful-streaming twin: flatMapGroupsWithState
+    // custom state per user; must equal the batch window formulation
     Q("stream_sessionize",
       (s, d) => graft.streaming.SessionizeStream.runToCompletion(s, d)
         .select(col("event_id"), col("user_id"), col("session_id")),
@@ -3442,14 +3459,20 @@ object SparkEntry {
     // integer distances, so no float anywhere (see Dedup.editDistancePairs)
     Q("dedup_edit_distance",
       (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
-        col("doc_id"), col("text"), prefixLen = 12, maxDist = 20),
-      Some("""WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+        col("doc_id"), col("text"), prefixLen = 12, maxDist = 20,
+        maxBlockSize = 64),
+      Some("""WITH d0 AS (SELECT doc_id, lower(trim(text)) AS t
                     FROM documents),
+              d AS (SELECT doc_id, t,
+                      count(*) OVER (PARTITION BY substring(t, 1, 12))
+                        AS bn
+                    FROM d0),
               p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
                       levenshtein(a.t, c.t) AS dist
                     FROM d a JOIN d c
                       ON substring(a.t, 1, 12) = substring(c.t, 1, 12)
-                      AND a.doc_id < c.doc_id)
+                      AND a.doc_id < c.doc_id
+                    WHERE a.bn <= 64 AND c.bn <= 64)
               SELECT id1, id2, CAST(dist AS INTEGER) AS dist
               FROM p WHERE dist <= 20""")),
 
@@ -3806,9 +3829,15 @@ object SparkEntry {
           row_number().over(w).as("__i"),
           count(lit(1)).over(cnt).as("__n"))
           .groupBy(col("event_type"), col("__n"))
-          .agg(round(lit(2.0) * sum(col("__i") * col("value")) /
-            (col("__n") * sum(col("value"))) -
-            (col("__n") + lit(1.0)) / col("__n"), 6).as("gini"))
+          // zero-sum guard: a group whose values sum to 0 (possible
+          // with signed values) divides by zero — Spark's non-ANSI
+          // division yields NULL while DuckDB yields ±inf/nan, so the
+          // degenerate case must be pinned to NULL explicitly on BOTH
+          // sides (the win_rolling_corr / f_minmax_scale convention)
+          .agg(round(when(sum(col("value")) =!= 0,
+            lit(2.0) * sum(col("__i") * col("value")) /
+              (col("__n") * sum(col("value"))) -
+              (col("__n") + lit(1.0)) / col("__n")), 6).as("gini"))
           .select(col("event_type"), col("gini"), col("__n").as("n"))
       },
       Some("""WITH r AS (SELECT event_type, value,
@@ -3817,8 +3846,9 @@ object SparkEntry {
                       count(*) OVER (PARTITION BY event_type) AS n
                     FROM events)
               SELECT event_type,
-                round(2.0 * sum(i * value) / (n * sum(value))
-                  - (n + 1.0) / n, 6) AS gini,
+                round(CASE WHEN sum(value) <> 0 THEN
+                    2.0 * sum(i * value) / (n * sum(value))
+                      - (n + 1.0) / n END, 6) AS gini,
                 CAST(n AS BIGINT) AS n
               FROM r GROUP BY event_type, n""")),
 
@@ -4062,6 +4092,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.key -> q.fn).toMap
+
+  /** `queries` in declaration order. The Map above hashes its keys, so
+    * its iteration order is arbitrary AND changes whenever a key is
+    * added — a benchmark that iterates it runs the suite in a different
+    * order every round, which makes per-query times incomparable across
+    * rounds (JVM age, GC pressure, and codegen-cache state at query N
+    * depend on everything that ran before it). Bench iterates this. */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    all.map(q => q.key -> q.fn)
 
   def oracleSql: Map[String, String] =
     all.collect { case Q(k, _, Some(sql)) =>

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -437,15 +438,33 @@ object Dedup {
     * dist > d), then the THRESHOLDED Levenshtein — banded O(len·d)
     * instead of O(len²), ~len/d times cheaper per surviving pair.
     * Integer output, no float drift anywhere.
+    *
+    * `maxBlockSize` bounds the in-block quadratic: a block larger than
+    * the cap is dropped ENTIRELY (both sides — no partial pairs), the
+    * same contract as the minhash `maxBucketSize`. A hot prefix block
+    * is exactly the boilerplate-header case (OCR banners, templated
+    * docs) where a shared prefix says nothing about near-duplication —
+    * one such block at corpus scale would otherwise cost
+    * |block|²·len·d. Documents in dropped blocks still reach the
+    * shingle-based dedups, whose candidate keys don't collapse on a
+    * common prefix.
     */
   def editDistancePairs(
       df: DataFrame,
       idCol: Column,
       text: Column,
       prefixLen: Int,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBlockSize: Int = 64): DataFrame = {
+    // whole-partition count (no ORDER BY): one shuffle on the block key,
+    // which the self-join below needs anyway — the cap costs no extra
+    // exchange
+    val blockCount = Window.partitionBy(col("__blk"))
     val base = df.select(idCol.as("__id"), lower(trim(text)).as("__t"))
       .withColumn("__blk", substring(col("__t"), 1, prefixLen))
+      .withColumn("__bn", count(lit(1)).over(blockCount))
+      .filter(col("__bn") <= maxBlockSize)
+      .drop("__bn")
     val left = base.select(col("__blk"), col("__id").as("id1"),
       col("__t").as("__t1"))
     val right = base.select(col("__blk"), col("__id").as("id2"),

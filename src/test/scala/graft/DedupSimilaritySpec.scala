@@ -212,4 +212,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // collision is legitimate — require most, not all)
     assert(survivors.count(_ >= 6000L) >= 15)
   }
+
+  test("editDistancePairs drops oversized prefix blocks entirely") {
+    // hot block: 10 docs sharing a 12-char boilerplate prefix, pairwise
+    // distance 1 — the OCR/templated-corpus degenerate case the cap is
+    // for. Small block: a genuine typo pair that must still be found.
+    val hot = (1 to 10).map(i => (100L + i, s"boilerplate: doc body $i"))
+    val df = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"),
+      (3L, "entirely different text with no shared prefix")) ++ hot)
+      .toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(df, col("doc_id"), col("text"),
+        prefixLen = 12, maxDist = 5, maxBlockSize = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"hot block must contribute no pairs, got $capped")
+    // same data, cap lifted: the hot block's 45 pairs flood back in —
+    // proves the cap (not the distance bound) is what contained it
+    val uncapped = Dedup.editDistancePairs(df, col("doc_id"), col("text"),
+      prefixLen = 12, maxDist = 5, maxBlockSize = 1000)
+    assert(uncapped.count() == 46)
+  }
 }
