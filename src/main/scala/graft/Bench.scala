@@ -1,15 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: times every registered query at
+  * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parseable JSON line.
+  *
+  * Output contract (driver-facing):
+  *  - stdout carries EXACTLY one line — the result JSON — so a parser
+  *    can take the first (or last) stdout line without scraping logs;
+  *  - the same JSON is also written to `SPARK_GRAFT_BENCH_OUT`
+  *    (default `bench_result.json` in the working directory), so a
+  *    truncated stdout capture can never lose the totals again;
+  *  - all progress/diagnostics go to stderr.
+  *
+  * Knobs (env):
+  *  - `SPARK_GRAFT_QUERIES`: comma-separated allowlist — run only these
+  *    queries (fresh-JVM single-query timing, A/B experiments);
+  *  - `SPARK_GRAFT_RESTART_EVERY`: rebuild the SparkSession after every
+  *    N queries (0 = never). Long single-JVM suites age: listener-bus
+  *    and session-state accumulation, codegen-cache churn. A restart
+  *    bounds session-level aging; JIT and loaded classes persist (JVM
+  *    scope), so restarting does not re-pay the warmup.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    val restartEvery = sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "0").toInt
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    var spark = session(cpus)
     // JVM/codegen/parquet-writer warmup outside the timed loop — first-
     // query JIT and writer-class-loading costs (~4 s) would otherwise be
     // attributed to whichever query happens to run first
@@ -27,7 +59,19 @@ object Bench {
         Tables.eventsChunked(spark, sfDir, span._1, span._2).count()
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // declaration order, NOT Map hash order: stable across rounds even
+    // as keys are added, so per-query times stay comparable round-over-
+    // round and position-dependent effects (JVM aging) are visible
+    // instead of being reshuffled into noise
+    val selected = SparkEntry.orderedQueries
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val n = selected.size
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        spark.stop()
+        spark = session(cpus)
+      }
       val t0 = System.nanoTime()
       // noop-format write evaluates the FULL selected plan — a bare
       // .count() would let Catalyst prune every unreferenced column,
@@ -40,6 +84,7 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${i + 1}%3d/$n $name%-28s $elapsed%8.3f s")
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside
       // the timed window — teardown is not the query's cost)
@@ -52,8 +97,12 @@ object Bench {
     // a failing query must not pass off its time-to-throw as a result:
     // it reports as -1 in `queries`, is excluded from `value`, and is
     // listed in `failed`
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }
