@@ -4066,11 +4066,209 @@ object SparkEntry {
               FROM events""")),
   )
 
+  // ---------------------------------------------------------------- §2.17
+  private val hyper2 = Seq(
+    // per-key percent change vs the previous reading (TimescaleDB
+    // `delta`/`pct_change` family) — one partitioned lag, zero-guard on
+    // the divisor pinned to NULL on both engines
+    Q("f_pct_change",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        ev(s, d).select(col("event_id"),
+          lag(col("value"), 1).over(w).as("__p"), col("value"))
+          .select(col("event_id"),
+            round(when(col("__p") =!= 0,
+              (col("value") - col("__p")) / col("__p")), 6).as("pct_change"))
+      },
+      Some("""WITH t AS (SELECT event_id, value,
+                      lag(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                    FROM events)
+              SELECT event_id,
+                round(CASE WHEN p <> 0 THEN (value - p) / p END, 6)
+                  AS pct_change
+              FROM t""")),
+
+    // time-in-state accounting (TimescaleDB state_agg): dwell time =
+    // hold each event's type until the user's next event; exact integer
+    // microsecond sums
+    Q("agg_state_durations",
+      (s, d) => TimeSeries.stateDurations(ev(s, d), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"), keyName = "user_id"),
+      Some("""WITH t AS (SELECT user_id, event_type AS state,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                    FROM events)
+              SELECT user_id, state,
+                round(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6, 6)
+                  AS dur_secs
+              FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2""")),
+
+    // missing-data gap listing per series (the outage twin of
+    // dq_heartbeat_uptime): intervals between consecutive points longer
+    // than 15 minutes
+    Q("dq_gap_detect",
+      (s, d) => TimeSeries.gapDetect(ev(s, d), col("event_type"),
+        col("ts"), col("event_id"), thresholdSeconds = 900,
+        seriesName = "event_type"),
+      Some("""WITH t AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts2,
+                      lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                    FROM events)
+              SELECT event_type, ts2 AS gap_start, nxt AS gap_end,
+                round(CAST(epoch_us(nxt - ts2) AS DOUBLE) / 1e6, 6)
+                  AS gap_secs
+              FROM t WHERE nxt IS NOT NULL
+                AND epoch_us(nxt - ts2) > CAST(900 AS BIGINT) * 1000000""")),
+
+    // trailing 20-row EWMA, α = 0.5 — weights 2^−k are exact binary
+    // fractions and the fold order is pinned on both engines, so the
+    // float arithmetic is engine-replicable (see TimeSeries.ewmaTrailing)
+    Q("win_ewma",
+      (s, d) => TimeSeries.ewmaTrailing(ev(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("value"), frameRows = 20,
+        alpha = 0.5)
+        .select(col("event_id"), col("ewma")),
+      Some("""WITH t AS (SELECT event_id,
+                      list(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+                    FROM events)
+              SELECT event_id,
+                round(list_reduce(list_transform(generate_series(1, len(l)),
+                    i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b)
+                  * 0.5 / (1 - power(0.5, len(l))), 6) AS ewma
+              FROM t""")),
+
+    // day-over-day churn over the distinct (user, day) grid; the last
+    // observed day is excluded (everyone would "churn" because the data
+    // ends, not because they left)
+    Q("agg_churn",
+      (s, d) => EventAnalytics.dailyChurn(ev(s, d), col("user_id"),
+        col("ts")),
+      Some("""WITH d AS (SELECT DISTINCT
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day, user_id FROM events),
+              mx AS (SELECT max(day) AS mw FROM d)
+              SELECT a.day,
+                CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS churned,
+                count(*) AS active
+              FROM d a CROSS JOIN mx
+              LEFT JOIN d b ON b.day = a.day + 1 AND b.user_id = a.user_id
+              WHERE a.day < mx.mw GROUP BY 1""")),
+
+    // DAU/MAU stickiness: distinct users per day over distinct users in
+    // the calendar month — the standard engagement ratio
+    Q("agg_stickiness",
+      (s, d) => EventAnalytics.stickiness(ev(s, d), col("user_id"),
+        col("ts")),
+      Some("""WITH d AS (SELECT DISTINCT
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day, user_id FROM events),
+              dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+              mau AS (SELECT CAST(date_trunc('month', day) AS DATE) AS m,
+                       count(DISTINCT user_id) AS mau FROM d GROUP BY 1)
+              SELECT day, dau, mau,
+                round(dau * 1.0 / mau, 6) AS stickiness
+              FROM dau JOIN mau
+                ON CAST(date_trunc('month', day) AS DATE) = mau.m""")),
+
+    // per-user session statistics over the 30-minute-gap sessions of
+    // win_sessionize: session count, mean duration, mean events/session
+    Q("agg_session_stats",
+      (s, d) => EventAnalytics.sessionStats(ev(s, d), col("user_id"),
+        col("ts"), col("event_id")),
+      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                    FROM events),
+              s0 AS (SELECT user_id, ts2,
+                      sum(CASE WHEN p IS NULL
+                          OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts2
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM t),
+              s AS (SELECT user_id, sid, count(*) AS n_ev,
+                      epoch_us(max(ts2) - min(ts2)) AS dur_us
+                    FROM s0 GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_sessions,
+                round(CAST(sum(dur_us) AS DOUBLE) / 1e6 / count(*), 6)
+                  AS avg_dur_secs,
+                round(sum(n_ev) * 1.0 / count(*), 6) AS avg_events
+              FROM s GROUP BY 1""")),
+
+    // leakage-safe group split: every doc of a source lands in the same
+    // split (near-dups cluster within sources, so a row-hash split
+    // leaks); portable md5 coin on the GROUP key, pure per-row expr
+    Q("split_group_hash",
+      (s, d) => Sampling.groupHashSplit(Tables.documents(s, d),
+        col("source"), trainPerMille = 800)
+        .select(col("doc_id"), col("source"), col("split")),
+      Some("""SELECT doc_id, source,
+                CASE WHEN CAST(concat('0x', substr(md5(source), 1, 15))
+                    AS BIGINT) % 1000 < 800
+                  THEN 'train' ELSE 'test' END AS split
+              FROM documents""")),
+
+    // per-doc top-3 keywords by tf·idf over the corpus's own statistics;
+    // scores rounded before ranking so ties break identically
+    Q("text_keyword_extract",
+      (s, d) => TextOps.keywordsTopK(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3)
+        .select(col("doc_id"), col("token"), col("rank"), col("score")),
+      Some("""WITH tok AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+'))
+                        AS token
+                    FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf
+                    FROM tok GROUP BY 1, 2),
+              df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              sc AS (SELECT tf.doc_id, tf.token,
+                      round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score
+                    FROM tf JOIN df USING (token) CROSS JOIN n),
+              r AS (SELECT doc_id, token, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS rank
+                    FROM sc)
+              SELECT doc_id, token, CAST(rank AS INTEGER) AS rank, score
+              FROM r WHERE rank <= 3""")),
+
+    // nearest-in-time enrichment, either direction (pandas merge_asof
+    // direction='nearest'): each click matched to the user's closest
+    // view; ties to the earlier view. One shuffle+sort, both directions
+    // from the same sorted union — never a per-user cross product
+    Q("join_nearest",
+      (s, d) => {
+        val clicks = ev(s, d).filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        // unique per (user, ts): min event_id pins the duplicate-ts tie
+        val views = ev(s, d).filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("event_id")).as("view_id"))
+        AsOf.joinNearest(clicks, views, Seq("user_id"),
+          col("ts"), col("ts"), Seq("view_id"))
+          .select(col("click_id"), col("view_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+              v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'view'),
+              b AS (SELECT c.event_id AS click_id, v.event_id AS view_id,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY abs(epoch_us(v.ts - c.ts)), v.ts,
+                          v.event_id) AS rn
+                    FROM c JOIN v USING (user_id))
+              SELECT click_id, view_id FROM b WHERE rn = 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      curation ++ extras ++ hyper ++ analytics
+      curation ++ extras ++ hyper ++ analytics ++ hyper2
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

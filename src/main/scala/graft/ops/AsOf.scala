@@ -95,4 +95,62 @@ object AsOf {
       }
       .drop(RT)
   }
+
+  /** Nearest-in-time join, EITHER direction: for each left row, the
+    * right row minimizing |rightTime − leftTime| within the key group
+    * (ties go to the earlier right row — i.e. the backward match). The
+    * pandas `merge_asof(direction='nearest')` operator.
+    *
+    * Same single shuffle+sort as [[joinPrior]]: both directions come
+    * from ONE sorted union — `last(payload) over (… rows unbounded
+    * preceding .. current)` carries the latest right row at-or-before,
+    * `first(payload) over (… current .. unbounded following)` the
+    * earliest strictly-after (right rows sort before left rows at equal
+    * times, so the at-equal match is owned by the backward frame) —
+    * then a row-local comparison picks the closer side. No join
+    * blow-up: a key's clicks never pair with all its views, only with
+    * the two frame-adjacent candidates.
+    *
+    * Left rows whose key group has no right row at all are DROPPED
+    * (inner-join semantics, matching the SQL formulation). Right side
+    * must be unique per (keys, rightTime) — pre-aggregate (e.g.
+    * `min(id)`) if it isn't, which also pins the tie rule at duplicate
+    * timestamps.
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String]): DataFrame = {
+    val P = "__graft_np"
+    val RT = "__graft_nrt"
+    val l = left.withColumn(T, leftTime).withColumn(L, lit(1))
+    val r = right
+      .select(keys.map(col) :+ rightTime.as(T) :+
+        struct((rightTime.as(RT) +: payloadCols.map(col)): _*).as(P): _*)
+      .withColumn(L, lit(0))
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col(T), col(L))
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", last(col(P), ignoreNulls = true).over(back))
+      .withColumn("__f", first(col(P), ignoreNulls = true).over(fwd))
+    val tUs = unix_micros(col(T).cast("timestamp"))
+    val dB = tUs - unix_micros(col("__b").getField(RT).cast("timestamp"))
+    val dF = unix_micros(col("__f").getField(RT).cast("timestamp")) - tUs
+    val best = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(dB <= dF, col("__b")) // tie → earlier right row (backward)
+      .otherwise(col("__f"))
+    val picked = unioned
+      .filter(col(L) === 1)
+      .withColumn(P, best)
+      .filter(col(P).isNotNull)
+    payloadCols.foldLeft(picked) { (df, c) =>
+        df.withColumn(c, col(P).getField(c))
+      }
+      .drop(T, L, P, "__b", "__f")
+  }
 }

@@ -115,4 +115,79 @@ object EventAnalytics {
           .as("week_offset"))
       .agg(count(lit(1)).cast("int").as("n_active"))
   }
+
+  /** Day-over-day churn: per active day (except the last), how many of
+    * that day's users are absent the next day. The (user, day) grid is
+    * DISTINCT first, so the left self-join is at user-day granularity —
+    * keyed equi-join, shuffle bounded by active-user-days, never event
+    * volume. The max-day cutoff is a one-row aggregate broadcast in
+    * (rows after the last observed day would count everyone as churned
+    * purely because the data ends).
+    */
+  def dailyChurn(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val days = df
+      .select(to_date(ts).as("day"), user.as("user_id")).distinct()
+    val mx = days.agg(max(col("day")).as("__mx"))
+    val nxt = days.select(date_sub(col("day"), 1).as("__pd"),
+      col("user_id").as("__uid"))
+    days.crossJoin(broadcast(mx))
+      .filter(col("day") < col("__mx"))
+      .join(nxt, col("user_id") === col("__uid") && col("day") === col("__pd"),
+        "left")
+      .groupBy(col("day"))
+      .agg(sum(when(col("__uid").isNull, 1).otherwise(0)).as("churned"),
+        count(lit(1)).as("active"))
+  }
+
+  /** DAU/MAU stickiness: distinct users per day over distinct users in
+    * that calendar month. Both counts run on the distinct (user, day)
+    * grid (the DAU count is a plain `count(*)` there); the per-month
+    * table is ≤ one row per month and broadcast back onto the daily
+    * rows.
+    */
+  def stickiness(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val d = df.select(to_date(ts).as("day"), user.as("user_id")).distinct()
+    val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = d.groupBy(to_date(date_trunc("month", col("day"))).as("__m"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau),
+        to_date(date_trunc("month", col("day"))) === col("__m"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
+  /** Per-user session statistics over 30-minute-gap sessions (the
+    * win_sessionize boundary rule): session count, mean session duration
+    * in seconds, mean events per session. Durations are summed as exact
+    * integer microseconds — deterministic under any partial-aggregation
+    * order — and only the final means divide and round. Two keyed
+    * aggregates after one partitioned lag; nothing is data-sized on the
+    * driver.
+    */
+  def sessionStats(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      tie: Column,
+      gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__ts"), col("__tie"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gapUs = gapMinutes * 60L * 1000000L
+    df.select(user.as("user_id"), unix_micros(ts.cast("timestamp")).as("__ts"),
+        tie.as("__tie"))
+      .withColumn("__new",
+        when(lag(col("__ts"), 1).over(w).isNull ||
+          col("__ts") - lag(col("__ts"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(count(lit(1)).as("__n_ev"),
+        (max(col("__ts")) - min(col("__ts"))).as("__dur_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("__dur_us")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("avg_dur_secs"),
+        round(sum(col("__n_ev")).cast("double") / count(lit(1)), 6)
+          .as("avg_events"))
+  }
 }

@@ -94,4 +94,25 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__key", "__rn")
   }
+
+  /** Leakage-safe GROUP split: every row of a group (source, domain,
+    * author — whatever near-duplicates cluster under) lands in the same
+    * split, so train/test contamination through within-group near-dups
+    * is impossible by construction — the standard grouped split for
+    * training corpora. The assignment is the portable md5 coin on the
+    * GROUP key (deterministic, rerun-stable, no RNG); `trainPerMille`
+    * sets the expected train share. Pure per-row expression — no
+    * shuffle, no group table, pushes down like any filter.
+    */
+  def groupHashSplit(
+      df: DataFrame,
+      groupCol: Column,
+      trainPerMille: Int,
+      splitName: String = "split"): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      "trainPerMille must be in [0, 1000]")
+    df.withColumn(splitName,
+      when(pmod(PortableHash.md5Long(groupCol.cast("string"), 15),
+        lit(1000)) < trainPerMille, "train").otherwise("test"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -270,5 +271,36 @@ object TextOps {
           .as("avg_logprob"),
         count(lit(1)).as("n_tokens"),
         count(when(col("__c").isNull, 1)).as("n_oov"))
+  }
+
+  /** Per-document top-k keywords by tf·idf: tf = term count in the doc,
+    * idf = ln(N / df) over the corpus itself. The candidate unit is the
+    * (doc, term) pair — tf and df are the two keyed hash aggregates any
+    * engine needs here; N is a one-row broadcast; the final rank is a
+    * window over each doc's distinct terms (vocabulary-per-doc-sized
+    * partitions, never corpus-sized). Scores are rounded BEFORE ranking
+    * so tie-breaking (score desc, then term) is decided on the exact
+    * values both engines agree on.
+    */
+  def keywordsTopK(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tok = df.select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
+      .select(col("doc_id"), explode(col("__t")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df")) // tf rows are distinct (doc, term)
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("__tf") * log(col("__n") / col("__df")), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
   }
 }

@@ -204,4 +204,90 @@ object TimeSeries {
           .as("bin_lo"),
         count(lit(1)).as("n"))
   }
+
+  /** Time-in-state per (key, state) — the state-accounting hyperfunction
+    * (TimescaleDB `state_agg`): each row's state is held until the
+    * key's NEXT event, so dwell time is `lead(ts) − ts`; the key's last
+    * event has no successor and contributes nothing (the open interval
+    * is unbounded — accounting it would make the result clock-dependent).
+    * Duration sums are exact integer microseconds (one deterministic
+    * long sum, no float partial-order drift), divided and rounded only
+    * at the end. One partitioned lead + one hash aggregate.
+    */
+  def stateDurations(
+      df: DataFrame,
+      key: Column,
+      state: Column,
+      ts: Column,
+      tie: Column,
+      keyName: String = "key"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    df.select(key.as(keyName), state.as("state"),
+        (micros(lead(ts, 1).over(w)) - micros(ts)).as("__dur_us"))
+      .filter(col("__dur_us").isNotNull)
+      .groupBy(col(keyName), col("state"))
+      .agg(round(sum(col("__dur_us")).cast("double") / 1e6, 6).as("dur_secs"))
+  }
+
+  /** Missing-data gap detection per series: emit every interval between
+    * consecutive points longer than `thresholdSeconds` — the DQ twin of
+    * [[heartbeatUptime]] (that one scores liveness, this one lists the
+    * outages). Exact integer-microsecond comparison; one partitioned
+    * lead, then a filter — output is outage-sized, not data-sized.
+    */
+  def gapDetect(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      tie: Column,
+      thresholdSeconds: Long,
+      seriesName: String = "series"): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(ts, tie)
+    df.select(series.as(seriesName), ts.as("gap_start"),
+        lead(ts, 1).over(w).as("gap_end"))
+      .withColumn("__gap_us",
+        micros(col("gap_end")) - micros(col("gap_start")))
+      .filter(col("__gap_us") > thresholdSeconds * 1000000L)
+      .withColumn("gap_secs",
+        round(col("__gap_us").cast("double") / 1e6, 6))
+      .drop("__gap_us")
+  }
+
+  /** Trailing exponentially-weighted moving average over the last
+    * `frameRows` rows: weights (1−α)^k for lag k, renormalized over the
+    * observed frame (so early rows are unbiased, the standard
+    * `adjust=true` EWMA). The frame rides an ordered `collect_list`
+    * (frame order = window order) and folds left in index order, so the
+    * float summation order is DETERMINISTIC — engine-replicable, unlike
+    * a partial-aggregated sum. α must satisfy: 1−α is an exact binary
+    * fraction (e.g. α = 0.5 ⟹ weights 2^−k) if cross-engine
+    * bit-equality of the weights themselves is required.
+    *
+    * Scale: one partitioned sort; per-row cost O(frameRows) — the same
+    * asymptotics as any sliding frame aggregate; frameRows bounds both
+    * compute and the carried array.
+    */
+  def ewmaTrailing(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      frameRows: Int,
+      alpha: Double,
+      outName: String = "ewma"): DataFrame = {
+    require(frameRows >= 1 && alpha > 0 && alpha < 1,
+      "ewma needs frameRows >= 1 and 0 < alpha < 1")
+    val f = Window.partitionBy(key).orderBy(ts, tie)
+      .rowsBetween(1L - frameRows, 0)
+    val arr = col("__graft_ewma_arr")
+    val n = size(arr)
+    val weighted = transform(arr,
+      (x, i) => x * pow(lit(1.0 - alpha), (n - 1 - i).cast("double")))
+    df.withColumn("__graft_ewma_arr", collect_list(value).over(f))
+      .withColumn(outName,
+        round(aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+          * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6))
+      .drop("__graft_ewma_arr")
+  }
 }

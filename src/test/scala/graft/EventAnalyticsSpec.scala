@@ -93,4 +93,45 @@ class EventAnalyticsSpec extends SparkSpecBase {
       .agg(round(sum(col("observed_freq")), 6)).as[Double].head()
     assert(freqs === 1.0)
   }
+
+  test("dailyChurn counts next-day absentees, excludes the last day") {
+    // day1 {1,2}, day2 {1}, day3 {1,3}: day1 churns user 2, day2 churns
+    // nobody, day3 is the last observed day and must not appear
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (3L, ts("2024-01-03 11:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.dailyChurn(df, col("user_id"), col("ts"))
+      .orderBy("day").as[(Date, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (Date.valueOf("2024-01-01"), 1L, 2L),
+      (Date.valueOf("2024-01-02"), 0L, 1L)))
+  }
+
+  test("stickiness divides daily actives by the month's distinct users") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.stickiness(df, col("user_id"), col("ts"))
+      .orderBy("day").as[(Date, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (Date.valueOf("2024-01-01"), 2L, 2L, 1.0),
+      (Date.valueOf("2024-01-02"), 1L, 2L, 0.5)))
+  }
+
+  test("sessionStats: 30-minute gaps split sessions, means are exact") {
+    // user 1: [10:00, 10:10] then [11:00] → 2 sessions, durations 600+0,
+    // events 2+1
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),
+      (1L, ts("2024-01-01 11:00:00"), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.sessionStats(df, col("user_id"), col("ts"),
+        col("event_id"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 300.0, 1.5)))
+  }
 }

@@ -182,6 +182,31 @@ class PlanRulesSpec extends SparkSpecBase {
       s"top-k must plan as TakeOrdered, got:\n$plan")
   }
 
+  test("edit-distance keeps the Levenshtein inside the join condition") {
+    val docs = Tables.documents(spark, sf())
+    val df = graft.ops.Dedup.editDistancePairs(docs, col("doc_id"),
+      col("text"), prefixLen = 12, maxDist = 20)
+    assert(df.count() > 0)
+    // a post-join Filter on the computed dist column gets pushed back
+    // into the join where it runs per bucket candidate before the cheap
+    // guards and twice per comparison — the distance test must stay a
+    // single last join conjunct (measured 8x at sf0.1)
+    val optimized = df.queryExecution.optimizedPlan
+    val filtersWithLev = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.toLowerCase.contains("levenshtein") => f
+    }
+    assert(filtersWithLev.isEmpty,
+      s"dist must be a join conjunct, not a Filter:\n$optimized")
+    val joinsWithLev = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(
+            _.toString.toLowerCase.contains("levenshtein")) => j
+    }
+    assert(joinsWithLev.nonEmpty,
+      s"expected the Levenshtein in the join condition:\n$optimized")
+  }
+
   test("k-means assignment broadcasts centroids — vectors never shuffle") {
     val q = Tables.embeddings(spark, sf()).select(col("vec_id"),
       transform(col("embedding"),

@@ -187,6 +187,22 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got(3L) == None)          // no prior row at all
   }
 
+  test("asof joinNearest: closest either side, ties to the earlier row") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 300L),
+      (4L, "u", 210L), (5L, "w", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 90L, "a"), ("u", 110L, "b"), ("u", 200L, "c"),
+      ("u", 210L, "d")).toDF("k", "rt", "p")
+    val got = AsOf.joinNearest(left, right, Seq("k"), col("t"), col("rt"),
+        Seq("p"))
+      .select(col("id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a") // 90 and 110 both 10 away → earlier wins
+    assert(got(2L) == "c") // 200 and 210 both 5 away → earlier wins
+    assert(got(3L) == "d") // only direction: backward 90 away
+    assert(got(4L) == "d") // exact-equal timestamp → distance 0
+    assert(!got.contains(5L)) // key with no right rows → dropped
+  }
+
   test("flagInRanges marks containment inclusively") {
     val df = Seq("2024-01-05", "2024-02-01").toDF("d")
       .select(to_date($"d").as("d"))

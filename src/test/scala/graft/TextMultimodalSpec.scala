@@ -7,6 +7,20 @@ import graft.ops.{Multimodal, TextOps}
 class TextMultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("keywordsTopK: high-tf rare terms outrank ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "common cherry"),
+      (3L, "common durian durian")).toDF("doc_id", "text")
+    val got = TextOps.keywordsTopK(df, $"doc_id", $"text", 3)
+      .filter($"doc_id" === 1L).orderBy($"rank")
+      .select("token", "rank", "score")
+      .as[(String, Int, Double)].collect().toSeq
+    // tf·idf: apple 2·ln3, banana 1·ln3, common (df = all docs) → 0
+    assert(got === Seq(
+      ("apple", 1, 2.197225), ("banana", 2, 1.098612), ("common", 3, 0.0)))
+  }
+
   test("token and piece counting") {
     val df = Seq("hello world  foo", "a,b c3").toDF("text")
     val got = df.select(TextOps.tokenCount($"text").as("t"),

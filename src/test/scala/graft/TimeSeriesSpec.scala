@@ -160,6 +160,64 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(blocksHit(xsorted, col("y") < 4) === 16L)
   }
 
+  test("stateDurations holds each state until the next event, drops the last") {
+    val df = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "B", ts("2024-01-01 10:10:00"), 2L),
+      (1L, "A", ts("2024-01-01 10:30:00"), 3L),
+      (1L, "C", ts("2024-01-01 10:40:00"), 4L) // last: open interval, dropped
+    ).toDF("k", "st", "t", "id")
+    val got = TimeSeries.stateDurations(df, col("k"), col("st"), col("t"),
+        col("id"))
+      .orderBy("state").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "A", 1200.0), (1L, "B", 1200.0)))
+  }
+
+  test("gapDetect lists exactly the intervals over the threshold") {
+    val df = Seq(
+      ("s", ts("2024-01-01 10:00:00"), 1L),
+      ("s", ts("2024-01-01 10:10:00"), 2L), // 10 min: under
+      ("s", ts("2024-01-01 11:20:00"), 3L), // 70 min: OVER
+      ("s", ts("2024-01-01 11:25:00"), 4L)
+    ).toDF("k", "t", "id")
+    val got = TimeSeries.gapDetect(df, col("k"), col("t"), col("id"),
+        thresholdSeconds = 900)
+      .select("gap_start", "gap_end", "gap_secs")
+      .as[(Timestamp, Timestamp, Double)].collect().toSeq
+    assert(got === Seq(
+      (ts("2024-01-01 10:10:00"), ts("2024-01-01 11:20:00"), 4200.0)))
+  }
+
+  test("ewmaTrailing matches the hand-computed adjusted EWMA") {
+    // α = 0.5, values 1, 2, 4:
+    //   n=1: 1·0.5/(1−0.5) · 0.5⁰ = 1.0
+    //   n=2: (1·0.5 + 2)·0.5/(1−0.25) = 1.666667
+    //   n=3: (1·0.25 + 2·0.5 + 4)·0.5/(1−0.125) = 3.0
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 4.0))
+      .toDF("k", "i", "v")
+    val got = TimeSeries.ewmaTrailing(df, col("k"), col("i"), col("i"),
+        col("v"), frameRows = 20, alpha = 0.5)
+      .orderBy("i").select("ewma").as[Double].collect().toSeq
+    assert(got === Seq(1.0, 1.666667, 3.0))
+  }
+
+  test("groupHashSplit keeps every group whole and is deterministic") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val s1 = Sampling.groupHashSplit(docs, col("source"), 800)
+    // group coherence: each source maps to exactly one split
+    val perGroup = s1.groupBy("source")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perGroup.forall(_ === 1L))
+    val s2 = Sampling.groupHashSplit(docs, col("source"), 800)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // degenerate per-milles: 0 → all test, 1000 → all train
+    assert(Sampling.groupHashSplit(docs, col("source"), 0)
+      .filter(col("split") === "train").count() === 0L)
+    assert(Sampling.groupHashSplit(docs, col("source"), 1000)
+      .filter(col("split") === "test").count() === 0L)
+  }
+
   test("fixedKPerGroup returns exactly k rows per group, deterministically") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val s1 = Sampling.fixedKPerGroup(docs, col("doc_id"), col("source"), 7)
