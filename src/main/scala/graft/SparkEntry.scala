@@ -4262,6 +4262,104 @@ object SparkEntry {
                           v.event_id) AS rn
                     FROM c JOIN v USING (user_id))
               SELECT click_id, view_id FROM b WHERE rn = 1""")),
+
+    // instantaneous counter rate per point (TimescaleDB irate): delta
+    // over elapsed seconds with the counter-reset rule; exact µs
+    // elapsed, duplicate-timestamp pairs yield NULL not ±inf
+    Q("f_rate_irate",
+      (s, d) => TimeSeries.irate(ev(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+        .select(col("event_id"), col("rate")),
+      Some("""WITH t AS (SELECT event_id, value,
+                      lag(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv,
+                      epoch_us(CAST(ts AS TIMESTAMP) -
+                        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS dt_us
+                    FROM events)
+              SELECT event_id,
+                round(CASE WHEN dt_us > 0 THEN
+                    (CASE WHEN value >= pv THEN value - pv ELSE value END)
+                      / (CAST(dt_us AS DOUBLE) / 1e6) END, 6) AS rate
+              FROM t WHERE pv IS NOT NULL""")),
+
+    // downtime attributed per calendar day: dq_gap_detect's gaps split
+    // across the days they overlap with exact µs clipping — a gap over
+    // midnight books seconds on both days
+    Q("dq_gap_by_day",
+      (s, d) => TimeSeries.gapDowntimeByDay(ev(s, d), col("event_type"),
+        col("ts"), col("event_id"), thresholdSeconds = 900,
+        seriesName = "event_type"),
+      Some("""WITH t AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts2,
+                      lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                    FROM events),
+              g AS (SELECT event_type, ts2 AS gs, nxt AS ge FROM t
+                    WHERE nxt IS NOT NULL
+                      AND epoch_us(nxt - ts2) > CAST(900 AS BIGINT) * 1000000),
+              x AS (SELECT event_type, gs, ge,
+                      unnest(generate_series(
+                        CAST(CAST(gs AS DATE) AS TIMESTAMP),
+                        CAST(CAST(ge AS DATE) AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS day
+                    FROM g)
+              SELECT event_type, CAST(day AS DATE) AS day,
+                round(CAST(sum(epoch_us(least(ge, day + INTERVAL 1 DAY) -
+                  greatest(gs, day))) AS DOUBLE) / 1e6, 6) AS down_secs
+              FROM x GROUP BY 1, 2""")),
+
+    // URL canonicalization dedup: scheme/www/query/trailing-slash
+    // variants planted per doc collapse onto one canonical key
+    Q("dedup_url_canonical",
+      (s, d) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+          when(col("doc_id") % 4 < 2, "www.").otherwise(""),
+          lit("site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 3 === 0, "/").otherwise(""),
+          when(col("doc_id") % 5 === 0, "?utm_source=feed").otherwise(""))
+        Tables.documents(s, d)
+          .select(col("doc_id"), ScalarFns.canonicalUrl(url).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("rep_doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                      (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                            ELSE 'http://' END)
+                      || (CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END)
+                      || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                      || '.example.com/p' || CAST(doc_id % 20 AS VARCHAR)
+                      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                      || (CASE WHEN doc_id % 5 = 0
+                          THEN '?utm_source=feed' ELSE '' END) AS url
+                    FROM documents),
+              c AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(lower(url), '^https?://', ''),
+                        '^www\.', ''), '\?.*$', ''), '/$', '')
+                        AS canonical
+                    FROM u)
+              SELECT canonical, count(*) AS n_urls,
+                min(doc_id) AS rep_doc_id
+              FROM c GROUP BY 1""")),
+
+    // exact weighted median per group (lower median at unit weights);
+    // integer cumulative weights keep the boundary comparison exact
+    Q("agg_weighted_percentile",
+      (s, d) => Aggregates.weightedMedian(ev(s, d), col("event_type"),
+        col("value"), lit(1) + col("event_id") % 5, col("event_id"),
+        groupName = "event_type"),
+      Some("""WITH t AS (SELECT event_type, value, event_id,
+                      1 + event_id % 5 AS w FROM events),
+              c AS (SELECT event_type, value, w,
+                      sum(w) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+                      sum(w) OVER (PARTITION BY event_type) AS tw
+                    FROM t)
+              SELECT event_type, round(min(value), 6) AS weighted_median
+              FROM c WHERE 2 * cw >= tw GROUP BY 1""")),
   )
 
   // ----------------------------------------------------------------

@@ -108,4 +108,22 @@ object ScalarFns {
     }
     fold(terms)
   }
+
+  /** URL canonicalization for dedup/blocklist keys: lowercase, strip
+    * the scheme, a leading `www.`, the query string, and a trailing
+    * slash — the standard normalization that makes
+    * `https://www.Site.com/p/?utm_source=x` and `http://site.com/p`
+    * the same document. Every pattern is anchored (at most one match),
+    * so Spark's replace-all and an engine replacing first-match-only
+    * produce identical results. Pure per-row regex chain — codegen'd,
+    * pushes through joins and aggregates like any scalar.
+    */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "\\?.*$", ""),
+      "/$", "")
 }

@@ -101,4 +101,33 @@ object Aggregates {
       sqrt(avg(err * err)).as("rmse"),
       (avg(when(abs(yTrue) >= mask, abs(err) / abs(yTrue))) * 100).as("mape"))
   }
+
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight (in (value, tie) order) reaches half the group's
+    * total weight — the lower weighted median, reducing to the lower
+    * median at unit weights. Integer weights keep every comparison
+    * exact (no float partial-sum drift can move the boundary). One
+    * partitioned sort carrying both running and total weight (two
+    * frames, same ordering — a single window exchange), then the
+    * qualifying suffix collapses with `min`, which IS the boundary
+    * value because qualification is monotone in the sort order.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      weight: Column,
+      tie: Column,
+      groupName: String = "group"): DataFrame = {
+    val run = Window.partitionBy(col("__g")).orderBy(col("__v"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("__g"))
+    df.select(group.as("__g"), value.as("__v"), weight.as("__w"),
+        tie.as("__t"))
+      .withColumn("__cw", sum(col("__w")).over(run))
+      .withColumn("__tw", sum(col("__w")).over(tot))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col("__g").as(groupName))
+      .agg(round(min(col("__v")), 6).as("weighted_median"))
+  }
 }

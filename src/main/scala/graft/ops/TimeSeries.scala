@@ -253,6 +253,65 @@ object TimeSeries {
       .drop("__gap_us")
   }
 
+  /** Instantaneous per-point rate of a monotone counter (TimescaleDB
+    * `irate`): delta over the previous reading divided by the elapsed
+    * seconds, with the standard counter-reset rule — a DROP means the
+    * counter restarted, so the post-reset reading IS the delta (the
+    * [[counterDelta]] convention, per point instead of aggregated).
+    * Each key's first reading has no rate (no prior point); a
+    * zero-elapsed pair (duplicate timestamp) yields NULL, not ±inf.
+    * One partitioned lag; exact µs elapsed, float division only at the
+    * end.
+    */
+  def irate(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      outName: String = "rate"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    df.withColumn("__graft_pv", lag(value, 1).over(w))
+      .withColumn("__graft_dt", micros(ts) - micros(lag(ts, 1).over(w)))
+      .filter(col("__graft_pv").isNotNull)
+      .withColumn(outName, round(
+        when(col("__graft_dt") > 0,
+          when(value >= col("__graft_pv"), value - col("__graft_pv"))
+            .otherwise(value) /
+            (col("__graft_dt").cast("double") / 1e6)), 6))
+      .drop("__graft_pv", "__graft_dt")
+  }
+
+  /** Downtime accounting: [[gapDetect]]'s gaps attributed to the
+    * calendar days they overlap — the "down seconds per day" report a
+    * gap spanning midnight must split across both days. Each gap
+    * explodes to its touched days (gap-span-sized, tiny relative to
+    * data), the per-day overlap is clipped with exact integer
+    * microseconds, and one keyed aggregate sums per (series, day).
+    */
+  def gapDowntimeByDay(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      tie: Column,
+      thresholdSeconds: Long,
+      seriesName: String = "series"): DataFrame = {
+    val dayUs = 86400000000L
+    val gaps = gapDetect(df, series, ts, tie, thresholdSeconds, seriesName)
+    gaps
+      .withColumn("day", explode(sequence(
+        to_date(col("gap_start")), to_date(col("gap_end")),
+        expr("interval 1 day"))))
+      .withColumn("__ov_us",
+        least(micros(col("gap_end")),
+          (unix_date(col("day")).cast("long") + 1) * dayUs) -
+        greatest(micros(col("gap_start")),
+          unix_date(col("day")).cast("long") * dayUs))
+      .groupBy(col(seriesName), col("day"))
+      .agg(round(sum(col("__ov_us")).cast("double") / 1e6, 6)
+        .as("down_secs"))
+  }
+
   /** Trailing exponentially-weighted moving average over the last
     * `frameRows` rows: weights (1−α)^k for lag k, renormalized over the
     * observed frame (so early rows are unbiased, the standard

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Sampling, TimeSeries}
+import graft.ops.{Aggregates, Sampling, TimeSeries}
 
 /** The hyperfunction family (§2.15): each op against either a
   * hand-computed fixture or an independent naive formulation, plus the
@@ -199,6 +199,59 @@ class TimeSeriesSpec extends SparkSpecBase {
         col("v"), frameRows = 20, alpha = 0.5)
       .orderBy("i").select("ewma").as[Double].collect().toSeq
     assert(got === Seq(1.0, 1.666667, 3.0))
+  }
+
+  test("irate: per-point rate, reset rule, NULL on duplicate timestamps") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, 70.0),  // +60 in 60 s → 1.0
+      (1L, ts("2024-01-01 10:02:00"), 3L, 5.0),   // reset → 5/60
+      (1L, ts("2024-01-01 10:02:00"), 4L, 8.0)    // dt = 0 → NULL
+    ).toDF("k", "t", "id", "v")
+    val got = TimeSeries.irate(df, col("k"), col("t"), col("id"), col("v"))
+      .orderBy("id").select("rate").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    assert(got === Seq(Some(1.0), Some(0.083333), None))
+  }
+
+  test("gapDowntimeByDay splits a midnight-spanning gap across both days") {
+    val df = Seq(
+      ("s", ts("2024-01-01 23:00:00"), 1L),
+      ("s", ts("2024-01-02 01:00:00"), 2L), // 2 h gap over midnight
+      ("s", ts("2024-01-02 01:10:00"), 3L)
+    ).toDF("k", "t", "id")
+    val got = TimeSeries.gapDowntimeByDay(df, col("k"), col("t"),
+        col("id"), thresholdSeconds = 900)
+      .orderBy("day").select("day", "down_secs")
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(got === Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 3600.0),
+      (java.sql.Date.valueOf("2024-01-02"), 3600.0)))
+  }
+
+  test("canonicalUrl collapses scheme/www/query/slash variants") {
+    import graft.functions.ScalarFns
+    val urls = Seq(
+      "https://www.Site.com/p/?utm_source=x",
+      "http://site.com/p",
+      "HTTPS://SITE.COM/p?a=1&b=2",
+      "http://www.site.com/p/").toDF("u")
+    val got = urls.select(ScalarFns.canonicalUrl($"u").as("c"))
+      .distinct().as[String].collect().toSeq
+    assert(got === Seq("site.com/p"))
+  }
+
+  test("weightedMedian: weight dominance and unit-weight reduction") {
+    val df = Seq((1, 1.0, 1L), (2, 1.0, 2L), (3, 1.0, 3L), (4, 5.0, 4L))
+      .toDF("v", "w", "id")
+    // weights (1,1,1,5): half of 8 is reached only at value 4
+    val heavy = Aggregates.weightedMedian(df, lit("g"), col("v").cast("double"),
+      col("w"), col("id")).select("weighted_median").as[Double].head()
+    assert(heavy === 4.0)
+    // unit weights → the lower median of 1..4 = 2
+    val unit = Aggregates.weightedMedian(df, lit("g"), col("v").cast("double"),
+      lit(1.0), col("id")).select("weighted_median").as[Double].head()
+    assert(unit === 2.0)
   }
 
   test("groupHashSplit keeps every group whole and is deterministic") {
