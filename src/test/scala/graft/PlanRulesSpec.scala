@@ -207,6 +207,23 @@ class PlanRulesSpec extends SparkSpecBase {
       s"expected the Levenshtein in the join condition:\n$optimized")
   }
 
+  test("joinNearest is join-free: one union-window exchange, no Join node") {
+    val left = spark.range(100).select(($"id" % 7).cast("string").as("k"),
+      $"id".as("t"), $"id".as("lid"))
+    val right = spark.range(50).select(($"id" % 7).cast("string").as("k"),
+      ($"id" * 2).as("rt"), $"id".as("rid"))
+    val df = graft.ops.AsOf.joinNearest(left, right, Seq("k"),
+      col("t"), col("rt"), Seq("rid"))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // nearest-in-time must come from the sorted union (both directions,
+    // one window), never a per-key join blow-up
+    assert(!plan.contains("Join"), s"joinNearest must not join, got:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"one window shuffle expected, got $exchanges:\n$plan")
+  }
+
   test("k-means assignment broadcasts centroids — vectors never shuffle") {
     val q = Tables.embeddings(spark, sf()).select(col("vec_id"),
       transform(col("embedding"),
