@@ -4360,6 +4360,96 @@ object SparkEntry {
                     FROM t)
               SELECT event_type, round(min(value), 6) AS weighted_median
               FROM c WHERE 2 * cw >= tw GROUP BY 1""")),
+
+    // exactly-once ingestion audit: natural-key groups delivered more
+    // than once; duplicates PLANTED by re-delivering every 97th event,
+    // so a pass proves detection, not absence of input dups
+    Q("dq_duplicate_events",
+      (s, d) => {
+        val base = ev(s, d).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id"))
+        val redelivered = base.filter(col("event_id") % 97 === 0)
+        Quality.duplicateGroups(base.unionByName(redelivered),
+          "user_id" -> col("user_id"), "ts" -> col("ts"),
+          "event_type" -> col("event_type"))
+      },
+      Some("""WITH aug AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_type FROM events
+                    UNION ALL
+                    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events WHERE event_id % 97 = 0)
+              SELECT user_id, ts, event_type, count(*) AS n
+              FROM aug GROUP BY 1, 2, 3 HAVING count(*) > 1""")),
+
+    // rolling 7-day distinct actives per day (WAU): distinct user-day
+    // grid, calendar-sized day list broadcast into the range join
+    Q("agg_rolling_wau",
+      (s, d) => EventAnalytics.rollingActiveUsers(ev(s, d),
+        col("user_id"), col("ts"), windowDays = 7),
+      Some("""WITH g AS (SELECT DISTINCT
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day, user_id FROM events),
+              d AS (SELECT DISTINCT day FROM g)
+              SELECT d.day, count(DISTINCT g.user_id) AS wau
+              FROM d JOIN g ON g.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1""")),
+
+    // load-duration curve per series: descending-rank decile bands with
+    // mean level — band 1 is the peak-load decile
+    Q("agg_load_duration",
+      (s, d) => EventAnalytics.loadDurationBands(ev(s, d),
+        col("event_type"), col("value"), col("event_id"), nBands = 10,
+        seriesName = "event_type"),
+      Some("""WITH r AS (SELECT event_type, value,
+                      ntile(10) OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id) AS band
+                    FROM events)
+              SELECT event_type, band, round(avg(value), 6) AS avg_value,
+                count(*) AS n
+              FROM r GROUP BY 1, 2""")),
+
+    // per-day ramp extremes (largest up/down step between consecutive
+    // readings) — order-independent max/min, no float-sum caveats
+    Q("agg_ramp_rate",
+      (s, d) => TimeSeries.rampRates(ev(s, d), col("event_type"),
+        col("ts"), col("event_id"), col("value"),
+        seriesName = "event_type"),
+      Some("""WITH t AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      value - lag(value) OVER (PARTITION BY event_type
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS d
+                    FROM events)
+              SELECT event_type, day, round(max(d), 6) AS max_ramp_up,
+                round(min(d), 6) AS max_ramp_down
+              FROM t WHERE d IS NOT NULL GROUP BY 1, 2""")),
+
+    // recency feature: seconds since the user's previous purchase at
+    // each event (strictly before — the current row never sees itself,
+    // so purchase rows get their distance to the PRIOR purchase).
+    // Running conditional max over a preceding frame; exact µs diff
+    Q("f_recency_since_event",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val lastPurchaseUs = max(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast("timestamp")))).over(w)
+        ev(s, d).select(col("event_id"),
+          round((unix_micros(col("ts").cast("timestamp")) - lastPurchaseUs)
+            .cast("double") / 1e6, 6).as("secs_since_purchase"))
+      },
+      Some("""WITH t AS (SELECT event_id, ts,
+                      max(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                        OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS last_us
+                    FROM events)
+              SELECT event_id,
+                round(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us
+                  AS DOUBLE) / 1e6, 6) AS secs_since_purchase
+              FROM t""")),
   )
 
   // ----------------------------------------------------------------

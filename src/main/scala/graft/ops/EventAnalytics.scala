@@ -156,6 +156,50 @@ object EventAnalytics {
         round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
   }
 
+  /** Rolling distinct-user count (WAU-style): per active day, the
+    * distinct users active in the trailing `windowDays` days. Runs on
+    * the DISTINCT (user, day) grid; the day list is calendar-sized and
+    * broadcast into a range join against the grid, so the only
+    * data-sized work is building the grid (one distinct shuffle). The
+    * count-distinct shuffles (day, user) pairs — bounded by
+    * active-user-days × windowDays, never raw events.
+    */
+  def rollingActiveUsers(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val g = df.select(to_date(ts).as("__day"), user.as("user_id")).distinct()
+    val d = g.select(col("__day").as("day")).distinct()
+    g.join(broadcast(d),
+        col("__day").between(date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+  }
+
+  /** Load-duration curve summary per series: rank values descending,
+    * split into `nBands` equal-population bands (band 1 = the peak
+    * load), and report each band's mean level — the classic
+    * energy-analytics duration curve, collapsed to a band table. One
+    * per-series ntile window + one hash aggregate.
+    */
+  def loadDurationBands(
+      df: DataFrame,
+      series: Column,
+      value: Column,
+      tie: Column,
+      nBands: Int,
+      seriesName: String = "series"): DataFrame = {
+    require(nBands >= 1, "nBands must be positive")
+    val w = Window.partitionBy(series).orderBy(value.desc, tie)
+    df.select(series.as(seriesName), value.as("__v"),
+        ntile(nBands).over(w).as("band"))
+      .groupBy(col(seriesName), col("band"))
+      .agg(round(avg(col("__v")), 6).as("avg_value"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-user session statistics over 30-minute-gap sessions (the
     * win_sessionize boundary rule): session count, mean session duration
     * in seconds, mean events per session. Durations are summed as exact

@@ -234,4 +234,17 @@ object Quality {
       .select(keep ++ Seq(round(z, 6).as("z"),
         (abs(z) > threshold).cast("int").as("is_anomaly")): _*)
   }
+
+  /** Exactly-once ingestion audit: the natural-key groups that occur
+    * more than once (an at-least-once pipeline re-delivering, a
+    * collector double-writing). One keyed hash aggregate; output is
+    * violation-sized. Keys are (name, expression) pairs so the report
+    * carries readable column names.
+    */
+  def duplicateGroups(df: DataFrame, keys: (String, Column)*): DataFrame = {
+    require(keys.nonEmpty, "duplicateGroups needs at least one key")
+    df.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
 }

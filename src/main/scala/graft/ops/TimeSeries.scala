@@ -282,6 +282,30 @@ object TimeSeries {
       .drop("__graft_pv", "__graft_dt")
   }
 
+  /** Per-day ramp extremes: the largest upward and downward step
+    * between consecutive readings of a series, reported per (series,
+    * day of the later reading) — grid-operations analytics (how fast
+    * does load/price move). The lag is computed over the series' full
+    * order (a day's first ramp is against the previous day's last
+    * point); max/min are order-independent aggregates, so no float
+    * summation caveats apply. One partitioned lag + one hash aggregate.
+    */
+  def rampRates(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      seriesName: String = "series"): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(ts, tie)
+    df.select(series.as(seriesName), to_date(ts).as("day"),
+        (value - lag(value, 1).over(w)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(seriesName), col("day"))
+      .agg(round(max(col("__d")), 6).as("max_ramp_up"),
+        round(min(col("__d")), 6).as("max_ramp_down"))
+  }
+
   /** Downtime accounting: [[gapDetect]]'s gaps attributed to the
     * calendar days they overlap — the "down seconds per day" report a
     * gap spanning midnight must split across both days. Each gap

@@ -121,6 +121,45 @@ class EventAnalyticsSpec extends SparkSpecBase {
       (Date.valueOf("2024-01-02"), 1L, 2L, 0.5)))
   }
 
+  test("duplicateGroups reports only re-delivered natural keys") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "click"), // re-delivery
+      (1L, ts("2024-01-01 10:00:00"), "view"),  // same ts, other type: ok
+      (2L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Quality.duplicateGroups(df, "user_id" -> col("user_id"),
+        "ts" -> col("ts"), "event_type" -> col("event_type"))
+      .as[(Long, Timestamp, String, Long)].collect().toSeq
+    assert(got === Seq((1L, ts("2024-01-01 10:00:00"), "click", 2L)))
+  }
+
+  test("rollingActiveUsers counts trailing-window distinct users") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-03 11:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.rollingActiveUsers(df, col("user_id"),
+        col("ts"), windowDays = 2)
+      .orderBy("day").as[(Date, Long)].collect().toSeq
+    assert(got === Seq(
+      (Date.valueOf("2024-01-01"), 1L),  // {1}
+      (Date.valueOf("2024-01-02"), 2L),  // {1, 2}
+      (Date.valueOf("2024-01-03"), 2L))) // {2, 1} — u1 counted once
+  }
+
+  test("loadDurationBands: band 1 is the peak decile") {
+    val df = (1 to 20).map(i => ("s", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val got = EventAnalytics.loadDurationBands(df, col("k"), col("v"),
+        col("id"), nBands = 10)
+      .orderBy("band").select("band", "avg_value", "n")
+      .as[(Int, Double, Long)].collect().toSeq
+    assert(got.head === ((1, 19.5, 2L))) // {20, 19}
+    assert(got.last === ((10, 1.5, 2L))) // {2, 1}
+  }
+
   test("sessionStats: 30-minute gaps split sessions, means are exact") {
     // user 1: [10:00, 10:10] then [11:00] → 2 sessions, durations 600+0,
     // events 2+1

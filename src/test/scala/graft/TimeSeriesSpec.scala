@@ -229,6 +229,20 @@ class TimeSeriesSpec extends SparkSpecBase {
       (java.sql.Date.valueOf("2024-01-02"), 3600.0)))
   }
 
+  test("rampRates: per-day extremes, first ramp crosses the day boundary") {
+    val df = Seq(
+      ("s", ts("2024-01-01 23:00:00"), 1L, 10.0),
+      ("s", ts("2024-01-02 01:00:00"), 2L, 25.0), // +15, booked on day 2
+      ("s", ts("2024-01-02 02:00:00"), 3L, 5.0)   // −20, day 2
+    ).toDF("k", "t", "id", "v")
+    val got = TimeSeries.rampRates(df, col("k"), col("t"), col("id"),
+        col("v"))
+      .orderBy("day").select("day", "max_ramp_up", "max_ramp_down")
+      .as[(java.sql.Date, Double, Double)].collect().toSeq
+    // day 1 has no ramp (its only point starts the series)
+    assert(got === Seq((java.sql.Date.valueOf("2024-01-02"), 15.0, -20.0)))
+  }
+
   test("canonicalUrl collapses scheme/www/query/slash variants") {
     import graft.functions.ScalarFns
     val urls = Seq(
