@@ -339,4 +339,83 @@ class PropertySpec extends SparkSpecBase {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     }
   }
+
+  test("joinNearest equals driver-side nearest search on random inputs") {
+    import graft.ops.AsOf
+    val gens = samples(for {
+      nl <- Gen.chooseNum(1, 25)
+      nr <- Gen.chooseNum(0, 25)
+      lts <- Gen.listOfN(nl, Gen.chooseNum(0L, 1000L))
+      rts <- Gen.listOfN(nr, Gen.chooseNum(0L, 1000L))
+    } yield (lts, rts.distinct), 6)
+    gens.zipWithIndex.foreach { case ((lts, rts), gi) =>
+      val left = lts.zipWithIndex.map { case (t, i) => (i.toLong, "k", t) }
+        .toDF("id", "k", "t")
+      val right = rts.zipWithIndex.map { case (t, i) => (i.toLong, "k", t) }
+        .toDF("rid", "k", "rt")
+      val got = AsOf.joinNearest(left, right, Seq("k"), col("t"),
+          col("rt"), Seq("rid"))
+        .select("id", "rid").as[(Long, Long)].collect().toMap
+      // reference: per left row, scan all right rows for min
+      // (|Δt|, rt, rid) — the documented earlier-row tie rule
+      val want = lts.zipWithIndex.flatMap { case (t, i) =>
+        if (rts.isEmpty) None
+        else {
+          val best = rts.zipWithIndex
+            .minBy { case (rt, ri) => (math.abs(rt - t), rt, ri) }
+          Some(i.toLong -> best._2.toLong)
+        }
+      }.toMap
+      assert(got == want, s"gen $gi: lts=$lts rts=$rts")
+    }
+  }
+
+  test("weightedMedian equals driver-side cumulative scan on random data") {
+    import graft.ops.Aggregates
+    val gens = samples(for {
+      n <- Gen.chooseNum(1, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+      ws <- Gen.listOfN(n, Gen.chooseNum(1, 9))
+    } yield vs.zip(ws), 6)
+    gens.zipWithIndex.foreach { case (rows, gi) =>
+      val df = rows.zipWithIndex
+        .map { case ((v, w), i) => (v.toDouble, w.toLong, i.toLong) }
+        .toDF("v", "w", "id")
+      val got = Aggregates.weightedMedian(df, lit("g"), col("v"), col("w"),
+        col("id")).select("weighted_median").as[Double].head()
+      val sorted = rows.zipWithIndex
+        .sortBy { case ((v, _), i) => (v, i) }
+      val tw = rows.map(_._2).sum
+      var cw = 0L
+      val want = sorted.find { case ((_, w), _) =>
+        cw += w; 2 * cw >= tw
+      }.get._1._1.toDouble
+      assert(got == want, s"gen $gi: rows=$rows")
+    }
+  }
+
+  test("ewmaTrailing equals a driver-side weighted loop on random series") {
+    import graft.ops.TimeSeries
+    val gens = samples(Gen.chooseNum(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100, 100))), 4)
+    val frame = 8
+    gens.zipWithIndex.foreach { case (vs, gi) =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v.toDouble) }
+        .toDF("k", "i", "v")
+      val got = TimeSeries.ewmaTrailing(df, col("k"), col("i"), col("i"),
+          col("v"), frameRows = frame, alpha = 0.5)
+        .orderBy("i").select("ewma").as[Double].collect()
+      vs.indices.foreach { i =>
+        val win = vs.slice(math.max(0, i - frame + 1), i + 1)
+        val n = win.length
+        val weighted = win.zipWithIndex
+          .foldLeft(0.0) { case (acc, (x, j)) =>
+            acc + x * math.pow(0.5, (n - 1 - j).toDouble)
+          }
+        val want = BigDecimal(weighted * 0.5 / (1.0 - math.pow(0.5, n.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(i) - want) < 1e-9, s"gen $gi row $i: $vs")
+      }
+    }
+  }
 }
