@@ -4450,6 +4450,34 @@ object SparkEntry {
                 round(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us
                   AS DOUBLE) / 1e6, 6) AS secs_since_purchase
               FROM t""")),
+
+    // join_asof through the CUSTOM physical operator (LogicalPlan +
+    // SparkStrategy + merge-scan SparkPlan — the deepest extension
+    // rung): same semantics and the same oracle as the union-window
+    // composition, but the physical plan is two declared
+    // exchange+sorts feeding a streaming one-pass merge with O(1)
+    // state per partition
+    Q("join_asof_native",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        graft.plans.NativeAsOf.joinPrior(clicks, views, Seq("user_id"),
+            "ts", "ts", Seq("v_value"))
+          .select(col("event_id"), col("user_id"), col("v_value"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2
+                FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                  arg_max(value, event_id) AS v_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT c.event_id, c.user_id, v.v_value
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts2 >= v.ts2""")),
   )
 
   // ----------------------------------------------------------------

@@ -207,6 +207,37 @@ class PlanRulesSpec extends SparkSpecBase {
       s"expected the Levenshtein in the join condition:\n$optimized")
   }
 
+  test("custom as-of operator: plans AsOfJoinExec, equals the composition") {
+    import graft.ops.AsOf
+    import graft.plans.NativeAsOf
+    // the joinPrior fixture: <= tie, latest-prior pick, no-match nulls
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L),
+      (4L, "w", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "a"), ("u", 15L, "b"), ("v", 1L, "x"))
+      .toDF("k", "rt", "payload")
+    val native = NativeAsOf.joinPrior(left, right, Seq("k"), "t", "rt",
+      Seq("payload"))
+    val got = native.select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None,
+      4L -> None))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"expected the custom exec in the plan:\n$plan")
+    // row-for-row equal to the union-window composition on real data
+    val e = Tables.events(spark, sf())
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val a = NativeAsOf.joinPrior(clicks, views, Seq("user_id"), "ts", "ts",
+      Seq("v")).select("event_id", "v")
+    val b = AsOf.joinPrior(clicks, views, Seq("user_id"), col("ts"),
+      col("ts"), Seq("v")).select("event_id", "v")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("joinNearest is join-free: one union-window exchange, no Join node") {
     val left = spark.range(100).select(($"id" % 7).cast("string").as("k"),
       $"id".as("t"), $"id".as("lid"))
