@@ -111,6 +111,11 @@ object Aggregates {
     * frames, same ordering — a single window exchange), then the
     * qualifying suffix collapses with `min`, which IS the boundary
     * value because qualification is monotone in the sort order.
+    *
+    * Weight contract: weights must be POSITIVE (the weightedKPerGroup
+    * convention) — a zero weight merely never anchors the median, but
+    * a negative weight makes the cumulative sum non-monotone and the
+    * "first qualifying row" undefined.
     */
   def weightedMedian(
       df: DataFrame,

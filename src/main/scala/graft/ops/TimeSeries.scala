@@ -346,6 +346,11 @@ object TimeSeries {
     * fraction (e.g. α = 0.5 ⟹ weights 2^−k) if cross-engine
     * bit-equality of the weights themselves is required.
     *
+    * NULL values are EXCLUDED from the frame (`collect_list` drops
+    * nulls, so the average is over the observed readings only — note
+    * an engine whose list aggregate preserves nulls would diverge
+    * here); filter or impute nulls first if every row must weigh in.
+    *
     * Scale: one partitioned sort; per-row cost O(frameRows) — the same
     * asymptotics as any sliding frame aggregate; frameRows bounds both
     * compute and the carried array.
