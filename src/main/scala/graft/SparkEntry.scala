@@ -4478,6 +4478,65 @@ object SparkEntry {
               SELECT c.event_id, c.user_id, v.v_value
               FROM clicks c ASOF LEFT JOIN views v
                 ON c.user_id = v.user_id AND c.ts2 >= v.ts2""")),
+
+    // streaming twin of agg_state_durations: per-user (state, since)
+    // scalars; each event closes and emits the previous dwell interval,
+    // the open last interval is never emitted — summing the closed
+    // dwells must equal the batch lead-based accounting
+    Q("stream_state_durations",
+      (s, d) => graft.streaming.StateDurationStream.runToCompletion(s, d),
+      Some("""WITH t AS (SELECT user_id, event_type AS state,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                    FROM events)
+              SELECT user_id, state,
+                round(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6, 6)
+                  AS dur_secs
+              FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2""")),
+
+    // stateful streaming threshold-crossing alerts (edge detection, one
+    // scalar of state per user) — must equal the batch lag formulation
+    Q("stream_rate_alert",
+      (s, d) => graft.streaming.RateAlertStream
+        .runToCompletion(s, d, threshold = 90.0),
+      Some("""WITH t AS (SELECT event_id, user_id, value,
+                      lag(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv
+                    FROM events)
+              SELECT event_id, user_id FROM t
+              WHERE pv < 90 AND value >= 90""")),
+
+    // A/B experiment readout: deterministic md5 variant assignment on
+    // the user key (the split_group_hash coin), conversion = any
+    // high-value purchase; exact integer counts, one user-keyed agg
+    Q("agg_ab_lift",
+      (s, d) => {
+        val variant = when(pmod(graft.functions.PortableHash
+          .md5Long(col("user_id").cast("string"), 15), lit(2)) === 0, "A")
+          .otherwise("B")
+        ev(s, d)
+          .groupBy(col("user_id"), variant.as("variant"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 100, 1).otherwise(0)).as("__c"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("__c")).cast("long").as("n_converted"),
+            round(sum(col("__c")).cast("double") / count(lit(1)), 6)
+              .as("conv_rate"))
+      },
+      Some("""WITH v AS (SELECT user_id,
+                      CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS variant,
+                      max(CASE WHEN event_type = 'purchase'
+                          AND value >= 100 THEN 1 ELSE 0 END) AS converted
+                    FROM events GROUP BY 1, 2)
+              SELECT variant, count(*) AS n_users,
+                CAST(sum(converted) AS BIGINT) AS n_converted,
+                round(sum(converted) * 1.0 / count(*), 6) AS conv_rate
+              FROM v GROUP BY 1""")),
   )
 
   // ----------------------------------------------------------------

@@ -68,4 +68,27 @@ class StreamingSpec extends SparkSpecBase {
         count(col("value")).as("n"))
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("streaming state durations equal the batch lead-based accounting") {
+    val got = graft.streaming.StateDurationStream.runToCompletion(spark, sf())
+    val batch = graft.ops.TimeSeries.stateDurations(
+      Tables.events(spark, sf()), col("user_id"), col("event_type"),
+      col("ts"), col("event_id"), keyName = "user_id")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("streaming rate alerts equal the batch lag-crossing formulation") {
+    val got = graft.streaming.RateAlertStream
+      .runToCompletion(spark, sf(), threshold = 90.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.events(spark, sf())
+      .withColumn("__pv", lag(col("value"), 1).over(w))
+      .filter(col("__pv") < 90.0 && col("value") >= 90.0)
+      .select(col("event_id"), col("user_id"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // edge not level: a value parked at/above threshold alerts once —
+    // planted fixture: below, above, above → exactly one alert
+    assert(batch.count() > 0)
+  }
 }
