@@ -64,6 +64,13 @@ object Bench {
     // as keys are added, so per-query times stay comparable round-over-
     // round and position-dependent effects (JVM aging) are visible
     // instead of being reshuffled into noise
+    // a typo'd allowlist must fail loudly, not measure nothing: every
+    // requested name has to be a registered query
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.orderedQueries.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.orderedQueries
       .filter { case (k, _) => only.forall(_.contains(k)) }
     val n = selected.size

@@ -4180,14 +4180,15 @@ object SparkEntry {
     Q("agg_session_stats",
       (s, d) => EventAnalytics.sessionStats(ev(s, d), col("user_id"),
         col("ts"), col("event_id")),
-      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+      Some("""WITH t AS (SELECT user_id, event_id,
+                      CAST(ts AS TIMESTAMP) AS ts2,
                       lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
                     FROM events),
               s0 AS (SELECT user_id, ts2,
                       sum(CASE WHEN p IS NULL
                           OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-                        OVER (PARTITION BY user_id ORDER BY ts2
+                        OVER (PARTITION BY user_id ORDER BY ts2, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
                     FROM t),
               s AS (SELECT user_id, sid, count(*) AS n_ev,

@@ -215,8 +215,7 @@ object EventAnalytics {
       tie: Column,
       gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("__ts"), col("__tie"))
-    val run = Window.partitionBy(col("user_id")).orderBy(col("__ts"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val gapUs = gapMinutes * 60L * 1000000L
     df.select(user.as("user_id"), unix_micros(ts.cast("timestamp")).as("__ts"),
         tie.as("__tie"))

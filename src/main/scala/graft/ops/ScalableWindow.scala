@@ -76,22 +76,23 @@ object ScalableWindow {
     // bucket (null in the ordering column) has no position in the global
     // order — fail fast with a clear message instead of an opaque NPE
     // from the Comparable cast below.
-    val counts = withB.groupBy(col(B)).agg(count(lit(1)).as("__cnt"))
-      .collect()
-    require(counts.forall(_.get(0) != null),
-      "ScalableWindow: bucket expression produced NULL (null rows in " +
-        "the ordering column?) — filter or impute them before windowing")
     // coarse-bucket contract, enforced like flagInRanges' tiny-dim one:
     // the routing table lives on the driver and is broadcast, so bucket
     // cardinality must stay dimension-sized (daily buckets over a
-    // century ≈ 36k). A fine-grained bucket (per-second, per-key) would
-    // mean an unbounded driver collect — that's a partitioning bug at
-    // the call site, so fail fast instead of OOMing the driver.
+    // century ≈ 36k). The limit caps the collect ITSELF — a per-key
+    // bucket pulls at most MaxBuckets+1 rows to the driver before the
+    // require fires, never the full bucket table; when the cap holds
+    // the limited collect is complete, so downstream logic is exact.
+    val counts = withB.groupBy(col(B)).agg(count(lit(1)).as("__cnt"))
+      .limit(MaxBuckets + 1).collect()
     require(counts.length <= MaxBuckets,
-      s"ScalableWindow: ${counts.length} buckets exceeds the coarse-" +
-        s"bucket contract (> $MaxBuckets); choose a coarser bucket " +
+      s"ScalableWindow: more than $MaxBuckets buckets — the coarse-" +
+        "bucket contract is violated; choose a coarser bucket " +
         "expression (day/week/month) so the routing table stays " +
         "driver-sized")
+    require(counts.forall(_.get(0) != null),
+      "ScalableWindow: bucket expression produced NULL (null rows in " +
+        "the ordering column?) — filter or impute them before windowing")
 
     if (counts.map(_.getLong(1)).sum <= smallInput) {
       // bounded series (e.g. hourly post-aggregation): one partition is
