@@ -4538,6 +4538,58 @@ object SparkEntry {
                 CAST(sum(converted) AS BIGINT) AS n_converted,
                 round(sum(converted) * 1.0 / count(*), 6) AS conv_rate
               FROM v GROUP BY 1""")),
+
+    // classic star-schema rollup: fact ⋈ three broadcast dims (the fact
+    // side never shuffles for a join — plan-asserted in the spec), then
+    // one keyed aggregate
+    Q("join_star_broadcast",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 6).as("revenue")),
+      Some("""SELECT r.r_name, n.n_name, count(*) AS n_orders,
+                round(sum(o.o_totalprice), 6) AS revenue
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY 1, 2""")),
+
+    // share-of-total: each nation's revenue as a fraction of its
+    // region's — a window OVER AGGREGATE OUTPUT (25 rows), so the
+    // partition-less-looking window is dimension-sized, never data-sized
+    Q("win_share_of_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("r_name"))
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"), col("r_name"))
+          .agg(round(sum(col("o_totalprice")), 6).as("revenue"))
+          .withColumn("region_share",
+            round(col("revenue") / sum(col("revenue")).over(w), 6))
+      },
+      Some("""WITH rev AS (SELECT n.n_name, r.r_name,
+                      round(sum(o.o_totalprice), 6) AS revenue
+                    FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+                    GROUP BY 1, 2)
+              SELECT n_name, r_name, revenue,
+                round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+                  AS region_share
+              FROM rev""")),
   )
 
   // ----------------------------------------------------------------

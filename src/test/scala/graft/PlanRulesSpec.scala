@@ -238,6 +238,16 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("star-schema rollup broadcasts every dim — fact side never shuffles") {
+    val df = SparkEntry.queries("join_star_broadcast")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 3, s"expected 3 broadcast joins, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the fact side must never shuffle for a join:\n$plan")
+  }
+
   test("joinNearest is join-free: one union-window exchange, no Join node") {
     val left = spark.range(100).select(($"id" % 7).cast("string").as("k"),
       $"id".as("t"), $"id".as("lid"))
