@@ -188,13 +188,19 @@ object SparkEntry {
           .when(col("event_type") === "purchase", "PT60M")
           .when(col("event_type") === "error", "P1D")
           .otherwise("PT15M")
+        // one Period document per (event_type, DAY), anchored at that
+        // day's midnight — per-type whole-history docs would grow with
+        // table size (the scan_json_nested giant-row hazard); daily
+        // docs are rate-bounded, matching real delivery payloads
         val docs = ev(s, d)
-          .groupBy(col("event_type"))
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
           .agg(array_sort(collect_list(
             struct(col("ts"), col("event_id"), col("value")))).as("arr"))
           .select(col("event_type"), concat(
-            lit("<Period><timeInterval><start>2024-01-01T00:00Z</start>" +
-              "</timeInterval><resolution>"), resCode, lit("</resolution>"),
+            lit("<Period><timeInterval><start>"),
+            date_format(col("__day"), "yyyy-MM-dd'T'HH:mm"),
+            lit("Z</start></timeInterval><resolution>"), resCode,
+            lit("</resolution>"),
             concat_ws("", transform(col("arr"), (x, i) =>
               concat(lit("<Point><position>"), (i + 1).cast("string"),
                 lit("</position><price.amount>"),
@@ -205,12 +211,14 @@ object SparkEntry {
           .select(col("event_type"), col("point_ts"), col("price"))
       },
       Some("""SELECT event_type,
-                TIMESTAMP '2024-01-01 00:00:00'
+                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                   + to_minutes((CASE event_type WHEN 'view' THEN 30
                       WHEN 'purchase' THEN 60 WHEN 'error' THEN 1440
                       ELSE 15 END)
                     * (row_number() OVER
-                      (PARTITION BY event_type ORDER BY ts, event_id) - 1))
+                      (PARTITION BY event_type,
+                        date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY ts, event_id) - 1))
                   AS point_ts,
                 value AS price
               FROM events""")),
