@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   *    and session-state accumulation, codegen-cache churn. A restart
   *    bounds session-level aging; JIT and loaded classes persist (JVM
   *    scope), so restarting does not re-pay the warmup.
+  *  - `SPARK_GRAFT_REPEAT`: run each query N times and report the MIN
+  *    (steady-state cost, first-run codegen compile excluded). Default
+  *    1, i.e. the driver's one-shot numbers are unchanged; raise it
+  *    only for local A/B timing where compile noise would drown the
+  *    signal.
   */
 object Bench {
 
@@ -38,6 +43,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val restartEvery = sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "0").toInt
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
@@ -79,18 +85,21 @@ object Bench {
         spark.stop()
         spark = session(cpus)
       }
-      val t0 = System.nanoTime()
       // noop-format write evaluates the FULL selected plan — a bare
       // .count() would let Catalyst prune every unreferenced column,
       // so projection-only queries would time scan+count instead of
       // their expression work
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var ok = true
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          ok = false
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      val elapsed = times.min
       System.err.println(f"[bench] ${i + 1}%3d/$n $name%-28s $elapsed%8.3f s")
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside

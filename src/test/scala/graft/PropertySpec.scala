@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -391,6 +393,79 @@ class PropertySpec extends SparkSpecBase {
         cw += w; 2 * cw >= tw
       }.get._1._1.toDouble
       assert(got == want, s"gen $gi: rows=$rows")
+    }
+  }
+
+  test("canonicalUrl: all planted variants of a URL collapse to one key") {
+    val hosts = samples(for {
+      site <- Gen.chooseNum(0, 30)
+      path <- Gen.chooseNum(0, 10)
+    } yield (s"site$site.example.com", s"p$path"), 40)
+    val variants = hosts.flatMap { case (h, p) =>
+      for {
+        scheme <- Seq("http://", "https://", "HTTP://")
+        www <- Seq("", "www.")
+        slash <- Seq("", "/")
+        q <- Seq("", "?utm_source=x&b=2")
+      } yield (s"$h/$p", scheme + www + h + "/" + p + slash + q)
+    }
+    val got = variants.toDF("want", "u")
+      .select(col("want"), ScalarFns.canonicalUrl(col("u")).as("c"))
+      .filter(col("c") =!= col("want")).count()
+    assert(got === 0L)
+  }
+
+  test("stateDurations equals a driver-side dwell scan on random streams") {
+    import graft.ops.TimeSeries
+    val gens = samples(for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0L, 500L)
+        s <- Gen.oneOf("a", "b", "c")
+      } yield (t, s))
+    } yield evs, 5)
+    gens.zipWithIndex.foreach { case (evs, gi) =>
+      val df = evs.zipWithIndex
+        .map { case ((t, st), i) => (1L, st, new Timestamp(t * 1000L), i.toLong) }
+        .toDF("k", "st", "t", "id")
+      val got = TimeSeries.stateDurations(df, col("k"), col("st"),
+          col("t"), col("id"))
+        .select("state", "dur_secs").as[(String, Double)].collect().toMap
+      val sorted = evs.zipWithIndex.sortBy { case ((t, _), i) => (t, i) }
+      val want = sorted.zip(sorted.tail)
+        .groupBy { case (((_, st), _), _) => st }
+        .view.mapValues(_.map { case (((t1, _), _), ((t2, _), _)) =>
+          (t2 - t1).toDouble }.sum).toMap
+      assert(got == want, s"gen $gi: $evs")
+    }
+  }
+
+  test("rampRates extremes match a driver-side lag scan on random series") {
+    import graft.ops.TimeSeries
+    val gens = samples(for {
+      n <- Gen.chooseNum(2, 50)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-100, 100))
+    } yield vs, 5)
+    gens.zipWithIndex.foreach { case (vs, gi) =>
+      // hourly points spanning two days: ramps book on the later point
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("s", new Timestamp(86400000L + i * 3600L * 1000L), i.toLong,
+          v.toDouble)
+      }.toDF("k", "t", "id", "v")
+      val got = TimeSeries.rampRates(df, col("k"), col("t"), col("id"),
+          col("v"))
+        .select("day", "max_ramp_up", "max_ramp_down")
+        .as[(java.sql.Date, Double, Double)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3))).toMap
+      val want = vs.zip(vs.tail).zipWithIndex
+        .map { case ((a, b), i) =>
+          val day = new java.sql.Date(86400000L + (i + 1) * 3600L * 1000L)
+            .toString
+          (day, (b - a).toDouble)
+        }
+        .groupBy(_._1)
+        .view.mapValues(ds => (ds.map(_._2).max, ds.map(_._2).min)).toMap
+      assert(got == want, s"gen $gi: $vs")
     }
   }
 
