@@ -4598,6 +4598,26 @@ object SparkEntry {
                 round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
                   AS region_share
               FROM rev""")),
+
+    // counter mergeability: weekly totals built from daily
+    // (first, last, inner-increase) partials with midnight boundary
+    // terms must equal the direct weekly computation — which is exactly
+    // what the oracle computes from raw rows
+    Q("agg_counter_merge",
+      (s, d) => TimeSeries.counterTotalsMerged(ev(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("value"), keyName = "user_id"),
+      Some("""WITH t AS (SELECT user_id,
+                      CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS week, value,
+                      lag(value) OVER (PARTITION BY user_id,
+                          date_trunc('week', CAST(ts AS TIMESTAMP))
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv
+                    FROM events)
+              SELECT user_id, week,
+                round(sum(CASE WHEN pv IS NULL THEN 0
+                    WHEN value >= pv THEN value - pv
+                    ELSE value END), 6) AS total_increase
+              FROM t GROUP BY 1, 2""")),
   )
 
   // ----------------------------------------------------------------

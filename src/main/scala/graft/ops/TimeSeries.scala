@@ -282,6 +282,54 @@ object TimeSeries {
       .drop("__graft_pv", "__graft_dt")
   }
 
+  /** Weekly counter totals MERGED from daily partials — the
+    * continuous-aggregate mergeability property for counters (the
+    * agg_ohlc_merge theme, for [[counterDelta]] semantics). A counter's
+    * total increase is NOT naively mergeable: summing per-day totals
+    * loses the increase that happens ACROSS midnight. The mergeable
+    * per-day state is (first value, last value, inner increase); the
+    * coarse rollup sums inner increases and adds one boundary term per
+    * consecutive observed-day pair inside the week — `first_next −
+    * last_prev` when the counter kept climbing, `first_next` when it
+    * reset over the boundary. Equal to computing the weekly total
+    * directly from raw rows (which is what the oracle does), with
+    * cross-week boundary pairs excluded identically by both paths.
+    * Scale shape: day-keyed window + two hash aggregates + one
+    * calendar-sized window over partials — raw rows shuffle once.
+    */
+  def counterTotalsMerged(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      keyName: String = "key"): DataFrame = {
+    val dayW = Window.partitionBy(key, to_date(ts)).orderBy(ts, tie)
+    val ord = orderKey(ts, tie)
+    val partials = df
+      .select(key.as(keyName), to_date(ts).as("__day"), value.as("__v"),
+        ord.as("__o"), (value - lag(value, 1).over(dayW)).as("__d"))
+      .groupBy(col(keyName), col("__day"))
+      .agg(min_by(col("__v"), col("__o")).as("__first"),
+        max_by(col("__v"), col("__o")).as("__last"),
+        sum(when(col("__d").isNull, lit(0.0))
+          .when(col("__d") < 0, col("__v"))
+          .otherwise(col("__d"))).as("__inner"))
+      .withColumn("week", to_date(date_trunc("week", col("__day"))))
+    val wkW = Window.partitionBy(col(keyName), col("week"))
+      .orderBy(col("__day"))
+    partials
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wkW))
+      .withColumn("__boundary",
+        when(col("__prev_last").isNull, lit(0.0))
+          .when(col("__first") >= col("__prev_last"),
+            col("__first") - col("__prev_last"))
+          .otherwise(col("__first")))
+      .groupBy(col(keyName), col("week"))
+      .agg(round(sum(col("__inner") + col("__boundary")), 6)
+        .as("total_increase"))
+  }
+
   /** Per-day ramp extremes: the largest upward and downward step
     * between consecutive readings of a series, reported per (series,
     * day of the later reading) — grid-operations analytics (how fast

@@ -229,6 +229,24 @@ class TimeSeriesSpec extends SparkSpecBase {
       (java.sql.Date.valueOf("2024-01-02"), 3600.0)))
   }
 
+  test("counterTotalsMerged: boundary climb and reset both book correctly") {
+    val df = Seq(
+      (1L, ts("2024-01-01 23:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-02 01:00:00"), 2L, 25.0), // midnight climb +15
+      (1L, ts("2024-01-02 02:00:00"), 3L, 30.0), // inner +5
+      (1L, ts("2024-01-02 23:00:00"), 4L, 40.0), // inner +10
+      (1L, ts("2024-01-03 01:00:00"), 5L, 3.0),  // midnight RESET → +3
+      (1L, ts("2024-01-08 01:00:00"), 6L, 100.0) // next week: no carry-in
+    ).toDF("k", "t", "id", "v")
+    val got = TimeSeries.counterTotalsMerged(df, col("k"), col("t"),
+        col("id"), col("v"))
+      .orderBy("week").select("week", "total_increase")
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(got === Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 33.0),
+      (java.sql.Date.valueOf("2024-01-08"), 0.0)))
+  }
+
   test("rampRates: per-day extremes, first ramp crosses the day boundary") {
     val df = Seq(
       ("s", ts("2024-01-01 23:00:00"), 1L, 10.0),
