@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parseable JSON line.
   *
   * Output contract (driver-facing):
-  *  - stdout carries EXACTLY one line — the result JSON — so a parser
-  *    can take the first (or last) stdout line without scraping logs;
-  *  - the same JSON is also written to `SPARK_GRAFT_BENCH_OUT`
+  *  - stdout carries the full per-query JSON line, then a LAST compact
+  *    totals-only line (`{"metric":"total","value":…,"unit":"sec",
+  *    "n":…,"failed":[…],"sf":…}`). The full line is ~14 KB and a
+  *    bounded tail capture cuts off its head; the compact line is
+  *    <200 bytes, so "take the last stdout line" always parses;
+  *  - the full JSON is also written to `SPARK_GRAFT_BENCH_OUT`
   *    (default `bench_result.json` in the working directory), so a
-  *    truncated stdout capture can never lose the totals again;
+  *    truncated stdout capture can never lose the per-query detail;
   *  - all progress/diagnostics go to stderr.
   *
   * Knobs (env):
@@ -119,6 +122,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    // LAST line, totals only: no per-query map, so it fits any bounded
+    // tail capture — a parser taking the final stdout line always gets
+    // a complete JSON object
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

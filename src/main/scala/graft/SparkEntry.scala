@@ -4132,21 +4132,31 @@ object SparkEntry {
 
     // trailing 20-row EWMA, α = 0.5 — weights 2^−k are exact binary
     // fractions and the fold order is pinned on both engines, so the
-    // float arithmetic is engine-replicable (see TimeSeries.ewmaTrailing)
+    // float arithmetic is engine-replicable (see TimeSeries.ewmaTrailing).
+    // Nulls are PLANTED (event_id % 13) so the null-exclusion contract —
+    // collect_list drops nulls, all-null frame → NULL — is hash-checked,
+    // not just documented: the oracle's FILTER replicates the drop
     Q("win_ewma",
-      (s, d) => TimeSeries.ewmaTrailing(ev(s, d), col("user_id"),
-        col("ts"), col("event_id"), col("value"), frameRows = 20,
-        alpha = 0.5)
+      (s, d) => TimeSeries.ewmaTrailing(
+        ev(s, d).withColumn("value",
+          when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value"))),
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        frameRows = 20, alpha = 0.5)
         .select(col("event_id"), col("ewma")),
-      Some("""WITH t AS (SELECT event_id,
-                      list(value) OVER (PARTITION BY user_id
-                        ORDER BY CAST(ts AS TIMESTAMP), event_id
+      Some("""WITH src AS (SELECT event_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+                    FROM events),
+              t AS (SELECT event_id,
+                      list(v) FILTER (v IS NOT NULL) OVER (PARTITION BY user_id
+                        ORDER BY ts2, event_id
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
-                    FROM events)
+                    FROM src)
               SELECT event_id,
-                round(list_reduce(list_transform(generate_series(1, len(l)),
-                    i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b)
-                  * 0.5 / (1 - power(0.5, len(l))), 6) AS ewma
+                CASE WHEN len(l) = 0 THEN NULL ELSE
+                  round(list_reduce(list_transform(generate_series(1, len(l)),
+                      i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b)
+                    * 0.5 / (1 - power(0.5, len(l))), 6) END AS ewma
               FROM t""")),
 
     // day-over-day churn over the distinct (user, day) grid; the last

@@ -109,6 +109,7 @@ object Components {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src"))
@@ -124,6 +125,9 @@ object Components {
       converged = updatedSum == labelSum
       labelSum = updatedSum
       i += 1
+      System.err.println(f"[components] round $i%2d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        s"labelSum=$updatedSum converged=$converged")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +

@@ -294,8 +294,13 @@ object TimeSeries {
     * reset over the boundary. Equal to computing the weekly total
     * directly from raw rows (which is what the oracle does), with
     * cross-week boundary pairs excluded identically by both paths.
-    * Scale shape: day-keyed window + two hash aggregates + one
-    * calendar-sized window over partials — raw rows shuffle once.
+    * Scale shape: ONE data-sized shuffle — project to attribute
+    * columns FIRST, then window on those attributes, so the (key, day)
+    * hash aggregate reuses the window's exchange (partitioning on an
+    * aliased `to_date(ts)` expression would NOT match and would
+    * re-shuffle); first/last/delta all come from the one window pass
+    * (same partition+order, three frames, one WindowExec), so the
+    * aggregate is a plain HashAggregate, not a min_by SortAggregate.
     */
   def counterTotalsMerged(
       df: DataFrame,
@@ -304,14 +309,20 @@ object TimeSeries {
       tie: Column,
       value: Column,
       keyName: String = "key"): DataFrame = {
-    val dayW = Window.partitionBy(key, to_date(ts)).orderBy(ts, tie)
-    val ord = orderKey(ts, tie)
-    val partials = df
-      .select(key.as(keyName), to_date(ts).as("__day"), value.as("__v"),
-        ord.as("__o"), (value - lag(value, 1).over(dayW)).as("__d"))
+    val base = df.select(key.as(keyName), to_date(ts).as("__day"),
+      value.as("__v"), ts.as("__ts"), tie.as("__tie"))
+    val dayW = Window.partitionBy(col(keyName), col("__day"))
+      .orderBy(col("__ts"), col("__tie"))
+    val partials = base
+      .select(col(keyName), col("__day"), col("__v"),
+        (col("__v") - lag(col("__v"), 1).over(dayW)).as("__d"),
+        first(col("__v")).over(dayW).as("__f"),
+        last(col("__v")).over(
+          dayW.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__l"))
       .groupBy(col(keyName), col("__day"))
-      .agg(min_by(col("__v"), col("__o")).as("__first"),
-        max_by(col("__v"), col("__o")).as("__last"),
+      .agg(min(col("__f")).as("__first"),
+        min(col("__l")).as("__last"),
         sum(when(col("__d").isNull, lit(0.0))
           .when(col("__d") < 0, col("__v"))
           .otherwise(col("__d"))).as("__inner"))
@@ -398,6 +409,8 @@ object TimeSeries {
     * nulls, so the average is over the observed readings only — note
     * an engine whose list aggregate preserves nulls would diverge
     * here); filter or impute nulls first if every row must weigh in.
+    * A frame with NO non-null reading yields ewma = NULL (not NaN):
+    * the win_ewma oracle plants nulls and hash-checks both rules.
     *
     * Scale: one partitioned sort; per-row cost O(frameRows) — the same
     * asymptotics as any sliding frame aggregate; frameRows bounds both
@@ -422,8 +435,11 @@ object TimeSeries {
       (x, i) => x * pow(lit(1.0 - alpha), (n - 1 - i).cast("double")))
     df.withColumn("__graft_ewma_arr", collect_list(value).over(f))
       .withColumn(outName,
-        round(aggregate(weighted, lit(0.0), (acc, x) => acc + x)
-          * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6))
+        // n = 0 would be 0/0 = NaN; the contract is NULL ("no reading"),
+        // which DuckDB/SQL engines can replicate exactly
+        when(n === 0, lit(null).cast("double")).otherwise(
+          round(aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+            * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6)))
       .drop("__graft_ewma_arr")
   }
 }

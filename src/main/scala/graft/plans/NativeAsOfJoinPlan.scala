@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -76,6 +76,12 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  // output rows ARE the left child's rows (plus payload), still
+  // co-partitioned on the keys — advertising it (the streamed-side
+  // pattern SortMergeJoinExec uses) lets a downstream groupBy/join on
+  // the same keys reuse the exchange instead of reshuffling
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
@@ -94,7 +100,13 @@ case class AsOfJoinExec(
         RowOrdering.createNaturalAscendingOrdering(keyTypes :+ timeType)
       val ordKey = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val payloadProj = UnsafeProjection.create(payload, rOut)
-      val resultProj = UnsafeProjection.create(output, lOut ++ payload)
+      // bind against nullability-WIDENED payload attrs (mirroring how
+      // `output` widens them): unmatched left rows project nullPayload,
+      // and a BoundReference with nullable=false would skip the
+      // isNullAt check — a null primitive slot would silently read as
+      // 0/0.0 (or NPE for strings) instead of NULL
+      val resultProj = UnsafeProjection.create(
+        output, lOut ++ payload.map(_.withNullability(true)))
       val nullPayload = new GenericInternalRow(payload.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

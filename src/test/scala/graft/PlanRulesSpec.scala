@@ -238,6 +238,62 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("custom as-of operator: non-nullable payload still nulls unmatched rows") {
+    import graft.plans.NativeAsOf
+    // tuple-derived Long columns are nullable=false — the projection must
+    // widen payload nullability or an unmatched row's null slot reads as 0
+    val left = Seq((1L, "u", 10L), (2L, "z", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 5L, 42L)).toDF("k", "rt", "pay")
+    assert(!right.schema("pay").nullable, "fixture must be non-nullable")
+    val got = NativeAsOf.joinPrior(left, right, Seq("k"), "t", "rt", Seq("pay"))
+      .select(col("id"), col("pay")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(1L -> Some(42L), 2L -> None),
+      s"unmatched non-nullable payload must be NULL, not 0: $got")
+  }
+
+  test("custom as-of operator: skewed key (~50% of rows) equals composition") {
+    import graft.ops.AsOf
+    import graft.plans.NativeAsOf
+    // worst case for the O(1)-state claim: one key holds half the data,
+    // so a single partition's merge frontier sees ~n/2 rows on each side
+    val n = 20000L
+    val left = spark.range(n).select(
+      when($"id" % 2 === 0, lit("hot")).otherwise(concat(lit("k"), $"id" % 97))
+        .as("k"),
+      ($"id" * 3 % 10000).as("t"), $"id".as("lid"))
+    val right = spark.range(n / 2).select(
+      when($"id" % 2 === 0, lit("hot")).otherwise(concat(lit("k"), $"id" % 97))
+        .as("k"),
+      ($"id" * 7 % 10000).as("rt"), $"id".as("rid"))
+      // joinPrior contract: right unique per (key, time) — dedup first so
+      // both implementations face the same well-formed input
+      .groupBy($"k", $"rt").agg(max($"rid").as("rid"))
+    val a = NativeAsOf.joinPrior(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .select($"lid", $"rid")
+    val b = AsOf.joinPrior(left, right, Seq("k"), col("t"), col("rt"),
+      Seq("rid")).select($"lid", $"rid")
+    assert(a.count() == n)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("counterTotalsMerged: one data-sized shuffle, hash-agg reuses it") {
+    val df = SparkEntry.queries("agg_counter_merge")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // exchange 1 shuffles raw rows for the (key, day) window; the day
+    // aggregate must ride that partitioning (project-to-attributes-first
+    // keeps the alias match); exchange 2 carries only day partials into
+    // the week window — a third exchange or a SortAggregate means the
+    // reuse regressed to the two-stacked-pass shape
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected 2 exchanges (data-sized window + day-partials), got $exchanges:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"day rollup must hash-aggregate, not sort-aggregate:\n$plan")
+  }
+
   test("star-schema rollup broadcasts every dim — fact side never shuffles") {
     val df = SparkEntry.queries("join_star_broadcast")(spark, sf())
     assert(df.count() > 0)

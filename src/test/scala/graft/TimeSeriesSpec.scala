@@ -201,6 +201,19 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got === Seq(1.0, 1.666667, 3.0))
   }
 
+  test("ewmaTrailing drops null readings; an all-null frame is NULL") {
+    // row 1 is null → frame empty → NULL; rows 2-4: nulls vanish from
+    // the frame, so weights renumber over the observed readings only
+    // (row 4's frame is [2.0, 4.0] — identical to the n=2 case above)
+    val df = Seq((1L, 1, None), (1L, 2, Some(1.0)), (1L, 3, None),
+      (1L, 4, Some(2.0))).toDF("k", "i", "v")
+    val got = TimeSeries.ewmaTrailing(df, col("k"), col("i"), col("i"),
+        col("v"), frameRows = 20, alpha = 0.5)
+      .orderBy("i").select("ewma").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    assert(got === Seq(None, Some(1.0), Some(1.0), Some(1.666667)))
+  }
+
   test("irate: per-point rate, reset rule, NULL on duplicate timestamps") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
