@@ -4630,11 +4630,376 @@ object SparkEntry {
               FROM t GROUP BY 1, 2""")),
   )
 
+  // ------------------------------------------- §2.18 round-8 widening
+  private val hyper3 = Seq(
+    // gaps-and-islands: each event opens a 15-minute activity window;
+    // overlapping/touching windows merge into maximal islands — the
+    // interval-union primitive (session coverage, outage windows)
+    Q("agg_interval_coalesce",
+      (s, d) => Intervals.coalesceIntervals(ev(s, d), col("user_id"),
+        col("ts"), col("ts") + expr("INTERVAL 15 MINUTES"),
+        keyName = "user_id"),
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 900 SECOND AS e
+                    FROM events),
+              t AS (SELECT user_id, s, e,
+                      max(epoch_us(e)) OVER (PARTITION BY user_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pm
+                    FROM iv),
+              g AS (SELECT user_id, s, e,
+                      sum(CASE WHEN pm IS NULL OR epoch_us(s) > pm
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+                    FROM t)
+              SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                count(*) AS n_intervals
+              FROM g GROUP BY user_id, island""")),
+
+    // union coverage: total covered seconds per user with overlap
+    // counted once — same single keyed window, islands-sized reduce
+    Q("agg_interval_coverage",
+      (s, d) => Intervals.unionCoverage(ev(s, d), col("user_id"),
+        col("ts"), col("ts") + expr("INTERVAL 15 MINUTES"),
+        keyName = "user_id"),
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 900 SECOND AS e
+                    FROM events),
+              t AS (SELECT user_id, s, e,
+                      max(epoch_us(e)) OVER (PARTITION BY user_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pm
+                    FROM iv),
+              g AS (SELECT user_id, s, e,
+                      sum(CASE WHEN pm IS NULL OR epoch_us(s) > pm
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+                    FROM t),
+              i AS (SELECT user_id, min(s) AS s, max(e) AS e
+                    FROM g GROUP BY user_id, island)
+              SELECT user_id,
+                round(CAST(sum(epoch_us(e) - epoch_us(s)) AS DOUBLE) / 1e6,
+                  6) AS covered_secs,
+                count(*) AS n_islands
+              FROM i GROUP BY 1""")),
+
+    // Bollinger bands over a 20-row trailing frame, k = 2 — stddev from
+    // explicit frame sums so both engines evaluate one closed formula
+    Q("win_bollinger",
+      (s, d) => TimeSeries.bollinger(ev(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"), frameRows = 20, k = 2.0)
+        .select(col("event_id"), col("mid"), col("upper"), col("lower"),
+          col("breakout")),
+      Some("""WITH t AS (SELECT event_id, value,
+                      CAST(count(*) OVER w AS DOUBLE) AS n,
+                      sum(value) OVER w AS sx,
+                      sum(value * value) OVER w AS sxx
+                    FROM (SELECT event_id, user_id,
+                            CAST(ts AS TIMESTAMP) AS ts2, value FROM events)
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+              f AS (SELECT event_id, value, sx / n AS mean,
+                      sqrt(CASE WHEN n > 1
+                        THEN greatest((sxx - sx * sx / n) / (n - 1), 0)
+                        ELSE 0 END) AS sd
+                    FROM t)
+              SELECT event_id, round(mean, 6) AS mid,
+                round(mean + 2 * sd, 6) AS upper,
+                round(mean - 2 * sd, 6) AS lower,
+                CASE WHEN round(value, 6) > round(mean + 2 * sd, 6)
+                    OR round(value, 6) < round(mean - 2 * sd, 6)
+                  THEN 1 ELSE 0 END AS breakout
+              FROM f""")),
+
+    // RSI-14 (simple-average form): 100·G/(G+L) over one-step diffs;
+    // flat/first frames report NULL
+    Q("win_rsi",
+      (s, d) => TimeSeries.rsi(ev(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"), frameRows = 14)
+        .select(col("event_id"), col("rsi")),
+      Some("""WITH d AS (SELECT event_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      value - lag(value) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS df
+                    FROM events),
+              t AS (SELECT event_id,
+                      sum(CASE WHEN df > 0 THEN df ELSE 0 END) OVER w AS g,
+                      sum(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER w AS l
+                    FROM d
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              SELECT event_id,
+                CASE WHEN g + l = 0 THEN NULL
+                  ELSE round(100 * g / (g + l), 6) END AS rsi
+              FROM t""")),
+
+    // forward as-of: next view at-or-after each click — the
+    // merge_asof(direction='forward') twin of join_asof, same single
+    // shuffle+sort composition with the frame looking forward
+    Q("join_asof_forward",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOf.joinNext(clicks, views, Seq("user_id"),
+            col("ts"), col("ts"), Seq("v_value"))
+          .select(col("event_id"), col("user_id"), col("v_value"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts2
+                FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                  arg_max(value, event_id) AS v_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT c.event_id, c.user_id, v.v_value
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts2 <= v.ts2""")),
+
+    // mergeable quantile sketch: per-(type, day) fixed-bin histogram
+    // partials sum into weekly histograms (exact integer merge), then
+    // p50/p90/p99 read off as bin lower edges — the quantile twin of
+    // agg_sketch_rollup's HLL merge. No raw-row recompute at the coarse
+    // level; the oracle builds the weekly histogram directly and must
+    // agree exactly because counts merge losslessly
+    Q("agg_quantile_merge",
+      (s, d) => {
+        val e = ev(s, d)
+        val rng = e.groupBy(col("event_type"))
+          .agg(min(col("value")).as("__lo"), max(col("value")).as("__hi"))
+        val wid = (col("__hi") - col("__lo")) / lit(50.0)
+        val daily = e.join(broadcast(rng), "event_type")
+          .withColumn("__bin",
+            when(col("__hi") === col("__lo"), lit(0)).otherwise(
+              least(floor((col("value") - col("__lo")) / wid).cast("int"),
+                lit(49))))
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"),
+            col("__bin"))
+          .agg(count(lit(1)).as("__n"), min(col("__lo")).as("__lo"),
+            min(col("__hi")).as("__hi"))
+        val weekly = daily
+          .groupBy(col("event_type"),
+            to_date(date_trunc("week", col("__day"))).as("week"),
+            col("__bin"))
+          .agg(sum(col("__n")).as("__n"), min(col("__lo")).as("__lo"),
+            min(col("__hi")).as("__hi"))
+        val cw = Window.partitionBy(col("event_type"), col("week"))
+          .orderBy(col("__bin"))
+        val c = weekly
+          .withColumn("__cum", sum(col("__n")).over(
+            cw.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("__tot", sum(col("__n")).over(
+            cw.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        def edge(q: Double) = round(
+          min(when(col("__cum") >= lit(q) * col("__tot"),
+            col("__lo") + col("__bin") * (col("__hi") - col("__lo"))
+              / lit(50.0))), 6)
+        c.groupBy(col("event_type"), col("week"))
+          .agg(edge(0.5).as("p50"), edge(0.9).as("p90"), edge(0.99).as("p99"))
+      },
+      Some("""WITH rng AS (SELECT event_type, min(value) AS lo,
+                      max(value) AS hi FROM events GROUP BY 1),
+              b AS (SELECT e.event_type,
+                      CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                        AS DATE) AS week,
+                      CASE WHEN r.hi = r.lo THEN 0
+                        ELSE least(CAST(floor((e.value - r.lo)
+                          / ((r.hi - r.lo) / 50.0)) AS INT), 49) END AS bin,
+                      r.lo AS lo, r.hi AS hi
+                    FROM events e JOIN rng r USING (event_type)),
+              h AS (SELECT event_type, week, bin, count(*) AS n,
+                      min(lo) AS lo, min(hi) AS hi
+                    FROM b GROUP BY 1, 2, 3),
+              c AS (SELECT event_type, week, bin, lo, hi,
+                      sum(n) OVER (PARTITION BY event_type, week
+                        ORDER BY bin) AS cum,
+                      sum(n) OVER (PARTITION BY event_type, week) AS tot
+                    FROM h)
+              SELECT event_type, week,
+                round(min(CASE WHEN cum >= 0.5 * tot
+                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p50,
+                round(min(CASE WHEN cum >= 0.9 * tot
+                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p90,
+                round(min(CASE WHEN cum >= 0.99 * tot
+                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p99
+              FROM c GROUP BY 1, 2""")),
+
+    // deterministic Poisson(1) bootstrap: per-row replication counts
+    // from the md5 coin, aggregated per event type — the reproducible
+    // bagging resample (no RNG state, repartition-stable)
+    Q("sample_poisson_bootstrap",
+      (s, d) => Sampling.poissonBootstrap(ev(s, d), col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_draws"),
+          round(sum(col("value")), 6).as("total_value")),
+      Some("""WITH k AS (SELECT event_type, value,
+                      CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                        WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                        ELSE 4 END AS k
+                    FROM (SELECT event_type, value,
+                            CAST(concat('0x', substr(md5(
+                              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                              % 1000 AS u
+                          FROM events))
+              SELECT event_type, CAST(sum(k) AS BIGINT) AS n_draws,
+                round(sum(k * value), 6) AS total_value
+              FROM k WHERE k > 0 GROUP BY 1""")),
+
+    // corpus-wide duplicate-chunk scrub (line-level dedup): exact copies
+    // planted (doc_id + 10^6) so every chunk has a duplicate; the
+    // canonical first occurrence survives, every other copy is removed
+    Q("text_chunk_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        TextOps.chunkDedup(corpus, col("doc_id"), col("text"), size = 16)
+      },
+      Some("""WITH docs2 AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents),
+              base AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                     FROM docs2),
+              c AS (SELECT doc_id, toks,
+                      unnest(range(0, greatest(CAST(
+                        ceil((len(toks) - 16) / 16.0) AS INT), 0) + 1)) AS k
+                    FROM base),
+              ch AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+                       len(list_slice(toks, k * 16 + 1, k * 16 + 16))
+                         AS n_tokens,
+                       CAST(concat('0x', substr(md5(array_to_string(
+                         list_slice(toks, k * 16 + 1, k * 16 + 16), ' ')),
+                         1, 15)) AS BIGINT) AS h
+                     FROM c),
+              r AS (SELECT doc_id, n_tokens,
+                      CASE WHEN row_number() OVER (PARTITION BY h
+                        ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END
+                        AS keep
+                    FROM ch)
+              SELECT doc_id, CAST(sum(keep) AS BIGINT) AS chunks_kept,
+                CAST(sum(1 - keep) AS BIGINT) AS chunks_removed,
+                CAST(sum(keep * n_tokens) AS BIGINT) AS tokens_kept
+              FROM r GROUP BY 1""")),
+
+    // collocation mining: document-frequency PMI over the top-50 vocab —
+    // vocabulary broadcast, per-doc pair fanout bounded by C(50, 2)
+    Q("agg_cooccurrence",
+      (s, d) => TextOps.cooccurrence(Tables.documents(s, d), col("doc_id"),
+        col("text"), vocabSize = 50, minPairCount = 2L),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(
+                      string_split_regex(lower(trim(text)), '\s+')) AS token
+                    FROM documents),
+              dfreq AS (SELECT token, count(*) AS n_docs FROM tok
+                        GROUP BY 1),
+              vocab AS (SELECT token, n_docs FROM dfreq
+                        ORDER BY n_docs DESC, token LIMIT 50),
+              hits AS (SELECT t.doc_id, t.token, v.n_docs FROM tok t
+                       JOIN vocab v USING (token)),
+              n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+              SELECT a.token AS token_a, b.token AS token_b,
+                count(*) AS n_both,
+                round(ln(count(*) * min(n.n)
+                  / (min(a.n_docs) * min(b.n_docs))), 6) AS pmi
+              FROM hits a JOIN hits b
+                ON a.doc_id = b.doc_id AND a.token < b.token, n
+              GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
+    // sharded JSONL corpus export: md5-hash shard assignment, written as
+    // partitioned JSON and read back — the training-data delivery format
+    Q("sink_jsonl_sharded",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_jsonl")
+        Tables.documents(s, d)
+          .withColumn("shard",
+            pmod(graft.functions.PortableHash
+              .md5Long(col("doc_id").cast("string"), 15), lit(8L))
+              .cast("int"))
+          .select(col("doc_id"), col("text"), col("lang"), col("shard"))
+          .write.mode("overwrite").partitionBy("shard").json(tmp)
+        s.read.json(tmp)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"))
+      },
+      Some("""SELECT CAST(CAST(concat('0x', substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT)
+                  AS shard,
+                count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+              FROM documents GROUP BY 1""")),
+
+    // seasonal residual: value minus the (type, day-of-week, hour)
+    // profile mean — the de-seasonalized signal anomaly scoring feeds on
+    Q("f_seasonal_residual",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"),
+          expr("date_part('DOW', ts)"), hour(col("ts")))
+        ev(s, d)
+          .withColumn("residual",
+            round(col("value") - avg(col("value")).over(w), 6))
+          .select(col("event_id"), col("residual"))
+      },
+      Some("""SELECT event_id,
+                round(value - avg(value) OVER (PARTITION BY event_type,
+                  date_part('dow', CAST(ts AS TIMESTAMP)),
+                  hour(CAST(ts AS TIMESTAMP))), 6) AS residual
+              FROM events""")),
+
+    // PSI drift gate between the month's first-half (ref) and
+    // second-half (live) value distributions per event type
+    Q("dq_distribution_drift",
+      (s, d) => Quality.psiDrift(
+        ev(s, d).withColumn("cohort",
+          when(col("ts") < lit("2024-01-16").cast("timestamp_ntz"), "ref")
+            .otherwise("live")),
+        col("event_type"), col("cohort"), col("value"),
+        bins = 10, threshold = 0.2),
+      Some("""WITH src AS (SELECT event_type AS g,
+                      CASE WHEN CAST(ts AS TIMESTAMP)
+                          < TIMESTAMP '2024-01-16' THEN 'ref'
+                        ELSE 'live' END AS c, value AS v FROM events),
+              rng AS (SELECT g, min(v) AS lo, max(v) AS hi FROM src
+                      GROUP BY 1),
+              b AS (SELECT s.g, s.c,
+                      CASE WHEN r.hi = r.lo THEN 0
+                        ELSE least(CAST(floor((s.v - r.lo)
+                          / ((r.hi - r.lo) / 10.0)) AS INT), 9) END AS bin
+                    FROM src s JOIN rng r USING (g)),
+              n AS (SELECT g, c, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
+              tr AS (SELECT g, sum(n) AS t FROM n WHERE c = 'ref'
+                     GROUP BY 1),
+              tl AS (SELECT g, sum(n) AS t FROM n WHERE c = 'live'
+                     GROUP BY 1),
+              f AS (SELECT coalesce(r.g, l.g) AS g,
+                      coalesce(r.bin, l.bin) AS bin, r.n AS nr, l.n AS nl
+                    FROM (SELECT * FROM n WHERE c = 'ref') r
+                    FULL JOIN (SELECT * FROM n WHERE c = 'live') l
+                      ON r.g = l.g AND r.bin = l.bin),
+              p AS (SELECT f.g,
+                      round(sum((coalesce(nl, 0.5) / tl.t
+                          - coalesce(nr, 0.5) / tr.t)
+                        * ln((coalesce(nl, 0.5) / tl.t)
+                          / (coalesce(nr, 0.5) / tr.t))), 6) AS psi
+                    FROM f JOIN tr ON f.g = tr.g JOIN tl ON f.g = tl.g
+                    GROUP BY 1)
+              SELECT g AS "group", psi,
+                CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS drifted
+              FROM p""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      curation ++ extras ++ hyper ++ analytics ++ hyper2
+      curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

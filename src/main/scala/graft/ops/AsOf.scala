@@ -96,6 +96,43 @@ object AsOf {
       .drop(RT)
   }
 
+  /** Forward as-of join: for each left row, attach the payload of the
+    * EARLIEST right row with `rightTime >= leftTime` in the key group —
+    * the `merge_asof(direction='forward')` operator ("next fill after
+    * this order", "next reading at-or-after the alert"). Exact mirror
+    * of [[joinPrior]] — same single shuffle+sort, but the window frame
+    * looks FORWARD (`first(payload) over current..unbounded following`)
+    * and left rows sort BEFORE right rows at equal times so an
+    * equal-time right row is inside the frame (`>=` semantics). Left
+    * rows with no following right row carry nulls. Right side unique
+    * per (keys, rightTime); at duplicates the FIRST row in sort order
+    * wins (the earliest — mirroring joinPrior's latest-wins).
+    */
+  def joinNext(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String]): DataFrame = {
+    val P = "__graft_payload"
+    val l = left.withColumn(T, leftTime).withColumn(L, lit(0))
+    val r = right
+      .select(keys.map(col) :+ rightTime.as(T) :+
+        struct(payloadCols.map(col): _*).as(P): _*)
+      .withColumn(L, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(T), col(L))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn(P, first(col(P), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col(P).getField(c))
+      }
+      .filter(col(L) === 0).drop(T, L, P)
+  }
+
   /** Nearest-in-time join, EITHER direction: for each left row, the
     * right row minimizing |rightTime − leftTime| within the key group
     * (ties go to the earlier right row — i.e. the backward match). The

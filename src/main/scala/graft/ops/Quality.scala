@@ -247,4 +247,65 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
   }
+
+  /** Population Stability Index between two cohorts of the same metric
+    * per group — the standard drift gate between a reference window and
+    * a live window (or train vs serve distributions). Values bin into
+    * `bins` equal-width buckets over the group's OWN observed range
+    * (deterministic — no global quantile estimation), shares are exact
+    * integer counts over the cohort, and
+    * PSI = Σ (p_live − p_ref) · ln(p_live / p_ref) with the standard
+    * half-count continuity floor for empty cells (an empty bin would
+    * make the log infinite; the floor keeps the index finite and is
+    * replicated by the oracle exactly). Output: (group, psi, drifted).
+    *
+    * Scale shape: one pass to get per-group min/max (group-sized
+    * broadcast), one keyed aggregate over (group, cohort, bin), one
+    * group-sized reduce. Raw rows shuffle once.
+    */
+  def psiDrift(
+      df: DataFrame,
+      group: Column,
+      cohort: Column,
+      value: Column,
+      bins: Int = 10,
+      threshold: Double = 0.2): DataFrame = {
+    require(bins >= 2, "psi needs at least 2 bins")
+    val keyed = df.select(group.as("__g"), cohort.as("__c"), value.as("__v"))
+    val range = keyed.groupBy(col("__g"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = keyed.join(broadcast(range), "__g")
+      // the max value lands in the top bin via least(); a constant
+      // column (hi = lo, division would be NaN — an ANSI cast error)
+      // degenerates to bin 0 on both engines by explicit guard
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(least(
+          floor((col("__v") - col("__lo")) / ((col("__hi") - col("__lo"))
+            / lit(bins.toDouble))).cast("int"), lit(bins - 1))))
+      .groupBy(col("__g"), col("__c"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    // per-(group, cohort) totals are group-sized — broadcastable
+    val totals = binned.groupBy(col("__g"), col("__c"))
+      .agg(sum(col("__n")).as("__tot"))
+    val refTot = totals.filter(col("__c") === "ref")
+      .select(col("__g"), col("__tot").as("__tr"))
+    val liveTot = totals.filter(col("__c") === "live")
+      .select(col("__g"), col("__tot").as("__tl"))
+    val ref = binned.filter(col("__c") === "ref")
+      .select(col("__g"), col("__b"), col("__n").as("__nr"))
+    val live = binned.filter(col("__c") === "live")
+      .select(col("__g"), col("__b"), col("__n").as("__nl"))
+    ref.join(live, Seq("__g", "__b"), "full")
+      .join(broadcast(refTot), "__g")
+      .join(broadcast(liveTot), "__g")
+      // half-count continuity floor for a bin the cohort never observed
+      .withColumn("__pr", coalesce(col("__nr").cast("double"), lit(0.5))
+        / col("__tr"))
+      .withColumn("__pl", coalesce(col("__nl").cast("double"), lit(0.5))
+        / col("__tl"))
+      .groupBy(col("__g").as("group"))
+      .agg(round(sum((col("__pl") - col("__pr")) *
+        log(col("__pl") / col("__pr"))), 6).as("psi"))
+      .withColumn("drifted", (col("psi") > threshold).cast("int"))
+  }
 }

@@ -95,6 +95,33 @@ object Sampling {
       .drop("__key", "__rn")
   }
 
+  /** Deterministic Poisson(1) bootstrap resample: each row is drawn
+    * `k` times where `k` follows the Poisson(1) replication law the
+    * streaming-bootstrap literature uses (bagging over a corpus too
+    * large to sample with replacement globally — each row's count is
+    * independent, no global coordination). The draw is the portable
+    * md5 uniform inverted through the Poisson(1) CDF (truncated at 4;
+    * P(k > 4) < 0.4%, folded into the k = 4 bucket), so the resample
+    * is reproducible, engine-replicable, and repartition-stable. Rows
+    * with k = 0 (~36.8%) drop; others explode to k copies with a
+    * `draw_idx`. Pure per-row expression + generator — no shuffle.
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: Column,
+      copiesName: String = "draw_idx"): DataFrame = {
+    // u in [0, 1000) per-mille; CDF(0)=367.9, CDF(1)=735.8, CDF(2)=919.7,
+    // CDF(3)=981.0 (×1000, Poisson λ=1) — integer thresholds so both
+    // engines compare exactly
+    val u = pmod(PortableHash.md5Long(idCol.cast("string"), 15), lit(1000))
+    val k = when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
+      .when(u < 981, 3).otherwise(4)
+    df.withColumn("__k", k)
+      .filter(col("__k") > 0)
+      .withColumn(copiesName, explode(sequence(lit(1), col("__k"))))
+      .drop("__k")
+  }
+
   /** Leakage-safe GROUP split: every row of a group (source, domain,
     * author — whatever near-duplicates cluster under) lands in the same
     * split, so train/test contamination through within-group near-dups

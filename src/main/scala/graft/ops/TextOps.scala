@@ -303,4 +303,77 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** Corpus-wide duplicate-chunk scrub — the line/paragraph-level dedup
+    * step of web-corpus pipelines (boilerplate paragraphs repeat across
+    * pages even when whole documents don't): documents are cut into
+    * non-overlapping `size`-token chunks ([[chunk]] with stride = size),
+    * a chunk occurring in more than one place keeps only its FIRST
+    * occurrence (min doc_id, then min chunk_id — deterministic
+    * canonical owner), and every other copy is dropped. Returns per-doc
+    * hygiene stats: chunks kept/removed and surviving token count.
+    *
+    * Scale shape: chunks shuffle once keyed by their md5 (never the
+    * corpus pairwise); the keep rule is a min-struct aggregate joined
+    * back id-to-id. Chunk text never travels through the dedup shuffle
+    * — only the 15-hex-char portable hash does.
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      size: Int): DataFrame = {
+    val ch = chunk(df, idCol, text, size = size, stride = size)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        graft.functions.PortableHash.md5Long(col("chunk_text"), 15).as("__h"))
+    // canonical owner per hash: lexicographically-min (doc_id, chunk_id)
+    val owner = ch.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__o"))
+      .select(col("__h"), col("__o.doc_id").as("__od"),
+        col("__o.chunk_id").as("__oc"))
+    ch.join(owner, Seq("__h"))
+      .withColumn("__keep",
+        (col("doc_id") === col("__od") && col("chunk_id") === col("__oc"))
+          .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__keep")).as("chunks_kept"),
+        sum(lit(1) - col("__keep")).as("chunks_removed"),
+        sum(col("__keep") * col("n_tokens")).as("tokens_kept"))
+  }
+
+  /** Collocation mining: document-level co-occurrence counts and PMI
+    * over the `vocabSize` most-frequent tokens (ties to the
+    * lexicographically smaller token). Bounded by construction: the
+    * vocabulary is a broadcast list, each document contributes at most
+    * C(vocabSize, 2) pairs from its DISTINCT vocab hits, and the output
+    * is vocab²-sized — never corpus-sized. PMI = ln(n_ab·N / (n_a·n_b))
+    * over document frequencies, rounded for cross-engine equality.
+    */
+  def cooccurrence(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      vocabSize: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    require(vocabSize >= 2, "need at least a 2-token vocabulary")
+    val tok = df.select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
+      .select(col("doc_id"), explode(array_distinct(col("__t"))).as("token"))
+    // document frequency → top-vocabSize vocabulary (count desc, token asc)
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
+    val vocab = broadcast(dfreq
+      .orderBy(col("n_docs").desc, col("token")).limit(vocabSize))
+    val hits = tok.join(vocab, "token")
+    val pairs = hits.as("a")
+      .join(hits.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"))
+      .agg(count(lit(1)).as("n_both"),
+        min(col("a.n_docs")).as("__na"), min(col("b.n_docs")).as("__nb"))
+      .filter(col("n_both") >= minPairCount)
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("token_a"), col("token_b"), col("n_both"),
+        round(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))), 6)
+          .as("pmi"))
+  }
 }

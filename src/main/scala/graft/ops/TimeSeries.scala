@@ -395,6 +395,77 @@ object TimeSeries {
         .as("down_secs"))
   }
 
+  /** Bollinger bands: trailing `frameRows`-row mean ± `k`·sample-stddev
+    * plus a breakout flag (outside either band). The stddev comes from
+    * the explicit frame sums (Σx, Σx², n) rather than an engine's
+    * incremental `stddev` aggregate, so both engines evaluate the SAME
+    * closed formula and agree to the 1e-6 round — the win_rolling_corr
+    * determinism recipe. Rows before a full frame still report (the
+    * standard charting convention); a zero-variance frame flags nothing.
+    * One partitioned window; per-row cost O(1) via running sums.
+    */
+  def bollinger(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      frameRows: Int,
+      k: Double): DataFrame = {
+    require(frameRows >= 2 && k > 0, "bollinger needs frameRows >= 2, k > 0")
+    val f = Window.partitionBy(key).orderBy(ts, tie)
+      .rowsBetween(1L - frameRows, 0)
+    val n = count(lit(1)).over(f).cast("double")
+    val sx = sum(value).over(f)
+    val sxx = sum(value * value).over(f)
+    val mean = sx / n
+    // sample variance from sums; guarded at n = 1 (first row of a key)
+    val variance = when(n > 1,
+      greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))).otherwise(lit(0.0))
+    val sd = sqrt(variance)
+    df.withColumn("mid", round(mean, 6))
+      .withColumn("upper", round(mean + lit(k) * sd, 6))
+      .withColumn("lower", round(mean - lit(k) * sd, 6))
+      .withColumn("breakout",
+        (round(value, 6) > col("upper") || round(value, 6) < col("lower"))
+          .cast("int"))
+  }
+
+  /** Relative Strength Index over a trailing `frameRows`-row frame
+    * (simple-average form, not Wilder's recursive smoothing — the
+    * mergeable/window-expressible variant): RSI = 100 − 100/(1 + RS)
+    * with RS = avg gain / avg loss over the frame of one-step diffs.
+    * All-gain frames pin RSI to 100, all-loss to 0, and a flat frame
+    * (no movement either way) reports NULL ("undefined", the charting
+    * convention). First row of each key has no diff and reports NULL.
+    * One partitioned window (lag + frame sums share it).
+    */
+  def rsi(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      frameRows: Int): DataFrame = {
+    require(frameRows >= 2, "rsi needs frameRows >= 2")
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val f = w.rowsBetween(1L - frameRows, 0)
+    // 100·G/(G+L) ≡ 100 − 100/(1 + G/L) without the L = 0 division —
+    // the identity also makes the all-gain (=100) and all-loss (=0)
+    // pins fall out of one expression
+    df.withColumn("__d", value - lag(value, 1).over(w))
+      .withColumn("__g",
+        sum(when(col("__d") > 0, col("__d")).otherwise(lit(0.0))).over(f))
+      .withColumn("__l",
+        sum(when(col("__d") < 0, lit(0.0) - col("__d")).otherwise(lit(0.0)))
+          .over(f))
+      .withColumn("rsi",
+        when(col("__g") + col("__l") === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(100.0) * col("__g") / (col("__g") + col("__l")), 6)))
+      .drop("__d", "__g", "__l")
+  }
+
   /** Trailing exponentially-weighted moving average over the last
     * `frameRows` rows: weights (1−α)^k for lag k, renormalized over the
     * observed frame (so early rows are unbiased, the standard

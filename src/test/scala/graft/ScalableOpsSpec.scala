@@ -187,6 +187,23 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got(3L) == None)          // no prior row at all
   }
 
+  test("asof joinNext: earliest following right row, >= ties, null when none") {
+    // mirror of the joinPrior fixture: id 1 ties at t=10 (equal-time
+    // right row matches under >=), id 3 takes the EARLIEST of the two
+    // following rows, id 2 has nothing at-or-after, id 4's key has no
+    // right rows at all
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L),
+      (4L, "w", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "a"), ("u", 15L, "b"), ("v", 1L, "x"))
+      .toDF("k", "rt", "payload")
+    val got = AsOf.joinNext(left, right, Seq("k"), col("t"), col("rt"),
+        Seq("payload"))
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> None, 3L -> Some("a"),
+      4L -> None))
+  }
+
   test("asof joinNearest: closest either side, ties to the earlier row") {
     val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 300L),
       (4L, "u", 210L), (5L, "w", 10L)).toDF("id", "k", "t")

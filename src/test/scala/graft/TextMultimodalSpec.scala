@@ -152,6 +152,35 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("chunkDedup keeps the first occurrence, scrubs every other copy") {
+    // doc 1 and its exact copy 11: all of 11's chunks are removed; doc 2
+    // is unique and keeps everything. 4-token chunks, 9-token docs → 3
+    // chunks each (two full + one 1-token tail)
+    val nine = (1 to 9).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, nine), (11L, nine), (2L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(df, $"doc_id", $"text", size = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "chunks_kept", "chunks_removed", "tokens_kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 0L, 9L), (2L, 2L, 0L, 5L),
+      (11L, 0L, 3L, 0L)))
+  }
+
+  test("cooccurrence: doc-frequency pairs with exact PMI, a < b order") {
+    // a+b together in 2 of 4 docs, a in 3, b in 2 → PMI = ln(2·4/(3·2))
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "c d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.cooccurrence(df, $"doc_id", $"text",
+        vocabSize = 4, minPairCount = 2L)
+      .select("token_a", "token_b", "n_both", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L,
+      BigDecimal(math.log(8.0 / 6.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("contamination counts shared shingles and flags heavy overlap") {
     val bench = Seq("b1 b2 b3 b4 b5 b6 b7 b8").toDF("text")
     val train = Seq(

@@ -214,6 +214,120 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got === Seq(None, Some(1.0), Some(1.0), Some(1.666667)))
   }
 
+  test("coalesceIntervals merges overlap and touch, splits on gaps") {
+    import graft.ops.Intervals
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("u", ts("2024-01-01 10:20:00"), ts("2024-01-01 10:50:00")), // overlap
+      ("u", ts("2024-01-01 10:50:00"), ts("2024-01-01 11:00:00")), // touch
+      ("u", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")), // gap
+      ("w", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:05:00"))
+    ).toDF("k", "s", "e")
+    val got = Intervals.coalesceIntervals(df, col("k"), col("s"), col("e"))
+      .orderBy("key", "island_start")
+      .select("key", "island_start", "island_end", "n_intervals")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got === Seq(
+      ("u", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 3L),
+      ("u", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00"), 1L),
+      ("w", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:05:00"), 1L)))
+  }
+
+  test("unionCoverage counts overlapped time once") {
+    import graft.ops.Intervals
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("u", ts("2024-01-01 10:20:00"), ts("2024-01-01 10:40:00")), // +10 min
+      ("u", ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00"))
+    ).toDF("k", "s", "e")
+    val got = Intervals.unionCoverage(df, col("k"), col("s"), col("e"))
+      .select("covered_secs", "n_islands")
+      .as[(Double, Long)].first()
+    assert(got === ((40 + 5) * 60.0, 2L))
+  }
+
+  test("bollinger: constant series has zero-width bands and no breakouts") {
+    val df = (1 to 30).map(i => (1L, i, 5.0)).toDF("k", "i", "v")
+    val got = TimeSeries.bollinger(df, col("k"), col("i"), col("i"),
+        col("v"), frameRows = 20, k = 2.0)
+      .agg(min("mid"), max("mid"), max("upper"), min("lower"),
+        sum("breakout")).first()
+    assert(got.getDouble(0) == 5.0 && got.getDouble(1) == 5.0)
+    assert(got.getDouble(2) == 5.0 && got.getDouble(3) == 5.0)
+    assert(got.getLong(4) == 0L)
+  }
+
+  test("bollinger flags a spike outside 2 sigma") {
+    // 20 quiet readings then a spike: the spike's frame mean/sd come
+    // from the quiet history, so it must flag
+    val df = ((1 to 20).map(i => (1L, i, 10.0 + (i % 2))) :+ (1L, 21, 50.0))
+      .toDF("k", "i", "v")
+    val got = TimeSeries.bollinger(df, col("k"), col("i"), col("i"),
+        col("v"), frameRows = 20, k = 2.0)
+      .filter(col("i") === 21).select("breakout").as[Int].first()
+    assert(got == 1)
+  }
+
+  test("rsi pins all-gain to 100, all-loss to 0, NULL on flat/first") {
+    val up = (1 to 5).map(i => (1L, i, i.toDouble))
+    val down = (1 to 5).map(i => (2L, i, (10 - i).toDouble))
+    val flat = (1 to 3).map(i => (3L, i, 7.0))
+    val got = TimeSeries.rsi((up ++ down ++ flat).toDF("k", "i", "v"),
+        col("k"), col("i"), col("i"), col("v"), frameRows = 14)
+      .orderBy("k", "i").select("k", "i", "rsi").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // first row of every key: no diff yet → NULL
+    assert(got.filter(_._2 == 1).forall(_._3.isEmpty))
+    assert(got.filter(t => t._1 == 1L && t._2 > 1).forall(_._3 == Some(100.0)))
+    assert(got.filter(t => t._1 == 2L && t._2 > 1).forall(_._3 == Some(0.0)))
+    assert(got.filter(t => t._1 == 3L && t._2 > 1).forall(_._3.isEmpty))
+  }
+
+  test("rsi mixes gains and losses as 100*G/(G+L)") {
+    // diffs: +2, -1 → G=2, L=1 → RSI = 100·2/3
+    val df = Seq((1L, 1, 5.0), (1L, 2, 7.0), (1L, 3, 6.0)).toDF("k", "i", "v")
+    val got = TimeSeries.rsi(df, col("k"), col("i"), col("i"), col("v"),
+        frameRows = 14)
+      .filter(col("i") === 3).select("rsi").as[Double].first()
+    assert(got == 66.666667)
+  }
+
+  test("poissonBootstrap is deterministic and respects its CDF buckets") {
+    import graft.ops.Sampling
+    import graft.functions.PortableHash
+    val df = spark.range(2000).select($"id")
+    val a = Sampling.poissonBootstrap(df, col("id"))
+    val b = Sampling.poissonBootstrap(df, col("id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // draw counts per id must equal the md5-CDF bucket directly
+    val expected = df.select($"id",
+        pmod(PortableHash.md5Long($"id".cast("string"), 15), lit(1000))
+          .as("u"))
+      .select($"id", when($"u" < 368, 0).when($"u" < 736, 1)
+        .when($"u" < 920, 2).when($"u" < 981, 3).otherwise(4).as("k"))
+      .filter($"k" > 0)
+    val counts = a.groupBy($"id").count()
+    assert(counts.join(expected, "id")
+      .filter($"count" =!= $"k").isEmpty)
+    assert(counts.count() == expected.count())
+  }
+
+  test("psiDrift: identical cohorts score 0, a shifted cohort drifts") {
+    import graft.ops.Quality
+    val same = (1 to 200).flatMap(i =>
+      Seq(("g1", "ref", (i % 10).toDouble), ("g1", "live", (i % 10).toDouble)))
+    val shifted = (1 to 200).flatMap(i =>
+      Seq(("g2", "ref", (i % 10).toDouble),
+        ("g2", "live", (i % 10).toDouble + 8.0)))
+    val got = Quality.psiDrift((same ++ shifted).toDF("g", "c", "v"),
+        col("g"), col("c"), col("v"), bins = 10, threshold = 0.2)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(got(0) == ("g1", 0.0, 0))
+    assert(got(1)._1 == "g2" && got(1)._2 > 0.2 && got(1)._3 == 1)
+  }
+
   test("irate: per-point rate, reset rule, NULL on duplicate timestamps") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
