@@ -326,15 +326,15 @@ object TextOps {
     val ch = chunk(df, idCol, text, size = size, stride = size)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         graft.functions.PortableHash.md5Long(col("chunk_text"), 15).as("__h"))
-    // canonical owner per hash: lexicographically-min (doc_id, chunk_id)
-    val owner = ch.groupBy(col("__h"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__o"))
-      .select(col("__h"), col("__o.doc_id").as("__od"),
-        col("__o.chunk_id").as("__oc"))
-    ch.join(owner, Seq("__h"))
-      .withColumn("__keep",
-        (col("doc_id") === col("__od") && col("chunk_id") === col("__oc"))
-          .cast("int"))
+    // canonical owner per hash: lexicographically-min (doc_id, chunk_id),
+    // PACKED into one long (chunk_id < 10^9 by construction — documents
+    // are token-bounded) so the min is a plain hash-aggregable long min,
+    // not a struct min that would force a SortAggregate over every chunk
+    val packed = ch.withColumn("__p",
+      col("doc_id") * lit(1000000000L) + col("chunk_id"))
+    val owner = packed.groupBy(col("__h")).agg(min(col("__p")).as("__op"))
+    packed.join(owner, Seq("__h"))
+      .withColumn("__keep", (col("__p") === col("__op")).cast("int"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__keep")).as("chunks_kept"),
         sum(lit(1) - col("__keep")).as("chunks_removed"),
@@ -362,16 +362,29 @@ object TextOps {
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
     val vocab = broadcast(dfreq
       .orderBy(col("n_docs").desc, col("token")).limit(vocabSize))
+    // pairs come from a per-doc SORTED vocab-hit array (bounded at
+    // vocabSize) self-paired by expression — no doc-keyed self-join, so
+    // the exploded token rows shuffle ONCE (into the per-doc collect)
+    // instead of twice into a join, and pair fanout stays ≤ C(|v|, 2)
     val hits = tok.join(vocab, "token")
-    val pairs = hits.as("a")
-      .join(hits.as("b"), col("a.doc_id") === col("b.doc_id") &&
-        col("a.token") < col("b.token"))
-      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"))
-      .agg(count(lit(1)).as("n_both"),
-        min(col("a.n_docs")).as("__na"), min(col("b.n_docs")).as("__nb"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("token"))).as("__v"))
+    val pairArr = flatten(transform(col("__v"), (a, i) =>
+      transform(slice(col("__v"), i + 2, lit(vocabSize)), b =>
+        struct(a.as("token_a"), b.as("token_b")))))
+    val pairs = hits
+      .select(explode(pairArr).as("__pair"))
+      .select(col("__pair.token_a"), col("__pair.token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minPairCount)
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    pairs.crossJoin(broadcast(n))
+    pairs
+      .join(broadcast(vocab.select(col("token").as("token_a"),
+        col("n_docs").as("__na"))), "token_a")
+      .join(broadcast(vocab.select(col("token").as("token_b"),
+        col("n_docs").as("__nb"))), "token_b")
+      .crossJoin(broadcast(n))
       .select(col("token_a"), col("token_b"), col("n_both"),
         round(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))), 6)
           .as("pmi"))
