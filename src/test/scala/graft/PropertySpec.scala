@@ -493,4 +493,107 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("coalesceIntervals equals brute-force interval union on random sets") {
+    import graft.ops.Intervals
+    val gens = samples(Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(0L, 500L)
+        w <- Gen.chooseNum(1L, 60L)
+      } yield (s, s + w))), 6)
+    gens.zipWithIndex.foreach { case (ivs, gi) =>
+      val df = ivs.map { case (s, e) => ("k", new Timestamp(s * 1000),
+        new Timestamp(e * 1000)) }.toDF("k", "s", "e")
+      val got = Intervals.coalesceIntervals(df, col("k"), col("s"), col("e"))
+        .orderBy("island_start")
+        .select("island_start", "island_end", "n_intervals")
+        .as[(Timestamp, Timestamp, Long)].collect()
+        .map(t => (t._1.getTime / 1000, t._2.getTime / 1000, t._3)).toSeq
+      // brute force: sweep the sorted intervals, merging while overlapping
+      // or touching (start <= running max end)
+      val sorted = ivs.sorted
+      val want = sorted.tail.foldLeft(
+        List((sorted.head._1, sorted.head._2, 1L))) {
+        case ((cs, ce, cn) :: done, (s, e)) =>
+          if (s <= ce) (cs, math.max(ce, e), cn + 1) :: done
+          else (s, e, 1L) :: (cs, ce, cn) :: done
+        case (Nil, _) => Nil
+      }.reverse
+      assert(got == want, s"gen $gi: $sorted")
+      // coverage must equal the summed island lengths, overlap-free
+      val cov = Intervals.unionCoverage(df, col("k"), col("s"), col("e"))
+        .select("covered_secs").as[Double].first()
+      assert(cov == want.map(w => (w._2 - w._1).toDouble).sum, s"gen $gi")
+    }
+  }
+
+  test("joinNext equals a brute-force next-at-or-after scan") {
+    import graft.ops.AsOf
+    val gens = samples(for {
+      ls <- Gen.listOfN(30, Gen.chooseNum(0L, 200L))
+      rs <- Gen.listOfN(15, Gen.chooseNum(0L, 200L))
+    } yield (ls, rs.distinct), 6)
+    gens.zipWithIndex.foreach { case ((ls, rs), gi) =>
+      val left = ls.zipWithIndex.map { case (t, i) => (i.toLong, "k", t) }
+        .toDF("id", "k", "t")
+      val right = rs.map(t => ("k", t, s"p$t")).toDF("k", "rt", "p")
+      val got = AsOf.joinNext(left, right, Seq("k"), col("t"), col("rt"),
+          Seq("p"))
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      ls.zipWithIndex.foreach { case (t, i) =>
+        val want = rs.filter(_ >= t).sorted.headOption.map(v => s"p$v")
+        assert(got(i.toLong) == want, s"gen $gi left=$t rights=$rs")
+      }
+    }
+  }
+
+  test("rsi equals a driver-side gain/loss loop on random series") {
+    import graft.ops.TimeSeries
+    val gens = samples(Gen.chooseNum(2, 50)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-50, 50))), 5)
+    val frame = 6
+    gens.zipWithIndex.foreach { case (vs, gi) =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v.toDouble) }
+        .toDF("k", "i", "v")
+      val got = TimeSeries.rsi(df, col("k"), col("i"), col("i"), col("v"),
+          frameRows = frame)
+        .orderBy("i").select("rsi").collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      vs.indices.foreach { i =>
+        val diffs = vs.indices.slice(math.max(1, i - frame + 1), i + 1)
+          .map(j => (vs(j) - vs(j - 1)).toDouble)
+        val g = diffs.filter(_ > 0).sum
+        val l = -diffs.filter(_ < 0).sum
+        val want = if (g + l == 0) None else Some(
+          BigDecimal(100.0 * g / (g + l))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert((got(i), want) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case _ => false
+        }, s"gen $gi row $i: $vs")
+      }
+    }
+  }
+
+  test("psiDrift is non-negative; zero exactly for identical cohorts") {
+    import graft.ops.Quality
+    val gens = samples(for {
+      ref <- Gen.listOfN(80, Gen.chooseNum(0, 99))
+      live <- Gen.listOfN(80, Gen.chooseNum(0, 99))
+    } yield (ref, live), 5)
+    gens.zipWithIndex.foreach { case ((ref, live), gi) =>
+      val rows = ref.map(v => ("g", "ref", v.toDouble)) ++
+        live.map(v => ("g", "live", v.toDouble)) ++
+        ref.map(v => ("same", "ref", v.toDouble)) ++
+        ref.map(v => ("same", "live", v.toDouble))
+      val got = Quality.psiDrift(rows.toDF("g", "c", "v"), col("g"),
+          col("c"), col("v"), bins = 8, threshold = 0.2)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+      assert(got("g") >= 0.0, s"gen $gi psi=${got("g")}")
+      assert(got("same") == 0.0, s"gen $gi")
+    }
+  }
 }
