@@ -4993,6 +4993,205 @@ object SparkEntry {
               SELECT g AS "group", psi,
                 CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS drifted
               FROM p""")),
+
+    // arbitrary-width anchored time bucket — the time_bucket(width,
+    // origin) hyperfunction date_trunc can't express; exact long
+    // arithmetic (diff − diff mod width) on both engines
+    Q("f_time_bucket_width",
+      (s, d) => ev(s, d).select(col("event_id"),
+        ScalarFns.timeBucket(col("ts"), 90L,
+          lit("2024-01-01 00:00:00")).as("bucket")),
+      Some("""SELECT event_id,
+                make_timestamp(o + d - (d % 90000000)) AS bucket
+              FROM (SELECT event_id,
+                      epoch_us(TIMESTAMP '2024-01-01') AS o,
+                      epoch_us(CAST(ts AS TIMESTAMP))
+                        - epoch_us(TIMESTAMP '2024-01-01') AS d
+                    FROM events)""")),
+
+    // rolling volume-weighted average price over 20 rows; synthetic
+    // per-event weight (event_id mod 7 + 1) stands in for volume.
+    // Prices feed in as exact integer CENTS (values are 2-decimal), so
+    // the frame sums are order-free integer arithmetic — engines sum
+    // window frames in different orders, and a raw double sum landed a
+    // vwap exactly on a 1e-6 rounding boundary
+    Q("win_vwap",
+      (s, d) => TimeSeries.vwap(
+        ev(s, d)
+          .withColumn("w", (col("event_id") % 7 + 1).cast("double"))
+          .withColumn("vc", round(col("value") * 100, 0)),
+        col("user_id"), col("ts"), col("event_id"), col("vc"),
+        col("w"), frameRows = 20)
+        .select(col("event_id"), round(col("vwap") / 100, 6).as("vwap")),
+      Some("""SELECT event_id,
+                round(round(sum(vc * w) OVER fr / sum(w) OVER fr, 6)
+                  / 100, 6) AS vwap
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                      round(value * 100, 0) AS vc,
+                      CAST(event_id % 7 + 1 AS DOUBLE) AS w
+                    FROM events)
+              WINDOW fr AS (PARTITION BY user_id ORDER BY ts2, event_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""")),
+
+    // pairwise correlation matrix across event types on their aligned
+    // per-day means — explicit sums formula, upper triangle
+    Q("agg_corr_matrix",
+      (s, d) => EventAnalytics.corrMatrix(ev(s, d), col("event_type"),
+        to_date(col("ts")), col("value")),
+      Some("""WITH g AS (SELECT event_type AS s, CAST(ts AS DATE) AS b,
+                      round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+              p AS (SELECT a.s AS series_a, b.s AS series_b,
+                      count(*) AS n_buckets, sum(a.v) AS sx, sum(b.v) AS sy,
+                      sum(a.v * b.v) AS sxy, sum(a.v * a.v) AS sxx,
+                      sum(b.v * b.v) AS syy
+                    FROM g a JOIN g b ON a.b = b.b AND a.s < b.s
+                    GROUP BY 1, 2)
+              SELECT series_a, series_b, n_buckets,
+                CASE WHEN sqrt(greatest(n_buckets * sxx - sx * sx, 0))
+                    * sqrt(greatest(n_buckets * syy - sy * sy, 0)) = 0
+                  THEN NULL
+                  ELSE round((n_buckets * sxy - sx * sy)
+                    / (sqrt(greatest(n_buckets * sxx - sx * sx, 0))
+                      * sqrt(greatest(n_buckets * syy - sy * sy, 0))), 6)
+                END AS r
+              FROM p""")),
+
+    // exact distinct-count mergeability: daily member SETS union into
+    // weekly exact uniques; the naive per-day sum overcounts returning
+    // users — the proof that distinct counts don't add
+    Q("agg_distinct_merge",
+      (s, d) => Rollups.exactDistinctMerged(ev(s, d), col("event_type"),
+        to_date(col("ts")), to_date(date_trunc("week", col("ts"))),
+        col("user_id"), dimName = "event_type")
+        .withColumnRenamed("bucket", "week"),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS week,
+                      count(DISTINCT user_id) AS du
+                    FROM events GROUP BY 1, 2, 3),
+              w AS (SELECT event_type,
+                      CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS week,
+                      count(DISTINCT user_id) AS eu
+                    FROM events GROUP BY 1, 2)
+              SELECT d.event_type, d.week, min(w.eu) AS exact_uniques,
+                CAST(sum(d.du) AS BIGINT) AS naive_sum_uniques
+              FROM d JOIN w ON d.event_type = w.event_type
+                AND d.week = w.week
+              GROUP BY 1, 2""")),
+
+    // top-10 session navigation paths (30-min sessions, first 5 steps)
+    Q("agg_top_paths",
+      (s, d) => EventAnalytics.topPaths(ev(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        gapMinutes = 30, maxSteps = 5, k = 10),
+      Some("""WITH t AS (SELECT user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2, event_id,
+                      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                    FROM events),
+              s AS (SELECT user_id, event_type, ts2, event_id,
+                      sum(CASE WHEN p IS NULL
+                          OR ts2 > p + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                        ORDER BY ts2, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+                    FROM t),
+              paths AS (SELECT array_to_string(
+                          list(event_type ORDER BY ts2, event_id)[1:5], '>')
+                          AS path
+                        FROM s GROUP BY user_id, sid),
+              c AS (SELECT path, count(*) AS n_sessions FROM paths
+                    GROUP BY 1)
+              SELECT path, n_sessions,
+                CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                  AS INT) AS rank
+              FROM c ORDER BY n_sessions DESC, path LIMIT 10""")),
+
+    // windowed funnel: signup converts iff the next purchase lands
+    // within 24 h — the attribution-window conversion readout, built on
+    // the forward as-of with deadline
+    Q("agg_funnel_window",
+      (s, d) => {
+        val e = ev(s, d)
+        val su = e.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")).distinct()
+          .withColumn("p_ts", col("ts"))
+        AsOf.joinNextWithin(su, pu, Seq("user_id"), col("ts"), col("ts"),
+            Seq("p_ts"), toleranceSeconds = 86400L)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("signups"),
+            sum(col("p_ts").isNotNull.cast("long")).as("converted"),
+            round(sum(col("p_ts").isNotNull.cast("long")).cast("double")
+              / count(lit(1)), 6).as("conv_rate"))
+      },
+      Some("""WITH su AS (SELECT event_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts2
+                    FROM events WHERE event_type = 'signup'),
+              pu AS (SELECT user_id, ts2 FROM (SELECT user_id,
+                       CAST(ts AS TIMESTAMP) AS ts2 FROM events
+                       WHERE event_type = 'purchase') GROUP BY 1, 2),
+              j AS (SELECT s.event_id, CAST(s.ts2 AS DATE) AS day,
+                      CASE WHEN p.ts2 IS NOT NULL
+                        AND epoch_us(p.ts2) - epoch_us(s.ts2)
+                          <= CAST(86400 AS BIGINT) * 1000000
+                        THEN 1 ELSE 0 END AS conv
+                    FROM su s ASOF LEFT JOIN pu p
+                      ON s.user_id = p.user_id AND s.ts2 <= p.ts2)
+              SELECT day, count(*) AS signups,
+                CAST(sum(conv) AS BIGINT) AS converted,
+                round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+              FROM j GROUP BY 1""")),
+
+    // CSV sink roundtrip: header write, schema-pinned read-back,
+    // aggregate equality against the source rows
+    Q("sink_csv_roundtrip",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_csv")
+        ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+          .csv(tmp)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                round(sum(value), 6) AS total
+              FROM events GROUP BY 1""")),
+
+    // streaming interval union: closed islands emitted as the open
+    // island advances — three scalars of state per user; equals the
+    // batch island list minus each user's final (still-open) island
+    Q("stream_interval_union",
+      (s, d) => graft.streaming.IntervalUnionStream
+        .runToCompletion(s, d, widthSeconds = 900L),
+      Some("""WITH iv AS (SELECT user_id, event_id,
+                      CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 900 SECOND AS e
+                    FROM events),
+              t AS (SELECT user_id, s, e,
+                      max(epoch_us(e)) OVER (PARTITION BY user_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pm
+                    FROM iv),
+              g AS (SELECT user_id, s, e,
+                      sum(CASE WHEN pm IS NULL OR epoch_us(s) > pm
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+                    FROM t),
+              i AS (SELECT user_id, island, min(s) AS island_start,
+                      max(e) AS island_end, count(*) AS n_intervals
+                    FROM g GROUP BY 1, 2),
+              mx AS (SELECT user_id, max(island) AS mi FROM i GROUP BY 1)
+              SELECT i.user_id, i.island_start, i.island_end, i.n_intervals
+              FROM i JOIN mx ON i.user_id = mx.user_id
+              WHERE i.island < mx.mi""")),
   )
 
   // ----------------------------------------------------------------

@@ -73,6 +73,23 @@ object ScalarFns {
   def isoFormat(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
 
+  /** Arbitrary-width time bucket with an explicit origin — the
+    * `time_bucket(width, ts, origin)` hyperfunction `date_trunc` can't
+    * express (90-second buckets, 6-hour buckets, billing periods
+    * anchored mid-month). Pure long arithmetic on microseconds:
+    * `origin + ((ts − origin) div width) · width`, integral division so
+    * both engines agree bit-for-bit. Timestamps at-or-after the origin
+    * only (the driver data's case); integral `div` truncates toward
+    * zero, so pre-origin timestamps would need floor semantics instead.
+    */
+  def timeBucket(ts: Column, widthSeconds: Long, origin: Column): Column = {
+    val w = widthSeconds * 1000000L
+    val o = unix_micros(origin.cast("timestamp"))
+    val diff = unix_micros(ts.cast("timestamp")) - o
+    // diff − (diff mod w): exact long arithmetic, no double division
+    timestamp_micros(o + diff - pmod(diff, lit(w))).cast("timestamp_ntz")
+  }
+
   /** Normalize an ISO string with explicit offset to a UTC-naive
     * timestamp (`transformers.py:14-30`): parse keeps the instant; the
     * NTZ cast renders it as UTC wall time (session TZ is UTC).

@@ -133,6 +133,34 @@ object AsOf {
       .filter(col(L) === 0).drop(T, L, P)
   }
 
+  /** [[joinNext]] with a forward deadline — "the next fill, but only if
+    * it lands within `toleranceSeconds`": a following right row later
+    * than the bound is treated as no match (payload nulled). The
+    * windowed-funnel primitive (converted iff the next purchase falls
+    * inside the attribution window). Same single shuffle+sort.
+    */
+  def joinNextWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: Column,
+      rightTime: Column,
+      payloadCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val RT = "__graft_nxrt"
+    val joined = joinNext(left, right.withColumn(RT, rightTime),
+      keys, leftTime, rightTime, payloadCols :+ RT)
+    val inWindow = col(RT).isNotNull &&
+      (unix_micros(col(RT).cast("timestamp")) -
+        unix_micros(leftTime.cast("timestamp"))) <=
+        toleranceSeconds * 1000000L
+    payloadCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(inWindow, col(c)))
+      }
+      .drop(RT)
+  }
+
   /** Nearest-in-time join, EITHER direction: for each left row, the
     * right row minimizing |rightTime − leftTime| within the key group
     * (ties go to the earlier right row — i.e. the backward match). The

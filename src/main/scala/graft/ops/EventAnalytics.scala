@@ -208,6 +208,93 @@ object EventAnalytics {
     * aggregates after one partitioned lag; nothing is data-sized on the
     * driver.
     */
+  /** Pairwise Pearson correlation matrix across series, computed on
+    * their aligned per-bucket aggregates (e.g. each event type's daily
+    * mean): the metric-correlation panel every monitoring/quant stack
+    * draws. The per-bucket means are ROUNDED before the pair join, so
+    * both engines correlate the exact same numbers; r itself comes from
+    * the explicit sums formula (n, Σx, Σy, Σxy, Σx², Σy²) — one closed
+    * expression, no engine `corr` internals. Upper triangle only
+    * (a < b). Scale: the aligned grid is bucket×series-sized (tiny);
+    * the self-join is on the bucket key; raw rows shuffle once into
+    * the per-bucket aggregate.
+    */
+  def corrMatrix(
+      df: DataFrame,
+      series: Column,
+      bucket: Column,
+      value: Column): DataFrame = {
+    val g = df.groupBy(series.as("__s"), bucket.as("__b"))
+      .agg(round(avg(value), 6).as("__v"))
+    val a = g.select(col("__s").as("series_a"), col("__b"),
+      col("__v").as("__x"))
+    val b = g.select(col("__s").as("series_b"), col("__b"),
+      col("__v").as("__y"))
+    a.join(b, Seq("__b")).filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__n", col("n_buckets").cast("double"))
+      .withColumn("__den",
+        sqrt(greatest(col("__n") * col("__sxx") - col("__sx") * col("__sx"),
+          lit(0.0))) *
+        sqrt(greatest(col("__n") * col("__syy") - col("__sy") * col("__sy"),
+          lit(0.0))))
+      .withColumn("r",
+        when(col("__den") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__n") * col("__sxy")
+            - col("__sx") * col("__sy")) / col("__den"), 6)))
+      .select(col("series_a"), col("series_b"), col("n_buckets"), col("r"))
+  }
+
+  /** Top-k session paths: sessionize on an inactivity gap, render each
+    * session's first `maxSteps` event types as a `>`-joined path
+    * string, count sessions per path, keep the k most common (count
+    * desc, path asc — fully pinned). The navigation-flow report.
+    * Scale: one keyed window for session ids, one (user, session)
+    * aggregate whose per-group array is maxSteps-bounded after the
+    * slice, one path-keyed count, one top-k window over path-count
+    * rows. Ordering inside a session is pinned by sorting the
+    * (ts, tie, type) structs — collect_list order is not relied on.
+    */
+  def topPaths(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      tie: Column,
+      eventType: Column,
+      gapMinutes: Int,
+      maxSteps: Int,
+      k: Int): DataFrame = {
+    require(gapMinutes > 0 && maxSteps >= 1 && k >= 1,
+      "topPaths needs positive gap, steps, k")
+    val w = Window.partitionBy(user).orderBy(ts, tie)
+    val sessions = df
+      .withColumn("__prev", lag(ts, 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        ts > col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"),
+        lit(1)).otherwise(lit(0)))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = sessions
+      .groupBy(user.as("__u"), col("__sid"))
+      .agg(collect_list(struct(ts.as("t"), tie.as("i"),
+        eventType.as("e"))).as("__evs"))
+      .select(array_join(transform(
+        slice(array_sort(col("__evs")), 1, maxSteps), x => x.getField("e")),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    // TakeOrderedAndProject bounds the candidate set to k BEFORE any
+    // global ordering materializes; the rank window then runs over k
+    // rows, not every distinct path
+    paths.orderBy(col("n_sessions").desc, col("path")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("int"))
+  }
+
   def sessionStats(
       df: DataFrame,
       user: Column,

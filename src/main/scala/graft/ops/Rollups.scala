@@ -44,4 +44,31 @@ object Rollups {
       .filter(!(col("bucket") >= windowStart && col("bucket") < windowEnd))
       .unionByName(recomputed)
   }
+
+  /** EXACT distinct-count mergeability: fine partials carry the distinct
+    * member SET (not a count — counts don't merge), the coarse rollup
+    * unions the sets and sizes the union. The exact twin of the HLL
+    * sketch rollup (`agg_sketch_rollup`), for the id-cardinality ranges
+    * where exactness is affordable (set size bounded by per-bucket
+    * distinct actives, not raw rows). Also emits the naive per-day sum,
+    * which OVERCOUNTS returning members — the number that proves why
+    * distinct counts can't be added.
+    */
+  def exactDistinctMerged(
+      df: DataFrame,
+      dim: Column,
+      fineBucket: Column,
+      coarseBucket: Column,
+      member: Column,
+      dimName: String = "dim"): DataFrame = {
+    val daily = df
+      .groupBy(dim.as(dimName), fineBucket.as("__fine"),
+        coarseBucket.as("__coarse"))
+      .agg(collect_set(member).as("__set"))
+    daily
+      .groupBy(col(dimName), col("__coarse").as("bucket"))
+      .agg(size(array_distinct(flatten(collect_list(col("__set")))))
+          .cast("long").as("exact_uniques"),
+        sum(size(col("__set")).cast("long")).as("naive_sum_uniques"))
+  }
 }

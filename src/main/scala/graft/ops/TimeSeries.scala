@@ -431,6 +431,29 @@ object TimeSeries {
           .cast("int"))
   }
 
+  /** Rolling volume-weighted average over a trailing `frameRows`-row
+    * frame: Σ(value·weight) / Σ(weight) — the VWAP shape (and any
+    * weighted moving average). Two frame sums over ONE window; a
+    * zero-weight frame reports NULL rather than a division error.
+    */
+  def vwap(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      value: Column,
+      weight: Column,
+      frameRows: Int,
+      outName: String = "vwap"): DataFrame = {
+    require(frameRows >= 1, "vwap needs frameRows >= 1")
+    val f = Window.partitionBy(key).orderBy(ts, tie)
+      .rowsBetween(1L - frameRows, 0)
+    val sw = sum(weight).over(f)
+    df.withColumn(outName,
+      when(sw === 0.0, lit(null).cast("double"))
+        .otherwise(round(sum(value * weight).over(f) / sw, 6)))
+  }
+
   /** Relative Strength Index over a trailing `frameRows`-row frame
     * (simple-average form, not Wilder's recursive smoothing — the
     * mergeable/window-expressible variant): RSI = 100 − 100/(1 + RS)

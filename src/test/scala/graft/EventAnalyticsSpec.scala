@@ -173,4 +173,42 @@ class EventAnalyticsSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 300.0, 1.5)))
   }
+
+  test("corrMatrix: perfectly correlated, anti-correlated, upper triangle") {
+    // b = 2a (r = 1), c = -a (r = -1) across 4 buckets
+    val rows = (1 to 4).flatMap { d =>
+      Seq(("a", d, d.toDouble), ("b", d, 2.0 * d), ("c", d, -d.toDouble))
+    }
+    val got = EventAnalytics.corrMatrix(rows.toDF("s", "b", "v"),
+        col("s"), col("b"), col("v"))
+      .orderBy("series_a", "series_b")
+      .select("series_a", "series_b", "n_buckets", "r")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", "b", 4L, 1.0), ("a", "c", 4L, -1.0),
+      ("b", "c", 4L, -1.0)))
+  }
+
+  test("corrMatrix: zero-variance series correlates as NULL") {
+    val rows = (1 to 3).flatMap(d => Seq(("a", d, d.toDouble), ("k", d, 5.0)))
+    val got = EventAnalytics.corrMatrix(rows.toDF("s", "b", "v"),
+        col("s"), col("b"), col("v")).select("r").collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+
+  test("topPaths: sessions sorted into pinned paths, top-k by count") {
+    // user 1: two sessions A>B and A>B (same path); user 2: one session C
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "B"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "A"),
+      (1L, ts("2024-01-01 12:05:00"), 4L, "B"),
+      (2L, ts("2024-01-01 09:00:00"), 5L, "C")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.topPaths(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), gapMinutes = 30, maxSteps = 5,
+        k = 10)
+      .select("path", "n_sessions", "rank")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got === Seq(("A>B", 2L, 1), ("C", 1L, 2)))
+  }
 }

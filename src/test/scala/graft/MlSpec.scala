@@ -126,6 +126,20 @@ class MlSpec extends SparkSpecBase {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("exactDistinctMerged: union beats the naive sum on returning members") {
+    // user 10 active both days of the week: exact = 2 uniques, naive = 3
+    val df = Seq(
+      ("t", 1, 100, 10L), ("t", 1, 100, 11L), ("t", 2, 100, 10L),
+      ("t", 8, 101, 10L)
+    ).toDF("dim", "day", "wk", "u")
+    val got = Rollups.exactDistinctMerged(df, col("dim"), col("day"),
+        col("wk"), col("u"))
+      .orderBy("bucket")
+      .select("bucket", "exact_uniques", "naive_sum_uniques")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got === Seq((100, 2L, 3L), (101, 1L, 1L)))
+  }
+
   test("KMeans: seeds, one-round assignment, and the recompute round by hand") {
     // 1-d vectors; stride 2 → seeds id0=[0] (cid 1), id2=[1] (cid 2)
     val df = Seq((0L, Seq(0.0)), (1L, Seq(10.0)), (2L, Seq(1.0)),

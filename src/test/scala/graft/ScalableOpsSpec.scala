@@ -204,6 +204,19 @@ class ScalableOpsSpec extends SparkSpecBase {
       4L -> None))
   }
 
+  test("asof joinNextWithin nulls matches beyond the forward deadline") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 10L), (3L, "u", 300L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 105L, "soon")).toDF("k", "rt", "payload")
+    val got = AsOf.joinNextWithin(left, right, Seq("k"), col("t"),
+        col("rt"), Seq("payload"), toleranceSeconds = 10L)
+      .select(col("id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("soon")) // 5 s ahead: inside the window
+    assert(got(2L) == None)         // 95 s ahead: beyond the deadline
+    assert(got(3L) == None)         // nothing at-or-after at all
+  }
+
   test("asof joinNearest: closest either side, ties to the earlier row") {
     val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 300L),
       (4L, "u", 210L), (5L, "w", 10L)).toDF("id", "k", "t")

@@ -91,4 +91,20 @@ class StreamingSpec extends SparkSpecBase {
     // planted fixture: below, above, above → exactly one alert
     assert(batch.count() > 0)
   }
+
+  test("streaming interval union equals batch islands minus the open one") {
+    val got = graft.streaming.IntervalUnionStream
+      .runToCompletion(spark, sf(), widthSeconds = 900L)
+    val islands = graft.ops.Intervals.coalesceIntervals(
+      Tables.events(spark, sf()), col("user_id"), col("ts"),
+      col("ts") + expr("INTERVAL 15 MINUTES"), keyName = "user_id")
+    // each user's LAST island is still open in the stream — drop it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val batch = islands
+      .withColumn("__mx", max(col("island_start")).over(w))
+      .filter(col("island_start") < col("__mx"))
+      .drop("__mx")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
 }

@@ -293,6 +293,30 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got == 66.666667)
   }
 
+  test("timeBucket: anchored arbitrary width, exact bucket edges") {
+    import graft.functions.ScalarFns
+    val df = Seq(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:29"),
+      ts("2024-01-01 00:01:30"), ts("2024-01-02 13:14:15")
+    ).toDF("t")
+    val got = df.select(ScalarFns.timeBucket(col("t"), 90L,
+        lit("2024-01-01 00:00:00")).as("b"))
+      .collect().map(_.getAs[java.time.LocalDateTime]("b").toString)
+    assert(got === Array("2024-01-01T00:00", "2024-01-01T00:00",
+      "2024-01-01T00:01:30", "2024-01-02T13:13:30"))
+  }
+
+  test("vwap: weighted mean over the frame; zero-weight frame is NULL") {
+    // weights dominate: frame [1(w=1), 100(w=9)] → (1 + 900)/10 = 90.1
+    val df = Seq((1L, 1, 1.0, 1.0), (1L, 2, 100.0, 9.0), (2L, 1, 5.0, 0.0))
+      .toDF("k", "i", "v", "w")
+    val got = TimeSeries.vwap(df, col("k"), col("i"), col("i"), col("v"),
+        col("w"), frameRows = 20)
+      .orderBy("k", "i").select("vwap").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(got === Array(Some(1.0), Some(90.1), None))
+  }
+
   test("poissonBootstrap is deterministic and respects its CDF buckets") {
     import graft.ops.Sampling
     import graft.functions.PortableHash
