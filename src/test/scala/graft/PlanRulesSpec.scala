@@ -294,6 +294,32 @@ class PlanRulesSpec extends SparkSpecBase {
       s"day rollup must hash-aggregate, not sort-aggregate:\n$plan")
   }
 
+  test("interval union rides ONE keyed window exchange") {
+    val df = SparkEntry.queries("agg_interval_coverage")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"gaps-and-islands must be one keyed window shuffle, got $exchanges:\n$plan")
+  }
+
+  test("topPaths bounds candidates with TakeOrdered before ranking") {
+    val df = SparkEntry.queries("agg_top_paths")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // a global Sort over every distinct path would be the scale smell;
+    // the k-bounding must plan as TakeOrderedAndProject
+    assert(plan.contains("TakeOrdered"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("time_bucket is a pure projection — zero exchanges, pushdown-safe") {
+    val df = SparkEntry.queries("f_time_bucket_width")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"an anchored bucket must not shuffle:\n$plan")
+  }
+
   test("star-schema rollup broadcasts every dim — fact side never shuffles") {
     val df = SparkEntry.queries("join_star_broadcast")(spark, sf())
     assert(df.count() > 0)
