@@ -5163,6 +5163,33 @@ object SparkEntry {
                 round(sum(value), 6) AS total
               FROM events GROUP BY 1""")),
 
+    // sliding audio windows (256-sample frames, 128 hop) over the PCM
+    // stub: the frame/hop dataflow of any audio featurizer, with
+    // integer-exact RMS/peak so the plumbing is oracle-checked
+    Q("mm_audio_window",
+      (s, d) => Multimodal.audioWindows(
+        Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
+          col("text")),
+        windowBytes = 256, hopBytes = 128),
+      Some("""WITH w AS (SELECT doc_id AS media_id, text,
+                      length(text) AS n,
+                      unnest(range(0, greatest(CAST(
+                        ceil((length(text) - 256) / 128.0) AS INT), 0) + 1))
+                        AS win_idx
+                    FROM documents),
+              f AS (SELECT media_id, CAST(win_idx AS INTEGER) AS win_idx,
+                      CAST(win_idx * 128 AS BIGINT) AS win_start,
+                      [ord(substr(text, CAST(win_idx * 128 + j + 1 AS INT),
+                        1)) FOR j IN range(0, least(256, n - win_idx * 128))]
+                        AS samples
+                    FROM w)
+              SELECT media_id, win_idx, win_start,
+                CAST(len(samples) AS INTEGER) AS n_samples,
+                round(sqrt(list_sum(list_transform(samples,
+                  x -> CAST(x * x AS DOUBLE))) / len(samples)), 6) AS rms,
+                CAST(list_max(samples) AS INTEGER) AS peak
+              FROM f""")),
+
     // streaming interval union: closed islands emitted as the open
     // island advances — three scalars of state per user; equals the
     // batch island list minus each user's final (still-open) island

@@ -102,4 +102,45 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).as("frame_len"), col("frame"))
   }
+
+  /** Sliding audio analysis windows over the (stub-decoded) PCM byte
+    * stream: window `windowBytes` samples every `hopBytes` — the
+    * frame/hop dataflow every audio featurizer (spectrogram, VAD,
+    * loudness) runs on — with per-window RMS energy and peak amplitude.
+    * Byte values stand in for PCM samples (the decode stub contract);
+    * per-window features are exact integer arithmetic (Σx² ≤ 255²·W
+    * fits a double exactly), so the whole pipeline is oracle-checkable.
+    * The tail window shortens instead of padding; a document shorter
+    * than one window yields a single short window. Pure expressions +
+    * a bounded explode — no shuffle, no UDF.
+    */
+  def audioWindows(
+      df: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame = {
+    require(windowBytes >= 1 && hopBytes >= 1 && hopBytes <= windowBytes,
+      "need 1 <= hopBytes <= windowBytes")
+    val n = col("meta.n_bytes")
+    val nWins = greatest(
+      ceil((n - windowBytes) / lit(hopBytes.toDouble)).cast("int"),
+      lit(0)) + 1
+    val sampled = df
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), nWins - 1)).as("win_idx"))
+      .select(col("media_id"), col("win_idx").cast("int").as("win_idx"),
+        (col("win_idx") * hopBytes).cast("long").as("win_start"),
+        substring(col("payload"),
+          (col("win_idx") * hopBytes + 1).cast("int"),
+          lit(windowBytes)).as("__win"))
+      .withColumn("__hex", hex(col("__win")))
+      .withColumn("__samples",
+        transform(sequence(lit(1), length(col("__win"))),
+          j => conv(substring(col("__hex"), (j * 2 - 1).cast("int"),
+            lit(2)), 16, 10).cast("int")))
+    sampled.select(col("media_id"), col("win_idx"), col("win_start"),
+      size(col("__samples")).cast("int").as("n_samples"),
+      round(sqrt(
+        aggregate(col("__samples"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))
+          / size(col("__samples"))), 6).as("rms"),
+      array_max(col("__samples")).as("peak"))
+  }
 }

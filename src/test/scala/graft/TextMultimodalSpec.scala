@@ -181,6 +181,34 @@ class TextMultimodalSpec extends SparkSpecBase {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("audioWindows: hop spacing, shortened tail, exact RMS and peak") {
+    // 10-byte payload, window 4, hop 2 → ceil((10-4)/2)+1 = 4 windows;
+    // last starts at 6 with 4 samples. "ABCA..." bytes are 65/66/67
+    val df = Multimodal.asPayload(
+      Seq((1L, "ABCABCABCA")).toDF("id", "t"), $"id", $"t")
+    val got = Multimodal.audioWindows(df, windowBytes = 4, hopBytes = 2)
+      .orderBy("win_idx")
+      .select("win_idx", "win_start", "n_samples", "rms", "peak")
+      .as[(Int, Long, Int, Double, Int)].collect().toSeq
+    def rms(bs: Seq[Int]) = BigDecimal(
+      math.sqrt(bs.map(b => b * b).sum.toDouble / bs.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b = "ABCABCABCA".map(_.toInt)
+    assert(got === Seq(
+      (0, 0L, 4, rms(b.slice(0, 4)), 67),
+      (1, 2L, 4, rms(b.slice(2, 6)), 67),
+      (2, 4L, 4, rms(b.slice(4, 8)), 67),
+      (3, 6L, 4, rms(b.slice(6, 10)), 67)))
+  }
+
+  test("audioWindows: payload shorter than one window yields one window") {
+    val df = Multimodal.asPayload(Seq((1L, "AB")).toDF("id", "t"), $"id", $"t")
+    val got = Multimodal.audioWindows(df, windowBytes = 256, hopBytes = 128)
+      .select("win_idx", "n_samples", "peak")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(got === Seq((0, 2, 66)))
+  }
+
   test("contamination counts shared shingles and flags heavy overlap") {
     val bench = Seq("b1 b2 b3 b4 b5 b6 b7 b8").toDF("text")
     val train = Seq(
