@@ -161,4 +161,55 @@ object GraftNative {
   /** Column API entry point. */
   def md5Base28Array(arr: Column): Column =
     ExpressionUtils.column(Md5Base28Array(ExpressionUtils.expression(arr)))
+
+  /** Unsigned byte values of a binary column as array<int> — the
+    * sample-extraction pass of the audio windowing. The composable form
+    * (`transform(sequence(1, length(x)), j => conv(substring(hex(x),
+    * 2j−1, 2), 16, 10))`) materializes a 2n-char hex string per window
+    * and runs an interpreted lambda doing a string substring + base
+    * conversion PER BYTE; this is one codegen'd loop reading the bytes
+    * directly (measured ~4× on mm_audio_window at sf0.1). Bit-identical
+    * output: both read each byte as unsigned 0..255.
+    */
+  case class BytesToIntArray(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(org.apache.spark.sql.types.BinaryType)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "bytes_to_int_array"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val bytes = a.asInstanceOf[Array[Byte]]
+      val out = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        out(i) = bytes(i) & 0xff
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |final int[] $out = new int[$a.length];
+           |for (int $i = 0; $i < $a.length; $i++) {
+           |  $out[$i] = $a[$i] & 0xff;
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column API entry point. */
+  def bytesToIntArray(bin: Column): Column =
+    ExpressionUtils.column(BytesToIntArray(ExpressionUtils.expression(bin)))
 }

@@ -130,11 +130,11 @@ object Multimodal {
         substring(col("payload"),
           (col("win_idx") * hopBytes + 1).cast("int"),
           lit(windowBytes)).as("__win"))
-      .withColumn("__hex", hex(col("__win")))
+      // native codegen'd byte extraction: the hex+conv composition runs
+      // an interpreted per-byte lambda — see BytesToIntArray's doc
       .withColumn("__samples",
-        transform(sequence(lit(1), length(col("__win"))),
-          j => conv(substring(col("__hex"), (j * 2 - 1).cast("int"),
-            lit(2)), 16, 10).cast("int")))
+        org.apache.spark.sql.graftnative.GraftNative
+          .bytesToIntArray(col("__win")))
     sampled.select(col("media_id"), col("win_idx"), col("win_start"),
       size(col("__samples")).cast("int").as("n_samples"),
       round(sqrt(

@@ -201,6 +201,26 @@ class TextMultimodalSpec extends SparkSpecBase {
       (3, 6L, 4, rms(b.slice(6, 10)), 67)))
   }
 
+  test("bytesToIntArray equals the hex/conv composition byte-for-byte") {
+    import org.apache.spark.sql.graftnative.GraftNative
+    // includes bytes >= 0x80 (negative as signed Byte) via multi-byte
+    // unicode chars; the composed reference needs NON-EMPTY input
+    // (sequence(1, 0) is a DESCENDING sequence in Spark), so the empty
+    // payload is asserted separately against the native form alone
+    val df = Seq("hello", "\u00c4 \u00f6 \u00fc", " \u00ff").toDF("t")
+      .select(encode($"t", "UTF-8").as("b"))
+    val got = df.select(
+      GraftNative.bytesToIntArray($"b").as("native"),
+      transform(sequence(lit(1), length($"b")),
+        j => conv(substring(hex($"b"), (j * 2 - 1).cast("int"), lit(2)),
+          16, 10).cast("int")).as("composed"))
+    assert(got.filter($"native" =!= $"composed").isEmpty)
+    val empty = Seq("").toDF("t")
+      .select(size(GraftNative.bytesToIntArray(encode($"t", "UTF-8"))))
+      .as[Int].first()
+    assert(empty == 0)
+  }
+
   test("audioWindows: payload shorter than one window yields one window") {
     val df = Multimodal.asPayload(Seq((1L, "AB")).toDF("id", "t"), $"id", $"t")
     val got = Multimodal.audioWindows(df, windowBytes = 256, hopBytes = 128)
