@@ -1041,10 +1041,14 @@ object SparkEntry {
     // clusters it with a recursive transitive closure.
     Q("dedup_components",
       (s, d) => {
-        val pairs = Dedup.minhashLshPairs(
+        // bracket variant: the components loop materializes its labels
+        // (lineage cut), so the minhash base cache can be released on
+        // exit instead of leaking until a harness-level clearCache
+        Dedup.withMinhashLshPairs(
           withPlantedDups(Tables.documents(s, d)),
-          col("doc_id"), col("text"), threshold = 0.5)
-        Components.connectedComponents(pairs)
+          col("doc_id"), col("text"), threshold = 0.5) { pairs =>
+          Components.connectedComponents(pairs)
+        }
       },
       Some(s"""WITH RECURSIVE $plantedDocsSql,
               $minhashCtesSql,
