@@ -5194,6 +5194,43 @@ object SparkEntry {
                 CAST(list_max(samples) AS INTEGER) AS peak
               FROM f""")),
 
+    // Kaplan-Meier retention: product-limit survival over user tenure
+    // with last-observed-day censoring — exact integer counts, the
+    // running product as an order-pinned log-space cumulative sum, and
+    // the all-at-risk-churn zero factor handled explicitly on both
+    // engines (Spark ln(0) is NULL, DuckDB's is -inf)
+    Q("agg_survival_curve",
+      (s, d) => EventAnalytics.survivalCurve(ev(s, d), col("user_id"),
+        col("ts")),
+      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+                      max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+              mx AS (SELECT max(ld) AS m FROM u),
+              t AS (SELECT date_diff('day', fd, ld) AS tenure,
+                      CASE WHEN ld < (SELECT m FROM mx) THEN 1 ELSE 0 END
+                        AS churned
+                    FROM u),
+              g AS (SELECT tenure, count(*) AS ending,
+                      CAST(sum(churned) AS BIGINT) AS d_t
+                    FROM t GROUP BY 1),
+              k AS (SELECT tenure, d_t,
+                      CAST(sum(ending) OVER (ORDER BY tenure DESC)
+                        AS BIGINT) AS at_risk
+                    FROM g),
+              sfin AS (SELECT tenure, at_risk, d_t,
+                      CASE WHEN max(CASE WHEN d_t = at_risk THEN 1 ELSE 0
+                          END) OVER (ORDER BY tenure ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                        THEN 0.0
+                        ELSE round(exp(sum(CASE WHEN d_t = at_risk THEN 0
+                            ELSE ln(1.0 - CAST(d_t AS DOUBLE) / at_risk)
+                            END) OVER (ORDER BY tenure ROWS BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                        END AS survival
+                    FROM k)
+              SELECT CAST(tenure AS INTEGER) AS tenure, at_risk, d_t,
+                survival
+              FROM sfin""")),
+
     // streaming interval union: closed islands emitted as the open
     // island advances — three scalars of state per user; equals the
     // batch island list minus each user's final (still-open) island

@@ -250,6 +250,55 @@ object EventAnalytics {
       .select(col("series_a"), col("series_b"), col("n_buckets"), col("r"))
   }
 
+  /** Kaplan–Meier retention curve over user tenure: tenure = days
+    * between a user's first and last activity; users whose last day is
+    * the corpus's final observed day are CENSORED (still alive — their
+    * exit is unobserved), everyone else churned at their tenure. At
+    * each tenure t the at-risk set is everyone whose tenure ≥ t, and
+    * S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) — the product-limit estimator
+    * that uses censored users' partial information instead of dropping
+    * them (what a naive churn rate gets wrong).
+    *
+    * Cross-engine determinism: counts are exact integers; the running
+    * product is exp of an ordered cumulative sum of log factors
+    * (order-pinned), rounded at 1e-6. A tenure where EVERYONE at risk
+    * churns has factor 0 — Spark's `log` returns NULL there while other
+    * engines return −∞, so the zero factor is handled explicitly: the
+    * term is neutralized and every survival from that tenure on is
+    * pinned to 0 by a running flag.
+    *
+    * Scale: one (user) aggregate over raw rows, then everything is
+    * tenure-grid-sized (≤ observed span in days).
+    */
+  def survivalCurve(
+      df: DataFrame,
+      user: Column,
+      ts: Column): DataFrame = {
+    val u = df.groupBy(user.as("__u"))
+      .agg(min(to_date(ts)).as("__first"), max(to_date(ts)).as("__last"))
+    val mx = u.agg(max(col("__last")).as("__mx"))
+    val tenures = u.crossJoin(broadcast(mx))
+      .select(datediff(col("__last"), col("__first")).as("tenure"),
+        (col("__last") < col("__mx")).cast("long").as("__churned"))
+      .groupBy(col("tenure"))
+      .agg(count(lit(1)).as("__ending"), sum(col("__churned")).as("d_t"))
+    val byTenure = Window.orderBy(col("tenure"))
+    val atRisk = sum(col("__ending")).over(
+      Window.orderBy(col("tenure").desc)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val r = tenures.withColumn("at_risk", atRisk)
+    val term = when(col("d_t") === col("at_risk"), lit(0.0))
+      .otherwise(log(lit(1.0) - col("d_t").cast("double") / col("at_risk")))
+    val zeroSeen = max((col("d_t") === col("at_risk")).cast("int"))
+      .over(byTenure.rowsBetween(Window.unboundedPreceding, 0))
+    r.withColumn("survival",
+        when(zeroSeen === 1, lit(0.0)).otherwise(
+          round(exp(sum(term).over(
+            byTenure.rowsBetween(Window.unboundedPreceding, 0))), 6)))
+      .select(col("tenure").cast("int").as("tenure"), col("at_risk"),
+        col("d_t"), col("survival"))
+  }
+
   /** Top-k session paths: sessionize on an inactivity gap, render each
     * session's first `maxSteps` event types as a `>`-joined path
     * string, count sessions per path, keep the k most common (count

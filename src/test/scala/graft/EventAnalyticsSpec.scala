@@ -174,6 +174,42 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === Seq((1L, 2L, 300.0, 1.5)))
   }
 
+  test("survivalCurve: hand-computed KM with censoring") {
+    // max day = Jan 10. Users: a (1→3, churned, tenure 2), b (1→3,
+    // churned, 2), c (2→6, churned, 4), d (1→10, censored, 9).
+    // Grid: t=2: risk 4, d 2 → S = 0.5; t=4: risk 2, d 1 → 0.25;
+    // t=9: risk 1, d 0 → 0.25 (censoring holds the curve flat)
+    val df = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-03"),
+      ("b", "2024-01-01"), ("b", "2024-01-03"),
+      ("c", "2024-01-02"), ("c", "2024-01-06"),
+      ("d", "2024-01-01"), ("d", "2024-01-10")
+    ).toDF("u", "day").select($"u", $"day".cast("timestamp").as("ts"))
+    val got = EventAnalytics.survivalCurve(df, $"u", $"ts")
+      .orderBy("tenure").select("tenure", "at_risk", "d_t", "survival")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((2, 4L, 2L, 0.5), (4, 2L, 1L, 0.25),
+      (9, 1L, 0L, 0.25)))
+  }
+
+  test("survivalCurve: a tenure where everyone churns pins S to zero") {
+    // max day Jan 9 (user z). x and y churn at tenure 1 — at t=1 the
+    // at-risk set {x, y} fully churns... except z (tenure 8) is also at
+    // risk; so craft: z has tenure 0? No — z censored at t=8 keeps risk.
+    // Use x,y churn at t=5, z censored at t=5: at t=5 risk {x,y,z},
+    // d=2 → S>0. For the zero pin: all users at the TOP tenure churn.
+    val df = Seq(
+      ("x", "2024-01-01"), ("x", "2024-01-06"),  // tenure 5, churned
+      ("y", "2024-01-01"), ("y", "2024-01-06"),  // tenure 5, churned
+      ("z", "2024-01-09")                        // tenure 0, censored (max)
+    ).toDF("u", "day").select($"u", $"day".cast("timestamp").as("ts"))
+    val got = EventAnalytics.survivalCurve(df, $"u", $"ts")
+      .orderBy("tenure").select("tenure", "at_risk", "d_t", "survival")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // t=0: risk 3, d 0 → 1.0; t=5: risk 2, d 2 → factor 0 → S = 0
+    assert(got === Seq((0, 3L, 0L, 1.0), (5, 2L, 2L, 0.0)))
+  }
+
   test("corrMatrix: perfectly correlated, anti-correlated, upper triangle") {
     // b = 2a (r = 1), c = -a (r = -1) across 4 buckets
     val rows = (1 to 4).flatMap { d =>
