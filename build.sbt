@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-readable JSON lines on stdout; sbt's
+// default logger wraps forked output in "[info] " and appends a "[success]"
+// epilogue, both of which break "parse the last stdout line". Pass forked
+// stdout/stderr through raw and drop the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

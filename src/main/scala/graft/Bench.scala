@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Output contract (driver-facing):
   *  - stdout carries the full per-query JSON line, then a LAST compact
   *    totals-only line (`{"metric":"total","value":…,"unit":"sec",
-  *    "n":…,"failed":[…],"sf":…}`). The full line is ~14 KB and a
-  *    bounded tail capture cuts off its head; the compact line is
-  *    <200 bytes, so "take the last stdout line" always parses;
+  *    "n":…,"failed":[…],"sf":…,"compact":true}`). The full line is
+  *    ~30 KB and a bounded tail capture cuts off its head; the compact
+  *    line is <200 bytes, so "take the last stdout line" always parses.
+  *    Only the compact line carries `"compact":true` — a parser can
+  *    tell which schema it got;
   *  - the full JSON is also written to `SPARK_GRAFT_BENCH_OUT`
   *    (default `bench_result.json` in the working directory), so a
   *    truncated stdout capture can never lose the per-query detail;
@@ -38,6 +40,37 @@ import org.apache.spark.sql.SparkSession
   *    without touching the timed sf0.1 work.
   */
 object Bench {
+
+  /** Process-wide GC time (sec) — sum over all collector beans. */
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** Process CPU time (sec) across ALL threads — with local[32] the
+    * executor threads live in this JVM, so the delta over a query is the
+    * query's real compute. wall >> cpu with small gc = the box stalled
+    * us (scheduling/IO contention), not the plan; gc ≈ wall = GC pause.
+    */
+  private def cpuSeconds(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        math.max(0L, os.getProcessCpuTime) / 1e9
+      case _ => -1.0 // non-HotSpot: attribution unavailable, not an error
+    }
+
+  /** One measured execution: wall time plus the GC and process-CPU
+    * deltas that occurred inside it.
+    */
+  private final case class Measure(wall: Double, gc: Double, cpu: Double)
+
+  private def measure(body: => Unit): Measure = {
+    val g0 = gcSeconds(); val c0 = cpuSeconds(); val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    Measure(wall, gcSeconds() - g0, if (c0 < 0) -1.0 else cpuSeconds() - c0)
+  }
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -114,49 +147,91 @@ object Bench {
       System.err.println(
         f"[bench] warmup pass at $warmDir: ${(System.nanoTime() - tw) / 1e9}%.1f s")
     }
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
-        spark.stop()
-        spark = session(cpus)
-      }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Measure] = {
       // noop-format write evaluates the FULL selected plan — a bare
       // .count() would let Catalyst prune every unreferenced column,
       // so projection-only queries would time scan+count instead of
       // their expression work
       var ok = true
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
+      val m = measure {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           ok = false
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val elapsed = times.min
-      System.err.println(f"[bench] ${i + 1}%3d/$n $name%-28s $elapsed%8.3f s")
+      if (ok) Some(m) else None
+    }
+
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        spark.stop()
+        spark = session(cpus)
+      }
+      val runs = (1 to repeat).map(_ => runOnce(name, fn))
+      // of the successful repeats keep the min-wall run WITH its own
+      // GC/CPU deltas — attribution must describe the reported number
+      val best = runs.flatten.minByOption(_.wall)
+      best.foreach { m =>
+        System.err.println(
+          f"[bench] ${i + 1}%3d/$n $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)")
+      }
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside
       // the timed window — teardown is not the query's cost)
       spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0) // -1 marks failure, never a time
+      (name, best) // None marks failure, never a time
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Bounded spike-retry pass: a query whose wall time is wildly above
+    // the suite's own scale is, on this box, usually a load stall, not a
+    // plan cost (documented ±25% swing, SCALE.md). Re-run the outliers
+    // ONCE in the same JVM and report BOTH numbers — `value`/`queries`
+    // take the min (steady-state plan cost), `attrib` keeps the original
+    // so a stall is classifiable from the artifact alone.
+    val okWalls = results.collect { case (_, Some(m)) => m.wall }.sorted
+    val median = if (okWalls.isEmpty) 0.0 else okWalls(okWalls.size / 2)
+    val spikeThreshold = math.max(5 * median, 2.0)
+    val spikes = results.collect {
+      case (name, Some(m)) if m.wall > spikeThreshold => (name, m.wall)
+    }.sortBy(-_._2).take(12).map(_._1).toSet
+    val retried: Map[String, Measure] = selected.collect {
+      case (name, fn) if spikes(name) =>
+        System.err.println(f"[bench] retry $name (first run exceeded $spikeThreshold%.2f s)")
+        name -> runOnce(name, fn)
+    }.collect { case (name, Some(m)) =>
+      System.err.println(f"[bench] retry $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)")
+      spark.catalog.clearCache()
+      name -> m
+    }.toMap
+
+    def fmt(v: Double) = f"$v%.3f"
+    val official = results.map { case (name, best) =>
+      val pick = (best.toSeq ++ retried.get(name)).minByOption(_.wall)
+      name -> pick.map(_.wall).getOrElse(-1.0) // -1 marks failure
+    }
+    val qs = official.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = official.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // a failing query must not pass off its time-to-throw as a result:
     // it reports as -1 in `queries`, is excluded from `value`, and is
     // listed in `failed`
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = official.collect { case (_, v) if v >= 0 => v }.sum
+    val attrib = results.collect { case (k, Some(m)) =>
+      val retry = retried.get(k).map(r =>
+        s""","retryWall":${fmt(r.wall)},"retryGc":${fmt(r.gc)},"retryCpu":${fmt(r.cpu)}""").getOrElse("")
+      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)}$retry}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","attrib":$attrib}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     // LAST line, totals only: no per-query map, so it fits any bounded
     // tail capture — a parser taking the final stdout line always gets
-    // a complete JSON object
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // a complete JSON object; "compact":true distinguishes it from the
+    // full line above for schema-sniffing consumers
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"failed":[${failed.mkString(",")}],"sf":"$sfDir","compact":true}""")
     spark.stop()
   }
 }
