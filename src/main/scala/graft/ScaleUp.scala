@@ -35,6 +35,19 @@ object ScaleUp {
       copy: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until k).map(i => copy(df, i)).reduce(_ unionByName _)
 
+  /** The fixed copy strides below are sized for an sf0.1-shaped source.
+    * Chaining from a larger source (sf1 → sf10) would silently overlap
+    * id ranges across copies and corrupt every dedup / distinct-count
+    * scaling measurement — so refuse loudly instead.
+    */
+  private def assertStride(df: DataFrame, idCol: String, stride: Long): Unit = {
+    val mx = df.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    require(mx < stride,
+      s"ScaleUp copy stride $stride for '$idCol' does not cover the " +
+        s"source's max id $mx — chain from the sf0.1 source (or raise " +
+        "the stride) so copies stay disjoint")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <destDir> [factor]")
     val (src, dest) = (args(0), args(1))
@@ -49,6 +62,8 @@ object ScaleUp {
 
     // events: K× users over the same span; ts stays the raw nano long
     val ev = spark.read.parquet(s"$src/events.parquet")
+    assertStride(ev, "event_id", 10000000L)
+    assertStride(ev, "user_id", 100000L)
     replicate(ev, factor) { (d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k.toLong * 10000000L))
         .withColumn("user_id", col("user_id") + lit(k.toLong * 100000L))
@@ -58,6 +73,7 @@ object ScaleUp {
     // documents: disjoint token spaces per copy; n_chars re-derived so
     // the length column stays consistent with the perturbed text
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    assertStride(docs, "doc_id", 10000L)
     replicate(docs, factor) { (d, k) =>
       val text = if (k == 0) col("text")
         else array_join(transform(split(col("text"), " "),
@@ -72,6 +88,7 @@ object ScaleUp {
     // copies are not mutual near-neighbors
     val embFactor = math.max(1, (factor * 4) / 10)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertStride(emb, "vec_id", 10000L)
     replicate(emb, embFactor) { (d, k) =>
       val rot = if (k == 0) col("embedding")
         else concat(slice(col("embedding"), k + 1, 64 - k),
@@ -84,6 +101,7 @@ object ScaleUp {
     // lineitem: row-linear scan/sink workloads; orderkey shifted to keep
     // the key space growing like the row count
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    assertStride(li, "l_orderkey", 10000000L)
     replicate(li, factor) { (d, k) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10000000L))
     }.repartition(32).write.mode("overwrite")

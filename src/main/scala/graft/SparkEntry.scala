@@ -4693,29 +4693,37 @@ object SparkEntry {
 
     // Bollinger bands over a 20-row trailing frame, k = 2 — stddev from
     // explicit frame sums so both engines evaluate one closed formula
+    // integer-cents feed (the win_vwap recipe): frame sums of
+    // integer-valued doubles are exact in ANY accumulation order, so
+    // Spark's row-order frame evaluation and DuckDB's segment-tree
+    // combine cannot diverge by an ulp and flip the 1e-6 round on a
+    // boundary; bands are computed at cents scale and rescaled at the end
     Q("win_bollinger",
-      (s, d) => TimeSeries.bollinger(ev(s, d), col("user_id"), col("ts"),
-        col("event_id"), col("value"), frameRows = 20, k = 2.0)
+      (s, d) => TimeSeries.bollinger(
+        ev(s, d).withColumn("vc", round(col("value") * 100, 0)),
+        col("user_id"), col("ts"), col("event_id"), col("vc"),
+        frameRows = 20, k = 2.0, outDiv = 100.0)
         .select(col("event_id"), col("mid"), col("upper"), col("lower"),
           col("breakout")),
-      Some("""WITH t AS (SELECT event_id, value,
+      Some("""WITH t AS (SELECT event_id, vc,
                       CAST(count(*) OVER w AS DOUBLE) AS n,
-                      sum(value) OVER w AS sx,
-                      sum(value * value) OVER w AS sxx
+                      sum(vc) OVER w AS sx,
+                      sum(vc * vc) OVER w AS sxx
                     FROM (SELECT event_id, user_id,
-                            CAST(ts AS TIMESTAMP) AS ts2, value FROM events)
+                            CAST(ts AS TIMESTAMP) AS ts2,
+                            round(value * 100, 0) AS vc FROM events)
                     WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id
                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-              f AS (SELECT event_id, value, sx / n AS mean,
+              f AS (SELECT event_id, vc, sx / n AS mean,
                       sqrt(CASE WHEN n > 1
                         THEN greatest((sxx - sx * sx / n) / (n - 1), 0)
                         ELSE 0 END) AS sd
                     FROM t)
-              SELECT event_id, round(mean, 6) AS mid,
-                round(mean + 2 * sd, 6) AS upper,
-                round(mean - 2 * sd, 6) AS lower,
-                CASE WHEN round(value, 6) > round(mean + 2 * sd, 6)
-                    OR round(value, 6) < round(mean - 2 * sd, 6)
+              SELECT event_id, round(mean / 100, 6) AS mid,
+                round((mean + 2 * sd) / 100, 6) AS upper,
+                round((mean - 2 * sd) / 100, 6) AS lower,
+                CASE WHEN round(vc / 100, 6) > round((mean + 2 * sd) / 100, 6)
+                    OR round(vc / 100, 6) < round((mean - 2 * sd) / 100, 6)
                   THEN 1 ELSE 0 END AS breakout
               FROM f""")),
 
@@ -4942,20 +4950,28 @@ object SparkEntry {
 
     // seasonal residual: value minus the (type, day-of-week, hour)
     // profile mean — the de-seasonalized signal anomaly scoring feeds on
+    // integer-cents feed: the group mean's numerator is an exact
+    // integer sum (order-free under partial aggregation), so both
+    // engines subtract the bit-identical mean — no ulp drift into the
+    // 1e-6 round on a boundary
     Q("f_seasonal_residual",
       (s, d) => {
         val w = Window.partitionBy(col("event_type"),
           expr("date_part('DOW', ts)"), hour(col("ts")))
         ev(s, d)
+          .withColumn("__vc", round(col("value") * 100, 0))
           .withColumn("residual",
-            round(col("value") - avg(col("value")).over(w), 6))
+            round((col("__vc") - avg(col("__vc")).over(w)) / 100, 6))
           .select(col("event_id"), col("residual"))
       },
       Some("""SELECT event_id,
-                round(value - avg(value) OVER (PARTITION BY event_type,
-                  date_part('dow', CAST(ts AS TIMESTAMP)),
-                  hour(CAST(ts AS TIMESTAMP))), 6) AS residual
-              FROM events""")),
+                round((vc - avg(vc) OVER (PARTITION BY event_type, dw, hr))
+                  / 100, 6) AS residual
+              FROM (SELECT event_id, event_type,
+                      round(value * 100, 0) AS vc,
+                      date_part('dow', CAST(ts AS TIMESTAMP)) AS dw,
+                      hour(CAST(ts AS TIMESTAMP)) AS hr
+                    FROM events)""")),
 
     // PSI drift gate between the month's first-half (ref) and
     // second-half (live) value distributions per event type
@@ -5043,7 +5059,8 @@ object SparkEntry {
       (s, d) => EventAnalytics.corrMatrix(ev(s, d), col("event_type"),
         to_date(col("ts")), col("value")),
       Some("""WITH g AS (SELECT event_type AS s, CAST(ts AS DATE) AS b,
-                      round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+                      round(avg(round(value * 100, 0)) * 100, 0) AS v
+                    FROM events GROUP BY 1, 2),
               p AS (SELECT a.s AS series_a, b.s AS series_b,
                       count(*) AS n_buckets, sum(a.v) AS sx, sum(b.v) AS sy,
                       sum(a.v * b.v) AS sxy, sum(a.v * a.v) AS sxx,

@@ -125,9 +125,13 @@ object Components {
       converged = updatedSum == labelSum
       labelSum = updatedSum
       i += 1
-      System.err.println(f"[components] round $i%2d " +
-        f"${(System.nanoTime() - t0) / 1e9}%6.2f s " +
-        s"labelSum=$updatedSum converged=$converged")
+      // progress trace is opt-in: library consumers (tests, embedding
+      // users) should not get per-iteration stderr; bench/A-B sessions
+      // export SPARK_GRAFT_VERBOSE to see convergence
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        System.err.println(f"[components] round $i%2d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"labelSum=$updatedSum converged=$converged")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +

@@ -211,9 +211,14 @@ object EventAnalytics {
   /** Pairwise Pearson correlation matrix across series, computed on
     * their aligned per-bucket aggregates (e.g. each event type's daily
     * mean): the metric-correlation panel every monitoring/quant stack
-    * draws. The per-bucket means are ROUNDED before the pair join, so
-    * both engines correlate the exact same numbers; r itself comes from
-    * the explicit sums formula (n, Σx, Σy, Σxy, Σx², Σy²) — one closed
+    * draws. Order-free determinism end-to-end: the raw values are
+    * 2-decimal, so they enter the per-bucket mean as exact integer
+    * cents (any accumulation order sums them exactly); the mean is then
+    * carried into the pair sums as an exact ×1e4 integer (4-decimal
+    * mean), so Σx, Σy, Σxy, Σx², Σy² are order-free exact too (value ≤
+    * ~1e3 → m ≤ 1e7 → m² ≤ 1e14, × buckets ≪ 2^53). Pearson r is
+    * scale-invariant, so r computed on the scaled means IS r of the
+    * means; it comes from the explicit sums formula — one closed
     * expression, no engine `corr` internals. Upper triangle only
     * (a < b). Scale: the aligned grid is bucket×series-sized (tiny);
     * the self-join is on the bucket key; raw rows shuffle once into
@@ -225,7 +230,7 @@ object EventAnalytics {
       bucket: Column,
       value: Column): DataFrame = {
     val g = df.groupBy(series.as("__s"), bucket.as("__b"))
-      .agg(round(avg(value), 6).as("__v"))
+      .agg(round(avg(round(value * 100, 0)) * 100, 0).as("__v"))
     val a = g.select(col("__s").as("series_a"), col("__b"),
       col("__v").as("__x"))
     val b = g.select(col("__s").as("series_b"), col("__b"),

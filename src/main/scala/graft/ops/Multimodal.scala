@@ -135,12 +135,17 @@ object Multimodal {
       .withColumn("__samples",
         org.apache.spark.sql.graftnative.GraftNative
           .bytesToIntArray(col("__win")))
+    // an empty payload still yields its one (empty) window, but its
+    // features are undefined — NULL, the codebase's n=0 contract (the
+    // ewma convention), never sqrt(0/0) = NaN
     sampled.select(col("media_id"), col("win_idx"), col("win_start"),
       size(col("__samples")).cast("int").as("n_samples"),
-      round(sqrt(
-        aggregate(col("__samples"), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double"))
-          / size(col("__samples"))), 6).as("rms"),
-      array_max(col("__samples")).as("peak"))
+      when(size(col("__samples")) === 0, lit(null).cast("double"))
+        .otherwise(round(sqrt(
+          aggregate(col("__samples"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))
+            / size(col("__samples"))), 6)).as("rms"),
+      when(size(col("__samples")) === 0, lit(null).cast("int"))
+        .otherwise(array_max(col("__samples"))).as("peak"))
   }
 }

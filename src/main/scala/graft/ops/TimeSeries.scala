@@ -411,7 +411,8 @@ object TimeSeries {
       tie: Column,
       value: Column,
       frameRows: Int,
-      k: Double): DataFrame = {
+      k: Double,
+      outDiv: Double = 1.0): DataFrame = {
     require(frameRows >= 2 && k > 0, "bollinger needs frameRows >= 2, k > 0")
     val f = Window.partitionBy(key).orderBy(ts, tie)
       .rowsBetween(1L - frameRows, 0)
@@ -423,12 +424,17 @@ object TimeSeries {
     val variance = when(n > 1,
       greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))).otherwise(lit(0.0))
     val sd = sqrt(variance)
-    df.withColumn("mid", round(mean, 6))
-      .withColumn("upper", round(mean + lit(k) * sd, 6))
-      .withColumn("lower", round(mean - lit(k) * sd, 6))
+    // `outDiv` rescales an integer-scaled feed (e.g. cents → units)
+    // BEFORE the single 1e-6 round: rounding once at the output scale
+    // keeps the boundary-flip surface as small as every other rounded
+    // double in the suite — a round at the scaled-up magnitude (then a
+    // second round after dividing) measurably diverges across engines
+    df.withColumn("mid", round(mean / outDiv, 6))
+      .withColumn("upper", round((mean + lit(k) * sd) / outDiv, 6))
+      .withColumn("lower", round((mean - lit(k) * sd) / outDiv, 6))
       .withColumn("breakout",
-        (round(value, 6) > col("upper") || round(value, 6) < col("lower"))
-          .cast("int"))
+        (round(value / outDiv, 6) > col("upper") ||
+          round(value / outDiv, 6) < col("lower")).cast("int"))
   }
 
   /** Rolling volume-weighted average over a trailing `frameRows`-row
