@@ -28,7 +28,17 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  /** Events through the week-chunked layout (the hypertable analog) with
+    * the full span as the prune window: every event query reads the path
+    * that a time-windowed caller would prune on, so at 100× a dashboard
+    * window opens a few chunk files instead of scanning the table. The
+    * flat reader remains `Tables.events` for callers that need the raw
+    * file (scan/sink keys).
+    */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val span = Tables.eventsSpan(s, d)
+    Tables.eventsChunked(s, d, span._1, span._2)
+  }
 
   /** Global order used for all positional/window ops on events. */
   private val evOrder: Seq[Column] = Seq(col("ts"), col("event_id"))
