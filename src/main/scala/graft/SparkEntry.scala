@@ -3518,31 +3518,52 @@ object SparkEntry {
               FROM events e JOIN m USING (event_type)
               GROUP BY e.event_type""")),
 
-    // trailing 50-row rolling correlation of value with its lag-1 — six
-    // frame aggregates feeding the explicit Pearson formula; guarded to
-    // frames with variance on both sides so the degenerate 0/0 is NULL
-    // identically in both engines
+    // trailing 50-row rolling correlation of value with its lag-1 —
+    // Pearson from six frame aggregates. Two scale choices: (a) the
+    // integer-cents feed (the win_vwap recipe — Pearson is
+    // scale-invariant, and integer sums are exact in ANY accumulation
+    // order, so the 1e-6 round cannot flip between engines); (b) each
+    // 50-row frame sum is a cumulative-sum difference, cum − lag(cum, 50)
+    // — O(1) per row vs the sliding frame's full 50-row × 6-aggregate
+    // re-evaluation per row, which made this the slowest sf1 query
+    // (30 s → the cumsum trick is exact only BECAUSE the feed is
+    // integer: double cumsums would cancel catastrophically)
     Q("win_rolling_corr",
       (s, d) => {
         val ord = Window.partitionBy(col("event_type"))
           .orderBy(evOrder: _*)
-        val f = ord.rowsBetween(-49, 0)
+        val cum = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
         val base = ev(s, d).select(col("event_id"), col("event_type"),
-          col("ts"), col("value").as("x"),
-          lag(col("value"), 1).over(ord).as("y"))
-          .filter(col("y").isNotNull)
-        val (n, sx, sy) = (count(lit(1)).over(f).cast("double"),
-          sum(col("x")).over(f), sum(col("y")).over(f))
-        val (sxy, sxx, syy) = (sum(col("x") * col("y")).over(f),
-          sum(col("x") * col("x")).over(f),
-          sum(col("y") * col("y")).over(f))
+          col("ts"), round(col("value") * 100, 0).cast("long").as("xc"))
+          .withColumn("yc", lag(col("xc"), 1).over(ord))
+          .filter(col("yc").isNotNull)
+        val c = base.select(col("event_id"), col("event_type"), col("ts"),
+          row_number().over(ord).as("rn"),
+          sum(col("xc")).over(cum).as("cx"),
+          sum(col("yc")).over(cum).as("cy"),
+          sum(col("xc") * col("yc")).over(cum).as("cxy"),
+          sum(col("xc") * col("xc")).over(cum).as("cxx"),
+          sum(col("yc") * col("yc")).over(cum).as("cyy"))
+        // frame sum over rows (rn-49 .. rn) = cum(rn) − cum(rn-50);
+        // long arithmetic, frame sums ≤ 50·(56021)² ≈ 1.6e11 — exact as
+        // doubles (< 2^53), so the closed formula below is bit-identical
+        // to the oracle's direct frame sums
+        def fr(cc: String): Column =
+          (col(cc) - coalesce(lag(col(cc), 50).over(ord), lit(0L)))
+            .cast("double")
+        val n = least(col("rn"), lit(50)).cast("double")
+        val (sx, sy) = (fr("cx"), fr("cy"))
+        val (sxy, sxx, syy) = (fr("cxy"), fr("cxx"), fr("cyy"))
         val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        base.select(col("event_id"),
+        c.select(col("event_id"),
           when(den > 0,
             round((n * sxy - sx * sy) / sqrt(den), 6)).as("roll_corr"))
       },
-      Some("""WITH b AS (SELECT event_id, event_type, value AS x,
-                      lag(value) OVER (PARTITION BY event_type
+      Some("""WITH b AS (SELECT event_id, event_type,
+                      round(value * 100, 0) AS x,
+                      lag(round(value * 100, 0)) OVER (
+                        PARTITION BY event_type
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS y,
                       CAST(ts AS TIMESTAMP) AS ts2
                     FROM events),
@@ -3740,19 +3761,20 @@ object SparkEntry {
                       text)), '\\s+') AS toks FROM documents),
               b AS (SELECT doc_id,
                       unnest(list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i + 1])) AS bg,
-                      unnest(list_transform(range(1, len(toks)),
-                        i -> toks[i])) AS w1
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
                     FROM t WHERE len(toks) >= 2),
               bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
-              uc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+              uc AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+                    FROM bc GROUP BY 1),
+              bcw AS (SELECT bg, c2, c1 FROM bc
+                    JOIN uc ON string_split(bg, ' ')[1] = w1)
               SELECT doc_id,
                 round(avg(log10(CAST(c2 AS DOUBLE) / c1)), 6)
                   AS avg_logprob,
                 CAST(count(*) AS BIGINT) AS n_bigrams,
                 CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_hapax
-              FROM b JOIN bc USING (bg) JOIN uc USING (w1)
+              FROM b JOIN bcw USING (bg)
               GROUP BY doc_id""")),
 
     // time-to-next-error per event (reliability/churn analytics): a

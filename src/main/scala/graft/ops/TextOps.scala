@@ -211,17 +211,20 @@ object TextOps {
     * hapax-bigram count (bigrams seen exactly once corpus-wide — the
     * garbled-text signal).
     *
-    * Scale shape: bigram strings shuffle exactly where they must — the
-    * two count aggregates and the two scoring equi-joins, all hash-
-    * partitioned on the bigram/unigram key, never broadcast (the bigram
-    * vocabulary grows with the corpus, unlike the thresholded unigram
-    * vocabulary). Pair generation is a per-row codegen'd transform over
-    * the pre-materialized token array, and the pair table persists
-    * behind a cache boundary — it has THREE consumers (both count
-    * aggregates and the scoring join) and Spark does not share a
-    * subplan across branches, so without the cache the corpus would be
-    * re-tokenized three times (the Dedup cache contract: the harness
-    * clears caches between queries).
+    * Scale shape: occurrence-level rows never shuffle at full width.
+    * The corpus bigram counts are a map-side-combined hash aggregate
+    * (shuffle volume ≤ vocabulary × partitions, not occurrences); the
+    * unigram table DERIVES from the bigram table by one vocabulary-sized
+    * window (c(w1 ·) = Σ c2 over bigrams starting with w1 — no second
+    * pass over occurrences, which is what the old uc aggregate paid);
+    * the scoring join attaches both counts in ONE join that AQE
+    * broadcasts whenever the vocabulary is small and plans as a shuffle
+    * join when it genuinely grows with the corpus; the per-doc mean is
+    * then a partially-aggregated groupBy whose shuffle carries only
+    * (doc, three numbers). Nothing persists: the pair generator has two
+    * consumers (counts and scoring), but it is pure codegen'd scan work
+    * that re-runs in parallel for less than an occurrence-sized cache
+    * costs to write and read back.
     */
   def bigramLogProb(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = df.select(idCol.as("__id"), Dedup.tokens(text).as("__t"))
@@ -229,16 +232,15 @@ object TextOps {
       .filter(size(col("__t")) >= 2)
       .select(col("__id"),
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
-          i => struct(
-            element_at(col("__t"), i).as("__w1"),
-            concat_ws(" ", element_at(col("__t"), i),
-              element_at(col("__t"), i + 1)).as("__bg")))).as("__p"))
-      .select(col("__id"), col("__p.__w1").as("__w1"),
-        col("__p.__bg").as("__bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = pairs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
-    val uc = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
-    pairs.join(bc, "__bg").join(uc, "__w1")
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1)))).as("__bg"))
+    // corpus bigram counts; then c(w1 ·) without touching occurrences —
+    // tokens never contain spaces, so the first space-separated field of
+    // the bigram IS w1, and the window's long sums are exact
+    val bcw = pairs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+      .withColumn("__c1", sum(col("__c2")).over(Window.partitionBy(
+        element_at(split(col("__bg"), " ", 2), 1))))
+    pairs.join(bcw, "__bg")
       .groupBy(col("__id").as("doc_id"))
       .agg(
         round(avg(log10(col("__c2").cast("double") / col("__c1"))), 6)

@@ -347,6 +347,38 @@ class PlanRulesSpec extends SparkSpecBase {
       s"one window shuffle expected, got $exchanges:\n$plan")
   }
 
+  test("rolling corr: cumsum-difference plan, equal to the sliding frame") {
+    val df = SparkEntry.queries("win_rolling_corr")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // the 50-row Pearson must ride O(1)/row cumulative sums + lag(·, 50),
+    // never a sliding frame (Spark re-evaluates ALL frame rows × all six
+    // aggregates per output row — the 30 s sf1 regression this replaced)
+    assert(!plan.contains("-49"),
+      s"sliding 49-PRECEDING frame crept back into the plan:\n$plan")
+    // value equivalence against the direct sliding-frame formula on the
+    // same integer-cents feed (exact in either accumulation order)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val f = ord.rowsBetween(-49, 0)
+    val base = Tables.events(spark, sf())
+      .select($"event_id", $"event_type", $"ts",
+        round($"value" * 100, 0).cast("long").as("x"))
+      .withColumn("y", lag($"x", 1).over(ord))
+      .filter($"y".isNotNull)
+    val (n, sx, sy) = (count(lit(1)).over(f).cast("double"),
+      sum($"x").over(f).cast("double"), sum($"y").over(f).cast("double"))
+    val (sxy, sxx, syy) = (sum($"x" * $"y").over(f).cast("double"),
+      sum($"x" * $"x").over(f).cast("double"),
+      sum($"y" * $"y").over(f).cast("double"))
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val ref = base.select($"event_id",
+      when(den > 0, round((n * sxy - sx * sy) / sqrt(den), 6)).as("rc"))
+    val joined = df.join(ref, "event_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(!($"roll_corr" <=> $"rc")).isEmpty,
+      "cumsum-difference corr diverged from the sliding-frame reference")
+  }
+
   test("k-means assignment broadcasts centroids — vectors never shuffle") {
     val q = Tables.embeddings(spark, sf()).select(col("vec_id"),
       transform(col("embedding"),
