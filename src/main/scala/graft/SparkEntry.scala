@@ -535,16 +535,33 @@ object SparkEntry {
       // integers are exact in IEEE double under any accumulation order
       // (sliding-frame vs recompute), so the result is bit-identical
       // across engines at every scale factor — raw doubles differ in the
-      // last ulp and flip 6-decimal rounding boundaries
-      (s, d) => ScalableWindow.withTrailingColumns(
+      // last ulp and flip 6-decimal rounding boundaries.
+      // Each k-row avg is a difference of two GROWING frames
+      // (unboundedPreceding .. 0 minus unboundedPreceding .. -k), which
+      // Spark maintains incrementally at O(1)/row — a sliding frame
+      // re-evaluates all k rows per output row. Numerator and
+      // denominator subtract the same way (count, not row_number), so
+      // the quotient is avg's exact sum/count on the exact integers.
+      (s, d) => {
+        def rollAvg(k: Int):
+            org.apache.spark.sql.expressions.WindowSpec => Column = w => {
+          val whole = w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+          val before = w.rowsBetween(Window.unboundedPreceding, -k)
+          val sm = sum(col("vc")).over(whole) -
+            coalesce(sum(col("vc")).over(before), lit(0.0))
+          val n = (count(col("vc")).over(whole) -
+            coalesce(count(col("vc")).over(before), lit(0L))).cast("double")
+          when(n > 0, sm / n / 100)
+        }
+        ScalableWindow.withTrailingColumns(
           ev(s, d).withColumn("vc", floor(col("value") * 100 + lit(0.5))),
           weekBucket, evOrder, 167)(
-          "roll_24" -> (w =>
-            avg(col("vc")).over(w.rowsBetween(-23, 0)) / 100),
-          "roll_168" -> (w =>
-            avg(col("vc")).over(w.rowsBetween(-167, 0)) / 100))
+          "roll_24" -> rollAvg(24),
+          "roll_168" -> rollAvg(168))
         .select(col("event_id"), round(col("roll_24"), 6).as("roll_24"),
-          round(col("roll_168"), 6).as("roll_168")),
+          round(col("roll_168"), 6).as("roll_168"))
+      },
       Some("""SELECT event_id,
                 round(avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
                   AND CURRENT ROW) / 100, 6) AS roll_24,

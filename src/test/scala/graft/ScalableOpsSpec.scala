@@ -33,6 +33,35 @@ class ScalableOpsSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("growing-frame difference rolling avg matches the sliding frame") {
+    // the win_rolling_avg formulation: avg over the trailing k rows as a
+    // difference of two growing frames (O(1)/row) — must equal the
+    // direct sliding-frame avg on the bucketed path, including rows
+    // whose global frame is truncated (start of data) and rows whose
+    // frame spans the fringe into preceding buckets
+    val order = Seq(col("ts"), col("event_id"))
+    def rollAvg(k: Int): org.apache.spark.sql.expressions.WindowSpec =>
+        org.apache.spark.sql.Column = w => {
+        val whole = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val before = w.rowsBetween(Window.unboundedPreceding, -k)
+        val sm = sum(col("vc")).over(whole) -
+          coalesce(sum(col("vc")).over(before), lit(0.0))
+        val n = (count(col("vc")).over(whole) -
+          coalesce(count(col("vc")).over(before), lit(0L))).cast("double")
+        when(n > 0, sm / n)
+      }
+    val cents = ev.withColumn("vc", floor(col("value") * 100 + lit(0.5)))
+    val got = ScalableWindow.withTrailingColumns(
+      cents, date_trunc("week", col("ts")), order, 167, smallInput = 0)(
+      "roll_24" -> rollAvg(24), "roll_168" -> rollAvg(168))
+      .select(col("event_id"), col("roll_24"), col("roll_168"))
+    val wG = Window.orderBy(order: _*)
+    val want = cents.select(col("event_id"),
+      avg(col("vc")).over(wG.rowsBetween(-23, 0)).as("roll_24"),
+      avg(col("vc")).over(wG.rowsBetween(-167, 0)).as("roll_168"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("ScalableWindow: bucket gaps and short buckets still match global") {
     // buckets floor(id/10): populations 2,1,0(gap),1,3 — every bucket is
     // smaller than the fringe, and bucket 20-29 is absent entirely; the
