@@ -5328,11 +5328,237 @@ object SparkEntry {
               WHERE i.island < mx.mi""")),
   )
 
+  // ------------------------------------------- §2.20 round-9 widening
+  // relational completion (anti / full-outer), O(1)-frame monitoring
+  // statistics (rolling z-score, CUSUM), the day×hour heatmap, the
+  // HdrHistogram-style log2 bucketing, half-life decay scoring, the
+  // interval×daily-window overlap join, and session bounce rate. All
+  // arithmetic is exact-integer or single-op IEEE on exact-integer
+  // inputs — no fp-transcendental hash risk anywhere in the batch.
+  private val round9 = Seq(
+    // orphan detection: customers that never ordered. The probe side is
+    // reduced to DISTINCT keys before the anti join, so the fact table's
+    // payload never shuffles and AQE broadcasts the keys-sized relation
+    Q("join_anti",
+      (s, d) => Relational.antiJoinKeys(Tables.customer(s, d),
+        Tables.orders(s, d), "c_custkey", "o_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
+
+    // null-preserving reconciliation of two independently-aggregated
+    // daily series — the full-outer join the day-level audit runs when
+    // either side may be missing days; integer cents end-to-end
+    Q("join_outer_full",
+      (s, d) => {
+        val e = ev(s, d).filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long"))
+            .as("ev_cents"))
+        val o = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("ord_cents"))
+        e.join(o, Seq("day"), "full_outer")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS ev_cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS ord_cents
+                    FROM orders GROUP BY 1)
+              SELECT COALESCE(e.day, o.day) AS day, ev_cents, ord_cents
+              FROM e FULL JOIN o ON e.day = o.day""")),
+
+    // trailing-24 rolling z-score on integer cents: frame sums via
+    // growing-frame differences (O(1)/row; a sliding ROWS frame
+    // re-scans all 24 rows per output row), exact in any accumulation
+    // order; the oracle's sliding frame computes bit-identical S/SS/n
+    // and the SAME downstream operation tree (see rollingZscore doc)
+    Q("win_rolling_zscore",
+      (s, d) => TimeSeries.rollingZscore(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("event_id"), col("__vc"),
+        frameRows = 24)
+        .select(col("event_id"), col("zscore")),
+      Some("""WITH src AS (SELECT event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              f AS (SELECT event_id, c,
+                      CAST(sum(c) OVER w AS DOUBLE) AS s,
+                      CAST(count(c) OVER w AS DOUBLE) AS n,
+                      CAST(sum(c * c) OVER w AS DOUBLE) AS ss
+                    FROM src
+                    WINDOW w AS (PARTITION BY event_type
+                      ORDER BY ts2, event_id
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+              SELECT event_id,
+                CASE WHEN n < 2 OR (ss - s * (s / n)) / (n - 1) <= 0
+                  THEN NULL
+                  ELSE round((c - s / n)
+                    / sqrt((ss - s * (s / n)) / (n - 1)), 6)
+                END AS zscore
+              FROM f""")),
+
+    // one-sided CUSUM drift statistic vs the per-type integer mean:
+    // S⁺_t = max(0, S⁺_{t−1} + dev) via its closed form
+    // cum − running-min(cum) — two growing frames instead of a
+    // sequential recursion, exact integer cents end-to-end
+    Q("win_cusum",
+      (s, d) => TimeSeries.cusum(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("event_id"), col("__vc"))
+        .select(col("event_id"), col("cusum_pos")),
+      Some("""WITH src AS (SELECT event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              t AS (SELECT event_id, event_type, ts2, c,
+                      CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                        / count(c) OVER (PARTITION BY event_type))
+                        AS BIGINT) AS tgt
+                    FROM src),
+              u AS (SELECT event_id, event_type, ts2,
+                      sum(c - tgt) OVER (PARTITION BY event_type
+                        ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING)
+                        AS cum
+                    FROM t)
+              SELECT event_id,
+                CAST(cum - least(min(cum) OVER (PARTITION BY event_type
+                  ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING), 0)
+                  AS BIGINT) AS cusum_pos
+              FROM u""")),
+
+    // day-of-week × hour activity heatmap with per-type cell share —
+    // one cells-sized hash aggregate + a cells-sized window
+    Q("agg_heatmap_2d",
+      (s, d) => EventAnalytics.activityHeatmap(ev(s, d),
+        col("event_type"), col("ts"))
+        .withColumnRenamed("group", "event_type"),
+      Some("""WITH c AS (SELECT event_type,
+                      CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER)
+                        AS isodow,
+                      CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+                      count(*) AS n
+                    FROM events GROUP BY 1, 2, 3)
+              SELECT event_type, isodow, hr, n,
+                round(n / sum(n) OVER (PARTITION BY event_type), 6)
+                  AS share
+              FROM c""")),
+
+    // power-of-two latency/size histogram: bucket = length of the
+    // binary representation (⌊log2⌋+1 with zero float risk); counts
+    // merge across shards by plain sum, output ≤ 64 rows at any scale
+    Q("agg_log2_histogram",
+      (s, d) => Aggregates.log2Histogram(ev(s, d),
+        round(col("value") * 100, 0)),
+      Some("""WITH src AS (SELECT CAST(round(value * 100, 0) AS BIGINT)
+                      AS c FROM events)
+              SELECT CASE WHEN c <= 0 THEN 0
+                  ELSE CAST(length(bin(c)) AS INTEGER) END AS bucket,
+                count(*) AS n, min(c) AS lo, max(c) AS hi
+              FROM src GROUP BY 1""")),
+
+    // half-life–decayed engagement score per user: weights are the
+    // exact integers 2^(30 − age_days), summed then divided by 2^30 —
+    // order-free exact, no rounding step needed (see decayScore doc)
+    Q("f_exp_decay_score",
+      (s, d) => EventAnalytics.decayScore(ev(s, d), col("user_id"),
+        col("ts"), horizonDays = 30),
+      Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS anchor
+                    FROM events),
+              t AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events)
+              SELECT user_id,
+                CAST(sum(CASE WHEN anchor - day BETWEEN 0 AND 30
+                    THEN (CAST(1 AS BIGINT) << (30 - (anchor - day)))
+                    ELSE 0 END) AS DOUBLE) / 1073741824.0 AS decay_score,
+                count(*) AS n_events
+              FROM t CROSS JOIN mx GROUP BY user_id""")),
+
+    // interval × recurring-daily-window overlap (peak hours 12:00–18:00)
+    // over the users' coalesced 15-min activity islands: islands BAND to
+    // the days they span (bounded explode) so the day's window becomes a
+    // per-row expression — no range join; exact integer microseconds
+    Q("join_interval_overlap",
+      (s, d) => Intervals.dailyWindowOverlap(
+        Intervals.coalesceIntervals(ev(s, d), col("user_id"), col("ts"),
+          col("ts") + expr("INTERVAL 15 MINUTES"), keyName = "user_id"),
+        col("user_id"), col("island_start"), col("island_end"),
+        windowStartSec = 43200, windowEndSec = 64800,
+        keyName = "user_id"),
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 900 SECOND AS e
+                    FROM events),
+              t AS (SELECT user_id, s, e,
+                      max(epoch_us(e)) OVER (PARTITION BY user_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pm
+                    FROM iv),
+              g AS (SELECT user_id, s, e,
+                      sum(CASE WHEN pm IS NULL OR epoch_us(s) > pm
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+                    FROM t),
+              isl AS (SELECT user_id, min(s) AS s, max(e) AS e
+                      FROM g GROUP BY user_id, island),
+              b AS (SELECT user_id, s, e,
+                      CAST(unnest(generate_series(CAST(s AS DATE),
+                        CAST(e AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+                    FROM isl),
+              o AS (SELECT user_id, day,
+                      least(epoch_us(e),
+                          epoch_us(CAST(day AS TIMESTAMP)) + 64800000000)
+                        - greatest(epoch_us(s),
+                          epoch_us(CAST(day AS TIMESTAMP)) + 43200000000)
+                        AS ov
+                    FROM b)
+              SELECT user_id, day,
+                CAST(sum(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT)
+                  AS overlap_us
+              FROM o GROUP BY 1, 2
+              HAVING sum(CASE WHEN ov > 0 THEN ov ELSE 0 END) > 0""")),
+
+    // per-day session bounce rate (1-event sessions / sessions, 30-min
+    // gap sessionization) — the same single user-keyed window as
+    // agg_session_stats, then a days-sized aggregate
+    Q("agg_bounce_rate",
+      (s, d) => EventAnalytics.bounceRate(ev(s, d), col("user_id"),
+        col("ts"), col("event_id")),
+      Some("""WITH t AS (SELECT user_id, event_id,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                    FROM events),
+              s0 AS (SELECT user_id, ts2,
+                      sum(CASE WHEN p IS NULL
+                          OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM t),
+              s AS (SELECT user_id, sid, count(*) AS n_ev,
+                      min(ts2) AS start_ts
+                    FROM s0 GROUP BY 1, 2)
+              SELECT CAST(start_ts AS DATE) AS day, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounce,
+                round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 6) AS bounce_rate
+              FROM s GROUP BY 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
-      curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3
+      curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
+      round9
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -212,4 +212,90 @@ object GraftNative {
   /** Column API entry point. */
   def bytesToIntArray(bin: Column): Column =
     ExpressionUtils.column(BytesToIntArray(ExpressionUtils.expression(bin)))
+
+  /** MinHash signature from a base-hash array in ONE pass: element i is
+    * min over bases b of (aᵢ·b + bᵢ) mod P, with (aᵢ, bᵢ, P) exactly
+    * `PortableHash.affineFamily` (aᵢ = 1000003·(i+1), bᵢ = 666019·(i+1),
+    * P = 2³¹−1; aᵢ·b + bᵢ < 2⁵⁹ so the long arithmetic never overflows,
+    * and all terms are non-negative so Java `%` equals `pmod`).
+    *
+    * The composable form — numHashes × `array_min(transform(bases, …))`
+    * — walks the base array once PER FAMILY MEMBER as an interpreted
+    * higher-order function and allocates an intermediate array each
+    * time; this is a single codegen'd loop carrying numHashes running
+    * minima. Evaluated once per document in every MinHash pipeline
+    * (dedup_minhash_lsh / components / incremental / chunk_dedup) — the
+    * corpus-scale scan-side hot path. Empty base arrays yield NULL (the
+    * composable form yields an all-null signature; the shingle contract
+    * — concat_ws output, ≥ 1 element — makes both unreachable).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) null
+      else {
+        val out = Array.fill(numHashes)(Long.MaxValue)
+        var j = 0
+        while (j < n) {
+          val base = arr.getLong(j)
+          var i = 0
+          while (i < numHashes) {
+            val h = (1000003L * (i + 1) * base + 666019L * (i + 1)) %
+              2147483647L
+            if (h < out(i)) out(i) = h
+            i += 1
+          }
+          j += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val base = ctx.freshName("base")
+        val h = ctx.freshName("h")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final long[] $out = new long[$numHashes];
+           |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    final long $base = $a.getLong($j);
+           |    for (int $i = 0; $i < $numHashes; $i++) {
+           |      final long $h =
+           |        (1000003L * ($i + 1) * $base + 666019L * ($i + 1))
+           |          % 2147483647L;
+           |      if ($h < $out[$i]) $out[$i] = $h;
+           |    }
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column API entry point. */
+  def minhashSignature(bases: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(bases), numHashes))
 }

@@ -135,4 +135,23 @@ object Aggregates {
       .groupBy(col("__g").as(groupName))
       .agg(round(min(col("__v")), 6).as("weighted_median"))
   }
+
+  /** Power-of-two (log2) histogram of a positive integer column: bucket
+    * b holds values in [2^(b−1), 2^b), i.e. b = ⌊log2 v⌋ + 1 = the
+    * length of v's binary representation — computed as exactly that
+    * (`length(bin(v))`), pure integer/string arithmetic with none of
+    * floating log2's boundary risk at exact powers of two. Values ≤ 0
+    * land in bucket 0. The HdrHistogram-style trick for latency/size
+    * distributions: bucket counts are mergeable across shards by plain
+    * sum, and the output is ≤ 64 rows at any input scale after one
+    * map-side-combined aggregate.
+    */
+  def log2Histogram(df: DataFrame, value: Column): DataFrame = {
+    val c = value.cast("long")
+    df.select(c.as("__c"),
+        when(c <= 0, lit(0)).otherwise(length(bin(c))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__c")).as("lo"), max(col("__c")).as("hi"))
+  }
 }

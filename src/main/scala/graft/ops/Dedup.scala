@@ -66,8 +66,21 @@ object Dedup {
     * member h_i. Take the md5 pass out of this expression (materialize
     * the bases once) — inlining it would re-hash the whole array per
     * family member.
+    *
+    * Runs as the native one-pass `minhash_signature` expression (one
+    * codegen'd loop carrying numHashes running minima); the composable
+    * per-member form below is the semantic reference its parity spec
+    * checks against.
     */
   def minhashSignatureFromBases(baseArr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftnative.GraftNative
+      .minhashSignature(baseArr, numHashes)
+
+  /** Composable (interpreted higher-order-function) form of
+    * [[minhashSignatureFromBases]] — numHashes array walks; kept as the
+    * spec-checked semantic reference for the native expression.
+    */
+  def minhashSignatureComposable(baseArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(baseArr, b => PortableHash.affineFamily(b, i)))): _*)
 

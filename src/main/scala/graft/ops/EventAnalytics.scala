@@ -374,4 +374,81 @@ object EventAnalytics {
         round(sum(col("__n_ev")).cast("double") / count(lit(1)), 6)
           .as("avg_events"))
   }
+
+  /** Day-of-week × hour activity heatmap per group with each cell's
+    * share of the group total — the seasonality fingerprint dashboards
+    * render. isodow is 1=Monday..7. One hash aggregate (cells-sized
+    * output, ≤ group×168 rows) plus a cells-sized window for the share;
+    * nothing row-sized survives the aggregate.
+    */
+  def activityHeatmap(df: DataFrame, group: Column, ts: Column): DataFrame = {
+    val w = Window.partitionBy(col("group"))
+    // dayofweek is 1=Sunday..7; rotate to ISO 1=Monday..7
+    df.groupBy(group.as("group"),
+        ((dayofweek(ts) + 5) % 7 + 1).cast("int").as("isodow"),
+        hour(ts).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+  }
+
+  /** Per-day bounce rate over gap-based sessions: a session is a run of
+    * a user's events with gaps ≤ `gapMinutes`; a bounce is a 1-event
+    * session; the day is the session's start day. Same single user-keyed
+    * window as [[sessionStats]], then a days-sized aggregate.
+    */
+  def bounceRate(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      tie: Column,
+      gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gapUs = gapMinutes * 60L * 1000000L
+    df.select(user.as("__u"), unix_micros(ts.cast("timestamp")).as("__ts"),
+        tie.as("__tie"))
+      .withColumn("__new",
+        when(lag(col("__ts"), 1).over(w).isNull ||
+          col("__ts") - lag(col("__ts"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(col("__u"), col("__sid"))
+      .agg(count(lit(1)).as("__n_ev"),
+        min(col("__ts")).as("__start_us"))
+      .groupBy(to_date(timestamp_micros(col("__start_us"))).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_rate",
+        round(col("n_bounce") / col("n_sessions"), 6))
+  }
+
+  /** Half-life–decayed activity score per user: each event within
+    * `horizonDays` of the corpus's last day contributes 2^(−age_days),
+    * so today's event counts 1, yesterday's ½, … Weights are carried as
+    * the exact integers 2^(horizonDays − age) and divided by
+    * 2^horizonDays only at the edge — the sum is order-free exact and
+    * the final division by a power of two is lossless, so the score is
+    * engine-bit-identical with no rounding step. One broadcast scalar
+    * (the anchor day) plus one user-keyed hash aggregate.
+    */
+  def decayScore(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      horizonDays: Int = 30): DataFrame = {
+    require(horizonDays >= 0 && horizonDays <= 62,
+      "decayScore horizon must keep 2^horizon inside a long")
+    val anchor = broadcast(df.agg(max(to_date(ts)).as("__anchor")))
+    df.select(user.as("user_id"), to_date(ts).as("__day"))
+      .crossJoin(anchor)
+      .withColumn("__age", datediff(col("__anchor"), col("__day")))
+      .withColumn("__w",
+        when(col("__age").between(0, horizonDays),
+          expr(s"shiftleft(CAST(1 AS BIGINT), $horizonDays - __age)"))
+          .otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("__w")).cast("double")
+          / lit(math.pow(2.0, horizonDays))).as("decay_score"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -71,4 +71,41 @@ object Intervals {
         round((sum(micros(col("island_end")) - micros(col("island_start")))
           .cast("double") / 1e6), 6).as("covered_secs"),
         count(lit(1)).as("n_islands"))
+
+  /** Interval × recurring-daily-window overlap: for each `[start, end]`
+    * interval, the exact microseconds it overlaps the daily window
+    * `[windowStartSec, windowEndSec)` (seconds after each midnight),
+    * summed per (key, day). The interval-overlap join the SLA /
+    * peak-hours accounting queries need.
+    *
+    * Scale shape: instead of an inequality join (a range-join blowup on
+    * data-sized inputs), each interval is BANDED to the days it spans —
+    * a bounded explode (intervals rarely span many days) — after which
+    * the day's window is a pure per-row expression: no join at all, one
+    * keyed aggregate. Arithmetic is exact integer microseconds.
+    */
+  def dailyWindowOverlap(
+      intervals: DataFrame,
+      key: Column,
+      start: Column,
+      end: Column,
+      windowStartSec: Int,
+      windowEndSec: Int,
+      keyName: String = "key"): DataFrame = {
+    require(windowStartSec >= 0 && windowEndSec > windowStartSec &&
+      windowEndSec <= 86400, "daily window must lie within one day")
+    val base = intervals
+      .select(key.as(keyName), start.as("__s"), end.as("__e"))
+      .withColumn("__day",
+        explode(sequence(to_date(col("__s")), to_date(col("__e")))))
+    val dayUs = unix_micros(col("__day").cast("timestamp"))
+    val ov =
+      least(micros(col("__e")), dayUs + lit(windowEndSec * 1000000L)) -
+        greatest(micros(col("__s")), dayUs + lit(windowStartSec * 1000000L))
+    base
+      .withColumn("__ov", greatest(ov, lit(0L)))
+      .groupBy(col(keyName), col("__day").as("day"))
+      .agg(sum(col("__ov")).as("overlap_us"))
+      .filter(col("overlap_us") > 0)
+  }
 }

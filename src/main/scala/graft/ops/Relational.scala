@@ -132,4 +132,19 @@ object Relational {
           .otherwise(lit("test")))
       .drop("__graft_train_end", "__graft_val_end")
   }
+
+  /** Left anti join on a single key — `WHERE NOT EXISTS` / orphan-row
+    * detection. The probe side is reduced to its DISTINCT keys first:
+    * the anti join then runs against a keys-sized relation (AQE
+    * broadcasts it when small), so the fact table's payload columns
+    * never shuffle — at 100 TB the distinct is one map-side-combined
+    * pass and the join is a broadcast probe instead of a full co-shuffle
+    * of both inputs.
+    */
+  def antiJoinKeys(
+      l: DataFrame,
+      r: DataFrame,
+      lKey: String,
+      rKey: String): DataFrame =
+    l.join(r.select(col(rKey).as(lKey)).distinct(), Seq(lKey), "left_anti")
 }

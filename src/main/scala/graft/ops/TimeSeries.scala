@@ -542,4 +542,85 @@ object TimeSeries {
             * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6)))
       .drop("__graft_ewma_arr")
   }
+
+  /** Rolling z-score over the trailing `frameRows` rows of an exact
+    * integer column (e.g. cents): z = (x − mean) / stddev with mean and
+    * sample variance derived from the frame sums S, SS, n.
+    *
+    * The frame sums are GROWING-frame differences (cum_t − cum_{t−k}),
+    * which Spark maintains at O(1)/row — a sliding ROWS frame re-scans
+    * all k rows per output row — and, being integer sums, are exact in
+    * any accumulation order, so a segment-tree engine (DuckDB) computes
+    * bit-identical S/SS/n with its native sliding frame. Downstream is
+    * pure deterministic IEEE arithmetic: var = (SS − S·(S/n))/(n−1) —
+    * the oracle must spell the same operation tree. Rows whose frame has
+    * n < 2 or var ≤ 0 (constant frame; fp cancellation can leave an
+    * ulp-negative residue, identically on both engines) yield NULL.
+    */
+  def rollingZscore(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      cents: Column,
+      frameRows: Int,
+      outName: String = "zscore"): DataFrame = {
+    require(frameRows >= 2, "rollingZscore needs frameRows >= 2")
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val c = cents.cast("long")
+    // two staged WindowExecs over the SAME (key, ts, tie) sort: the
+    // cumulatives, then their lags — a window argument may not itself
+    // contain a window expression, hence the intermediate columns
+    def diff(cum: String): Column =
+      (col(cum) - coalesce(lag(col(cum), frameRows).over(w), lit(0L)))
+        .cast("double")
+    val s = diff("__graft_z_cs")
+    val n = diff("__graft_z_cn")
+    val ss = diff("__graft_z_css")
+    val mean = s / n
+    val variance = (ss - s * mean) / (n - lit(1.0))
+    df.withColumn("__graft_z_cs", sum(c).over(run))
+      .withColumn("__graft_z_cn", count(c).over(run).cast("long"))
+      .withColumn("__graft_z_css", sum(c * c).over(run))
+      .withColumn(outName,
+        when(n < 2 || variance <= 0, lit(null).cast("double"))
+          .otherwise(round((c.cast("double") - mean) / sqrt(variance), 6)))
+      .drop("__graft_z_cs", "__graft_z_cn", "__graft_z_css")
+  }
+
+  /** One-sided CUSUM drift statistic per key: with deviations
+    * d_t = x_t − target (target = ⌊per-key mean⌋, an exact integer on
+    * both engines), the classic recursion S⁺_t = max(0, S⁺_{t−1} + d_t)
+    * has the closed form S⁺_t = cum_t − min(0, min_{j≤t} cum_j) over the
+    * deviation cumsum (the 0 term is the virtual empty-prefix cumsum the
+    * recursion starts from) — two GROWING frames (a cumulative sum and a
+    * running min) instead of a sequential loop, so the whole statistic
+    * is one partitioned sort with O(1)/row maintenance and exact integer
+    * arithmetic end-to-end (hash-stable by construction).
+    */
+  def cusum(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      cents: Column,
+      outName: String = "cusum_pos"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val kAll = Window.partitionBy(key)
+    val c = cents.cast("long")
+    // ⌊sum/n⌋ via double division: both operands are exact integers
+    // < 2^53, so the quotient (one IEEE op) and its floor are
+    // deterministic and engine-identical
+    val target = floor(sum(c).over(kAll).cast("double")
+      / count(c).over(kAll)).cast("long")
+    df.withColumn("__graft_cusum_tgt", target)
+      .withColumn("__graft_cusum_cum",
+        sum(c - col("__graft_cusum_tgt")).over(run))
+      .withColumn(outName,
+        col("__graft_cusum_cum")
+          - least(min(col("__graft_cusum_cum")).over(run), lit(0L)))
+      .drop("__graft_cusum_tgt", "__graft_cusum_cum")
+  }
 }

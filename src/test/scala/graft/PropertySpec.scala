@@ -157,6 +157,36 @@ class PropertySpec extends SparkSpecBase {
     assert(nr.exceptAll(cr).isEmpty && cr.exceptAll(nr).isEmpty)
   }
 
+  test("native minhashSignature equals the composable per-member form") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.graftnative.GraftNative
+    // spark.range input → WholeStageCodegen path pins doGenCode; the
+    // local-Seq edge input below constant-folds through interpreted eval
+    val ranged = spark.range(200).select(col("id"),
+      transform(sequence(lit(0L), col("id") % 9),
+        i => pmod(col("id") * 2654435761L + i * 40503L, lit(1L << 28)))
+        .as("hb"))
+    val nr = ranged.select(col("id"),
+      GraftNative.minhashSignature(col("hb"), 16).as("sig"))
+    val cr = ranged.select(col("id"),
+      Dedup.minhashSignatureComposable(col("hb"), 16).as("sig"))
+    assert(nr.exceptAll(cr).isEmpty && cr.exceptAll(nr).isEmpty)
+    // interpreted-eval parity + boundary bases (0 and 2^28−1)
+    val local = Seq((1L, Seq(5L, 7L, 123456789L % (1L << 28))),
+      (2L, Seq(0L)), (3L, Seq((1L << 28) - 1, 0L)))
+      .toDF("id", "hb")
+    val nl = local.select(col("id"),
+      GraftNative.minhashSignature(col("hb"), 16).as("sig"))
+    val cl = local.select(col("id"),
+      Dedup.minhashSignatureComposable(col("hb"), 16).as("sig"))
+    assert(nl.exceptAll(cl).isEmpty && cl.exceptAll(nl).isEmpty)
+    // null array → null signature
+    val nullRow = Seq((1L, null: Seq[Long])).toDF("id", "hb")
+      .select(GraftNative.minhashSignature(col("hb"), 16).as("sig"))
+      .collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
   test("banded range join equals naive non-equi join on random inputs") {
     import graft.ops.RangeJoin
     val facts = samples(Gen.chooseNum(-500.0, 500.0), 120)

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, EventAnalytics, Intervals, Relational, TimeSeries}
+
+/** Round-9 §2.20 operators: the O(1)-frame monitoring statistics
+  * (rolling z-score, CUSUM) proved equal to their direct/sequential
+  * formulations, the interval×daily-window overlap proved against a
+  * driver-side naive scan, and the remaining batch members checked on
+  * constructed data with hand-computed answers.
+  */
+class Round9OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def events = {
+    // 3 keys × 40 points with repeats and constant stretches
+    val rows = for {
+      k <- Seq("a", "b", "c")
+      i <- 0 until 40
+    } yield (k, i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + i / 4}%02d 0${i % 4}:15:00"),
+      if (k == "c" && i < 10) 500L // constant stretch → zero variance
+      else (i * 37 % 11) * 100L + (if (k == "b") 50 else 0))
+    rows.toDF("k", "id", "ts", "cents")
+  }
+
+  test("rollingZscore equals the direct sliding-frame formulation") {
+    val got = TimeSeries.rollingZscore(events, col("k"), col("ts"),
+      col("id"), col("cents"), frameRows = 7)
+    // direct sliding ROWS frame — the formulation the oracle uses
+    val f = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+      .rowsBetween(-6, 0)
+    val s = sum(col("cents")).over(f).cast("double")
+    val n = count(col("cents")).over(f).cast("double")
+    val ss = sum(col("cents") * col("cents")).over(f).cast("double")
+    val variance = (ss - s * (s / n)) / (n - lit(1.0))
+    val want = events.withColumn("zscore",
+      when(n < 2 || variance <= 0, lit(null).cast("double"))
+        .otherwise(round((col("cents").cast("double") - s / n)
+          / sqrt(variance), 6)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the constant stretch must yield NULLs, not 0/0
+    val cNulls = got.filter(col("k") === "c" && col("id") < 7)
+      .select(col("zscore")).collect()
+    assert(cNulls.forall(_.isNullAt(0)))
+  }
+
+  test("cusum equals the sequential max(0, prev + dev) recursion") {
+    val got = TimeSeries.cusum(events, col("k"), col("ts"), col("id"),
+      col("cents"))
+      .select(col("k"), col("id"), col("cusum_pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // driver-side reference: the textbook recursion per key
+    val byKey = events.select(col("k"), col("id"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((k, rows) <- byKey) {
+      val sorted = rows.sortBy(_._2)
+      val target =
+        math.floor(sorted.map(_._3).sum.toDouble / sorted.size).toLong
+      var sPos = 0L
+      for ((_, id, c) <- sorted) {
+        sPos = math.max(0L, sPos + (c - target))
+        assert(got((k, id)) === sPos, s"key $k id $id")
+      }
+    }
+  }
+
+  test("dailyWindowOverlap equals a driver-side naive overlap scan") {
+    // random-ish intervals, some spanning midnight, some outside the
+    // 12:00–18:00 window entirely
+    val iv = Seq(
+      (1L, "2024-01-01 11:00:00", "2024-01-01 13:30:00"),
+      (1L, "2024-01-01 17:59:00", "2024-01-02 12:05:00"), // spans a day
+      (2L, "2024-01-01 00:10:00", "2024-01-01 09:00:00"), // no overlap
+      (2L, "2024-01-03 12:00:00", "2024-01-03 18:00:00"), // exact window
+      (3L, "2024-01-02 15:00:00", "2024-01-02 15:00:00")) // zero-length
+      .toDF("u", "s", "e")
+      .select(col("u"), col("s").cast("timestamp").as("s"),
+        col("e").cast("timestamp").as("e"))
+    val got = Intervals.dailyWindowOverlap(iv, col("u"), col("s"),
+      col("e"), 43200, 64800, keyName = "u")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    val expect = Map(
+      (1L, "2024-01-01") -> (90L * 60 + 60) * 1000000L, // 12:00–13:30 ∪ 17:59–18:00
+      (1L, "2024-01-02") -> 5L * 60 * 1000000L,         // 12:00–12:05
+      (2L, "2024-01-03") -> 6L * 3600 * 1000000L)       // full window
+    assert(got === expect)
+  }
+
+  test("decayScore: exact halving per day, horizon cut, event counting") {
+    val df = Seq(
+      (1L, "2024-01-31 10:00:00"), // anchor day → weight 1
+      (1L, "2024-01-30 10:00:00"), // 1 day old  → ½
+      (1L, "2024-01-28 10:00:00"), // 3 days old → ⅛
+      (2L, "2024-01-01 10:00:00"), // 30 days old → 2^−30
+      (3L, "2023-12-01 10:00:00")) // beyond horizon → 0
+      .toDF("user_id", "ts").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val got = EventAnalytics.decayScore(df, col("user_id"), col("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) === ((1.0 + 0.5 + 0.125, 3L)))
+    assert(got(2L) === ((math.pow(2.0, -30), 1L)))
+    assert(got(3L) === ((0.0, 1L)))
+  }
+
+  test("log2Histogram: binary-length buckets, zero bucket, totality") {
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, -5L).toDF("v")
+    val got = Aggregates.log2Histogram(df, col("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0) === ((2L, -5L, 0L)))    // 0 and −5
+    assert(got(1) === ((1L, 1L, 1L)))     // [1,2)
+    assert(got(2) === ((2L, 2L, 3L)))     // [2,4)
+    assert(got(3) === ((2L, 4L, 7L)))     // [4,8)
+    assert(got(4) === ((1L, 8L, 8L)))
+    assert(got(10) === ((1L, 1023L, 1023L)))
+    assert(got(11) === ((1L, 1024L, 1024L)))
+    assert(got.values.map(_._1).sum === 10L)
+  }
+
+  test("bounceRate: constructed sessions with known bounces") {
+    val df = Seq(
+      // user 1, day 1: one 3-event session (not a bounce)
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (1L, 2L, "2024-01-01 10:10:00"),
+      (1L, 3L, "2024-01-01 10:35:00"),
+      // user 1, day 1: a later 1-event session (bounce)
+      (1L, 4L, "2024-01-01 20:00:00"),
+      // user 2: session starting day 1, exactly 30-min gap keeps it one
+      // session (strict > semantics), so NOT a bounce
+      (2L, 5L, "2024-01-01 23:50:00"),
+      (2L, 6L, "2024-01-02 00:20:00"),
+      // user 2, day 3: single event (bounce)
+      (2L, 7L, "2024-01-03 09:00:00"))
+      .toDF("user_id", "event_id", "ts")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val got = EventAnalytics.bounceRate(df, col("user_id"), col("ts"),
+      col("event_id"))
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("2024-01-01") === ((3L, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(got("2024-01-03") === ((1L, 1L, 1.0)))
+    assert(!got.contains("2024-01-02")) // no session STARTS that day
+  }
+
+  test("activityHeatmap: shares sum to 1 per group; cells partition rows") {
+    val df = spark.range(500).select(
+      (col("id") % 3).cast("string").as("g"),
+      timestamp_micros(lit(1704067200000000L) // 2024-01-01 00:00 UTC
+        + col("id") * 3600L * 1000000L * 5L).as("ts"))
+    val hm = EventAnalytics.activityHeatmap(df, col("g"), col("ts"))
+    val byGroup = hm.groupBy(col("group"))
+      .agg(sum(col("n")).as("rows"), sum(col("share")).as("sh"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(byGroup.values.map(_._1).sum === 500L)
+    // shares are rounded to 6dp, so the per-group sum is 1 ± cells·5e-7
+    assert(byGroup.values.forall { case (_, sh) => math.abs(sh - 1.0) < 1e-4 })
+    val dows = hm.select(col("isodow")).distinct().as[Int].collect()
+    assert(dows.forall(d => d >= 1 && d <= 7))
+  }
+
+  test("antiJoinKeys equals except-based orphan detection") {
+    val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("payload"))
+    val r = spark.range(200).filter(col("id") % 3 =!= 0)
+      .select(col("id").as("rk"))
+    val got = Relational.antiJoinKeys(l, r, "k", "rk")
+      .select(col("k")).as[Long].collect().toSet
+    val want = l.select(col("k")).exceptAll(
+      r.select(col("rk")).distinct()).as[Long].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+}
