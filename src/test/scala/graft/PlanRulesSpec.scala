@@ -379,6 +379,63 @@ class PlanRulesSpec extends SparkSpecBase {
       "cumsum-difference corr diverged from the sliding-frame reference")
   }
 
+  test("rolling zscore: growing-frame plan, one keyed exchange, no sliding frame") {
+    val df = SparkEntry.queries("win_rolling_zscore")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the trailing-24 S/SS/n must ride cumulatives + lag(·, 24), never a
+    // sliding 23-PRECEDING frame (O(k)/row re-evaluation — the same
+    // regression class win_rolling_corr had at sf1)
+    assert(!plan.contains("-23"),
+      s"sliding 23-PRECEDING frame crept into the zscore plan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"zscore must be one keyed window shuffle, got $exchanges:\n$plan")
+  }
+
+  test("cusum: closed-form windows on one keyed exchange, no sliding frame") {
+    val df = SparkEntry.queries("win_cusum")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // cumsum + running-min are both unbounded-preceding growing frames
+    // over the same (key, ts, tie) sort as the per-key mean window
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"cusum windows all partition by the same key — expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("interval overlap: banded per-row expression — no Join node at all") {
+    val df = SparkEntry.queries("join_interval_overlap")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the daily window attaches by BANDING islands to days (bounded
+    // explode), so a range/cartesian join on intervals must be absent
+    assert(!plan.contains("Join"),
+      s"interval overlap must be join-free (banding + expression), got:\n$plan")
+  }
+
+  test("anti join: probe side reduced to distinct keys and broadcast") {
+    val df = SparkEntry.queries("join_anti")(spark, sf())
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"expected a left anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"distinct keys must broadcast — the fact payload never shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"anti join regressed to a co-shuffle:\n$plan")
+  }
+
+  test("decay score: anchor day attaches via broadcast, events never shuffle") {
+    val df = SparkEntry.queries("f_exp_decay_score")(spark, sf())
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the scalar anchor must attach via broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"events must not shuffle for the anchor scalar:\n$plan")
+  }
+
   test("k-means assignment broadcasts centroids — vectors never shuffle") {
     val q = Tables.embeddings(spark, sf()).select(col("vec_id"),
       transform(col("embedding"),
