@@ -5525,6 +5525,47 @@ object SparkEntry {
               FROM o GROUP BY 1, 2
               HAVING sum(CASE WHEN ov > 0 THEN ov ELSE 0 END) > 0""")),
 
+    // MACD 12/26/9 over the per-type daily-mean series — the EMA
+    // recursion run as the LITERAL iteration on both engines (ordered
+    // fold here, recursive CTE there): same IEEE op sequence, same α
+    // literals, bit-identical intermediates (no pow, no order-dependent
+    // float sums; see TimeSeries.macd)
+    Q("win_macd",
+      (s, d) => TimeSeries.macd(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("__vc"),
+        keyName = "event_type"),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS DOUBLE) / count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, day, c,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY day) AS rn
+                    FROM daily),
+              rec AS (
+                SELECT event_type, rn, day, c,
+                    c AS ema_fast, c AS ema_slow,
+                    CAST(0.0 AS DOUBLE) AS sig
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.rn, d.day, d.c,
+                    (2.0 / 13.0) * d.c + (11.0 / 13.0) * r.ema_fast,
+                    (2.0 / 27.0) * d.c + (25.0 / 27.0) * r.ema_slow,
+                    (2.0 / 10.0) * (((2.0 / 13.0) * d.c
+                        + (11.0 / 13.0) * r.ema_fast)
+                      - ((2.0 / 27.0) * d.c + (25.0 / 27.0) * r.ema_slow))
+                      + (8.0 / 10.0) * r.sig
+                FROM d JOIN rec r ON d.event_type = r.event_type
+                  AND d.rn = r.rn + 1)
+              SELECT event_type, day,
+                round(ema_fast - ema_slow, 6) AS macd,
+                round(sig, 6) AS signal
+              FROM rec""")),
+
     // per-day session bounce rate (1-event sessions / sessions, 30-min
     // gap sessionization) — the same single user-keyed window as
     // agg_session_stats, then a days-sized aggregate

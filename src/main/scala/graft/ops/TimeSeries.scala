@@ -589,6 +589,61 @@ object TimeSeries {
       .drop("__graft_z_cs", "__graft_z_cn", "__graft_z_css")
   }
 
+  /** MACD (12/26/9) over each key's daily-mean series: fast and slow
+    * EMAs (α = 2/13, 2/27), macd = fast − slow, and the signal line
+    * (α = 2/10) smoothed over the macd itself — the last member of the
+    * §2.15/2.18 indicator family (OHLC, bollinger, RSI, VWAP, EWMA).
+    *
+    * Determinism: an EMA recursion has no order-free form, so instead of
+    * pow-based weights (libm `pow` is not cross-engine reproducible for
+    * non-binary fractions) BOTH engines run the literal recursion —
+    * here an ordered per-key fold, in the oracle a recursive CTE — with
+    * the same IEEE operation sequence and the same α literals (2.0/13.0
+    * etc., each a single exact-input division), so every intermediate is
+    * bit-identical and the 1e-6 round at the edge can never flip. The
+    * daily mean feed is an exact integer sum over cents divided once.
+    *
+    * Scale: one data-sized shuffle into the daily aggregate, then a
+    * key-sized groupBy; the sequential fold is per key over its own
+    * calendar (bounded by days, not events) — the intrinsic data
+    * dependence of an EMA, confined to the smallest possible series.
+    */
+  def macd(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      cents: Column,
+      keyName: String = "key"): DataFrame = {
+    val aF = lit(2.0 / 13.0); val bF = lit(11.0 / 13.0)
+    val aS = lit(2.0 / 27.0); val bS = lit(25.0 / 27.0)
+    val aG = lit(2.0 / 10.0); val bG = lit(8.0 / 10.0)
+    val daily = df
+      .groupBy(key.as(keyName), to_date(ts).as("day"))
+      .agg((sum(cents).cast("double") / count(lit(1))).as("c"))
+    val series = daily.groupBy(col(keyName))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
+    val zero = struct(
+      lit(0.0).as("fast"), lit(0.0).as("slow"), lit(0.0).as("sig"),
+      expr("CAST(array() AS " +
+        "array<struct<day:date,macd:double,signal:double>>)").as("out"))
+    val folded = series.withColumn("__r",
+      aggregate(col("xs"), zero, (acc, x) => {
+        val first = size(acc("out")) === 0
+        val f = when(first, x("c")).otherwise(aF * x("c") + bF * acc("fast"))
+        val s = when(first, x("c")).otherwise(aS * x("c") + bS * acc("slow"))
+        val m = f - s
+        val g = when(first, lit(0.0)).otherwise(aG * m + bG * acc("sig"))
+        struct(f.as("fast"), s.as("slow"), g.as("sig"),
+          concat(acc("out"), array(struct(x("day").as("day"),
+            round(m, 6).as("macd"), round(g, 6).as("signal"))))
+            .as("out"))
+      }))
+    folded
+      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+      .select(col(keyName), col("__e.day").as("day"),
+        col("__e.macd").as("macd"), col("__e.signal").as("signal"))
+  }
+
   /** One-sided CUSUM drift statistic per key: with deviations
     * d_t = x_t − target (target = ⌊per-key mean⌋, an exact integer on
     * both engines), the classic recursion S⁺_t = max(0, S⁺_{t−1} + d_t)

@@ -68,6 +68,37 @@ class Round9OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("macd equals the driver-side sequential EMA recursion") {
+    val got = TimeSeries.macd(events, col("k"), col("ts"), col("cents"),
+      keyName = "k")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // driver-side reference: daily means, then the textbook recursion
+    val daily = events.groupBy(col("k"), to_date(col("ts")).as("day"))
+      .agg((sum(col("cents")).cast("double") / count(lit(1))).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1)
+    val (aF, bF) = (2.0 / 13.0, 11.0 / 13.0)
+    val (aS, bS) = (2.0 / 27.0, 25.0 / 27.0)
+    val (aG, bG) = (2.0 / 10.0, 8.0 / 10.0)
+    for ((k, rows) <- daily) {
+      val sorted = rows.sortBy(_._2)
+      var (fast, slow, sig) = (0.0, 0.0, 0.0)
+      for (((_, day, c), i) <- sorted.zipWithIndex) {
+        fast = if (i == 0) c else aF * c + bF * fast
+        slow = if (i == 0) c else aS * c + bS * slow
+        val m = fast - slow
+        sig = if (i == 0) 0.0 else aG * m + bG * sig
+        val (gm, gs) = got((k, day))
+        assert(gm === math.rint(m * 1e6) / 1e6, s"macd $k $day")
+        assert(gs === math.rint(sig * 1e6) / 1e6, s"signal $k $day")
+      }
+    }
+    assert(got.size === daily.values.map(_.size).sum)
+  }
+
   test("dailyWindowOverlap equals a driver-side naive overlap scan") {
     // random-ish intervals, some spanning midnight, some outside the
     // 12:00–18:00 window entirely
