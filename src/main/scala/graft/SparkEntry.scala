@@ -5434,6 +5434,33 @@ object SparkEntry {
                   AS BIGINT) AS cusum_pos
               FROM u""")),
 
+    // streaming twin of win_cusum: the recursion S⁺ = max(0, S⁺ + dev)
+    // carried as ONE long of per-series state, reference levels via a
+    // stream-static broadcast join — must equal the batch closed form,
+    // so it shares win_cusum's oracle
+    Q("stream_cusum",
+      (s, d) => graft.streaming.CusumStream.runToCompletion(s, d),
+      Some("""WITH src AS (SELECT event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              t AS (SELECT event_id, event_type, ts2, c,
+                      CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                        / count(c) OVER (PARTITION BY event_type))
+                        AS BIGINT) AS tgt
+                    FROM src),
+              u AS (SELECT event_id, event_type, ts2,
+                      sum(c - tgt) OVER (PARTITION BY event_type
+                        ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING)
+                        AS cum
+                    FROM t)
+              SELECT event_id,
+                CAST(cum - least(min(cum) OVER (PARTITION BY event_type
+                  ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING), 0)
+                  AS BIGINT) AS cusum_pos
+              FROM u""")),
+
     // day-of-week × hour activity heatmap with per-type cell share —
     // one cells-sized hash aggregate + a cells-sized window
     Q("agg_heatmap_2d",

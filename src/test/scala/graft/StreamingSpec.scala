@@ -92,6 +92,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.count() > 0)
   }
 
+  test("streaming cusum equals the batch closed-form statistic") {
+    val got = graft.streaming.CusumStream.runToCompletion(spark, sf())
+    val batch = graft.ops.TimeSeries.cusum(
+      Tables.events(spark, sf())
+        .withColumn("__vc", round(col("value") * 100, 0).cast("long")),
+      col("event_type"), col("ts"), col("event_id"), col("__vc"))
+      .select(col("event_id"), col("cusum_pos"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("streaming interval union equals batch islands minus the open one") {
     val got = graft.streaming.IntervalUnionStream
       .runToCompletion(spark, sf(), widthSeconds = 900L)
