@@ -199,6 +199,69 @@ class Round9OpsSpec extends SparkSpecBase {
     assert(dows.forall(d => d >= 1 && d <= 7))
   }
 
+  test("cusum equals the recursion on random series (incl. negatives)") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      k <- Seq("x", "y", "z"); i <- 0 until 60
+    } yield (k, i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-02-01 ${i / 3}%02d:${(i * 7) % 60}%02d:00"),
+      rnd.nextLong(4001) - 2000L) // negative cents too
+    val df = rows.toDF("k", "id", "ts", "cents")
+    val got = TimeSeries.cusum(df, col("k"), col("ts"), col("id"),
+      col("cents"))
+      .select(col("k"), col("id"), col("cusum_pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .groupBy(_._1).foreach { case (k, rs) =>
+        // the operator's window order is (ts, id) — minutes wrap within
+        // an hour in this fixture, so id order ≠ ts order by design
+        val sorted = rs.sortBy(r => (r._3.getTime, r._2))
+        val tgt =
+          math.floor(sorted.map(_._4).sum.toDouble / sorted.size).toLong
+        var s = 0L
+        for ((_, id, _, c) <- sorted) {
+          s = math.max(0L, s + (c - tgt))
+          assert(got((k, id)) === s, s"$k/$id")
+        }
+      }
+  }
+
+  test("dailyWindowOverlap equals driver naive on random intervals") {
+    val rnd = new scala.util.Random(7)
+    val dayUs = 86400L * 1000000L
+    val epoch0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+      .getTime * 1000L
+    val iv = (0 until 120).map { i =>
+      val s = epoch0 + math.abs(rnd.nextLong) % (10 * dayUs)
+      val e = s + math.abs(rnd.nextLong) % (2 * dayUs)
+      (i.toLong % 8, s, e)
+    }
+    import java.time.{Instant, ZoneOffset}
+    val df = iv.toDF("u", "s_us", "e_us")
+      .select(col("u"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val got = Intervals.dailyWindowOverlap(df, col("u"), col("s"),
+      col("e"), 43200, 64800, keyName = "u")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    // driver naive: for every (interval, day) pair in a wide range
+    val want = collection.mutable.Map[(Long, String), Long]()
+    for ((u, s, e) <- iv; dOff <- -1 to 12) {
+      val day = (epoch0 / dayUs + dOff) * dayUs
+      val ov = math.min(e, day + 64800L * 1000000L) -
+        math.max(s, day + 43200L * 1000000L)
+      if (ov > 0) {
+        val dStr = Instant.ofEpochSecond(day / 1000000L)
+          .atZone(ZoneOffset.UTC).toLocalDate.toString
+        want((u, dStr)) = want.getOrElse((u, dStr), 0L) + ov
+      }
+    }
+    assert(got === want.toMap, "random-interval overlap mismatch")
+    assert(got.nonEmpty)
+  }
+
   test("antiJoinKeys equals except-based orphan detection") {
     val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("payload"))
     val r = spark.range(200).filter(col("id") % 3 =!= 0)
