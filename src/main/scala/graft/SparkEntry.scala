@@ -5593,6 +5593,56 @@ object SparkEntry {
                 round(sig, 6) AS signal
               FROM rec""")),
 
+    // the step a curation pipeline runs AFTER clustering: per near-dup
+    // cluster, keep the longest member (token count, min-id tiebreak).
+    // Composition capstone: MinHash-LSH pairs → connected components →
+    // id-keyed token-count join → one component-keyed window; the
+    // labels are cluster-membership-sized, so everything after the
+    // shared candidate-gen is tiny at any corpus scale
+    Q("dedup_cluster_canonical",
+      (s, d) => {
+        val docs = withPlantedDups(Tables.documents(s, d))
+        val labels = Dedup.withMinhashLshPairs(docs, col("doc_id"),
+          col("text"), threshold = 0.5) { pairs =>
+          Components.connectedComponents(pairs)
+        }
+        val toks = docs.select(col("doc_id").as("id"),
+          TextOps.tokenCount(col("text")).cast("long").as("__n_tok"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("__n_tok").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        labels.join(toks, Seq("id"))
+          .withColumn("rep_id", first(col("id")).over(w))
+          .select(col("id"), col("component"), col("rep_id"),
+            (col("id") === col("rep_id")).as("is_kept"))
+      },
+      Some(s"""WITH RECURSIVE $plantedDocsSql,
+              $minhashCtesSql,
+              dup AS (SELECT id_a, id_b FROM verified WHERE j >= 0.5),
+              sym AS (SELECT id_a AS src, id_b AS dst FROM dup
+                      UNION SELECT id_b, id_a FROM dup),
+              reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s2.dst FROM reach r JOIN sym s2
+                  ON r.dst = s2.src),
+              comp AS (SELECT src AS id, least(src, min(dst)) AS component
+                       FROM reach GROUP BY src),
+              tok AS (SELECT id,
+                        CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tok
+                      FROM docs)
+              SELECT c.id, c.component,
+                first_value(c.id) OVER (PARTITION BY c.component
+                  ORDER BY t.n_tok DESC, c.id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS rep_id,
+                c.id = first_value(c.id) OVER (PARTITION BY c.component
+                  ORDER BY t.n_tok DESC, c.id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS is_kept
+              FROM comp c JOIN tok t ON c.id = t.id""")),
+
     // per-day session bounce rate (1-event sessions / sessions, 30-min
     // gap sessionization) — the same single user-keyed window as
     // agg_session_stats, then a days-sized aggregate
