@@ -5593,6 +5593,48 @@ object SparkEntry {
                 round(sig, 6) AS signal
               FROM rec""")),
 
+    // deterministic categorical encoding by frequency rank — the
+    // feature-pipeline encoder that is stable across runs/engines;
+    // dictionary is category-sized (bounded global sort), rows attach
+    // it by broadcast and never shuffle
+    Q("f_label_encode",
+      (s, d) => Aggregates.labelEncode(ev(s, d)
+          .select(col("event_id"), col("event_type")),
+        col("event_type"), catName = "event_type")
+        .select(col("event_id"), col("event_type"), col("code")),
+      Some("""WITH d AS (SELECT event_type, count(*) AS n
+                    FROM events GROUP BY 1),
+              r AS (SELECT event_type,
+                      CAST(row_number() OVER (ORDER BY n DESC, event_type)
+                        AS BIGINT) AS code
+                    FROM d)
+              SELECT e.event_id, e.event_type, r.code
+              FROM events e JOIN r USING (event_type)""")),
+
+    // robust scaling (x − median)/IQR per type on integer cents:
+    // quartile interpolation at quarter fractions over INTEGERS is
+    // exact dyadic arithmetic — engine-formula-independent — and the
+    // single edge division is deterministic (see robustScale doc)
+    Q("f_robust_scale",
+      (s, d) => Aggregates.robustScale(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("__vc"))
+        .select(col("event_id"), col("scaled")),
+      Some("""WITH src AS (SELECT event_id, event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              st AS (SELECT event_type,
+                      quantile_cont(c, 0.5) AS med,
+                      quantile_cont(c, 0.25) AS q1,
+                      quantile_cont(c, 0.75) AS q3
+                    FROM src GROUP BY 1)
+              SELECT s.event_id,
+                CASE WHEN st.q3 > st.q1
+                  THEN round((s.c - st.med) / (st.q3 - st.q1), 6) END
+                  AS scaled
+              FROM src s JOIN st USING (event_type)""")),
+
     // the step a curation pipeline runs AFTER clustering: per near-dup
     // cluster, keep the longest member (token count, min-id tiebreak).
     // Composition capstone: MinHash-LSH pairs → connected components →

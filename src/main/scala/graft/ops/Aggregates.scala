@@ -136,6 +136,55 @@ object Aggregates {
       .agg(round(min(col("__v")), 6).as("weighted_median"))
   }
 
+  /** Deterministic label encoding of a categorical column: codes are
+    * assigned by frequency rank (count desc, value asc tiebreak — fully
+    * reproducible, unlike hash- or arrival-order encoders). The
+    * dictionary is category-sized, so its global rank window is a
+    * bounded aggregate-sized sort, and it re-attaches by broadcast —
+    * the rows themselves never shuffle. The standard feature-pipeline
+    * categorical encoder, stable across runs and engines.
+    */
+  def labelEncode(
+      df: DataFrame,
+      cat: Column,
+      catName: String,
+      outName: String = "code"): DataFrame = {
+    val dict = df.groupBy(cat.as(catName))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn(outName,
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__n").desc, col(catName))).cast("long"))
+      .drop("__n")
+    df.join(broadcast(dict), Seq(catName))
+  }
+
+  /** Robust scaling per group: (x − median) / IQR on an exact integer
+    * column (e.g. cents). Median and quartiles interpolate at quarter
+    * fractions, which are powers of two — over INTEGER inputs every
+    * interpolation step (b−a, ×0.25, +) is exact dyadic arithmetic, so
+    * both engines' quantile formulas agree bit-for-bit regardless of
+    * how they associate the interpolation, and the single edge division
+    * is deterministic. Zero-IQR groups yield NULL. Stats are group-sized
+    * and re-attach by broadcast.
+    */
+  def robustScale(
+      df: DataFrame,
+      group: Column,
+      cents: Column,
+      outName: String = "scaled"): DataFrame = {
+    val c = cents.cast("long")
+    val stats = df.groupBy(group.as("__g")).agg(
+      percentile(c, lit(0.5)).as("__med"),
+      percentile(c, lit(0.25)).as("__q1"),
+      percentile(c, lit(0.75)).as("__q3"))
+    df.join(broadcast(stats), group === col("__g"))
+      .withColumn(outName,
+        when(col("__q3") > col("__q1"),
+          round((c.cast("double") - col("__med"))
+            / (col("__q3") - col("__q1")), 6)))
+      .drop("__g", "__med", "__q1", "__q3")
+  }
+
   /** Power-of-two (log2) histogram of a positive integer column: bucket
     * b holds values in [2^(b−1), 2^b), i.e. b = ⌊log2 v⌋ + 1 = the
     * length of v's binary representation — computed as exactly that

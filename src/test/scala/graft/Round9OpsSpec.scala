@@ -262,6 +262,30 @@ class Round9OpsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("labelEncode: frequency-ranked codes with value tiebreak") {
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("c") ++
+      Seq.fill(1)("d")).zipWithIndex.map(_.swap).toDF("id", "cat")
+    val got = Aggregates.labelEncode(df, col("cat"), catName = "cat")
+      .select(col("cat"), col("code")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a and b tie at 5 → lexicographic: a=1, b=2; c=3, d=4
+    assert(got === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
+  test("robustScale: exact quartiles on integers; zero-IQR group nulls") {
+    // group g: cents 0,100,200,300,400 → med 200, q1 100, q3 300, IQR 200
+    // group z: constant → IQR 0 → NULL
+    val rows = (0 until 5).map(i => ("g", i.toLong, i * 100L)) ++
+      (0 until 4).map(i => ("z", 10L + i, 700L))
+    val df = rows.toDF("k", "id", "cents")
+    val got = Aggregates.robustScale(df, col("k"), col("cents"))
+      .select(col("id"), col("scaled"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(0L).contains(-1.0) && got(2L).contains(0.0) &&
+      got(4L).contains(1.0) && got(1L).contains(-0.5))
+    assert((10L to 13L).forall(got(_).isEmpty))
+  }
+
   test("antiJoinKeys equals except-based orphan detection") {
     val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("payload"))
     val r = spark.range(200).filter(col("id") % 3 =!= 0)
