@@ -195,14 +195,19 @@ object Bench {
     val spikes = results.collect {
       case (name, Some(m)) if m.wall > spikeThreshold => (name, m.wall)
     }.sortBy(-_._2).take(12).map(_._1).toSet
-    val retried: Map[String, Measure] = selected.collect {
+    val retried: Map[String, Measure] = selected.flatMap {
       case (name, fn) if spikes(name) =>
         System.err.println(f"[bench] retry $name (first run exceeded $spikeThreshold%.2f s)")
-        name -> runOnce(name, fn)
-    }.collect { case (name, Some(m)) =>
-      System.err.println(f"[bench] retry $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)")
-      spark.catalog.clearCache()
-      name -> m
+        val m = runOnce(name, fn)
+        // drop THIS retry's cache before the next retry starts (and on
+        // failure too) — retries must not inflate each other's memory
+        // pressure, or the pass reintroduces the stall it exists to rule
+        // out
+        spark.catalog.clearCache()
+        m.foreach(mm => System.err.println(
+          f"[bench] retry $name%-28s ${mm.wall}%8.3f s  (gc ${mm.gc}%5.2f  cpu ${mm.cpu}%7.2f)"))
+        m.map(name -> _)
+      case _ => None
     }.toMap
 
     def fmt(v: Double) = f"$v%.3f"

@@ -5328,6 +5328,32 @@ object SparkEntry {
               WHERE i.island < mx.mi""")),
   )
 
+  /** Shared by `win_cusum` and its streaming twin `stream_cusum`: the
+    * two MUST verify against the same reference (the whole point of a
+    * twin), so the oracle lives once.
+    */
+  private val cusumOracleSql =
+    """WITH src AS (SELECT event_id, event_type,
+              CAST(ts AS TIMESTAMP) AS ts2,
+              CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events),
+      t AS (SELECT event_id, event_type, ts2, c,
+              CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type)
+                  AS DOUBLE)
+                / count(c) OVER (PARTITION BY event_type))
+                AS BIGINT) AS tgt
+            FROM src),
+      u AS (SELECT event_id, event_type, ts2,
+              sum(c - tgt) OVER (PARTITION BY event_type
+                ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING)
+                AS cum
+            FROM t)
+      SELECT event_id,
+        CAST(cum - least(min(cum) OVER (PARTITION BY event_type
+          ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING), 0)
+          AS BIGINT) AS cusum_pos
+      FROM u"""
+
   // ------------------------------------------- §2.20 round-9 widening
   // relational completion (anti / full-outer), O(1)-frame monitoring
   // statistics (rolling z-score, CUSUM), the day×hour heatmap, the
@@ -5343,8 +5369,9 @@ object SparkEntry {
       (s, d) => Relational.antiJoinKeys(Tables.customer(s, d),
         Tables.orders(s, d), "c_custkey", "o_custkey")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey)""")),
 
     // null-preserving reconciliation of two independently-aggregated
     // daily series — the full-outer join the day-level audit runs when
@@ -5413,26 +5440,7 @@ object SparkEntry {
           round(col("value") * 100, 0).cast("long")),
         col("event_type"), col("ts"), col("event_id"), col("__vc"))
         .select(col("event_id"), col("cusum_pos")),
-      Some("""WITH src AS (SELECT event_id, event_type,
-                      CAST(ts AS TIMESTAMP) AS ts2,
-                      CAST(round(value * 100, 0) AS BIGINT) AS c
-                    FROM events),
-              t AS (SELECT event_id, event_type, ts2, c,
-                      CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type)
-                          AS DOUBLE)
-                        / count(c) OVER (PARTITION BY event_type))
-                        AS BIGINT) AS tgt
-                    FROM src),
-              u AS (SELECT event_id, event_type, ts2,
-                      sum(c - tgt) OVER (PARTITION BY event_type
-                        ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING)
-                        AS cum
-                    FROM t)
-              SELECT event_id,
-                CAST(cum - least(min(cum) OVER (PARTITION BY event_type
-                  ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING), 0)
-                  AS BIGINT) AS cusum_pos
-              FROM u""")),
+      Some(cusumOracleSql)),
 
     // streaming twin of win_cusum: the recursion S⁺ = max(0, S⁺ + dev)
     // carried as ONE long of per-series state, reference levels via a
@@ -5440,26 +5448,7 @@ object SparkEntry {
     // so it shares win_cusum's oracle
     Q("stream_cusum",
       (s, d) => graft.streaming.CusumStream.runToCompletion(s, d),
-      Some("""WITH src AS (SELECT event_id, event_type,
-                      CAST(ts AS TIMESTAMP) AS ts2,
-                      CAST(round(value * 100, 0) AS BIGINT) AS c
-                    FROM events),
-              t AS (SELECT event_id, event_type, ts2, c,
-                      CAST(floor(CAST(sum(c) OVER (PARTITION BY event_type)
-                          AS DOUBLE)
-                        / count(c) OVER (PARTITION BY event_type))
-                        AS BIGINT) AS tgt
-                    FROM src),
-              u AS (SELECT event_id, event_type, ts2,
-                      sum(c - tgt) OVER (PARTITION BY event_type
-                        ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING)
-                        AS cum
-                    FROM t)
-              SELECT event_id,
-                CAST(cum - least(min(cum) OVER (PARTITION BY event_type
-                  ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING), 0)
-                  AS BIGINT) AS cusum_pos
-              FROM u""")),
+      Some(cusumOracleSql)),
 
     // day-of-week × hour activity heatmap with per-type cell share —
     // one cells-sized hash aggregate + a cells-sized window
@@ -5599,8 +5588,7 @@ object SparkEntry {
     // it by broadcast and never shuffle
     Q("f_label_encode",
       (s, d) => Aggregates.labelEncode(ev(s, d)
-          .select(col("event_id"), col("event_type")),
-        col("event_type"), catName = "event_type")
+          .select(col("event_id"), col("event_type")), col("event_type"))
         .select(col("event_id"), col("event_type"), col("code")),
       Some("""WITH d AS (SELECT event_type, count(*) AS n
                     FROM events GROUP BY 1),

@@ -238,6 +238,10 @@ object GraftNative {
     override def prettyName: String = "minhash_signature"
     override def nullable: Boolean = true
 
+    private val aStep = graft.functions.PortableHash.FamilyAStep
+    private val bStep = graft.functions.PortableHash.FamilyBStep
+    private val prime = graft.functions.PortableHash.P
+
     override protected def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -246,11 +250,13 @@ object GraftNative {
         val out = Array.fill(numHashes)(Long.MaxValue)
         var j = 0
         while (j < n) {
+          // null ELEMENTS are outside the contract (the md5 base pass
+          // emits containsNull=false); this reads such a slot as 0L
+          // where the composable form would null the whole member
           val base = arr.getLong(j)
           var i = 0
           while (i < numHashes) {
-            val h = (1000003L * (i + 1) * base + 666019L * (i + 1)) %
-              2147483647L
+            val h = (aStep * (i + 1) * base + bStep * (i + 1)) % prime
             if (h < out(i)) out(i) = h
             i += 1
           }
@@ -279,8 +285,8 @@ object GraftNative {
            |    final long $base = $a.getLong($j);
            |    for (int $i = 0; $i < $numHashes; $i++) {
            |      final long $h =
-           |        (1000003L * ($i + 1) * $base + 666019L * ($i + 1))
-           |          % 2147483647L;
+           |        (${aStep}L * ($i + 1) * $base + ${bStep}L * ($i + 1))
+           |          % ${prime}L;
            |      if ($h < $out[$i]) $out[$i] = $h;
            |    }
            |  }

@@ -33,9 +33,15 @@ object PortableHash {
   def base28(c: Column): Column = md5Long(c, 7)
 
   /** Family parameters (a_i, b_i) for member i — pure arithmetic so the
-    * oracle SQL can regenerate them from `i` alone. a_i·2^28 < 2^59. */
-  def familyA(i: Int): Long = 1000003L * (i + 1)
-  def familyB(i: Int): Long = 666019L * (i + 1)
+    * oracle SQL can regenerate them from `i` alone. a_i·2^28 < 2^59.
+    * The step constants are public so the native one-pass
+    * `minhash_signature` expression derives the SAME family (one source
+    * of truth — its parity spec would catch a desync, but it shouldn't
+    * have to). */
+  val FamilyAStep: Long = 1000003L
+  val FamilyBStep: Long = 666019L
+  def familyA(i: Int): Long = FamilyAStep * (i + 1)
+  def familyB(i: Int): Long = FamilyBStep * (i + 1)
 
   /** h_i(base) = (a_i·base + b_i) mod P over a [[base28]] column. */
   def affineFamily(base: Column, i: Int): Column =

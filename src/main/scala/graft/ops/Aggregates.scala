@@ -147,15 +147,18 @@ object Aggregates {
   def labelEncode(
       df: DataFrame,
       cat: Column,
-      catName: String,
       outName: String = "code"): DataFrame = {
-    val dict = df.groupBy(cat.as(catName))
+    val dict = df.groupBy(cat.as("__graft_le_cat"))
       .agg(count(lit(1)).as("__n"))
       .withColumn(outName,
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__n").desc, col(catName))).cast("long"))
+          .orderBy(col("__n").desc, col("__graft_le_cat"))).cast("long"))
       .drop("__n")
-    df.join(broadcast(dict), Seq(catName))
+    // null-SAFE join: the dictionary has an entry for the NULL category
+    // (groupBy keeps the null group), and an encoder must not change the
+    // row count — a plain equi-join would silently drop NULL-cat rows
+    df.join(broadcast(dict), cat <=> col("__graft_le_cat"))
+      .drop("__graft_le_cat")
   }
 
   /** Robust scaling per group: (x − median) / IQR on an exact integer

@@ -223,6 +223,12 @@ object EventAnalytics {
     * (a < b). Scale: the aligned grid is bucket×series-sized (tiny);
     * the self-join is on the bucket key; raw rows shuffle once into
     * the per-bucket aggregate.
+    *
+    * OPERATING ENVELOPE for the exactness claim: buckets·m² < 2^53 —
+    * at m ≤ 1e7 that is ~900 daily buckets (2.5 years). Longer panels
+    * must drop the mean scaling to ×1e2 (2-decimal means, envelope
+    * ~9e6 buckets) or aggregate to coarser buckets first; otherwise the
+    * pair sums re-enter order-dependent double territory.
     */
   def corrMatrix(
       df: DataFrame,
@@ -435,8 +441,12 @@ object EventAnalytics {
       user: Column,
       ts: Column,
       horizonDays: Int = 30): DataFrame = {
-    require(horizonDays >= 0 && horizonDays <= 62,
-      "decayScore horizon must keep 2^horizon inside a long")
+    // the SUM of weights must fit a long, not just one weight: a user
+    // with n events contributes at most n·2^horizon, so horizon ≤ 40
+    // leaves 2^22 (~4M) events/user of headroom before the aggregate
+    // could overflow (ANSI mode would then fail the query, not wrap)
+    require(horizonDays >= 0 && horizonDays <= 40,
+      "decayScore horizon must keep the per-user weight SUM inside a long")
     val anchor = broadcast(df.agg(max(to_date(ts)).as("__anchor")))
     df.select(user.as("user_id"), to_date(ts).as("__day"))
       .crossJoin(anchor)

@@ -556,6 +556,13 @@ object TimeSeries {
     * the oracle must spell the same operation tree. Rows whose frame has
     * n < 2 or var ≤ 0 (constant frame; fp cancellation can leave an
     * ulp-negative residue, identically on both engines) yield NULL.
+    *
+    * OPERATING ENVELOPE: the cumulative Σc² intermediate lives in a
+    * long, so a single key's series must satisfy rows·max(c)² < 2^63 —
+    * ~9·10⁸ rows/key at c ≤ 10⁵ cents. The frame DIFFERENCES stay tiny;
+    * only the running cumulatives grow. Beyond that envelope switch the
+    * cumulative columns to DecimalType(38,0) (order-free exact to 10³⁸,
+    * matching DuckDB's HUGEINT accumulator) at ~2× window cost.
     */
   def rollingZscore(
       df: DataFrame,

@@ -265,11 +265,18 @@ class Round9OpsSpec extends SparkSpecBase {
   test("labelEncode: frequency-ranked codes with value tiebreak") {
     val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("c") ++
       Seq.fill(1)("d")).zipWithIndex.map(_.swap).toDF("id", "cat")
-    val got = Aggregates.labelEncode(df, col("cat"), catName = "cat")
+    val got = Aggregates.labelEncode(df, col("cat"))
       .select(col("cat"), col("code")).distinct()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a and b tie at 5 → lexicographic: a=1, b=2; c=3, d=4
     assert(got === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+    // null categories must encode, not vanish (null-safe dictionary join)
+    val withNull = df.withColumn("cat",
+      when(col("id") === 0, lit(null)).otherwise(col("cat")))
+    val enc = Aggregates.labelEncode(withNull, col("cat"))
+    assert(enc.count() === df.count())
+    assert(enc.filter(col("cat").isNull).select(col("code"))
+      .distinct().count() === 1)
   }
 
   test("robustScale: exact quartiles on integers; zero-IQR group nulls") {
