@@ -103,10 +103,15 @@ object Bench {
       // materialize the week-chunked events layout outside the timed
       // loop: it is the table's STORAGE layout (the hypertable analog),
       // not part of any query's work — in a deployment it exists before
-      // the first query runs
-      locally {
+      // the first query runs. A broken events table must cost its own
+      // queries in the timed loop (where failures are recorded per
+      // query), never the whole bench artifact — round 9's BENCH was
+      // rc:1/zero-timings because this block could throw uncaught.
+      try {
         val span = Tables.eventsSpan(spark, sfDir)
         Tables.eventsChunked(spark, sfDir, span._1, span._2).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] events warmup skipped: ${e.getMessage}")
       }
     }
 

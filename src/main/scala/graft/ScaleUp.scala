@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   *  - ids shift by a copy stride small enough to stay under the 10^6
   *    planted-dup offset the dedup queries reserve.
   *
-  * `events.ts` is re-written as the raw INT64 nanosecond column (the
-  * upstream files are parquet TIMESTAMP(NANOS)): `Tables.loadEvents`
-  * floor-divides `ts div 1000` either way, so the read path under
-  * test is byte-identical to the driver's layout.
+  * `events.ts` passes through in whatever physical encoding the source
+  * carries (nanosecond INT64 generations replicate as plain longs,
+  * microsecond-timestamp generations as timestamp[us]):
+  * `Tables.loadEvents` branches on the written dtype, so the read path
+  * under test matches the driver's layout either way.
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <destDir> [factor=10]
   */

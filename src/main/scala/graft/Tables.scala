@@ -5,26 +5,44 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
-  * All tables are single parquet files under `sfDir`. The `events` table
-  * carries a nanosecond-precision `ts` written by pyarrow; Spark's
-  * TimestampType is microsecond, so `events` normalizes `ts` to
-  * microsecond precision on read (the DuckDB oracle must do the same via
-  * `date_trunc`-style truncation when comparing).
+  * All tables are single parquet files under `sfDir`. The `events` table's
+  * `ts` physical encoding has varied across testdata generations
+  * (TIMESTAMP(NANOS) INT64 vs timestamp[us]); `events` normalizes to
+  * microsecond TIMESTAMP_NTZ on read whatever the file carries, so every
+  * consumer sees one contract and a generator change can never again
+  * break the read path (the round-9 lesson).
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default. Read it as nanosecond longs and floor-divide to microseconds
-    * (identical to DuckDB's ns→µs truncation), emitting TIMESTAMP_NTZ to
+  /** Spark-visible dtype of the events `ts` column, probed from the
+    * parquet footer only (no row groups read). With `nanosAsLong` set, a
+    * TIMESTAMP(NANOS) file surfaces as LongType; a timestamp[us] file as
+    * TimestampType/TimestampNTZType. This is the single branch point for
+    * every events read path — batch, streaming, and ScaleUp.
+    */
+  def eventsTsIsLong(spark: SparkSession, sfDir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+  }
+
+  /** Schema-adaptive events read: nanosecond-INT64 `ts` is floor-divided
+    * to microseconds (identical to DuckDB's ns→µs truncation); a native
+    * microsecond timestamp is cast directly. Both emit TIMESTAMP_NTZ to
     * match the naive timestamps of every other table.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
+    // probe FIRST: it sets nanosAsLong, without which the raw read below
+    // throws on a NANOS-encoded file before any branch is taken
+    val tsIsLong = eventsTsIsLong(spark, sfDir)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (tsIsLong)
+      raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else
+      raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
 
   /** Week-chunked events layout — the Spark analog of the reference's

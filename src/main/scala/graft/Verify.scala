@@ -15,11 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must leave a visible record, not a silent hole:
+    // round 9's artifact shrank 229→99 entries with zero err fields
+    // because failures wrote nothing at all. Each failure gets a
+    // `<name>/_ERROR` marker (the driver's parquet read of that dir then
+    // fails → recorded as err) plus a row in errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          errors(name) + "\n")
       }
       spark.catalog.clearCache()
     }
@@ -38,6 +49,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure summary alongside the per-query markers
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

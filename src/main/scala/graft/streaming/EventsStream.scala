@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,19 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object EventsStream {
 
-  /** Streaming source over `dir/events.parquet` — nanosecond `ts` longs
-    * truncated to microsecond timestamps (TimestampType, not NTZ:
-    * `withWatermark` requires it; session TZ is UTC so the wall-clock
-    * value is identical). Glob form because the streaming file source
-    * requires a directory or glob basePath and the testdata table is a
-    * single file.
+  /** Streaming source over `dir/events.parquet`, normalized to
+    * microsecond `ts` of TimestampType (not NTZ: `withWatermark`
+    * requires it; session TZ is UTC so the wall-clock value is
+    * identical). The file's physical `ts` encoding is probed with a
+    * batch footer read first (streaming sources take a fixed schema, so
+    * the schema must be chosen BEFORE the stream is built): nanosecond
+    * INT64 → read as longs and truncate; microsecond timestamp → read
+    * natively, no transform. Getting this wrong silently compresses or
+    * dilates every timestamp 1000× — the round-9 failure. Glob form
+    * because the streaming file source requires a directory or glob
+    * basePath and the testdata table is a single file.
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(HourlyRollup.eventsRawSchema)
-      .parquet(s"$dir/events.{parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (Tables.eventsTsIsLong(spark, dir))
+      spark.readStream
+        .schema(HourlyRollup.eventsRawSchema)
+        .parquet(s"$dir/events.{parquet}")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(HourlyRollup.eventsMicrosSchema)
+        .parquet(s"$dir/events.{parquet}")
   }
 
   /** Runs `df` to completion into a uniquely-named memory sink and

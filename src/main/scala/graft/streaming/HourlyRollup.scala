@@ -16,11 +16,23 @@ import org.apache.spark.sql.types._
   */
 object HourlyRollup {
 
-  /** Raw parquet schema of the events table — `ts` as nanosecond longs
-    * (see Tables.loadEvents). */
+  /** Raw parquet schema of a nanosecond-encoded events table — `ts` as
+    * nanosecond longs (see Tables.loadEvents; requires nanosAsLong,
+    * which Tables.eventsTsIsLong sets). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Schema for a microsecond-encoded events table — `ts` read directly
+    * as TimestampType (what `withWatermark` requires; session TZ is UTC
+    * so values equal the file's naive microseconds). */
+  val eventsMicrosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
