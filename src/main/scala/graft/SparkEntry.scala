@@ -14,8 +14,10 @@ import graft.streaming.HourlyRollup
   * the TPC-H-ish testdata tables with a DuckDB-checkable oracle.
   *
   * Conventions shared by every query/oracle pair (see SURVEY.md §7.4):
-  *  - `events.ts` is nanosecond parquet → both sides truncate to µs
-  *    (Spark: Tables.events; DuckDB: `CAST(ts AS TIMESTAMP)`).
+  *  - `events.ts` physical encoding varies by testdata generation
+  *    (ns-INT64 vs timestamp[us]) → Spark adapts on read
+  *    (Tables.events); DuckDB oracles `CAST(ts AS TIMESTAMP)`, correct
+  *    under either encoding.
   *  - every aggregate of doubles is `round(x, 6)` on both sides (the sum
   *    order differs between engines by design — partial aggregation).
   *  - orderings carry an explicit unique tiebreaker (`event_id`) so
@@ -5701,12 +5703,285 @@ object SparkEntry {
               FROM s GROUP BY 1""")),
   )
 
+  // ------------------------------------------------------------ §2.21
+  // Round-10 widening: trend estimation (Holt linear smoothing,
+  // Theil–Sen robust slope, rolling OLS beta), sketch-side percentile
+  // reads, multi-criteria skyline, cohort LTV, hashing-trick feature
+  // crosses, asymmetric containment dedup, and the streaming twins of
+  // top-k and OHLC. Determinism: exact-integer sums feed every
+  // statistic; the one recursion (Holt) runs as the literal iteration
+  // on both engines with dyadic α = β = ½ (same IEEE op sequence,
+  // bit-identical intermediates); Theil–Sen's median selects middle
+  // RANKS of the slope multiset, so tie order between engines cannot
+  // change the selected values.
+  private val round10 = Seq(
+    // Holt linear (level + trend) smoothing over per-type daily cents
+    // sums — the trend-aware member of the smoothing family (EWMA and
+    // MACD lack an explicit trend state). Literal recursion ↔ recursive
+    // CTE, dyadic coefficients: zero fp-transcendental hash risk.
+    Q("win_holt_linear",
+      (s, d) => TimeSeries.holtLinear(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("__vc"),
+        keyName = "event_type"),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS DOUBLE) AS c
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, day, c,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY day) AS rn
+                    FROM daily),
+              rec AS (
+                SELECT event_type, rn, day, c, c AS lvl,
+                    CAST(0.0 AS DOUBLE) AS trend
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.rn, d.day, d.c,
+                    0.5 * d.c + 0.5 * (r.lvl + r.trend),
+                    0.5 * ((0.5 * d.c + 0.5 * (r.lvl + r.trend)) - r.lvl)
+                      + 0.5 * r.trend
+                FROM d JOIN rec r ON d.event_type = r.event_type
+                  AND d.rn = r.rn + 1)
+              SELECT event_type, day, round(lvl, 6) AS level,
+                round(trend, 6) AS trend,
+                round(lvl + trend, 6) AS forecast_1
+              FROM rec""")),
+
+    // percentile read over the MERGEABLE log2 histogram sketch: at
+    // 100 TB the per-shard ≤64-row histograms merge by count addition
+    // and this query runs on the merged sketch — no raw re-scan, no
+    // global sort. Integer/string arithmetic only.
+    Q("agg_hdr_percentile",
+      (s, d) => Aggregates.hdrPercentiles(ev(s, d), col("event_type"),
+        round(col("value") * 100, 0), groupName = "event_type"),
+      Some("""WITH src AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+              h AS (SELECT event_type,
+                      CASE WHEN c <= 0 THEN 0
+                        ELSE CAST(length(bin(c)) AS INTEGER) END AS bucket,
+                      count(*) AS n
+                    FROM src GROUP BY 1, 2),
+              cum AS (SELECT event_type, bucket, n,
+                        sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+                        sum(n) OVER (PARTITION BY event_type) AS tot
+                      FROM h)
+              SELECT event_type,
+                min(CASE WHEN cn >= CAST(ceil(0.50 * tot) AS BIGINT)
+                  THEN bucket END) AS p50_bucket,
+                min(CASE WHEN cn >= CAST(ceil(0.90 * tot) AS BIGINT)
+                  THEN bucket END) AS p90_bucket,
+                min(CASE WHEN cn >= CAST(ceil(0.99 * tot) AS BIGINT)
+                  THEN bucket END) AS p99_bucket
+              FROM cum GROUP BY 1""")),
+
+    // Theil–Sen robust slope per type: median pairwise slope of the
+    // daily cents series — the O(d²) blowup confined to each group's
+    // DAILY aggregate (d days, not events). Median by exact middle-rank
+    // selection; each slope one IEEE division of exact integers.
+    Q("agg_theil_sen",
+      (s, d) => Aggregates.theilSen(ev(s, d), col("event_type"),
+        col("ts"), round(col("value") * 100, 0), epoch = "2024-01-01",
+        groupName = "event_type"),
+      Some("""WITH daily AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      sum(CAST(round(value * 100, 0) AS BIGINT)) AS c
+                    FROM events GROUP BY 1, 2),
+              dd AS (SELECT event_type,
+                       CAST(datediff('day', DATE '2024-01-01', day)
+                         AS BIGINT) AS x, c
+                     FROM daily),
+              sl AS (SELECT a.event_type,
+                       CAST(b.c - a.c AS DOUBLE)
+                         / CAST(b.x - a.x AS DOUBLE) AS slope
+                     FROM dd a JOIN dd b
+                       ON a.event_type = b.event_type AND a.x < b.x),
+              r AS (SELECT event_type, slope,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY slope) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+                    FROM sl)
+              SELECT event_type, round(avg(slope), 6) AS theil_sen_slope,
+                CAST(max(n) AS BIGINT) AS n_pairs
+              FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+              GROUP BY 1""")),
+
+    // cohort LTV curve off orders: first-purchase-month cohorts,
+    // integer-cents revenue per months-since-cohort with the running
+    // cumulative an LTV chart plots — cells-sized windows only.
+    Q("agg_cohort_ltv",
+      (s, d) => EventAnalytics.cohortLtv(Tables.orders(s, d),
+        col("o_custkey"), to_date(col("o_orderdate")),
+        round(col("o_totalprice") * 100, 0)),
+      Some("""WITH fo AS (SELECT o_custkey,
+                      CAST(min(date_trunc('month', o_orderdate)) AS DATE)
+                        AS cohort
+                    FROM orders GROUP BY 1),
+              r AS (SELECT f.cohort,
+                      CAST(datediff('month', f.cohort,
+                        CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                        AS INTEGER) AS m,
+                      CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                        AS cents
+                    FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey),
+              g AS (SELECT cohort, m,
+                      CAST(sum(cents) AS BIGINT) AS rev_cents,
+                      count(*) AS n_orders
+                    FROM r GROUP BY 1, 2)
+              SELECT cohort, m, rev_cents, n_orders,
+                CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY m
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+              FROM g""")),
+
+    // trailing-24 OLS slope vs the per-type row index: five exact
+    // integer frame sums via growing-frame differences (O(1)/row),
+    // exact long numerator/denominator, one division at the edge.
+    Q("win_rolling_beta",
+      (s, d) => TimeSeries.rollingBeta(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("event_id"), col("__vc"),
+        frameRows = 24)
+        .select(col("event_id"), col("beta")),
+      Some("""WITH src AS (SELECT event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts2,
+                      CAST(round(value * 100, 0) AS BIGINT) AS y
+                    FROM events),
+              x AS (SELECT event_id, event_type, y,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY ts2, event_id) AS xi
+                    FROM src),
+              f AS (SELECT event_id,
+                      count(*) OVER w AS n,
+                      sum(xi) OVER w AS sx, sum(y) OVER w AS sy,
+                      sum(xi * xi) OVER w AS sxx,
+                      sum(xi * y) OVER w AS sxy
+                    FROM x
+                    WINDOW w AS (PARTITION BY event_type ORDER BY xi
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+              SELECT event_id,
+                CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                END AS beta
+              FROM f""")),
+
+    // skyline / Pareto frontier of users over (total spend cents,
+    // event count): computed on DISTINCT cells with two bounded
+    // windows instead of the naive O(n²) dominance self-join; the
+    // oracle IS that naive formulation — same frontier.
+    Q("agg_skyline_pareto",
+      (s, d) => EventAnalytics.skyline(
+        ev(s, d).groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+            count(lit(1)).as("n")),
+        "cents", "n"),
+      Some("""WITH u AS (SELECT user_id,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                      count(*) AS n
+                    FROM events GROUP BY 1)
+              SELECT u.user_id, u.cents, u.n FROM u
+              WHERE NOT EXISTS (SELECT 1 FROM u v
+                WHERE v.cents >= u.cents AND v.n >= u.n
+                  AND (v.cents > u.cents OR v.n > u.n))""")),
+
+    // hashing-trick feature cross (event_type × iso-weekday) into 256
+    // buckets with the portable md5 hash — the bounded-cardinality
+    // encoding a training pipeline uses for high-cardinality crosses;
+    // rows never shuffle wider than the 256-row aggregate.
+    Q("f_feature_hash_cross",
+      (s, d) => {
+        val iso = ((dayofweek(col("ts")) + 5) % 7 + 1).cast("int")
+        val cross = concat(col("event_type"), lit("|"), iso.cast("string"))
+        ev(s, d)
+          .select(graft.functions.PortableHash.md5Long(cross, 15)
+            .mod(256).cast("int").as("bucket"), cross.as("__cross"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("__cross")).as("n_crosses"))
+      },
+      Some("""WITH c AS (SELECT
+                      CAST(CAST(concat('0x', substr(md5(concat(event_type,
+                          '|', CAST(CAST(isodow(CAST(ts AS TIMESTAMP))
+                            AS INTEGER) AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 256 AS INTEGER) AS bucket,
+                      concat(event_type, '|',
+                        CAST(CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER)
+                          AS VARCHAR)) AS cr
+                    FROM events)
+              SELECT bucket, count(*) AS n,
+                CAST(count(DISTINCT cr) AS BIGINT) AS n_crosses
+              FROM c GROUP BY 1""")),
+
+    // asymmetric containment dedup: same LSH candidates as
+    // dedup_minhash_lsh, exact score |A∩B|/min(|A|,|B|) — catches a
+    // document embedded in a longer one where Jaccard dilutes. The
+    // planted near-dups (first token dropped) score containment 1.0.
+    Q("dedup_containment",
+      (s, d) => Dedup.containmentPairs(
+        withPlantedDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.8),
+      Some(s"""WITH $plantedDocsSql,
+              $minhashCtesSql,
+              cont AS (SELECT p.id_a, p.id_b,
+                         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / least(len(x.sh), len(y.sh)) AS c
+                       FROM pairs p
+                       JOIN base x ON p.id_a = x.id
+                       JOIN base y ON p.id_b = y.id
+                       WHERE least(len(x.sh), len(y.sh)) > 0)
+              SELECT id_a, id_b, round(c, 6) AS containment
+              FROM cont WHERE c >= 0.8""")),
+
+    // streaming top-3 event types per hour: counts maintained by the
+    // streaming aggregate (state = one row per window×dim), ranking
+    // applied on the rollup-sized output outside the stream.
+    Q("stream_topk_types",
+      (s, d) => graft.streaming.TopKStream.runToCompletion(s, d, k = 3),
+      Some("""WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                        AS bucket,
+                      event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              r AS (SELECT bucket, event_type, n,
+                      row_number() OVER (PARTITION BY bucket
+                        ORDER BY n DESC, event_type) AS rk
+                    FROM c)
+              SELECT bucket, event_type, n, CAST(rk AS INTEGER) AS rk
+              FROM r WHERE rk <= 3""")),
+
+    // streaming OHLC candles — the live twin of agg_ohlc: open/close as
+    // struct min/max over the zero-padded order key (declarative
+    // aggregates the stream maintains incrementally), integer cents.
+    Q("stream_ohlc",
+      (s, d) => graft.streaming.OhlcStream.runToCompletion(s, d,
+        measure = floor(col("value") * 100 + lit(0.5))),
+      Some("""WITH src AS (SELECT event_type,
+                      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+                      concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                          AS VARCHAR), 20, '0'),
+                        lpad(CAST(event_id AS VARCHAR), 20, '0')) AS k
+                    FROM events)
+              SELECT event_type, bucket,
+                arg_min(vc, k) AS open_c, max(vc) AS high_c,
+                min(vc) AS low_c, arg_max(vc, k) AS close_c,
+                count(*) AS n
+              FROM src GROUP BY 1, 2""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9
+      round9 ++ round10
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -206,4 +206,88 @@ object Aggregates {
       .agg(count(lit(1)).as("n"),
         min(col("__c")).as("lo"), max(col("__c")).as("hi"))
   }
+
+  /** Percentiles FROM the mergeable log2 histogram — the sketch-side
+    * percentile query: per group, p-th percentile bucket = the smallest
+    * bucket whose cumulative count reaches ⌈p·N⌉. The answer is the
+    * bucket index (⌊log2⌋+1, a ≤2× value bound), which is the contract
+    * of an HdrHistogram-style sketch: at 100 TB the per-shard histograms
+    * merge by plain count addition (≤64 rows each), and THIS query runs
+    * on the merged sketch — no raw-data re-scan, no exact-percentile
+    * global sort. Integer/string arithmetic end-to-end (bucket =
+    * length(bin(v)), threshold = ceil of one exact product) — zero
+    * float-boundary hash risk.
+    */
+  def hdrPercentiles(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      percentiles: Seq[(String, Double)] =
+        Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99),
+      groupName: String = "group"): DataFrame = {
+    val c = value.cast("long")
+    val hist = df
+      .select(group.as(groupName),
+        when(c <= 0, lit(0)).otherwise(length(bin(c))).cast("int")
+          .as("bucket"))
+      .groupBy(col(groupName), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col(groupName)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupName))
+    val cum = hist
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wAll))
+    val picks = percentiles.map { case (name, p) =>
+      min(when(col("cn") >= ceil(lit(p) * col("tot")).cast("long"),
+        col("bucket"))).as(s"${name}_bucket")
+    }
+    cum.groupBy(col(groupName)).agg(picks.head, picks.tail: _*)
+  }
+
+  /** Theil–Sen robust trend estimate per group: the MEDIAN of all
+    * pairwise slopes (c_j − c_i)/(x_j − x_i) over the group's daily
+    * integer-cents series — outlier-resistant where OLS is not, the
+    * estimator monitoring teams prefer for drifting KPIs.
+    *
+    * The O(d²) pair blowup is confined to each group's own DAILY series
+    * (d = days, not events): the self-join carries only the d-sized
+    * aggregate through a per-group shuffle, so a year is ~66k pairs per
+    * group at any raw-data scale. The median is selected exactly —
+    * middle one/two ranks of the sorted slope multiset, averaged — so
+    * tie order between engines cannot change the selected VALUES; each
+    * slope is one IEEE division of exact integers.
+    */
+  def theilSen(
+      df: DataFrame,
+      group: Column,
+      ts: Column,
+      cents: Column,
+      epoch: String,
+      groupName: String = "group"): DataFrame = {
+    val daily = df
+      .groupBy(group.as(groupName), to_date(ts).as("day"))
+      .agg(sum(cents.cast("long")).as("c"))
+      .select(col(groupName),
+        datediff(col("day"), lit(epoch)).cast("long").as("x"), col("c"))
+    val a = daily.select(col(groupName), col("x").as("xa"), col("c").as("ca"))
+    val b = daily.select(col(groupName), col("x").as("xb"), col("c").as("cb"))
+    val slopes = a.join(b, Seq(groupName))
+      .filter(col("xa") < col("xb"))
+      .select(col(groupName),
+        ((col("cb") - col("ca")).cast("double")
+          / (col("xb") - col("xa")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col(groupName)).orderBy(col("slope"))
+    val wAll = Window.partitionBy(col(groupName))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wAll))
+      // Spark's `/` is double division even on integers — SQL `div`
+      // keeps the middle-rank arithmetic integral like the oracle's `//`
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col(groupName))
+      .agg(round(avg(col("slope")), 6).as("theil_sen_slope"),
+        max(col("np")).as("n_pairs"))
+  }
 }

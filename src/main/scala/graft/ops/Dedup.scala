@@ -192,6 +192,31 @@ object Dedup {
     batch.select(idCol.as("id")).join(dup, Seq("id"), "left_anti")
   }
 
+  /** Asymmetric containment near-dup pairs: same MinHash-LSH candidate
+    * generation as [[minhashLshPairs]], but the exact verify score is
+    * CONTAINMENT |A∩B| / min(|A|, |B|) instead of Jaccard — the metric
+    * that catches a document embedded inside a longer one (quote-with-
+    * commentary, boilerplate-wrapped reposts), where Jaccard is diluted
+    * by the size difference. Candidates still come from symmetric
+    * banding, so at extreme length ratios recall follows the band
+    * collision probability of the Jaccard signature — the standard
+    * trade-off of containment-via-LSH (LSH Ensemble refines it with
+    * length-stratified bands; out of scope here).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame =
+    // same open-ended cache contract as [[minhashLshPairs]]: the session
+    // (or harness clearCache) releases the shingle cache
+    minhashLshPairsWithCache(df, idCol, text, shingleK, numHashes, bands,
+      threshold, maxBucketSize, score = "containment")._1
+
   private def minhashLshPairsWithCache(
       df: DataFrame,
       idCol: Column,
@@ -200,7 +225,8 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucketSize: Int): (DataFrame, DataFrame) = {
+      maxBucketSize: Int,
+      score: String = "jaccard"): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     // base is consumed three times (signatures + both verify joins);
     // cache it so the shingle computation runs once. The md5 bases are
@@ -257,16 +283,31 @@ object Dedup {
     // array_distinct'ed at construction — skipping array_union halves
     // the per-candidate set work (one hash-set pass instead of two),
     // the verify stage's hot spot at corpus scale
-    val verified = pairs
+    val scored = pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("__inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("__inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val verified = score match {
+      case "jaccard" => scored
+        .withColumn("jaccard",
+          col("__inter") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+      case "containment" => scored
+        // smaller set's size is the denominator; guard the (impossible
+        // for non-empty text, cheap anyway) zero-shingle edge
+        .withColumn("containment",
+          col("__inter") / least(size(col("sh_a")), size(col("sh_b"))))
+        .filter(least(size(col("sh_a")), size(col("sh_b"))) > 0 &&
+          col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+      case other => throw new IllegalArgumentException(
+        s"unknown verify score: $other")
+    }
     (verified, base)
   }
 

@@ -461,4 +461,63 @@ object EventAnalytics {
           / lit(math.pow(2.0, horizonDays))).as("decay_score"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Skyline (Pareto frontier) of entities over two maximize-criteria:
+    * the rows no other row dominates (≥ on both, > on at least one) —
+    * the classic multi-criteria shortlist query (top customers by spend
+    * AND activity with neither sacrificed).
+    *
+    * Scale shape: instead of the naive O(n²) dominance self-join, the
+    * frontier is computed on the DISTINCT (a, b) cells — for distinct
+    * cells, dominance is exactly: some cell with strictly greater `a`
+    * has `b' ≥ b` (one RANGE window ordered by `a`), or some cell with
+    * equal `a` has `b' > b` (one `a`-partitioned max). Cells are
+    * entity-bounded and typically tiny vs the fact table; the only
+    * data-sized work is the entity aggregate feeding them and the final
+    * (broadcast) frontier semi-join. The frontier windows run on the
+    * cells relation — bounded, single-partition by construction.
+    */
+  def skyline(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.select(col(a), col(b)).distinct()
+    val wGreater = Window.orderBy(col(a))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wEqual = Window.partitionBy(col(a))
+    val frontier = cells
+      .withColumn("__dom_gt", max(col(b)).over(wGreater))
+      .withColumn("__dom_eq", max(col(b)).over(wEqual))
+      .filter((col("__dom_gt").isNull || col("__dom_gt") < col(b)) &&
+        col("__dom_eq") <= col(b))
+      .select(col(a), col(b))
+    df.join(frontier, Seq(a, b), "left_semi")
+  }
+
+  /** Cohort LTV curve: entities cohorted by their first purchase month,
+    * revenue (integer cents — exact) aggregated per (cohort,
+    * months-since-cohort) with the running cumulative that an LTV chart
+    * plots. Two shuffles: the first-purchase aggregate (entity-sized,
+    * broadcast back onto the fact rows) and the cells-sized cohort
+    * aggregate; the cumulative window runs on cohort×month cells only.
+    */
+  def cohortLtv(
+      df: DataFrame,
+      entity: Column,
+      ts: Column,
+      cents: Column): DataFrame = {
+    val month = trunc(ts, "month")
+    val first = df.groupBy(entity.as("__e"))
+      .agg(min(month).as("cohort"))
+    val cells = df
+      .select(entity.as("__e"), month.as("__m"), cents.cast("long").as("__c"))
+      .join(first, Seq("__e"))
+      // month-start minus month-start is a whole number of months: the
+      // cast truncates an exact .0, engine-identical
+      .select(col("cohort"),
+        months_between(col("__m"), col("cohort")).cast("int").as("m"),
+        col("__c"))
+      .groupBy(col("cohort"), col("m"))
+      .agg(sum(col("__c")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+  }
 }

@@ -651,6 +651,111 @@ object TimeSeries {
         col("__e.macd").as("macd"), col("__e.signal").as("signal"))
   }
 
+  /** Holt linear (double-exponential) smoothing over each key's daily
+    * cents-SUM series with dyadic α = β = 0.5: level
+    * l_t = ½·y_t + ½·(l_{t−1} + b_{t−1}) and trend
+    * b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}, initialized l_1 = y_1,
+    * b_1 = 0; the one-step forecast is l_t + b_t. Completes the
+    * smoothing family (EWMA → MACD → Holt) with the trend component
+    * EWMA lacks.
+    *
+    * Determinism: like [[macd]], the recursion runs as the LITERAL
+    * ordered fold on both engines (here per-key `aggregate` over the
+    * sorted daily array, in the oracle a recursive CTE) — ½ is exact in
+    * IEEE, the feed is an exact integer cents sum, so every intermediate
+    * is bit-identical across engines and the 1e-6 edge round can never
+    * flip.
+    *
+    * Scale: one data-sized shuffle into the daily aggregate, then a
+    * key-sized groupBy; the sequential fold is per key over its own
+    * calendar (days, not events) — the intrinsic data dependence of
+    * exponential smoothing, confined to the smallest possible series.
+    */
+  def holtLinear(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      cents: Column,
+      keyName: String = "key"): DataFrame = {
+    val daily = df
+      .groupBy(key.as(keyName), to_date(ts).as("day"))
+      .agg(sum(cents).cast("double").as("c"))
+    val series = daily.groupBy(col(keyName))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
+    val zero = struct(
+      lit(0.0).as("lvl"), lit(0.0).as("trend"),
+      expr("CAST(array() AS " +
+        "array<struct<day:date,level:double,trend:double," +
+        "forecast_1:double>>)").as("out"))
+    val folded = series.withColumn("__r",
+      aggregate(col("xs"), zero, (acc, x) => {
+        val first = size(acc("out")) === 0
+        val l = when(first, x("c"))
+          .otherwise(lit(0.5) * x("c") + lit(0.5) * (acc("lvl") + acc("trend")))
+        val b = when(first, lit(0.0))
+          .otherwise(lit(0.5) * (l - acc("lvl")) + lit(0.5) * acc("trend"))
+        struct(l.as("lvl"), b.as("trend"),
+          concat(acc("out"), array(struct(x("day").as("day"),
+            round(l, 6).as("level"), round(b, 6).as("trend"),
+            round(l + b, 6).as("forecast_1")))).as("out"))
+      }))
+    folded
+      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+      .select(col(keyName), col("__e.day").as("day"),
+        col("__e.level").as("level"), col("__e.trend").as("trend"),
+        col("__e.forecast_1").as("forecast_1"))
+  }
+
+  /** Trailing-`frameRows` OLS slope (beta) of integer `cents` against
+    * the per-key row index — the rolling trend estimate monitoring
+    * dashboards draw next to the rolling mean. All five frame sums
+    * (n, Σx, Σy, Σx², Σxy) are EXACT integers maintained as
+    * growing-frame differences (cum − lag(cum, k): O(1)/row; a sliding
+    * ROWS frame re-scans all k rows per output row), the numerator
+    * n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are exact long
+    * arithmetic, and the single division at the edge is deterministic —
+    * hash-stable by construction like [[rollingZscore]].
+    */
+  def rollingBeta(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tie: Column,
+      cents: Column,
+      frameRows: Int,
+      outName: String = "beta"): DataFrame = {
+    require(frameRows >= 2, "rollingBeta needs frameRows >= 2")
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val y = cents.cast("long")
+    def diff(cum: String): Column =
+      col(cum) - coalesce(lag(col(cum), frameRows).over(w), lit(0L))
+    val n = diff("__graft_b_cn")
+    val sx = diff("__graft_b_cx")
+    val sy = diff("__graft_b_cy")
+    val sxx = diff("__graft_b_cxx")
+    val sxy = diff("__graft_b_cxy")
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    // three Window nodes over ONE sort (xi → the five cumulatives →
+    // their lags): each batch of expressions is independent given the
+    // previous, so Catalyst collapses them per select; per-withColumn
+    // chaining would leave one Window node per cumulative
+    df.withColumn("__graft_b_xi", row_number().over(w).cast("long"))
+      .withColumns(Map(
+        "__graft_b_cn" -> count(y).over(run).cast("long"),
+        "__graft_b_cx" -> sum(col("__graft_b_xi")).over(run),
+        "__graft_b_cy" -> sum(y).over(run),
+        "__graft_b_cxx" ->
+          sum(col("__graft_b_xi") * col("__graft_b_xi")).over(run),
+        "__graft_b_cxy" -> sum(col("__graft_b_xi") * y).over(run)))
+      .withColumn(outName,
+        when(n < 2 || den === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6)))
+      .drop("__graft_b_xi", "__graft_b_cn", "__graft_b_cx",
+        "__graft_b_cy", "__graft_b_cxx", "__graft_b_cxy")
+  }
+
   /** One-sided CUSUM drift statistic per key: with deviations
     * d_t = x_t − target (target = ⌊per-key mean⌋, an exact integer on
     * both engines), the classic recursion S⁺_t = max(0, S⁺_{t−1} + d_t)
