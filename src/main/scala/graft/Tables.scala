@@ -66,11 +66,21 @@ object Tables {
       // harness hygiene: the materialized copy dies with the JVM (in a
       // deployment the layout is the permanent table, not a copy)
       val tmp = Scratch.dir("graft_events_chunked")
-      // repartition on the chunk column before the write: one file per
-      // chunk instead of (shuffle partitions × chunks) small files
-      loadEvents(s, d)
+      // a chunk is a partition DIRECTORY, not a single file: range-
+      // partition on (chunk, ts) so the cluster's parallelism worth of
+      // ts-sorted files splits across chunks proportionally to their
+      // row counts. hash-repartitioning on the chunk column alone wrote
+      // exactly one file per chunk, which capped every downstream
+      // events scan at #chunks-way parallelism — invisible on a
+      // years-long span, a 6× wall regression once the generator packed
+      // sf1 into 30 days (5 chunks, 32 idle cores). Range+sort also
+      // gives each file a tight ts min/max band, so row-group stats
+      // prune time predicates inside a chunk.
+      val ev = loadEvents(s, d)
         .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
-        .repartition(col("chunk"))
+      ev.repartitionByRange(
+          s.sparkContext.defaultParallelism, col("chunk"), col("ts"))
+        .sortWithinPartitions(col("chunk"), col("ts"))
         .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
       tmp
     })
