@@ -1354,7 +1354,7 @@ object SparkEntry {
               FROM documents""")),
 
     Q("text_tokens",
-      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+      (s, d) => Par.widen(Tables.documents(s, d)).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.pieceCount(col("text")).cast("long").as("n_pieces")),
       Some("""SELECT doc_id,
@@ -2334,7 +2334,8 @@ object SparkEntry {
     // sum(count) ≡ top bigram share, since sum of counts = |bigrams|)
     Q("text_repetition",
       (s, d) => {
-        val toksed = Tables.documents(s, d)
+        // token/bigram explosion is CPU-bound: widen the few-file scan
+        val toksed = Par.widen(Tables.documents(s, d))
           .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 2)
         val tokStats = toksed.select(col("doc_id"),

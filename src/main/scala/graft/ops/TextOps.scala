@@ -38,7 +38,9 @@ object TextOps {
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val punctFree = regexp_replace(text, "[^A-Za-z0-9\\s]", "")
-    df.withColumn("__q_toks", tokens(text))
+    // regex-heavy per-row work: widen a few-file scan to full
+    // parallelism first (no-op at real data scale — see Par.widen)
+    Par.widen(df).withColumn("__q_toks", tokens(text))
       .withColumn("n_chars", length(text))
       .withColumn("n_words", nWords)
       .withColumn("avg_word_len",
@@ -65,7 +67,7 @@ object TextOps {
     // explode_outer: split arrays are never empty, and a plain explode
     // infers size>0 below the projection, re-tokenizing per row just
     // for the emptiness check; a NULL word would drop at the inner join
-    val exploded = df
+    val exploded = Par.widen(df)
       .select(idCol.as("__id"), explode_outer(tokens(lower(text))).as("word"))
     val hits = exploded
       .join(broadcast(profiles), Seq("word"))
@@ -109,7 +111,7 @@ object TextOps {
       ceil((org.apache.spark.sql.functions.size(toks) - size) /
         lit(stride.toDouble)).cast("int"), lit(0)) + lit(1)
     val ch = slice(toks, col("chunk_id") * stride + 1, lit(size))
-    df.select(idCol.as(idName), tokens(lower(text)).as("__c_toks"))
+    Par.widen(df).select(idCol.as(idName), tokens(lower(text)).as("__c_toks"))
       .select(col(idName), toks,
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col(idName), col("chunk_id").cast("int"), ch.as("__ch"))
@@ -227,7 +229,7 @@ object TextOps {
     * costs to write and read back.
     */
   def bigramLogProb(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val toks = df.select(idCol.as("__id"), Dedup.tokens(text).as("__t"))
+    val toks = Par.widen(df).select(idCol.as("__id"), Dedup.tokens(text).as("__t"))
     val pairs = toks
       .filter(size(col("__t")) >= 2)
       .select(col("__id"),
@@ -290,7 +292,8 @@ object TextOps {
       text: Column,
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val tok = df.select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
+    val tok = Par.widen(df)
+      .select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
       .select(col("doc_id"), explode(col("__t")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__tf"))
