@@ -5957,6 +5957,242 @@ object SparkEntry {
               SELECT bucket, event_type, n, CAST(rk AS INTEGER) AS rk
               FROM r WHERE rk <= 3""")),
 
+    // additive Holt–Winters (level + trend + weekly seasonality), the
+    // seasonal completion of the smoothing family: one uniform dyadic
+    // update rule on both engines, state = period+2 doubles per key.
+    Q("win_holt_winters",
+      (s, d) => TimeSeries.holtWinters(
+        ev(s, d).withColumn("__vc",
+          round(col("value") * 100, 0).cast("long")),
+        col("event_type"), col("ts"), col("__vc"),
+        period = 7, keyName = "event_type"),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS DOUBLE) AS c
+                    FROM events GROUP BY 1, 2),
+              d AS (SELECT event_type, day, c,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY day) AS rn
+                    FROM daily),
+              init AS (SELECT event_type, sum(c) / 7 AS l0,
+                         list_transform(list(c ORDER BY rn),
+                           x -> x - sum(c) / 7) AS s0
+                       FROM d WHERE rn <= 7 GROUP BY event_type),
+              rec AS (
+                SELECT d.event_type, d.rn, d.day, d.c,
+                    0.5 * (d.c - i.s0[1]) + 0.5 * (i.l0 + 0.0) AS lvl,
+                    0.5 * ((0.5 * (d.c - i.s0[1]) + 0.5 * (i.l0 + 0.0))
+                      - i.l0) + 0.5 * 0.0 AS trend,
+                    list_append(i.s0[2:7],
+                      0.5 * (d.c - (0.5 * (d.c - i.s0[1])
+                        + 0.5 * (i.l0 + 0.0))) + 0.5 * i.s0[1]) AS seas
+                FROM d JOIN init i USING (event_type) WHERE d.rn = 1
+                UNION ALL
+                SELECT d.event_type, d.rn, d.day, d.c,
+                    0.5 * (d.c - r.seas[1]) + 0.5 * (r.lvl + r.trend),
+                    0.5 * ((0.5 * (d.c - r.seas[1])
+                      + 0.5 * (r.lvl + r.trend)) - r.lvl) + 0.5 * r.trend,
+                    list_append(r.seas[2:7],
+                      0.5 * (d.c - (0.5 * (d.c - r.seas[1])
+                        + 0.5 * (r.lvl + r.trend))) + 0.5 * r.seas[1])
+                FROM d JOIN rec r ON d.event_type = r.event_type
+                  AND d.rn = r.rn + 1)
+              SELECT event_type, day, round(lvl, 6) AS level,
+                round(trend, 6) AS trend,
+                round(lvl + trend + seas[1], 6) AS forecast_1
+              FROM rec""")),
+
+    // exact audience-overlap matrix between event types (audience =
+    // users with ≥15 events of the type): the self-join runs on the
+    // thresholded audience relation, not the fact table.
+    Q("agg_audience_overlap",
+      (s, d) => EventAnalytics.audienceOverlap(ev(s, d),
+        col("event_type"), col("user_id"), minEvents = 15),
+      Some("""WITH tu AS (SELECT event_type, user_id FROM events
+                    GROUP BY 1, 2 HAVING count(*) >= 15),
+              n AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_both,
+                CAST(any_value(na.n) AS BIGINT) AS n_a,
+                CAST(any_value(nb.n) AS BIGINT) AS n_b,
+                round(count(*) / (any_value(na.n) + any_value(nb.n)
+                  - count(*)), 6) AS jaccard
+              FROM tu a JOIN tu b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              JOIN n na ON na.event_type = a.event_type
+              JOIN n nb ON nb.event_type = b.event_type
+              GROUP BY 1, 2""")),
+
+    // sketch-path twin of the overlap matrix: per-pair union audience
+    // estimated by HLL, overlap by inclusion–exclusion — at 100 TB the
+    // per-dim/per-pair HLL sketches merge without re-touching entities;
+    // the oracle checks the estimate against the exact overlap (flag
+    // true within a sketch-error tolerance on the audience sizes).
+    Q("agg_hll_audience_overlap",
+      (s, d) => {
+        val exact = EventAnalytics.audienceOverlap(ev(s, d),
+          col("event_type"), col("user_id"), minEvents = 15)
+        val tu = ev(s, d).groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("__c")).filter(col("__c") >= 15)
+          .select(col("event_type"), col("user_id"))
+        val perType = tu.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("__est"))
+        val pairs = perType.select(col("event_type").as("type_a"),
+            col("__est").as("est_a"))
+          .crossJoin(perType.select(col("event_type").as("type_b"),
+            col("__est").as("est_b")))
+          .filter(col("type_a") < col("type_b"))
+        val estUnion = tu.join(broadcast(pairs.select(col("type_a"),
+            col("type_b"))), col("event_type") === col("type_a") ||
+            col("event_type") === col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("est_u"))
+        exact.join(pairs, Seq("type_a", "type_b"))
+          .join(estUnion, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            (abs(col("est_a") + col("est_b") - col("est_u")
+              - col("n_both")) <=
+              (col("n_a") + col("n_b")) * 0.15 + 3).cast("int").as("ok"))
+      },
+      Some("""WITH tu AS (SELECT event_type, user_id FROM events
+                    GROUP BY 1, 2 HAVING count(*) >= 15),
+              n AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_both, CAST(1 AS INTEGER) AS ok
+              FROM tu a JOIN tu b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2""")),
+
+    // out-of-order arrival accounting under a deterministic jittered
+    // replay (arrival = event time + portable-hash jitter ≤ 2 h — the
+    // ingestion-log order a deployment would use): per-type late-row
+    // share and max lateness vs the running high-water mark, the
+    // statistics that size a streaming watermark.
+    Q("dq_out_of_order",
+      (s, d) => {
+        val arrival = unix_micros(col("ts").cast("timestamp")) +
+          graft.functions.PortableHash.md5Long(
+            col("event_id").cast("string"), 15) % 7200000000L
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(arrival, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = col("ts") < col("__hwm")
+        ev(s, d)
+          .withColumn("__hwm", max(col("ts")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(late.cast("long")).as("n_late"),
+            round(sum(late.cast("long")) / count(lit(1)), 6)
+              .as("late_frac"),
+            max(when(late,
+              unix_micros(col("__hwm").cast("timestamp")) -
+                unix_micros(col("ts").cast("timestamp")))).as("max_late_us"))
+      },
+      Some("""WITH a AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts2,
+                      max(CAST(ts AS TIMESTAMP)) OVER (
+                        PARTITION BY event_type
+                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                          + CAST(concat('0x', substr(md5(CAST(event_id
+                            AS VARCHAR)), 1, 15)) AS BIGINT) % 7200000000,
+                          event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS hwm
+                    FROM events)
+              SELECT event_type, count(*) AS n,
+                CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_late,
+                round(CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 6) AS late_frac,
+                CAST(max(CASE WHEN ts2 < hwm
+                  THEN epoch_us(hwm) - epoch_us(ts2) END) AS BIGINT)
+                  AS max_late_us
+              FROM a GROUP BY 1""")),
+
+    // small-files compaction — the table-maintenance op a chunked
+    // layout needs at scale: scatter the table into 200 small files per
+    // the worst case, then compact to row-bounded ts-sorted files that
+    // respect the chunk directories; result proves the roundtrip is
+    // lossless. The compaction plan (file count from the row count) is
+    // metadata-sized driver work, exactly like a real compactor.
+    Q("sink_compact",
+      (s, d) => {
+        val small = Scratch.dir("graft_compact_small")
+        val out = Scratch.dir("graft_compact_out")
+        val ev0 = Tables.events(s, d)
+          .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
+        ev0.repartition(200)
+          .write.mode("overwrite").partitionBy("chunk").parquet(small)
+        val src = s.read.parquet(small)
+        val target = 250000L
+        val parts = math.max(1,
+          math.ceil(src.count().toDouble / target).toInt)
+        src.repartitionByRange(parts, col("chunk"), col("ts"))
+          .sortWithinPartitions(col("chunk"), col("ts"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", target)
+          .partitionBy("chunk").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      },
+      Some("""SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                  AS DATE) AS chunk,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+              FROM events GROUP BY 1""")),
+
+    // Z-order-clustered write + 2-D pruned read-back: interleave
+    // (user bucket, absolute-hour bucket) into one sort key, range-
+    // partition + sort the write on it, so BOTH dimensions' file/row-
+    // group min-max stats narrow a 2-D predicate — the data-skipping
+    // layout for multi-dimension dashboards (ZOrderSpec pins the
+    // per-file span narrowing vs a time-sorted layout).
+    Q("sink_zorder_cluster",
+      (s, d) => {
+        val dir = Scratch.dir("graft_zorder")
+        // min-max normalize BOTH dims to the key's full 10-bit width
+        // before interleaving (the textbook z-order prep): with raw
+        // values, a dim whose domain underfills its bits has constant
+        // high bits, the curve degenerates to a sort on the other dim,
+        // and that dim's spans never narrow. Domain bounds are one
+        // tiny agg (a real cluster keeps them as table stats).
+        val ev0 = Tables.events(s, d)
+          .withColumn("__h",
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"))
+        val b = ev0.agg(min(col("user_id")), max(col("user_id")),
+          min(col("__h")), max(col("__h"))).head()
+        val uLo = b.getLong(0); val uSpan = math.max(1L, b.getLong(1) - uLo)
+        val hLo = b.getLong(2); val hSpan = math.max(1L, b.getLong(3) - hLo)
+        // integer scaling (Spark's `/` is double division — `div` keeps
+        // the bucket arithmetic integral)
+        val uN = expr(s"((user_id - $uLo) * 1023) div $uSpan")
+        val hN = expr(s"((__h - $hLo) * 1023) div $hSpan")
+        val zkey = ScalarFns.zorderKey(Seq(uN, hN), bitsPer = 10)
+        ev0.withColumn("__zkey", zkey)
+          .repartitionByRange(32, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey", "__h")
+          .write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("user_id").between(10, 50) &&
+            to_date(col("ts")).between("2024-01-10", "2024-01-20"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+              FROM events
+              WHERE user_id BETWEEN 10 AND 50
+                AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+                  AND DATE '2024-01-20'
+              GROUP BY 1""")),
+
     // streaming OHLC candles — the live twin of agg_ohlc: open/close as
     // struct min/max over the zero-padded order key (declarative
     // aggregates the stream maintains incrementally), integer cents.

@@ -491,6 +491,40 @@ object EventAnalytics {
     df.join(frontier, Seq(a, b), "left_semi")
   }
 
+  /** Exact audience-overlap matrix: for every unordered pair of
+    * dimension values, the distinct-entity overlap count and Jaccard of
+    * their audiences (entities with ≥ `minEvents` events of the value).
+    * The self-join runs on the THRESHOLDED distinct (dim, entity)
+    * relation — audience-sized, typically orders of magnitude under the
+    * fact table — keyed by entity, so co-audience pairs meet on one
+    * shuffle; per-dim sizes attach by broadcast (dim-sized).
+    */
+  def audienceOverlap(
+      df: DataFrame,
+      dim: Column,
+      entity: Column,
+      minEvents: Long): DataFrame = {
+    val tu = df.groupBy(dim.as("__t"), entity.as("__u"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minEvents)
+      .select(col("__t"), col("__u"))
+    val sizes = tu.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val a = tu.select(col("__t").as("type_a"), col("__u"))
+    val b = tu.select(col("__t").as("type_b"), col("__u"))
+    a.join(b, Seq("__u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("__t").as("type_a"),
+        col("__n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("__t").as("type_b"),
+        col("__n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        round(col("n_both") /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
   /** Cohort LTV curve: entities cohorted by their first purchase month,
     * revenue (integer cents — exact) aggregated per (cohort,
     * months-since-cohort) with the running cumulative that an LTV chart

@@ -706,6 +706,68 @@ object TimeSeries {
         col("__e.forecast_1").as("forecast_1"))
   }
 
+  /** Additive Holt–Winters (level + trend + weekly seasonality) over
+    * each key's daily cents-SUM series, dyadic α = β = γ = ½ and
+    * period 7. State init from the first week: l₀ = (Σ first 7)/7,
+    * b₀ = 0, s₀ = first-week deviations from l₀; then ONE uniform
+    * update rule for every step (no first-row special case — the base
+    * case of the oracle's recursive CTE is the same rule expanded
+    * against the init state):
+    *   l_t = ½(y_t − s[1]) + ½(l + b);  b_t = ½(l_t − l) + ½b;
+    *   s ← rotate(s) ++ [½(y_t − l_t) + ½s[1]]
+    * Forecast = l_t + b_t + s_t[1] (next day's seasonal index after
+    * rotation). Determinism: the first-week sum is integer-exact in
+    * any order, every coefficient is dyadic, and both engines run the
+    * literal recursion — bit-identical intermediates like [[macd]] and
+    * [[holtLinear]].
+    *
+    * Scale: identical shape to [[holtLinear]] — one data-sized shuffle
+    * into the daily aggregate, a key-sized groupBy, and a per-key fold
+    * over the key's own calendar carrying period+2 doubles of state.
+    */
+  def holtWinters(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      cents: Column,
+      period: Int = 7,
+      keyName: String = "key"): DataFrame = {
+    val daily = df
+      .groupBy(key.as(keyName), to_date(ts).as("day"))
+      .agg(sum(cents).cast("double").as("c"))
+    val series = daily.groupBy(col(keyName))
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
+    val l0 = (aggregate(slice(col("xs"), 1, period), lit(0.0),
+      (acc, x) => acc + x("c")) / period).as("__l0")
+    val s0 = transform(slice(col("xs"), 1, period),
+      x => x("c") - col("__l0")).as("__s0")
+    val zero = struct(
+      col("__l0").as("lvl"), lit(0.0).as("trend"), col("__s0").as("seas"),
+      expr("CAST(array() AS " +
+        "array<struct<day:date,level:double,trend:double," +
+        "forecast_1:double>>)").as("out"))
+    val folded = series.withColumn("__l0", l0).withColumn("__s0", s0)
+      .withColumn("__r",
+        aggregate(col("xs"), zero, (acc, x) => {
+          val l = lit(0.5) * (x("c") - element_at(acc("seas"), 1)) +
+            lit(0.5) * (acc("lvl") + acc("trend"))
+          val b = lit(0.5) * (l - acc("lvl")) + lit(0.5) * acc("trend")
+          val s = concat(slice(acc("seas"), 2, period - 1),
+            array(lit(0.5) * (x("c") - l) +
+              lit(0.5) * element_at(acc("seas"), 1)))
+          struct(l.as("lvl"), b.as("trend"), s.as("seas"),
+            concat(acc("out"), array(struct(x("day").as("day"),
+              round(l, 6).as("level"), round(b, 6).as("trend"),
+              round(l + b + element_at(s, 1), 6).as("forecast_1"))))
+              .as("out"))
+        }))
+    folded
+      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+      .select(col(keyName), col("__e.day").as("day"),
+        col("__e.level").as("level"), col("__e.trend").as("trend"),
+        col("__e.forecast_1").as("forecast_1"))
+  }
+
   /** Trailing-`frameRows` OLS slope (beta) of integer `cents` against
     * the per-key row index — the rolling trend estimate monitoring
     * dashboards draw next to the rolling mean. All five frame sums
