@@ -61,7 +61,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    // events: K× users over the same span; ts stays the raw nano long
+    // events: K× users over the same span; ts passes through untouched
+    // in whatever physical encoding the source carries (nanosAsLong set
+    // above so a TIMESTAMP(NANOS) file reads as raw longs; a
+    // timestamp[us] file reads natively — either way the column is
+    // copied verbatim and the adaptive Tables.events read path handles
+    // the output)
     val ev = spark.read.parquet(s"$src/events.parquet")
     assertStride(ev, "event_id", 10000000L)
     assertStride(ev, "user_id", 100000L)

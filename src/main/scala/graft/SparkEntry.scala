@@ -2034,23 +2034,28 @@ object SparkEntry {
         // prunes all but a few chunks.
         val span = Tables.eventsSpan(s, d)
         val e = Tables.eventsChunked(s, d, span._1, span._2)
+          .withColumn("vc", floor(col("value") * 100 + lit(0.5)).cast("long"))
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         // load/pv are rounded to INTEGER-valued doubles: the downstream
         // 24-row rolling sum then stays exact in IEEE double under any
         // accumulation order (sliding-frame vs recompute), so the lag /
-        // rolling outputs are bit-identical across engines
+        // rolling outputs are bit-identical across engines. Group sums
+        // and avgs run over per-row integer cents (vc), never raw
+        // doubles — a raw-double sum inside a rounding boundary flips
+        // with partial-aggregation order (see feature_training_view).
         val load = e.groupBy(hour.as("time"))
-          .agg(floor(sum(col("value")) + lit(0.5)).as("load_kwh"))
+          .agg(floor(sum(col("vc")) / lit(100.0) + lit(0.5)).as("load_kwh"))
         val pv = e.filter(col("event_type") === "view")
           .groupBy(hour.as("time"))
-          .agg(floor(avg(col("value")) + lit(0.5)).as("pv_kwh"))
+          .agg(floor(sum(col("vc")) / lit(100.0) / count(col("vc")) + lit(0.5))
+            .as("pv_kwh"))
         val weather = e.filter(col("event_type") === "click")
           .groupBy(hour.as("time"))
-          .agg(r6(avg(col("value"))).as("temperature_2m"),
+          .agg(r6(sum(col("vc")) / lit(100.0) / count(col("vc"))).as("temperature_2m"),
             r6(min(col("value"))).as("wind_speed_10m"),
             r6(max(col("value"))).as("shortwave_radiation"),
             count(col("value")).cast("double").as("cloud_cover"),
-            r6(sum(col("value")) / 100.0).as("precipitation_mm"))
+            r6(sum(col("vc")) / lit(10000.0)).as("precipitation_mm"))
           .withColumn("latitude", lit(47.5001))
           .withColumn("longitude", lit(8.7502))
         graft.features.FeatureViews.netLoadFeatures(load, pv, weather)
@@ -2067,25 +2072,28 @@ object SparkEntry {
             col("cloud_cover"), col("cloud_cover_pct"),
             col("precipitation_mm"), col("pv_feed_in_kwh"), col("pv_feed_in"))
       },
-      Some("""WITH load AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+      Some("""WITH ev AS (SELECT *,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                FROM events),
+              load AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
                   AS time,
-                  floor(sum(value) + 0.5) AS load_kwh
-                FROM events GROUP BY 1),
+                  floor(sum(vc) / 100.0 + 0.5) AS load_kwh
+                FROM ev GROUP BY 1),
               pv AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
-                  floor(avg(value) + 0.5) AS pv_kwh
-                FROM events WHERE event_type = 'view' GROUP BY 1),
+                  floor(sum(vc) / 100.0 / count(vc) + 0.5) AS pv_kwh
+                FROM ev WHERE event_type = 'view' GROUP BY 1),
               weather AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
                   AS time,
-                  floor(avg(value) * 1000000 + 0.5) / 1000000
+                  floor(sum(vc) / 100.0 / count(vc) * 1000000 + 0.5) / 1000000
                     AS temperature_2m,
                   floor(min(value) * 1000000 + 0.5) / 1000000
                     AS wind_speed_10m,
                   floor(max(value) * 1000000 + 0.5) / 1000000
                     AS shortwave_radiation,
                   CAST(count(value) AS DOUBLE) AS cloud_cover,
-                  floor(sum(value) / 100.0 * 1000000 + 0.5) / 1000000
+                  floor(sum(vc) / 10000.0 * 1000000 + 0.5) / 1000000
                     AS precipitation_mm
-                FROM events WHERE event_type = 'click' GROUP BY 1),
+                FROM ev WHERE event_type = 'click' GROUP BY 1),
               net AS (SELECT l.time, l.load_kwh, p.pv_kwh,
                   l.load_kwh - coalesce(p.pv_kwh, 0.0) AS net_load_kwh
                 FROM load l LEFT JOIN pv p USING (time)),
@@ -2124,31 +2132,43 @@ object SparkEntry {
     // init.sql:236-368, 33 columns) — CTE filters → bucketed lag/rolling
     // windows → conditional-sum groupBy → lag-over-agg → 9-way left join
     // → post-join rolling window, inputs synthesized hourly from events.
-    // All measures are integer-valued doubles so every window sum is
-    // exact in IEEE double → bit-identical across engines, no rounding.
+    // Every hourly measure goes through a per-row integer-cents scaling
+    // (vc = floor(value*100 + 0.5), an identical IEEE op on both
+    // engines) so the group sums are exact integers under ANY partial-
+    // aggregation order. A raw-double sum inside floor(·+0.5) flips
+    // whenever a group lands on a .5 boundary — one flows cell did
+    // exactly that at sf0.01 — and the downstream lag columns then
+    // differ by 1. The window sums stay exact too: every measure is an
+    // integer-valued double.
     Q("feature_training_view",
       (s, d) => {
         // chunk-pruned read path — see feature_net_load_view
         val span = Tables.eventsSpan(s, d)
         val e = Tables.eventsChunked(s, d, span._1, span._2)
+          .withColumn("vc", floor(col("value") * 100 + lit(0.5)).cast("long"))
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         val CH = "10YCH-SWISSGRIDZ"
         val DE = "10Y1001A1001A83F"
+        // exact-cents group measures: integer sum, then one (or two)
+        // deterministic double divisions — identical on both engines
+        def sumV: Column = floor(sum(col("vc")) / lit(100.0) + lit(0.5)).cast("double")
+        def avgV: Column =
+          floor(sum(col("vc")) / lit(100.0) / count(col("vc")) + lit(0.5)).cast("double")
         val domain = when(col("event_type").isin("click", "view"), CH)
           .otherwise("OTHER")
         val prices = e.groupBy(hour.as("time"), domain.as("domain"))
-          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("price_eur_mwh"))
+          .agg(sumV.as("price_eur_mwh"))
         val lat = when(col("user_id") % 3 === 0, 47.5001)
           .when(col("user_id") % 3 === 1, 53.5).otherwise(48.5)
         val lon = when(col("user_id") % 3 === 0, 8.7502)
           .when(col("user_id") % 3 === 1, 10.0).otherwise(9.0)
         val weather = e
           .groupBy(hour.as("time"), lat.as("latitude"), lon.as("longitude"))
-          .agg(floor(avg(col("value")) + lit(0.5)).cast("double").as("temperature_2m"),
+          .agg(avgV.as("temperature_2m"),
             floor(min(col("value")) + lit(0.5)).cast("double").as("wind_speed_10m"),
             floor(max(col("value")) + lit(0.5)).cast("double").as("shortwave_radiation"),
             count(col("value")).cast("double").as("cloud_cover"),
-            floor(sum(col("value")) / 100.0 + lit(0.5)).cast("double")
+            floor(sum(col("vc")) / lit(10000.0) + lit(0.5)).cast("double")
               .as("precipitation_mm"))
         val psr = when(col("event_type") === "click", "B12")
           .when(col("event_type") === "view", "B16").otherwise("B19")
@@ -2156,27 +2176,30 @@ object SparkEntry {
           .otherwise(DE)
         val generation = e
           .groupBy(hour.as("time"), genDomain.as("domain"), psr.as("psr_type"))
-          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("quantity_mwh"))
+          .agg(sumV.as("quantity_mwh"))
         val actualLoad = e.groupBy(hour.as("time"))
-          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("load_mwh"))
+          .agg(sumV.as("load_mwh"))
           .withColumn("domain", lit(CH))
         val inD = when(col("event_id") % 2 === 0, DE).otherwise(CH)
         val outD = when(col("event_id") % 2 === 0, CH).otherwise(DE)
         val flows = e
           .groupBy(hour.as("time"), inD.as("in_domain"), outD.as("out_domain"))
-          .agg(floor(sum(col("value")) + lit(0.5)).cast("double").as("flow_mwh"))
+          .agg(sumV.as("flow_mwh"))
         val fcst = e.groupBy(hour.as("time"))
-          .agg(floor(avg(col("value")) + lit(0.5)).cast("double").as("load_mwh"))
+          .agg(avgV.as("load_mwh"))
           .withColumn("domain", lit(CH))
         graft.features.FeatureViews.trainingFeatures(
           prices, weather, generation, actualLoad, flows, fcst)
       },
-      Some("""WITH prices AS (SELECT
+      Some("""WITH ev AS (SELECT *,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                FROM events),
+              prices AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
                   CASE WHEN event_type IN ('click', 'view')
                     THEN '10YCH-SWISSGRIDZ' ELSE 'OTHER' END AS domain,
-                  floor(sum(value) + 0.5) AS price_eur_mwh
-                FROM events GROUP BY 1, 2),
+                  floor(sum(vc) / 100.0 + 0.5) AS price_eur_mwh
+                FROM ev GROUP BY 1, 2),
               weather AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
                   CASE WHEN user_id % 3 = 0 THEN 47.5001
@@ -2185,12 +2208,12 @@ object SparkEntry {
                   CASE WHEN user_id % 3 = 0 THEN 8.7502
                        WHEN user_id % 3 = 1 THEN 10.0 ELSE 9.0 END
                     AS longitude,
-                  floor(avg(value) + 0.5) AS temperature_2m,
+                  floor(sum(vc) / 100.0 / count(vc) + 0.5) AS temperature_2m,
                   floor(min(value) + 0.5) AS wind_speed_10m,
                   floor(max(value) + 0.5) AS shortwave_radiation,
                   CAST(count(value) AS DOUBLE) AS cloud_cover,
-                  floor(sum(value) / 100.0 + 0.5) AS precipitation_mm
-                FROM events GROUP BY 1, 2, 3),
+                  floor(sum(vc) / 10000.0 + 0.5) AS precipitation_mm
+                FROM ev GROUP BY 1, 2, 3),
               gen AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
                   CASE WHEN event_type IN ('click', 'view')
@@ -2199,24 +2222,24 @@ object SparkEntry {
                   CASE WHEN event_type = 'click' THEN 'B12'
                        WHEN event_type = 'view' THEN 'B16'
                        ELSE 'B19' END AS psr_type,
-                  floor(sum(value) + 0.5) AS quantity_mwh
-                FROM events GROUP BY 1, 2, 3),
+                  floor(sum(vc) / 100.0 + 0.5) AS quantity_mwh
+                FROM ev GROUP BY 1, 2, 3),
               aload AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
-                  floor(sum(value) + 0.5) AS load_mwh
-                FROM events GROUP BY 1),
+                  floor(sum(vc) / 100.0 + 0.5) AS load_mwh
+                FROM ev GROUP BY 1),
               flows AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
                   CASE WHEN event_id % 2 = 0 THEN '10Y1001A1001A83F'
                     ELSE '10YCH-SWISSGRIDZ' END AS in_domain,
                   CASE WHEN event_id % 2 = 0 THEN '10YCH-SWISSGRIDZ'
                     ELSE '10Y1001A1001A83F' END AS out_domain,
-                  floor(sum(value) + 0.5) AS flow_mwh
-                FROM events GROUP BY 1, 2, 3),
+                  floor(sum(vc) / 100.0 + 0.5) AS flow_mwh
+                FROM ev GROUP BY 1, 2, 3),
               fcst AS (SELECT
                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS time,
-                  floor(avg(value) + 0.5) AS load_mwh
-                FROM events GROUP BY 1),
+                  floor(sum(vc) / 100.0 / count(vc) + 0.5) AS load_mwh
+                FROM ev GROUP BY 1),
               pf AS (SELECT time, price_eur_mwh,
                   lag(price_eur_mwh, 1) OVER w AS lag_1h,
                   lag(price_eur_mwh, 24) OVER w AS lag_24h,
