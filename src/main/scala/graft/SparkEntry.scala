@@ -6236,12 +6236,192 @@ object SparkEntry {
               FROM src GROUP BY 1, 2""")),
   )
 
+  // -------------------------------------------- §2.22 round-10 batch 2:
+  // graph centrality, concurrency profiling, and three exact-arithmetic
+  // feature/eval transforms. Everything follows the integer-scaling
+  // determinism convention (exact sums under any aggregation order).
+  private val round10b = Seq(
+    // Link-graph centrality as a corpus-quality prior: integer-scaled
+    // damped PageRank (ops/Graph.scala) over the bipartite user→item
+    // interaction graph derived from events (item space = event_id mod
+    // 997). Three fixed iterations, top-100 by (rank, node) — a
+    // deterministic SET, so the driver's sorted-hash compare holds.
+    Q("graph_pagerank",
+      (s, d) => {
+        val edges = ev(s, d)
+          .select(col("user_id").as("src"),
+            (lit(1000000L) + col("event_id") % 997).as("dst"))
+          .distinct()
+        Graph.pageRank(edges, iters = 3)
+          .orderBy(desc("rank"), asc("node")).limit(100)
+      },
+      Some("""WITH edges AS (SELECT DISTINCT user_id AS src,
+                  1000000 + event_id % 997 AS dst FROM events),
+              nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst AS node FROM edges),
+              deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+              s1 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s
+                FROM edges e JOIN r0 r ON e.src = r.node
+                JOIN deg g ON e.src = g.src GROUP BY 1),
+              r1 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN s1 ON n.node = s1.node),
+              s2 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s
+                FROM edges e JOIN r1 r ON e.src = r.node
+                JOIN deg g ON e.src = g.src GROUP BY 1),
+              r2 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN s2 ON n.node = s2.node),
+              s3 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s
+                FROM edges e JOIN r2 r ON e.src = r.node
+                JOIN deg g ON e.src = g.src GROUP BY 1),
+              r3 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN s3 ON n.node = s3.node)
+              SELECT node, r AS rank FROM r3
+              ORDER BY r DESC, node LIMIT 100""")),
+
+    // Peak-concurrency profile (capacity planning over sessionized
+    // traffic): sessions = win_sessionize's 30-min-gap contract; each
+    // session becomes a +1/-1 point pair (closed intervals: starts
+    // order before ends at equal timestamps), the running sum goes
+    // through ScalableRank.globalPrefixSum (bucketed — no global
+    // single-partition sort), and the per-day MAX of the sweep is
+    // order-invariant within tied blocks, so the result is exact.
+    Q("win_max_concurrency",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev(s, d)
+          .withColumn("__prev", lag(col("ts"), 1).over(w))
+          .withColumn("__new", when(col("__prev").isNull ||
+            col("ts") > col("__prev") + expr("INTERVAL 30 MINUTES"),
+            lit(1)).otherwise(lit(0)))
+          .withColumn("sid", sum(col("__new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val pts = sess
+          .select(col("st").as("t"), lit(0).as("ord"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("en").as("t"), lit(1).as("ord"),
+            lit(-1L).as("delta")))
+        ScalableRank.globalPrefixSum(pts, to_date(col("t")),
+            Seq(col("t"), col("ord")), col("delta"), "conc",
+            inclusive = true)
+          .groupBy(to_date(col("t")).as("day"))
+          .agg(max(col("conc")).as("max_concurrent"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_id,
+                  CAST(ts AS TIMESTAMP) AS ts2,
+                  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
+                FROM events),
+              s AS (SELECT user_id, ts2,
+                  sum(CASE WHEN p IS NULL
+                      OR ts2 > p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t),
+              sess AS (SELECT user_id, sid, min(ts2) AS st, max(ts2) AS en
+                FROM s GROUP BY 1, 2),
+              pts AS (SELECT st AS t, 0 AS ord, 1 AS delta FROM sess
+                UNION ALL SELECT en, 1, -1 FROM sess),
+              run AS (SELECT t, sum(delta) OVER (ORDER BY t, ord
+                  ROWS UNBOUNDED PRECEDING) AS conc FROM pts)
+              SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+                CAST(max(conc) AS BIGINT) AS max_concurrent
+              FROM run GROUP BY 1""")),
+
+    // Smoothed mean-target encoding (the classic categorical feature
+    // transform): enc = (k_pos + m·prior) / (k_n + m), m = 10, prior =
+    // global positive rate. All inputs are exact integer counts; the
+    // two divisions run in the same order on both engines.
+    Q("f_target_encode",
+      (s, d) => {
+        val base = ev(s, d)
+          .withColumn("lab", when(col("value") >= 100, 1L).otherwise(0L))
+        val g = base.agg(sum(col("lab")).as("gs"), count(lit(1)).as("gn"))
+        base.groupBy(col("event_type"))
+          .agg(sum(col("lab")).as("ks"), count(lit(1)).as("kn"))
+          .crossJoin(broadcast(g))
+          .select(col("event_type"), col("kn").as("n"),
+            round((col("ks") + lit(10.0) * col("gs") / col("gn")) /
+              (col("kn") + lit(10)), 6).as("enc"))
+      },
+      Some("""WITH g AS (SELECT
+                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gs,
+                  count(*) AS gn FROM events),
+              k AS (SELECT event_type,
+                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ks,
+                  count(*) AS kn FROM events GROUP BY 1)
+              SELECT event_type, kn AS n,
+                round((ks + 10.0 * gs / gn) / (kn + 10), 6) AS enc
+              FROM k, g""")),
+
+    // Model-calibration reliability bins: a portable-hash pseudo-score
+    // in [0,1) (md5-derived, bit-identical on both engines) deciled
+    // against the binary label; mean score and mean label per bin from
+    // exact integer sums. The eval-side twin of f_target_encode.
+    Q("agg_calibration_bins",
+      (s, d) => {
+        val t = ev(s, d).select(
+          graft.functions.PortableHash
+            .md5Long(col("event_id").cast("string"), 6).as("h"),
+          when(col("value") >= 100, 1L).otherwise(0L).as("lab"))
+        t.groupBy(expr("(h * 10) div 16777216").cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("lab")) * lit(1.0) / count(lit(1)), 6)
+              .as("mean_label"),
+            round(sum(col("h")) / lit(16777216.0) / count(lit(1)), 6)
+              .as("mean_score"))
+      },
+      Some("""WITH t AS (SELECT
+                  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                    1, 6)) AS BIGINT) AS h,
+                  CASE WHEN value >= 100 THEN 1 ELSE 0 END AS lab
+                FROM events)
+              SELECT CAST((h * 10) // 16777216 AS BIGINT) AS bin,
+                count(*) AS n,
+                round(CAST(sum(lab) AS BIGINT) * 1.0 / count(*), 6)
+                  AS mean_label,
+                round(CAST(sum(h) AS BIGINT) / 16777216.0 / count(*), 6)
+                  AS mean_score
+              FROM t GROUP BY 1""")),
+
+    // Equal-frequency decile binning (feature discretization) over the
+    // global price order WITHOUT a single-partition sort: global row
+    // numbers come from ScalableRank's bucketed offsets (bucket = a
+    // coarse monotone prefix of the ordering), then
+    // bin = ((rn-1)·10) div n. Ties broken by the (orderkey,
+    // linenumber) unique key so the rank — hence the bin — is total.
+    Q("f_quantile_bin",
+      (s, d) => ScalableRank.globalRowNumber(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice")),
+          floor(col("l_extendedprice") / 1000),
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")),
+          "rn", Some("n"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          expr("((rn - 1) * 10) div n").as("bin")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+                CAST(((row_number() OVER (ORDER BY l_extendedprice,
+                    l_orderkey, l_linenumber) - 1) * 10)
+                  // (count(*) OVER ()) AS BIGINT) AS bin
+              FROM lineitem""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9 ++ round10
+      round9 ++ round10 ++ round10b
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
