@@ -6414,6 +6414,83 @@ object SparkEntry {
                     l_orderkey, l_linenumber) - 1) * 10)
                   // (count(*) OVER ()) AS BIGINT) AS bin
               FROM lineitem""")),
+
+    // Embedding-population drift (the ML-ops check that catches a
+    // retrained or corrupted embedding model): per-dimension mean of the
+    // int8-quantized vectors, compared across two cohorts. Quantization
+    // is a per-element IEEE op, means come from exact integer sums —
+    // hash-exact at any scale; the expensive part is one map-side-
+    // combinable (cohort, dim) aggregation, never a shuffle of vectors.
+    Q("dq_embedding_drift",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select((col("label") % 2).as("cohort"),
+            posexplode(col("embedding")).as(Seq("p", "e")))
+          .select(col("cohort"), (col("p") + 1).cast("long").as("j"),
+            // widen float→double BEFORE the multiply on BOTH engines:
+            // float arithmetic would round differently at .5 boundaries
+            floor(col("e").cast("double") * 127 + lit(0.5))
+              .cast("long").as("v"))
+        val m = q.groupBy(col("cohort"), col("j"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        val a = m.filter(col("cohort") === 0)
+          .select(col("j"), col("s").as("sa"), col("n").as("na"))
+        val b = m.filter(col("cohort") === 1)
+          .select(col("j"), col("s").as("sb"), col("n").as("nb"))
+        a.join(b, Seq("j"))
+          .select(col("j"),
+            round(col("sa") * lit(1.0) / col("na"), 6).as("mean_even"),
+            round(col("sb") * lit(1.0) / col("nb"), 6).as("mean_odd"),
+            round(abs(col("sa") * lit(1.0) / col("na") -
+              col("sb") * lit(1.0) / col("nb")), 6).as("drift"))
+      },
+      Some("""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS j),
+              q AS (SELECT e.label % 2 AS cohort, p.j,
+                  CAST(floor(CAST(e.embedding[p.j] AS DOUBLE) * 127 + 0.5)
+                    AS BIGINT) AS v
+                FROM embeddings e CROSS JOIN pos p),
+              m AS (SELECT cohort, j, CAST(sum(v) AS BIGINT) AS s,
+                  count(*) AS n
+                FROM q GROUP BY 1, 2)
+              SELECT a.j, round(a.s * 1.0 / a.n, 6) AS mean_even,
+                round(b.s * 1.0 / b.n, 6) AS mean_odd,
+                round(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n), 6) AS drift
+              FROM m a JOIN m b ON a.j = b.j
+                AND a.cohort = 0 AND b.cohort = 1""")),
+
+    // Shot-boundary detection on the multimodal frame stream
+    // (ops/Multimodal.sceneCuts): mean-sample jump > 1.5 byte-units vs
+    // the previous frame, decided by integer cross-multiplication (no
+    // division → bit-identical cut set on both engines).
+    Q("mm_scene_cut",
+      (s, d) => Multimodal.sceneCuts(
+        Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
+          col("text")),
+        frameBytes = 128, thrCenti = 150),
+      Some("""WITH w AS (SELECT doc_id AS media_id, text,
+                  length(text) AS n,
+                  unnest(range(0, greatest(CAST(ceil(length(text) / 128.0)
+                    AS INT), 1))) AS frame_idx
+                FROM documents),
+              f AS (SELECT media_id, CAST(frame_idx AS INTEGER)
+                    AS frame_idx,
+                  [ord(substr(text, CAST(frame_idx * 128 + j + 1 AS INT),
+                    1)) FOR j IN range(0, least(128, n - frame_idx * 128))]
+                    AS samples
+                FROM w),
+              g AS (SELECT media_id, frame_idx,
+                  CAST(list_sum(samples) AS BIGINT) AS e,
+                  CAST(len(samples) AS BIGINT) AS l
+                FROM f WHERE len(samples) > 0),
+              d AS (SELECT media_id, frame_idx, e, l,
+                  lag(e) OVER (PARTITION BY media_id ORDER BY frame_idx)
+                    AS pe,
+                  lag(l) OVER (PARTITION BY media_id ORDER BY frame_idx)
+                    AS pl
+                FROM g)
+              SELECT media_id, frame_idx FROM d
+              WHERE pl IS NOT NULL
+                AND abs(e * pl - pe * l) * 100 > 150 * l * pl""")),
   )
 
   // ----------------------------------------------------------------

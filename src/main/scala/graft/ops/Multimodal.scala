@@ -148,4 +148,38 @@ object Multimodal {
       when(size(col("__samples")) === 0, lit(null).cast("int"))
         .otherwise(array_max(col("__samples"))).as("peak"))
   }
+
+  /** Scene-change detection over the frame stream: a cut is a frame
+    * whose mean sample value jumps more than `thrCenti`/100 byte-units
+    * vs the previous frame of the same asset. The video-editing /
+    * shot-boundary dataflow on the stub-decode contract (byte values
+    * stand in for decoded luma; a real codec drops into the same
+    * [[sampleFrames]] + per-frame-feature shape).
+    *
+    * Exactness: mean comparison runs as the integer cross-multiplication
+    * `|e·l' − e'·l|·100 > thr·l·l'` — no division, no float, so the cut
+    * set is bit-identical on any engine. The lag window partitions by
+    * asset (frames per asset are payload-bounded), never globally.
+    */
+  def sceneCuts(
+      df: DataFrame, frameBytes: Int, thrCenti: Int): DataFrame = {
+    val frames = sampleFrames(df, frameBytes, stride = 1)
+      .withColumn("__samples",
+        org.apache.spark.sql.graftnative.GraftNative
+          .bytesToIntArray(col("frame")))
+      .select(col("media_id"), col("frame_idx"),
+        aggregate(col("__samples"), lit(0L),
+          (a, x) => a + x.cast("long")).as("__e"),
+        size(col("__samples")).cast("long").as("__l"))
+      .filter(col("__l") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__pe", lag(col("__e"), 1).over(w))
+      .withColumn("__pl", lag(col("__l"), 1).over(w))
+      .filter(col("__pl").isNotNull &&
+        abs(col("__e") * col("__pl") - col("__pe") * col("__l")) * 100 >
+          lit(thrCenti.toLong) * col("__l") * col("__pl"))
+      .select(col("media_id"), col("frame_idx"))
+  }
 }

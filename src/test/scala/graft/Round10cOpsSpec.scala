@@ -96,6 +96,54 @@ class Round10cOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sceneCuts equals a driver-side replay of the frame deltas") {
+    val d = sf()
+    val got = SparkEntry.queries("mm_scene_cut")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val frames = bytes.grouped(128).toArray
+        .map(f => (f.map(b => (b & 0xff).toLong).sum, f.length.toLong))
+        .filter(_._2 > 0)
+      frames.indices.drop(1).collect {
+        case i if math.abs(frames(i)._1 * frames(i - 1)._2 -
+            frames(i - 1)._1 * frames(i)._2) * 100 >
+            150L * frames(i)._2 * frames(i - 1)._2 =>
+          (id, i)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("embedding drift equals the driver-side exact recompute") {
+    val d = sf()
+    val got = SparkEntry.queries("dq_embedding_drift")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val rows = Tables.embeddings(spark, d)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0) % 2, r.getSeq[Float](1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 64).foreach { j =>
+      def stats(c: Int) = {
+        val vs = rows.filter(_._1 == c)
+          .map(t => math.floor(t._2(j - 1).toDouble * 127 + 0.5).toLong)
+        (vs.sum, vs.length.toLong)
+      }
+      val ((sa, na), (sb, nb)) = (stats(0), stats(1))
+      val (ma, mb) = (sa * 1.0 / na, sb * 1.0 / nb)
+      assert(got(j.toLong)._1 === r6(ma), s"mean_even dim $j")
+      assert(got(j.toLong)._2 === r6(mb), s"mean_odd dim $j")
+      assert(got(j.toLong)._3 === r6(math.abs(ma - mb)), s"drift dim $j")
+    }
+  }
+
   test("equal-frequency bins are balanced and monotone in price") {
     val d = sf()
     val out = SparkEntry.queries("f_quantile_bin")(spark, d)
