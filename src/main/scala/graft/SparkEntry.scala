@@ -6493,12 +6493,177 @@ object SparkEntry {
                 AND abs(e * pl - pe * l) * 100 > 150 * l * pl""")),
   )
 
+  // -------------------------------------------- §2.23 round-10 batch 3:
+  // graph cohesion, skew-hybrid join routing, perceptual-hash media
+  // dedup, BPE pair statistics, privacy QI profiling, deterministic
+  // corpus shuffling, and the streaming histogram-sketch twin.
+  private val round10c = Seq(
+    // Exact triangle counting (ops/Graph.triangleCount) over the part
+    // co-order graph: canonical a<b edges from per-order part pairs,
+    // wedges closed by a hash probe — every step an equi-join, the
+    // distributed triangle-count shape (degree-ordered orientation
+    // plugs in by re-canonicalizing edges; count is invariant).
+    Q("graph_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        Graph.triangleCount(edges)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                    l_partkey AS pk FROM lineitem),
+              e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+              w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b)
+              SELECT w.x, count(*) AS n_triangles
+              FROM w JOIN e ON e.a = w.y AND e.b = w.z
+              GROUP BY 1""")),
+
+    // Hot/cold hybrid skew join (ops/Skew.hotColdJoin): top-64 hot fact
+    // keys routed through a broadcast join (zero shuffle for the heavy
+    // keys), long tail through the ordinary shuffled join, union. The
+    // oracle is the PLAIN left join — the routing must be invisible in
+    // the result.
+    Q("join_skew_hotcold",
+      (s, d) => Skew.hotColdJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_quantity")),
+          Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+            col("p_retailprice")),
+          "l_partkey", hotKeys = 64)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity") * col("p_retailprice"), 6)
+            .as("ext_retail")),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+                round(l.l_quantity * p.p_retailprice, 6) AS ext_retail
+              FROM lineitem l
+              LEFT JOIN part p ON l.l_partkey = p.p_partkey""")),
+
+    // Perceptual-hash media dedup (ops/Multimodal.dHash64 +
+    // phashNearDupPairs): 64-bit difference hash from 65 evenly-spaced
+    // payload probes, 4×16-bit chunk pigeonhole banding, exact popcount
+    // verify at Hamming ≤ 3 — image near-dup dedup on the stub-decode
+    // contract, banded like every other dedup family.
+    Q("mm_phash_dedup",
+      (s, d) => Multimodal.phashNearDupPairs(
+        Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
+          col("text")),
+        maxHamming = 3),
+      Some("""WITH d AS (SELECT doc_id AS media_id, text,
+                    length(text) AS n
+                  FROM documents WHERE length(text) >= 2),
+              p AS (SELECT media_id,
+                  [ord(substr(text,
+                      CAST((i * (n - 1)) // 64 AS INT) + 1, 1))
+                    FOR i IN range(0, 65)] AS pr
+                FROM d),
+              c AS (SELECT media_id,
+                  [CAST(list_sum([CASE WHEN pr[j * 16 + k + 1] >
+                          pr[j * 16 + k + 2] THEN (1 << (15 - k))
+                        ELSE 0 END FOR k IN range(0, 16)]) AS BIGINT)
+                    FOR j IN range(0, 4)] AS ch
+                FROM p),
+              bd AS (SELECT media_id, CAST(j AS INT) AS band,
+                  ch[CAST(j AS INT) + 1] AS v
+                FROM (SELECT media_id, ch,
+                    unnest(range(0, 4)) AS j FROM c)),
+              cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b
+                FROM bd l JOIN bd r ON l.band = r.band AND l.v = r.v
+                  AND l.media_id < r.media_id),
+              h AS (SELECT cand.a, cand.b,
+                  CAST(list_sum([bit_count(xor(ca.ch[CAST(j AS INT) + 1],
+                      cb.ch[CAST(j AS INT) + 1]))
+                    FOR j IN range(0, 4)]) AS BIGINT) AS hamming
+                FROM cand
+                JOIN c ca ON ca.media_id = cand.a
+                JOIN c cb ON cb.media_id = cand.b)
+              SELECT a, b, hamming FROM h WHERE hamming <= 3""")),
+
+    // BPE merge-candidate statistics (ops/TextOps.adjacentPairStats):
+    // top-20 adjacent token-pair frequencies — the per-round statistic
+    // of a BPE/WordPiece trainer, as one pair fanout + one combinable
+    // count + a bounded sort-limit.
+    Q("text_bpe_pair_stats",
+      (s, d) => TextOps.adjacentPairStats(
+        Tables.documents(s, d), col("text"), k = 20),
+      Some("""WITH tok AS (SELECT
+                    string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+              x AS (SELECT t, unnest(range(1, len(t))) AS i
+                FROM tok WHERE len(t) >= 2),
+              p AS (SELECT t[CAST(i AS INT)] AS a,
+                  t[CAST(i AS INT) + 1] AS b FROM x),
+              cnt AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2),
+              r AS (SELECT a, b, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, a, b)
+                    AS INTEGER) AS rk
+                FROM cnt)
+              SELECT rk, a, b, n FROM r WHERE rk <= 20""")),
+
+    // k-anonymity QI profiling — the privacy-hygiene check before a
+    // training-data release: cells of the quasi-identifier (event_type,
+    // hour-of-day, value band) backed by fewer than 5 distinct users
+    // are re-identification risks. One exact distinct aggregation.
+    Q("dq_k_anonymity",
+      (s, d) => ev(s, d)
+        .groupBy(col("event_type"),
+          hour(col("ts")).cast("int").as("hod"),
+          floor(col("value") / 100).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") < 5),
+      Some("""SELECT event_type,
+                CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                  AS hod,
+                CAST(floor(value / 100) AS BIGINT) AS band,
+                count(*) AS n_rows,
+                count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2, 3
+              HAVING count(DISTINCT user_id) < 5""")),
+
+    // Deterministic global training-order shuffle
+    // (ops/Sampling.deterministicShuffle): rerun-stable md5 permutation
+    // with positions from the bucketed global row number — no RNG state,
+    // no single-partition sort.
+    Q("sample_shuffle_deterministic",
+      (s, d) => Sampling.deterministicShuffle(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"),
+        "pos"),
+      Some("""SELECT doc_id,
+                row_number() OVER (ORDER BY
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT), doc_id) AS pos
+              FROM documents""")),
+
+    // Streaming log2-histogram (streaming/HistogramStream) — the
+    // mergeable sketch as streaming state: one (hour, bucket) row per
+    // hour and power-of-two band, maintained by plain incremental
+    // count/min/max. Oracle is the batch histogram per hour.
+    Q("stream_histogram",
+      (s, d) => graft.streaming.HistogramStream.runToCompletion(s, d),
+      Some("""WITH src AS (SELECT
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events)
+              SELECT hour,
+                CASE WHEN c <= 0 THEN 0
+                  ELSE CAST(length(bin(c)) AS INTEGER) END AS bucket,
+                count(*) AS n, min(c) AS lo, max(c) AS hi
+              FROM src GROUP BY 1, 2""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9 ++ round10 ++ round10b
+      round9 ++ round10 ++ round10b ++ round10c
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

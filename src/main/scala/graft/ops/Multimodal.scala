@@ -182,4 +182,78 @@ object Multimodal {
           lit(thrCenti.toLong) * col("__l") * col("__pl"))
       .select(col("media_id"), col("frame_idx"))
   }
+
+  /** 64-bit difference hash (dHash) over the payload byte stream: 65
+    * evenly-spaced probe bytes, bit i = probe[i] > probe[i+1], packed as
+    * four 16-bit chunks. The perceptual-fingerprint shape image dedup
+    * runs on — on the stub-decode contract the probes are raw payload
+    * bytes; a real pipeline swaps in decoded-luma probes from the same
+    * [[decodePartitions]] batch and everything downstream is unchanged.
+    * Payloads shorter than 2 bytes carry no gradient and are dropped.
+    *
+    * Shape note: probes are EXPLODED (65 rows per asset), each decoding
+    * its single byte via substring+hex — never a whole-payload decode
+    * inside nested array lambdas, where projection collapse would
+    * re-evaluate the decode per lambda element (measured: minutes for
+    * 500 rows). Every step here is codegen'd scalar arithmetic; the
+    * per-asset window and packing groups are 65-row bounded.
+    */
+  def dHash64(df: DataFrame): DataFrame = {
+    val probes = df.filter(col("meta.n_bytes") >= 2)
+      .select(col("media_id"), col("payload"),
+        col("meta.n_bytes").as("__n"),
+        explode(sequence(lit(0), lit(64))).as("i"))
+      // probe i sits at byte offset ⌊i·(n−1)/64⌋ (substring is 1-based)
+      .select(col("media_id"), col("i"),
+        conv(hex(expr(
+          "substring(payload, cast(i * (__n - 1) div 64 as int) + 1, 1)")),
+          16, 10).cast("long").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("i"))
+    probes
+      .withColumn("__next", lead(col("p"), 1).over(w))
+      .filter(col("i") < 64)
+      .select(col("media_id"), expr("cast(i div 16 as int)").as("band"),
+        expr("if(p > __next, shiftleft(1L, 15 - cast(i % 16 as int)), 0L)")
+          .as("__bit"))
+      .groupBy(col("media_id"), col("band"))
+      .agg(sum(col("__bit")).as("v"))
+      .groupBy(col("media_id"))
+      .agg(array_sort(collect_list(struct(col("band"), col("v"))))
+        .as("__bv"))
+      .select(col("media_id"),
+        expr("transform(__bv, x -> x.v)").as("chunks"))
+  }
+
+  /** Near-duplicate media pairs by dHash Hamming distance ≤ `maxHamming`
+    * (< 4 required): with the hash split into 4 chunks, any pair within
+    * distance 3 agrees on at least one whole chunk (pigeonhole), so
+    * candidates come from an equi-join on (chunk index, chunk value) —
+    * the same banding discipline as every other dedup family here, never
+    * an all-pairs scan. Verification is exact: popcount of the XOR per
+    * chunk, summed. Output (a, b, hamming), a < b.
+    */
+  def phashNearDupPairs(df: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "pigeonhole over 4 chunks covers Hamming distance <= 3")
+    val h = dHash64(df)
+    val banded = h.select(col("media_id"),
+      posexplode(col("chunks")).as(Seq("band", "v")))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("a"), col("r.media_id").as("b"))
+      .distinct()
+    cand
+      .join(h.select(col("media_id").as("a"), col("chunks").as("__ca")),
+        Seq("a"))
+      .join(h.select(col("media_id").as("b"), col("chunks").as("__cb")),
+        Seq("b"))
+      .withColumn("hamming", expr(
+        """aggregate(sequence(0, 3), 0L,
+             (acc, j) -> acc + bit_count(__ca[j] ^ __cb[j]))"""))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -142,4 +142,26 @@ object Sampling {
       when(pmod(PortableHash.md5Long(groupCol.cast("string"), 15),
         lit(1000)) < trainPerMille, "train").otherwise("test"))
   }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * 1-based `posName` in the order of (md5 of its id, id) — a
+    * rerun-stable permutation a trainer can range-read ("epoch slice
+    * [i·B, (i+1)·B)") with no RNG state to checkpoint. The position
+    * comes from [[ScalableRank.globalRowNumber]] with the hash's top
+    * 8 bits as the bucket (a monotone prefix of the ordering, 256
+    * buckets) — per-bucket local sorts only, no single-partition global
+    * sort, so the permutation costs one small count pass + one bucketed
+    * sort at any corpus size. The id is the tie-breaker, making the
+    * order total even under 60-bit hash collisions.
+    */
+  def deterministicShuffle(
+      df: DataFrame, idCol: Column, posName: String): DataFrame = {
+    val h = PortableHash.md5Long(idCol.cast("string"), 15)
+    ScalableRank.globalRowNumber(
+      df.withColumn("__graft_h", h),
+      expr("__graft_h div 4503599627370496"), // 2^52: top 8 of 60 bits
+      Seq(col("__graft_h"), idCol),
+      posName)
+      .drop("__graft_h")
+  }
 }

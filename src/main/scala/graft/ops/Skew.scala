@@ -62,4 +62,40 @@ object Skew {
       .join(replicatedDim, Seq(key, "__graft_salt"), joinType)
       .drop("__graft_salt")
   }
+
+  /** Hot/cold hybrid join — the other standard skew cure, for when the
+    * dim is too big to broadcast whole but the HOT SLICE of it is tiny:
+    * identify the top `hotKeys` fact keys (one map-side-combinable count
+    * + a bounded sort-limit), route fact rows with those keys through a
+    * broadcast join against the hot dim slice (no shuffle at all for the
+    * heavy keys — skew cannot exist in a map-side join), and the
+    * long-tail rest through the ordinary shuffled join, then union.
+    * Result set is exactly the plain join's (the two branches partition
+    * the fact by key membership); only the physical routing differs.
+    *
+    * At 100 TB this beats salting when skew is extreme: salting still
+    * shuffles every hot row once and replicates the dim `saltBuckets`×,
+    * while the hybrid moves only a `hotKeys`-row dim slice to every
+    * executor. Join type inner or left.
+    */
+  def hotColdJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      hotKeys: Int,
+      joinType: String = "left"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType))
+    // deterministic hot set: count desc, key asc tie order
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col(key)).limit(hotKeys)
+      .select(col(key))
+    val hotSet = broadcast(hot.withColumn("__hot", lit(1)))
+    val tagged = fact.join(hotSet, Seq(key), "left")
+    val hotDim = broadcast(dim.join(hotSet.select(col(key)), Seq(key)))
+    val hotSide = tagged.filter(col("__hot").isNotNull).drop("__hot")
+      .join(hotDim, Seq(key), joinType)
+    val coldSide = tagged.filter(col("__hot").isNull).drop("__hot")
+      .join(dim, Seq(key), joinType)
+    hotSide.unionByName(coldSide)
+  }
 }

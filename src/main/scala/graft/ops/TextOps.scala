@@ -394,4 +394,29 @@ object TextOps {
         round(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))), 6)
           .as("pmi"))
   }
+
+  /** Top-`k` ADJACENT token-pair frequencies over the corpus — the
+    * statistic a BPE/WordPiece trainer computes every merge round (most
+    * frequent adjacent pair wins). One expression-level pair fanout per
+    * document (n−1 pairs from an n-token array, no self-join), one
+    * map-side-combinable count, and a bounded sort-limit
+    * (TakeOrderedAndProject — per-partition top-k then a k-row driver
+    * merge, never a global sort). Rank ties break on (pair) so the
+    * result SET is deterministic at any scale.
+    */
+  def adjacentPairStats(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val pairs = df
+      .select(Dedup.tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(__t) - 1), i ->
+             struct(__t[i - 1] as a, __t[i] as b))""")).as("__p"))
+      .select(col("__p.a"), col("__p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    pairs.orderBy(col("n").desc, col("a"), col("b")).limit(k)
+      .withColumn("rk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("a"), col("b"))).cast("int"))
+      .select(col("rk"), col("a"), col("b"), col("n"))
+  }
 }
