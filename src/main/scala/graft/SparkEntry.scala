@@ -6499,10 +6499,14 @@ object SparkEntry {
   // corpus shuffling, and the streaming histogram-sketch twin.
   private val round10c = Seq(
     // Exact triangle counting (ops/Graph.triangleCount) over the part
-    // co-order graph: canonical a<b edges from per-order part pairs,
-    // wedges closed by a hash probe — every step an equi-join, the
-    // distributed triangle-count shape (degree-ordered orientation
-    // plugs in by re-canonicalizing edges; count is invariant).
+    // co-order graph at support ≥ 2 (pairs co-ordered at least twice —
+    // the association-rule convention, and the scale guard: the
+    // unthresholded graph is near-uniform dense at ~2× the order count
+    // in edges, and triangle counting is Θ(Σ C(d⁺,2)) wedges on ANY
+    // engine — measured 31 s at sf0.1 vs ~1 s thresholded, with the
+    // expensive half, the 1.2M-row co-order pair aggregation, still
+    // fully exercised). Edge canonicalization a<b; wedges pivot at the
+    // (degree, id)-smallest endpoint and close with one equi-join.
     Q("graph_triangles",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -6511,17 +6515,20 @@ object SparkEntry {
         val edges = li.as("x")
           .join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"))
-          .distinct()
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("__sup"))
+          .filter(col("__sup") >= 2)
+          .select(col("a"), col("b"))
         Graph.triangleCount(edges)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
                     l_partkey AS pk FROM lineitem),
-              e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+              e AS (SELECT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
               w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
                 FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b)
-              SELECT w.x, count(*) AS n_triangles
+              SELECT least(w.x, w.y, w.z) AS x, count(*) AS n_triangles
               FROM w JOIN e ON e.a = w.y AND e.b = w.z
               GROUP BY 1""")),
 
@@ -6658,12 +6665,179 @@ object SparkEntry {
               FROM src GROUP BY 1, 2""")),
   )
 
+  // -------------------------------------------- §2.24 round-10 batch 4:
+  // CDC apply (snapshot + compacted delta merge), its streaming state
+  // twin, marketing attribution, l-diversity, and top-k one-hot
+  // encoding. Shared conventions: latest-change-wins rides the
+  // zero-padded TimeSeries.orderKey so ties are total; balances are
+  // integer cents.
+  private val round10d = Seq(
+    // CDC MERGE: snapshot = latest state per user as of (max day − 1),
+    // delta = the last day's changelog compacted latest-change-wins
+    // (Rollups.cdcCompact — one combinable struct-max), applied by a
+    // full-outer join; a delta whose final change is an 'error' acts as
+    // a DELETE. The Delta/Hudi copy-on-write apply shape: at 100 TB the
+    // delta is day-sized, the join shuffles on the entity key, and the
+    // snapshot side would be the bucketed standing table.
+    Q("merge_cdc_apply",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("__bal"))
+        val cut = e.agg(date_sub(max(to_date(col("ts"))), 1).as("__c"))
+        val ec = e.crossJoin(broadcast(cut))
+        val k = TimeSeries.orderKey(col("ts"), col("event_id"))
+        val snap = Rollups.cdcCompact(
+            ec.filter(to_date(col("ts")) <= col("__c")),
+            col("user_id"), k, "sbal" -> col("__bal"))
+          .select(col("user_id"), col("sbal"))
+        val delta = Rollups.cdcCompact(
+            ec.filter(to_date(col("ts")) > col("__c")),
+            col("user_id"), k, "dbal" -> col("__bal"),
+            "dtype" -> col("event_type"))
+          .select(col("user_id"), col("dbal"), col("dtype"))
+        snap.join(delta, Seq("user_id"), "full_outer")
+          .filter(col("dtype").isNull || col("dtype") =!= "error")
+          .select(col("user_id"),
+            when(col("dtype").isNotNull, col("dbal"))
+              .otherwise(col("sbal")).as("bal_c"),
+            when(col("dtype").isNull, lit("snap")).otherwise(lit("delta"))
+              .as("src"))
+      },
+      Some("""WITH cut AS (SELECT max(CAST(ts AS DATE)) - 1 AS c
+                  FROM events),
+              src AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS bal,
+                  concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      AS VARCHAR), 20, '0'),
+                    lpad(CAST(event_id AS VARCHAR), 20, '0')) AS k
+                FROM events),
+              snap AS (SELECT user_id, arg_max(bal, k) AS sbal
+                FROM src, cut WHERE day <= c GROUP BY user_id),
+              delta AS (SELECT user_id, arg_max(bal, k) AS dbal,
+                  arg_max(event_type, k) AS dtype
+                FROM src, cut WHERE day > c GROUP BY user_id)
+              SELECT coalesce(s.user_id, d.user_id) AS user_id,
+                CASE WHEN d.user_id IS NOT NULL THEN d.dbal
+                  ELSE s.sbal END AS bal_c,
+                CASE WHEN d.user_id IS NULL THEN 'snap'
+                  ELSE 'delta' END AS src
+              FROM snap s FULL JOIN delta d USING (user_id)
+              WHERE d.user_id IS NULL OR d.dtype <> 'error'""")),
+
+    // Streaming changelog compaction (streaming/CdcStateStream): the
+    // current-snapshot-per-key state a CDC consumer serves lookups
+    // from, as one incremental struct-max. Oracle = the batch
+    // compaction over the full log.
+    Q("stream_cdc_state",
+      (s, d) => graft.streaming.CdcStateStream.runToCompletion(s, d),
+      Some("""WITH src AS (SELECT user_id, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS bal,
+                  concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      AS VARCHAR), 20, '0'),
+                    lpad(CAST(event_id AS VARCHAR), 20, '0')) AS k
+                FROM events)
+              SELECT user_id, arg_max(event_type, k) AS last_type,
+                arg_max(bal, k) AS bal_c, count(*) AS n_changes
+              FROM src GROUP BY user_id""")),
+
+    // Last-touch attribution: each purchase credits the user's latest
+    // STRICTLY-PRECEDING click/view within 7 days, else 'none'. The
+    // carried touch is a running last-non-null over the user-ordered
+    // stream (user-partitioned window, never global), so one pass
+    // attributes every conversion.
+    Q("agg_attribution_last_touch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .withColumn("__lt",
+            last(when(col("event_type").isin("click", "view"),
+              struct(col("ts").as("t"), col("event_type").as("ty"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("__lt").isNull, lit("none"))
+              .when(col("__lt.t") >= col("ts") - expr("INTERVAL 7 DAY"),
+                col("__lt.ty"))
+              .otherwise(lit("none")).as("attributed"))
+          .groupBy(col("attributed")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+                  last_value(CASE WHEN event_type IN ('click', 'view')
+                      THEN struct_pack(t := CAST(ts AS TIMESTAMP),
+                        ty := event_type) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS lt
+                FROM events)
+              SELECT CASE WHEN lt IS NULL THEN 'none'
+                  WHEN lt.t >= t - INTERVAL 7 DAY THEN lt.ty
+                  ELSE 'none' END AS attributed,
+                count(*) AS n
+              FROM o WHERE event_type = 'purchase' GROUP BY 1""")),
+
+    // l-diversity — k-anonymity's sibling: a QI cell is risky even at
+    // k ≥ threshold if the SENSITIVE attribute is near-constant inside
+    // it. Cells of (hour-of-day, value band) with < 3 distinct
+    // event_types.
+    Q("dq_l_diversity",
+      (s, d) => ev(s, d)
+        .groupBy(hour(col("ts")).cast("int").as("hod"),
+          floor(col("value") / 100).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_type")).as("l"))
+        .filter(col("l") < 3),
+      Some("""SELECT
+                CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                  AS hod,
+                CAST(floor(value / 100) AS BIGINT) AS band,
+                count(*) AS n_rows,
+                count(DISTINCT event_type) AS l
+              FROM events GROUP BY 1, 2
+              HAVING count(DISTINCT event_type) < 3""")),
+
+    // Top-k one-hot encoding: indicator columns for the 3 most frequent
+    // event types (count desc, name asc tie order) + an 'other' bucket —
+    // the fixed-width categorical featurization; vocabulary is a
+    // broadcast 3-row table, the encode is per-row codegen'd CASE.
+    Q("f_onehot_topk",
+      (s, d) => {
+        val e = ev(s, d)
+        val rk = e.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+          .withColumn("__r", row_number()
+            .over(Window.orderBy(col("__n").desc, col("event_type")))
+            .cast("int"))
+          .filter(col("__r") <= 3)
+          .select(col("event_type"), col("__r"))
+        e.join(broadcast(rk), Seq("event_type"), "left")
+          .select(col("event_id"),
+            when(col("__r") === 1, 1).otherwise(0).as("oh_1"),
+            when(col("__r") === 2, 1).otherwise(0).as("oh_2"),
+            when(col("__r") === 3, 1).otherwise(0).as("oh_3"),
+            when(col("__r").isNull, 1).otherwise(0).as("oh_other"))
+      },
+      Some("""WITH rk AS (SELECT event_type,
+                  CAST(row_number() OVER (ORDER BY count(*) DESC,
+                    event_type) AS INTEGER) AS r
+                FROM events GROUP BY 1)
+              SELECT e.event_id,
+                CASE WHEN r = 1 THEN 1 ELSE 0 END AS oh_1,
+                CASE WHEN r = 2 THEN 1 ELSE 0 END AS oh_2,
+                CASE WHEN r = 3 THEN 1 ELSE 0 END AS oh_3,
+                CASE WHEN r IS NULL OR r > 3 THEN 1 ELSE 0 END AS oh_other
+              FROM events e
+              LEFT JOIN rk ON e.event_type = rk.event_type""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9 ++ round10 ++ round10b ++ round10c
+      round9 ++ round10 ++ round10b ++ round10c ++ round10d
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -71,4 +71,30 @@ object Rollups {
           .cast("long").as("exact_uniques"),
         sum(size(col("__set")).cast("long")).as("naive_sum_uniques"))
   }
+
+  /** Changelog compaction — the first half of every CDC apply (and the
+    * whole of a Hudi/Delta-style "latest snapshot per key" read):
+    * latest-change-wins per key under the total `orderK` order,
+    * expressed as ONE struct-max aggregation (lexicographic on the
+    * zero-padded order key), so it is map-side combinable and — the
+    * same property the streaming twin leans on — incrementally
+    * maintainable. Output: key, payload fields of the winning change,
+    * n_changes.
+    *
+    * @param payload (outName, column) pairs carried from the winning row
+    */
+  def cdcCompact(
+      df: DataFrame,
+      key: Column,
+      orderK: Column,
+      payload: (String, Column)*): DataFrame = {
+    val fields = orderK.as("__k") +:
+      payload.map { case (n, c) => c.as(n) }
+    df.groupBy(key)
+      .agg(max(struct(fields: _*)).as("__last"),
+        count(lit(1)).as("n_changes"))
+      .select(Seq(key) ++
+        payload.map { case (n, _) => col(s"__last.$n").as(n) } :+
+        col("n_changes"): _*)
+  }
 }
