@@ -6832,12 +6832,124 @@ object SparkEntry {
               LEFT JOIN rk ON e.event_type = rk.event_type""")),
   )
 
+  // -------------------------------------------- §2.25 round-10 batch 5:
+  // quality-classifier scoring, DP-noise plumbing, keyframe selection.
+  private val round10e = Seq(
+    // Fixed-weight logistic quality classifier — the model-based corpus
+    // filter every LLM pipeline runs after the heuristic filters
+    // (text_quality): score = σ(w·features) with literal weights, keep
+    // at σ ≥ 0.5. Features are exact counts; the one transcendental
+    // (exp) is rounded at 6 decimals on both engines. Per-row codegen'd
+    // expressions — a learned weight vector drops in as literals (or a
+    // broadcast 1-row table) with zero plan change.
+    Q("ml_logreg_score",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"),
+            length(col("text")).cast("long").as("n_chars"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"), col("n_chars"),
+            size(array_distinct(col("__t"))).cast("long")
+              .as("n_distinct"))
+        val z = lit(-2.0) + lit(0.01) * col("n_tokens") +
+          lit(0.0005) * col("n_chars") +
+          lit(2.0) * (col("n_distinct").cast("double") / col("n_tokens"))
+        f.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+          when(lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5, 1).otherwise(0)
+            .as("keep"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(list_distinct(string_split_regex(
+                    lower(trim(text)), '\s+'))) AS BIGINT) AS n_distinct
+                FROM documents),
+              z AS (SELECT doc_id,
+                  -2.0 + 0.01 * n_tokens + 0.0005 * n_chars +
+                    2.0 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS z
+                FROM f)
+              SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+                CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
+                  AS keep
+              FROM z""")),
+
+    // Laplace-noise release plumbing for aggregate publication:
+    // sensitivity-1 counts noised with scale b = 2 (ε = 0.5) via the
+    // inverse-CDF transform. The uniform draw here is KEYED md5 (so the
+    // harness can verify the pipeline bit-for-bit) — deterministic
+    // noise is NOT differential privacy; a deployment swaps u for a
+    // secure RNG and every other line stays. The shape is the point:
+    // noise is added per released CELL after aggregation, never per
+    // row, so the cost is aggregate-sized at any data scale.
+    Q("agg_dp_noised_counts",
+      (s, d) => {
+        val c = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        // 13 hex chars = 52 bits → u ∈ [0, 1) at double precision
+        val u = graft.functions.PortableHash.md5Long(
+          concat(col("event_type"), lit("|"), col("day").cast("string")),
+          13) / lit(4503599627370496.0)
+        c.withColumn("__u", u)
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("n") +
+              when(col("__u") >= 0.5,
+                lit(-2.0) * log(lit(2.0) * (lit(1.0) - col("__u"))))
+                .otherwise(lit(2.0) * log(lit(2.0) * col("__u"))), 6)
+              .as("noised"))
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              u AS (SELECT event_type, day, n,
+                  CAST(concat('0x', substr(md5(concat(event_type, '|',
+                      CAST(day AS VARCHAR))), 1, 13)) AS BIGINT)
+                    / 4503599627370496.0 AS u01
+                FROM c)
+              SELECT event_type, day, n,
+                round(n + CASE WHEN u01 >= 0.5
+                    THEN -2.0 * ln(2.0 * (1.0 - u01))
+                    ELSE 2.0 * ln(2.0 * u01) END, 6) AS noised
+              FROM u""")),
+
+    // Keyframe selection (ops/Multimodal.keyframesTopK): the 3 most
+    // energetic frames per asset — what gets captioned/embedded when
+    // processing every frame is unaffordable.
+    Q("mm_keyframe_topk",
+      (s, d) => Multimodal.keyframesTopK(
+        Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
+          col("text")),
+        frameBytes = 128, k = 3),
+      Some("""WITH w AS (SELECT doc_id AS media_id, text,
+                  length(text) AS n,
+                  unnest(range(0, greatest(CAST(ceil(length(text) / 128.0)
+                    AS INT), 1))) AS frame_idx
+                FROM documents),
+              f AS (SELECT media_id, CAST(frame_idx AS INTEGER)
+                    AS frame_idx,
+                  [ord(substr(text, CAST(frame_idx * 128 + j + 1 AS INT),
+                    1)) FOR j IN range(0, least(128, n - frame_idx * 128))]
+                    AS samples
+                FROM w),
+              g AS (SELECT media_id, frame_idx,
+                  CAST(list_sum(samples) AS BIGINT) AS e
+                FROM f WHERE len(samples) > 0),
+              r AS (SELECT media_id, frame_idx, e,
+                  CAST(row_number() OVER (PARTITION BY media_id
+                    ORDER BY e DESC, frame_idx) AS INTEGER) AS rk
+                FROM g)
+              SELECT media_id, rk, frame_idx, e FROM r
+              WHERE rk <= 3""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9 ++ round10 ++ round10b ++ round10c ++ round10d
+      round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -183,6 +183,30 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"))
   }
 
+  /** Top-`k` keyframes per asset by frame energy — the frame-selection
+    * step before captioning/embedding a video (caption the k most
+    * information-dense frames, not every frame). Energy on the
+    * stub-decode contract is the frame's byte sum; the rank window is
+    * per-asset (frames per asset are payload-bounded), ties break on
+    * frame_idx so the selection is a deterministic set.
+    */
+  def keyframesTopK(df: DataFrame, frameBytes: Int, k: Int): DataFrame = {
+    val frames = sampleFrames(df, frameBytes, stride = 1)
+      .withColumn("__samples",
+        org.apache.spark.sql.graftnative.GraftNative
+          .bytesToIntArray(col("frame")))
+      .select(col("media_id"), col("frame_idx"),
+        aggregate(col("__samples"), lit(0L),
+          (a, x) => a + x.cast("long")).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+      .orderBy(col("e").desc, col("frame_idx"))
+    frames
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("media_id"), col("rk"), col("frame_idx"), col("e"))
+  }
+
   /** 64-bit difference hash (dHash) over the payload byte stream: 65
     * evenly-spaced probe bytes, bit i = probe[i] > probe[i+1], packed as
     * four 16-bit chunks. The perceptual-fingerprint shape image dedup
