@@ -449,4 +449,44 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the vector side must never shuffle for the join, got:\n$plan")
   }
+
+  test("hotColdJoin routes the hot slice through a broadcast branch") {
+    val fact = Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_partkey"))
+    val dim = Tables.part(spark, sf())
+      .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+    val df = graft.ops.Skew.hotColdJoin(fact, dim, "l_partkey",
+      hotKeys = 8)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"),
+      s"hot and cold branches must reassemble via union:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the hot branch must be a broadcast join:\n$plan")
+    // the hot-set selection is a bounded top-k, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hot keys must come from a per-partition top-k:\n$plan")
+  }
+
+  test("deterministicShuffle plans no single-partition exchange") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"))
+    val df = graft.ops.Sampling.deterministicShuffle(docs, col("doc_id"),
+      "pos")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucket-offsets window runs over a 256-row aggregate (its
+    // SinglePartition exchange is bounded by design); the DATA path
+    // must never range-partition for a global sort
+    assert(!plan.contains("rangepartitioning"),
+      s"the permutation must never globally sort the data:\n$plan")
+  }
+
+  test("adjacentPairStats ends in a bounded top-k, not a global sort") {
+    val df = graft.ops.TextOps.adjacentPairStats(
+      Tables.documents(spark, sf()), col("text"), k = 20)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+  }
 }

@@ -626,4 +626,52 @@ class PropertySpec extends SparkSpecBase {
       assert(got("same") == 0.0, s"gen $gi")
     }
   }
+
+  test("triangleCount equals brute force on random graphs") {
+    import graft.ops.Graph
+    val gens = samples(Gen.listOfN(30, for {
+      a <- Gen.chooseNum(1, 9); b <- Gen.chooseNum(1, 9)
+    } yield (a.toLong, b.toLong)), 5)
+    gens.zipWithIndex.foreach { case (raw, gi) =>
+      val edges = raw.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      if (edges.nonEmpty) {
+        val got = Graph.triangleCount(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        // brute force: enumerate x<y<z; least node of the triangle is x
+        val want = (for {
+          x <- nodes; y <- nodes if y > x; z <- nodes if z > y
+          if es((x, y)) && es((x, z)) && es((y, z))
+        } yield x).groupBy(identity)
+          .map { case (k, v) => k -> v.size.toLong }
+        assert(got === want, s"gen $gi edges=$edges")
+      }
+    }
+  }
+
+  test("cdcCompact picks the (ts, id)-max change for every key") {
+    import graft.ops.{Rollups, TimeSeries}
+    val gens = samples(Gen.listOfN(60, for {
+      k <- Gen.chooseNum(1, 5); t <- Gen.chooseNum(0, 50)
+      id <- Gen.chooseNum(1L, 1000L); v <- Gen.chooseNum(-100L, 100L)
+    } yield (k.toLong, t, id, v)), 5)
+    gens.zipWithIndex.foreach { case (raw0, gi) =>
+      // unique (key, ts, id) triples keep the total order total
+      val raw = raw0.groupBy(r => (r._1, r._2, r._3))
+        .map(_._2.head).toSeq
+      val df = raw.toDF("k", "t", "id", "v")
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) +
+          col("t") * 60).cast("timestamp_ntz"))
+      val got = Rollups.cdcCompact(df, col("k"),
+          TimeSeries.orderKey(col("ts"), col("id")), "v" -> col("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = raw.groupBy(_._1).map { case (k, rows) =>
+        k -> (rows.maxBy(r => (r._2, r._3))._4, rows.size.toLong)
+      }
+      assert(got === want, s"gen $gi")
+    }
+  }
 }
