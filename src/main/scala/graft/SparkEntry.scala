@@ -6942,6 +6942,17 @@ object SparkEntry {
                 FROM g)
               SELECT media_id, rk, frame_idx, e FROM r
               WHERE rk <= 3""")),
+
+    // Streaming with a REAL sink (streaming/FileSinkStream): first-
+    // sight dedup written to a parquet ledger through the exactly-once
+    // checkpoint/commit-log path, read back as the result — the
+    // deployment shape the memory-sink harness entries stand in for
+    // (r9 verdict's standing caveat). Restart resumption is proven by
+    // the two-phase spec; here the oracle pins the ledger ≡ batch
+    // DISTINCT.
+    Q("stream_sink_files",
+      (s, d) => graft.streaming.FileSinkStream.dedupLedger(s, d),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
   )
 
   // ----------------------------------------------------------------
