@@ -6953,6 +6953,51 @@ object SparkEntry {
     Q("stream_sink_files",
       (s, d) => graft.streaming.FileSinkStream.dedupLedger(s, d),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // Diversity-stratified corpus sampling: assign embeddings to k
+    // coarse cells (one broadcast-centroid Lloyd pass — the IVF
+    // assignment, ml/KMeans) and take a deterministic md5-ranked
+    // quota per cell. The anti-mode-collapse sampler: a uniform draw
+    // over-represents the corpus's dense modes, the per-cell quota
+    // floors coverage of sparse regions. Vectors never shuffle for the
+    // assignment (centroids broadcast); the quota window partitions by
+    // cell.
+    Q("sample_diverse_cells",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(100.0))).as("qv"))
+        val cells = graft.ml.KMeans.assignIterations(q, col("vec_id"),
+            col("qv"), k = 8, stride = 37, iters = 1)
+          .select(col("vec_id"), col("cluster"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(graft.functions.PortableHash.md5Long(
+            col("vec_id").cast("string"), 15), col("vec_id"))
+        cells.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 10)
+      },
+      Some("""WITH q AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> floor(x * 100.0)) AS v FROM embeddings),
+              init AS (SELECT vec_id, v FROM q WHERE vec_id % 37 = 0
+                       ORDER BY vec_id LIMIT 8),
+              c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                       AS INTEGER) AS cid, v FROM init),
+              d1 AS (SELECT q.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+                         AS dist
+                     FROM q, c0 c),
+              a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+              r AS (SELECT vec_id, cid AS cluster,
+                       CAST(row_number() OVER (PARTITION BY cid
+                         ORDER BY CAST(concat('0x', substr(md5(
+                           CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                           vec_id) AS INTEGER) AS rk
+                     FROM a1)
+              SELECT vec_id, cluster, rk FROM r WHERE rk <= 10""")),
   )
 
   // ----------------------------------------------------------------

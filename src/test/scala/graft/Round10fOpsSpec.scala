@@ -49,6 +49,19 @@ class Round10fOpsSpec extends SparkSpecBase {
     assert(rows.exists { case (_, _, n, v) => v < n })
   }
 
+  test("sample_diverse_cells floors coverage of every occupied cell") {
+    val d = sf()
+    val rows = SparkEntry.queries("sample_diverse_cells")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 10), "cell quota respected")
+    assert(perCell.size >= 2, "multiple cells represented")
+    // ranks are contiguous 1..n within each cell
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length), s"cell $c")
+    }
+  }
+
   test("keyframesTopK picks the k most energetic frames") {
     // frame size 4: frames "aaaa"(388), "zzzz"(488), "mmmm"(436), "a"(97)
     val docs = Seq((1L, "aaaazzzzmmmma")).toDF("doc_id", "text")
