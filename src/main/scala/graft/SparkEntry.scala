@@ -7000,12 +7000,522 @@ object SparkEntry {
               SELECT vec_id, cluster, rk FROM r WHERE rk <= 10""")),
   )
 
+  // ---------------------------------------------------------------- §2.26
+  private val round10f = Seq(
+    // Manual runtime-filter injection — the 100 TB join technique
+    // Catalyst's InjectRuntimeFilter automates: build a Bloom filter
+    // over the SELECTIVE dim keyset distributed (BloomFilterAggregate,
+    // one binary row out), ship it as a plan literal, and probe it in
+    // the fact scan BEFORE the shuffle/exact join. ~1/5 of customers
+    // match the segment, so ~4/5 of the fact rows die at the scan for
+    // one xxhash64 + bitset test each; the exact semi join then removes
+    // the ~1% false positives. Result ≡ plain semi join (the oracle).
+    Q("join_bloom_prefilter",
+      (s, d) => {
+        import org.apache.spark.sql.graftnative.GraftNative
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bf = dim.agg(GraftNative
+            .bloomFilterAgg(col("c_custkey"), 100000L, 1000000L).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        Tables.orders(s, d)
+          .where(GraftNative.bloomMightContain(bf, col("o_custkey")))
+          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_price
+              FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = 'BUILDING')
+              GROUP BY 1""")),
+
+    // Welch's unequal-variance t-test between the md5-keyed A/B arms of
+    // agg_ab_lift, on purchase value: t = (mA−mB)/√(vA/nA + vB/nB),
+    // Welch–Satterthwaite df. One keyed aggregate then a 1-row
+    // conditional pivot — the experiment-readout query every A/B
+    // platform runs. df is O(n) so it gets the coarser round.
+    Q("agg_welch_ttest",
+      (s, d) => {
+        val variant = when(pmod(graft.functions.PortableHash
+          .md5Long(col("user_id").cast("string"), 15), lit(2)) === 0, "A")
+          .otherwise("B")
+        val g = ev(s, d).filter(col("event_type") === "purchase")
+          .groupBy(variant.as("variant"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+        val a = (c: String) => min(when(col("variant") === "A", col(c)))
+        val b = (c: String) => min(when(col("variant") === "B", col(c)))
+        val se2 = a("v") / a("n") + b("v") / b("n")
+        g.agg(
+          a("n").cast("long").as("n_a"), b("n").cast("long").as("n_b"),
+          round((a("m") - b("m")) / sqrt(se2), 6).as("t_stat"),
+          round(pow(se2, 2) /
+            (pow(a("v") / a("n"), 2) / (a("n") - 1) +
+             pow(b("v") / b("n"), 2) / (b("n") - 1)), 2).as("df"))
+      },
+      Some("""WITH g AS (SELECT
+                  CASE WHEN CAST(concat('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                  CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                  var_samp(value) AS v
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+              SELECT
+                CAST(min(CASE WHEN variant = 'A' THEN n END) AS BIGINT)
+                  AS n_a,
+                CAST(min(CASE WHEN variant = 'B' THEN n END) AS BIGINT)
+                  AS n_b,
+                round((min(CASE WHEN variant = 'A' THEN m END) -
+                       min(CASE WHEN variant = 'B' THEN m END)) /
+                  sqrt(min(CASE WHEN variant = 'A' THEN v END) /
+                         min(CASE WHEN variant = 'A' THEN n END) +
+                       min(CASE WHEN variant = 'B' THEN v END) /
+                         min(CASE WHEN variant = 'B' THEN n END)), 6)
+                  AS t_stat,
+                round(pow(min(CASE WHEN variant = 'A' THEN v END) /
+                            min(CASE WHEN variant = 'A' THEN n END) +
+                          min(CASE WHEN variant = 'B' THEN v END) /
+                            min(CASE WHEN variant = 'B' THEN n END), 2) /
+                  (pow(min(CASE WHEN variant = 'A' THEN v END) /
+                       min(CASE WHEN variant = 'A' THEN n END), 2) /
+                     (min(CASE WHEN variant = 'A' THEN n END) - 1) +
+                   pow(min(CASE WHEN variant = 'B' THEN v END) /
+                       min(CASE WHEN variant = 'B' THEN n END), 2) /
+                     (min(CASE WHEN variant = 'B' THEN n END) - 1)), 2)
+                  AS df
+              FROM g""")),
+
+    // Pearson chi-square test of independence, event_type × day-of-week:
+    // observed cell counts vs e = row_tot·col_tot/N, χ² = Σ(o−e)²/e.
+    // Exact integer counts until the one division; the margins come from
+    // window sums over the CELL table (|types|·7 rows), not a rescan.
+    Q("agg_chi2_independence",
+      (s, d) => {
+        val cells = ev(s, d)
+          .groupBy(col("event_type"),
+            ScalarFns.dowPg(col("ts")).as("dow"))
+          .agg(count(lit(1)).cast("double").as("o"))
+        val rowT = sum(col("o")).over(Window.partitionBy(col("event_type")))
+        val colT = sum(col("o")).over(Window.partitionBy(col("dow")))
+        val n = sum(col("o")).over(Window.partitionBy())
+        cells.select(col("event_type"), col("dow"), col("o"),
+            (rowT * colT / n).as("e"))
+          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+              .as("chi2"),
+            ((countDistinct(col("event_type")) - 1) *
+             (countDistinct(col("dow")) - 1)).as("dof"))
+      },
+      Some("""WITH cells AS (SELECT event_type,
+                  dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                  CAST(count(*) AS DOUBLE) AS o
+                FROM events GROUP BY 1, 2),
+              e AS (SELECT event_type, dow, o,
+                  sum(o) OVER (PARTITION BY event_type) *
+                  sum(o) OVER (PARTITION BY dow) /
+                  sum(o) OVER () AS e
+                FROM cells)
+              SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+                (count(DISTINCT event_type) - 1) *
+                (count(DISTINCT dow) - 1) AS dof
+              FROM e""")),
+
+    // Cyclical calendar encoding — the standard ML feature transform
+    // that maps hour-of-day / day-of-week onto the unit circle so 23:00
+    // and 00:00 are neighbors. Pure per-row codegen'd trigonometry.
+    Q("f_cyclic_encode",
+      (s, d) => {
+        val hr = ScalarFns.hourOfDay(col("ts")).cast("double")
+        val dw = ScalarFns.dowPg(col("ts")).cast("double")
+        ev(s, d).select(col("event_id"),
+          round(sin(hr * (lit(2) * lit(math.Pi) / 24)), 6).as("hr_sin"),
+          round(cos(hr * (lit(2) * lit(math.Pi) / 24)), 6).as("hr_cos"),
+          round(sin(dw * (lit(2) * lit(math.Pi) / 7)), 6).as("dow_sin"),
+          round(cos(dw * (lit(2) * lit(math.Pi) / 7)), 6).as("dow_cos"))
+      },
+      Some("""SELECT event_id,
+                round(sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
+                  6) AS hr_sin,
+                round(cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
+                  6) AS hr_cos,
+                round(sin(dayofweek(CAST(ts AS TIMESTAMP)) *
+                  (2 * pi() / 7)), 6) AS dow_sin,
+                round(cos(dayofweek(CAST(ts AS TIMESTAMP)) *
+                  (2 * pi() / 7)), 6) AS dow_cos
+              FROM events""")),
+
+    // Stationary distribution of the event-type Markov chain
+    // (agg_transition_matrix's P) by repeated squaring: P¹⁶ = ((P²)²)²²,
+    // then π = uniform·P¹⁶ renormalized. Four broadcast self-joins over
+    // a |types|² matrix — fully declarative, nothing iterates on the
+    // driver, and at 100 TB the only big job is the ONE pass that
+    // builds P; the squarings are dim-sized.
+    Q("agg_markov_stationary",
+      (s, d) => {
+        val w = Window.partitionBy(col("cur"))
+        val p = ev(s, d)
+          .withColumn("nxt", lead(col("event_type"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(evOrder: _*)))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("cur"), col("nxt"),
+            (col("c") / sum(col("c")).over(w)).as("pr"))
+        def square(m: DataFrame): DataFrame = {
+          val a = m.select(col("cur").as("i"), col("nxt").as("k"),
+            col("pr").as("pa"))
+          val b = m.select(col("cur").as("k"), col("nxt").as("j"),
+            col("pr").as("pb"))
+          a.join(broadcast(b), "k")
+            .groupBy(col("i").as("cur"), col("j").as("nxt"))
+            .agg(sum(col("pa") * col("pb")).as("pr"))
+        }
+        val p16 = square(square(square(square(p))))
+        val states = p.select(col("cur")).distinct()
+          .agg(count(lit(1)).cast("double").as("k"))
+        val pi = p16.crossJoin(broadcast(states))
+          .groupBy(col("nxt").as("event_type"))
+          .agg(sum(col("pr") / col("k")).as("raw"))
+        pi.crossJoin(broadcast(
+            pi.agg(sum(col("raw")).as("tot"))))
+          .select(col("event_type"),
+            round(col("raw") / col("tot"), 6).as("pi"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                FROM events),
+              p AS (SELECT event_type AS cur, nxt,
+                  count(*) * 1.0 /
+                    sum(count(*)) OVER (PARTITION BY event_type) AS pr
+                FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+              p2 AS (SELECT a.cur, b.nxt, sum(a.pr * b.pr) AS pr
+                FROM p a JOIN p b ON a.nxt = b.cur GROUP BY 1, 2),
+              p4 AS (SELECT a.cur, b.nxt, sum(a.pr * b.pr) AS pr
+                FROM p2 a JOIN p2 b ON a.nxt = b.cur GROUP BY 1, 2),
+              p8 AS (SELECT a.cur, b.nxt, sum(a.pr * b.pr) AS pr
+                FROM p4 a JOIN p4 b ON a.nxt = b.cur GROUP BY 1, 2),
+              p16 AS (SELECT a.cur, b.nxt, sum(a.pr * b.pr) AS pr
+                FROM p8 a JOIN p8 b ON a.nxt = b.cur GROUP BY 1, 2),
+              k AS (SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS k
+                FROM p),
+              raw AS (SELECT nxt AS event_type,
+                  sum(pr / (SELECT k FROM k)) AS raw
+                FROM p16 GROUP BY 1)
+              SELECT event_type,
+                round(raw / (SELECT sum(raw) FROM raw), 6) AS pi
+              FROM raw""")),
+
+    // Deterministic negative sampling for contrastive training: k = 3
+    // pseudo-random non-self negatives per document via the portable
+    // md5 coin over (doc_id, k), joined back to fetch the negative's
+    // features. Shuffle shape: one equi-join on neg_id — no random
+    // shuffle, no driver RNG, reproducible across runs and engines.
+    Q("sample_negative_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val cand = docs.select(col("doc_id"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("k"),
+            col("n_docs"))
+          .select(col("doc_id"), col("k"),
+            pmod(graft.functions.PortableHash.md5Long(
+                concat_ws(":", col("doc_id"), col("k")), 15),
+              col("n_docs")).as("neg_id"))
+          .filter(col("neg_id") =!= col("doc_id"))
+        cand.join(docs.select(col("doc_id").as("neg_id"),
+            col("n_chars").as("neg_chars")), Seq("neg_id"))
+          .select(col("doc_id"), col("k"), col("neg_id"), col("neg_chars"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+              cand AS (SELECT d.doc_id, CAST(k.k AS INTEGER) AS k,
+                  CAST(concat('0x', substr(md5(
+                      concat(CAST(d.doc_id AS VARCHAR), ':',
+                             CAST(k.k AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % (SELECT n_docs FROM n) AS neg_id
+                FROM documents d CROSS JOIN
+                  (SELECT unnest(range(0, 3)) AS k) k)
+              SELECT c.doc_id, c.k, c.neg_id, d2.n_chars AS neg_chars
+              FROM cand c JOIN documents d2 ON d2.doc_id = c.neg_id
+              WHERE c.neg_id <> c.doc_id""")),
+
+    // Lorenz-curve deciles of customer revenue — the inequality readout
+    // behind agg_gini: decile by per-customer revenue (ntile over the
+    // customer DIM, unique-keyed tiebreak), cumulative revenue share
+    // per decile. At 100× the dim window becomes ScalableRank's
+    // bucketed percent_rank; the fact-side work is one keyed aggregate.
+    Q("agg_lorenz_deciles",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as("rev"))
+        val dec = rev.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("rev"), col("o_custkey"))))
+        val byDec = dec.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("r"))
+        byDec
+          .crossJoin(broadcast(byDec.agg(sum(col("r")).as("tot"))))
+          .select(col("decile"), col("n_customers"),
+            round(col("r") / col("tot"), 6).as("rev_share"),
+            round(sum(col("r")).over(Window.orderBy(col("decile"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              / col("tot"), 6).as("cum_share"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1),
+              dec AS (SELECT o_custkey, rev,
+                  CAST(ntile(10) OVER (ORDER BY rev, o_custkey)
+                    AS INTEGER) AS decile
+                FROM rev),
+              bydec AS (SELECT decile, count(*) AS n_customers,
+                  sum(rev) AS r
+                FROM dec GROUP BY 1),
+              tot AS (SELECT sum(r) AS tot FROM bydec)
+              SELECT decile, n_customers,
+                round(r / (SELECT tot FROM tot), 6) AS rev_share,
+                round(sum(r) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+                  (SELECT tot FROM tot), 6) AS cum_share
+              FROM bydec""")),
+
+    // Matrix-free top principal component by power iteration (2 fixed
+    // iterations from the deterministic uniform seed): v ← Σᵢ xᵢ(xᵢ·v)
+    // then normalize, computed as one dot-product pass + one
+    // posexplode/keyed-sum pass per iteration. The driver only ever
+    // holds the d = 64 vector — no covariance matrix, no collect of
+    // vectors — so the same plan runs on 10¹¹ rows. Projections round
+    // at 4 (two normalizations amplify the engines' sum-order noise).
+    Q("ml_pca_power",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val dim = 64
+        var v: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim))
+        for (_ <- 1 to 2) {
+          val dt = aggregate(
+            zip_with(col("emb"), lit(v), (x, c) => x * c),
+            lit(0.0), (acc, x) => acc + x)
+          val w = emb.select(posexplode(col("emb")).as(Seq("j", "x")),
+              dt.as("dt"))
+            .groupBy(col("j")).agg(sum(col("x") * col("dt")).as("w"))
+            .orderBy(col("j"))
+            .collect().map(_.getAs[Double]("w"))
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / nrm)
+        }
+        val proj = aggregate(
+          zip_with(col("emb"), lit(v), (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x)
+        emb.select(col("vec_id"), round(proj, 4).as("proj"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings),
+              v0 AS (SELECT list_transform(range(64),
+                  j -> 1.0 / sqrt(64)) AS v),
+              d1 AS (SELECT vec_id, emb,
+                  list_dot_product(emb, (SELECT v FROM v0)) AS dt FROM e),
+              u1 AS (SELECT unnest(emb) AS x,
+                  unnest(range(1, len(emb) + 1)) AS j, dt FROM d1),
+              w1 AS (SELECT j, sum(x * dt) AS w FROM u1 GROUP BY j),
+              n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+              v1 AS (SELECT list(w / (SELECT nrm FROM n1) ORDER BY j)
+                  AS v FROM w1),
+              d2 AS (SELECT vec_id, emb,
+                  list_dot_product(emb, (SELECT v FROM v1)) AS dt FROM e),
+              u2 AS (SELECT unnest(emb) AS x,
+                  unnest(range(1, len(emb) + 1)) AS j, dt FROM d2),
+              w2 AS (SELECT j, sum(x * dt) AS w FROM u2 GROUP BY j),
+              n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+              v2 AS (SELECT list(w / (SELECT nrm FROM n2) ORDER BY j)
+                  AS v FROM w2)
+              SELECT vec_id,
+                round(list_dot_product(emb, (SELECT v FROM v2)), 4)
+                  AS proj
+              FROM e""")),
+  )
+
+  // ---------------------------------------------------------------- §2.27
+  private val round10g = Seq(
+    // Zipf-law fit over the corpus vocabulary: log-log OLS of frequency
+    // vs rank for the top-200 tokens (closed-form regr_* aggregates —
+    // one pass over ≤200 points). The corpus-health diagnostic: a
+    // natural corpus has slope ≈ −1; synthetic/templated text (like
+    // this testdata: slope ≈ −0.18) shows up immediately. The rank
+    // window is vocab-sized, not corpus-sized.
+    Q("agg_zipf_fit",
+      (s, d) => {
+        val freq = Par.widen(Tables.documents(s, d))
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val ranked = freq.withColumn("r",
+          row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        ranked.filter(col("r") <= 200)
+          .select(log(col("r").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y"))
+          .agg(round(regr_slope(col("y"), col("x")), 6).as("zipf_slope"),
+            round(regr_intercept(col("y"), col("x")), 6).as("log_c0"),
+            round(regr_r2(col("y"), col("x")), 6).as("r2"),
+            count(lit(1)).as("n_points"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS tok FROM documents),
+              freq AS (SELECT tok, count(*) AS c FROM toks
+                WHERE tok <> '' GROUP BY 1),
+              ranked AS (SELECT tok, c, row_number()
+                  OVER (ORDER BY c DESC, tok) AS r FROM freq),
+              top AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked
+                WHERE r <= 200)
+              SELECT round(regr_slope(y, x), 6) AS zipf_slope,
+                round(regr_intercept(y, x), 6) AS log_c0,
+                round(regr_r2(y, x), 6) AS r2,
+                CAST(count(*) AS BIGINT) AS n_points
+              FROM top""")),
+
+    // PMI collocation mining: pointwise mutual information of adjacent
+    // token pairs, ln(c12·N / (c1·c2)) with marginals taken over the
+    // PAIR population (the standard collocation estimator). Support
+    // floor c12 ≥ 5 kills noise pairs before the marginal joins; the
+    // final top-50 sort runs over the surviving collocations only.
+    Q("text_pmi_bigrams",
+      (s, d) => {
+        val toks = Par.widen(Tables.documents(s, d))
+          .select(Dedup.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 2)
+        val pairs = toks.select(explode(transform(
+            sequence(lit(1), size(col("__t")) - 1),
+            i => struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + 1).as("w2")))).as("p"))
+          .select(col("p.w1"), col("p.w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+        val n = pairs.agg(count(lit(1)).cast("double").as("n"))
+        val big = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12")).filter(col("c12") >= 5)
+        val u1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val u2 = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+        big.join(u1, "w1").join(u2, "w2").crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c12"),
+            round(log(col("c12").cast("double") * col("n") /
+              (col("c1") * col("c2"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (SELECT string_split_regex(
+                    lower(trim(text)), '\s+') AS ts FROM documents),
+              pairs AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM toks, unnest(range(1, len(ts))) AS t(i)
+                WHERE ts[i] <> '' AND ts[i + 1] <> ''),
+              n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pairs),
+              big AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+              u1 AS (SELECT w1 AS w, count(*) AS c1 FROM pairs GROUP BY 1),
+              u2 AS (SELECT w2 AS w, count(*) AS c2 FROM pairs GROUP BY 1)
+              SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+                round(ln(b.c12 * (SELECT n FROM n) / (u1.c1 * u2.c2)), 6)
+                  AS pmi
+              FROM big b JOIN u1 ON u1.w = b.w1 JOIN u2 ON u2.w = b.w2
+              ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
+
+    // Markup stripping — the first transform of any web-scraped corpus:
+    // tag removal, entity removal, whitespace normalization. The
+    // testdata is markup-free, so the query plants a deterministic
+    // wrapper first (same wrap on both engines) — the regex chain is
+    // what's under test. Pure per-row codegen'd string ops.
+    Q("text_strip_markup",
+      (s, d) => {
+        val wrapped = concat(lit("<p class=\"body\">"), col("text"),
+          lit("</p>\n<br/>&amp;&nbsp;"))
+        val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+          wrapped, "<[^>]*>", " "), "&[a-z]+;", " "), "\\s+", " "))
+        Tables.documents(s, d).select(col("doc_id"), clean.as("clean_text"),
+          (length(wrapped) - length(clean)).as("n_stripped"))
+      },
+      Some("""SELECT doc_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  concat('<p class="body">', text,
+                    '</p>' || chr(10) || '<br/>&amp;&nbsp;'),
+                  '<[^>]*>', ' ', 'g'), '&[a-z]+;', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS clean_text,
+                length(concat('<p class="body">', text,
+                    '</p>' || chr(10) || '<br/>&amp;&nbsp;')) -
+                  length(trim(regexp_replace(regexp_replace(
+                    regexp_replace(concat('<p class="body">', text,
+                      '</p>' || chr(10) || '<br/>&amp;&nbsp;'),
+                    '<[^>]*>', ' ', 'g'), '&[a-z]+;', ' ', 'g'),
+                    '\s+', ' ', 'g'))) AS n_stripped
+              FROM documents""")),
+
+    // Bootstrap confidence interval for the mean, from B = 32
+    // replicate-keyed Poisson(1) resamples (Sampling.poissonK on
+    // (event_id, b)): each replicate's weighted mean, then the exact
+    // 2nd-smallest / 2nd-largest replicate mean as the ~94% interval —
+    // rank-based, no quantile interpolation to disagree across engines.
+    // The B× fanout collapses in the partial aggregate (map-side
+    // combine), so the shuffle carries 32 rows per partition, not 32×
+    // the data.
+    Q("agg_bootstrap_ci",
+      (s, d) => {
+        val reps = ev(s, d).select(col("event_id"), col("value"))
+          .select(col("event_id"), col("value"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .withColumn("k", Sampling.poissonK(
+            concat_ws(":", col("event_id"), col("b"))))
+        val means = reps.groupBy(col("b"))
+          .agg((sum(col("k") * col("value")) / sum(col("k"))).as("m"))
+        val ranked = means
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("m"), col("b"))))
+          .withColumn("rd", row_number().over(
+            Window.orderBy(col("m").desc, col("b").desc)))
+        val base = ev(s, d).agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 6).as("point_mean"))
+        ranked.agg(
+            round(min(when(col("ra") === 2, col("m"))), 6).as("ci_lo"),
+            round(min(when(col("rd") === 2, col("m"))), 6).as("ci_hi"))
+          .crossJoin(broadcast(base))
+          .select(col("n_events"), col("point_mean"), col("ci_lo"),
+            col("ci_hi"))
+      },
+      Some("""WITH reps AS (SELECT e.event_id, e.value, b.b,
+                  CAST(concat('0x', substr(md5(concat(
+                      CAST(e.event_id AS VARCHAR), ':',
+                      CAST(b.b AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+                    AS u
+                FROM events e CROSS JOIN
+                  (SELECT unnest(range(0, 32)) AS b) b),
+              k AS (SELECT b, value,
+                  CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                    WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                    ELSE 4 END AS k
+                FROM reps),
+              m AS (SELECT b, sum(k * value) / sum(k) AS m FROM k
+                GROUP BY 1),
+              r AS (SELECT m,
+                  row_number() OVER (ORDER BY m, b) AS ra,
+                  row_number() OVER (ORDER BY m DESC, b DESC) AS rd
+                FROM m),
+              base AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                  round(avg(value), 6) AS point_mean FROM events)
+              SELECT (SELECT n_events FROM base) AS n_events,
+                (SELECT point_mean FROM base) AS point_mean,
+                round(min(CASE WHEN ra = 2 THEN m END), 6) AS ci_lo,
+                round(min(CASE WHEN rd = 2 THEN m END), 6) AS ci_hi
+              FROM r""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
-      round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e
+      round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
+      round10f ++ round10g
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

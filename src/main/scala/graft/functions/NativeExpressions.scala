@@ -304,4 +304,37 @@ object GraftNative {
   def minhashSignature(bases: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(bases), numHashes))
+
+  // ------------------------------------------------------------------
+  // Manual runtime-filter injection: the same BloomFilterAggregate /
+  // BloomFilterMightContain pair Catalyst's InjectRuntimeFilter uses,
+  // exposed as Column builders so a query can build the filter over a
+  // selective dimension DISTRIBUTED (one binary row out of an
+  // aggregation — no key collect) and push the membership probe into
+  // the fact scan ahead of the exact join. Both expressions are
+  // codegen'd; the probe costs one xxhash64 + bitset test per row.
+
+  /** Aggregate: distributed Bloom-filter build over `key`. Returns one
+    * binary value (the serialized sketch). `expectedItems`/`numBits`
+    * size the filter (numBits/expectedItems ≈ 10 → ~1% fpp).
+    */
+  def bloomFilterAgg(key: Column, expectedItems: Long,
+      numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      new XxHash64(Seq(ExpressionUtils.expression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Predicate: membership probe of `key` against a driver-held
+    * serialized filter (one small binary literal shipped with the plan —
+    * the standard broadcast shape for a runtime filter).
+    */
+  def bloomMightContain(filterBytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(ExpressionUtils.expression(key)))))
+  }
 }

@@ -106,17 +106,23 @@ object Sampling {
     * with k = 0 (~36.8%) drop; others explode to k copies with a
     * `draw_idx`. Pure per-row expression + generator — no shuffle.
     */
+  /** Deterministic Poisson(1) draw count for `key`: u in [0, 1000)
+    * per-mille from the portable md5 coin; CDF(0)=367.9, CDF(1)=735.8,
+    * CDF(2)=919.7, CDF(3)=981.0 (×1000) — integer thresholds so both
+    * engines compare exactly. Shared by the row bootstrap and the
+    * replicate-keyed CI below.
+    */
+  def poissonK(key: Column): Column = {
+    val u = pmod(PortableHash.md5Long(key.cast("string"), 15), lit(1000))
+    when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
+      .when(u < 981, 3).otherwise(4)
+  }
+
   def poissonBootstrap(
       df: DataFrame,
       idCol: Column,
       copiesName: String = "draw_idx"): DataFrame = {
-    // u in [0, 1000) per-mille; CDF(0)=367.9, CDF(1)=735.8, CDF(2)=919.7,
-    // CDF(3)=981.0 (×1000, Poisson λ=1) — integer thresholds so both
-    // engines compare exactly
-    val u = pmod(PortableHash.md5Long(idCol.cast("string"), 15), lit(1000))
-    val k = when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
-      .when(u < 981, 3).otherwise(4)
-    df.withColumn("__k", k)
+    df.withColumn("__k", poissonK(idCol))
       .filter(col("__k") > 0)
       .withColumn(copiesName, explode(sequence(lit(1), col("__k"))))
       .drop("__k")
