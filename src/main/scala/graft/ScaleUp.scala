@@ -42,7 +42,7 @@ object ScaleUp {
     * scaling measurement — so refuse loudly instead.
     */
   private def assertStride(df: DataFrame, idCol: String, stride: Long): Unit = {
-    val mx = df.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    val mx = df.agg(max(col(idCol)).cast("long")).head().getLong(0)
     require(mx < stride,
       s"ScaleUp copy stride $stride for '$idCol' does not cover the " +
         s"source's max id $mx — chain from the sf0.1 source (or raise " +

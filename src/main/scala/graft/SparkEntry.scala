@@ -7012,16 +7012,11 @@ object SparkEntry {
     // the ~1% false positives. Result ≡ plain semi join (the oracle).
     Q("join_bloom_prefilter",
       (s, d) => {
-        import org.apache.spark.sql.graftnative.GraftNative
         val dim = Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"))
-        val bf = dim.agg(GraftNative
-            .bloomFilterAgg(col("c_custkey"), 100000L, 1000000L).as("bf"))
-          .head.getAs[Array[Byte]](0)
-        Tables.orders(s, d)
-          .where(GraftNative.bloomMightContain(bf, col("o_custkey")))
-          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+        RuntimeFilter.bloomSemiJoin(Tables.orders(s, d), dim,
+            col("o_custkey"), col("c_custkey"), expectedItems = 100000L)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
             round(sum(col("o_totalprice")), 2).as("total_price"))

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GraftNative
+
+/** Manual runtime-filter injection — the join shape for a selective
+  * dimension against a huge fact at 100 TB.
+  *
+  * A plain semi join shuffles every fact row, including the ones the
+  * join will discard. This helper builds a Bloom filter over the dim
+  * keyset DISTRIBUTED (`BloomFilterAggregate`; one binary row leaves
+  * the cluster — no key collect), ships it as a plan literal, and
+  * probes it at the fact scan: one xxhash64 + bitset test per row,
+  * codegen'd, BEFORE any exchange. The exact semi join then removes
+  * the false positives, so the result is identical to the plain semi
+  * join — only the amount of shuffled data changes.
+  *
+  * This is the same expression pair Catalyst's `InjectRuntimeFilter`
+  * uses when it fires; doing it manually makes the filter available
+  * unconditionally (the optimizer's version is gated on cost
+  * heuristics and join-shape restrictions) and lets the caller size
+  * it. ~10 bits/key ≈ 1% false-positive rate; the filter binary
+  * scales linearly with `expectedItems` (10⁸ keys ≈ 125 MB — still
+  * one broadcast-sized literal).
+  */
+object RuntimeFilter {
+
+  /** Serialized Bloom filter over `key` of `dim` (blocking: runs the
+    * dim-side aggregate now; the dim aggregate is the small side by
+    * assumption).
+    */
+  def buildBloom(dim: DataFrame, key: Column,
+      expectedItems: Long, fpp10BitsPerItem: Boolean = true): Array[Byte] = {
+    val numBits = expectedItems * 10
+    dim.agg(GraftNative.bloomFilterAgg(key, expectedItems, numBits)
+      .as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Exact semi join of `fact` against `dim`'s keys, Bloom-prefiltered
+    * at the fact scan. Result ≡ `fact.join(dimKeys, factKey === dimKey,
+    * "left_semi")`.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val bf = buildBloom(dim, dimKey, expectedItems)
+    fact.where(GraftNative.bloomMightContain(bf, factKey))
+      .join(dim.select(dimKey.as("__rtf_key")),
+        factKey === col("__rtf_key"), "left_semi")
+  }
+}

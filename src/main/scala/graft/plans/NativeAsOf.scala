@@ -42,7 +42,7 @@ object NativeAsOf {
     val rightSafe =
       if (right.queryExecution.analyzed.outputSet
           .intersect(lAnalyzed.outputSet).isEmpty) right
-      else right.select(right.columns.map(c => col(c).as(c)): _*)
+      else right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val rAnalyzed = rightSafe.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         side: String)(n: String) =
