@@ -7504,13 +7504,136 @@ object SparkEntry {
               FROM r""")),
   )
 
+  // ---------------------------------------------------------------- §2.28
+  private val round10h = Seq(
+    // t-closeness — completes the k-anonymity / l-diversity privacy
+    // trio: a QI cell can satisfy both and still leak if its SENSITIVE
+    // distribution diverges from the global one. t = total-variation
+    // distance between the cell's event_type distribution and the
+    // corpus's, with absent types contributing their full global mass
+    // (Σ_present |p_c − p_g| + (1 − Σ_present p_g)) / 2. Everything
+    // derives from one (cell × type) count table — the margins are
+    // window sums over it, never a rescan.
+    Q("dq_t_closeness",
+      (s, d) => {
+        val counts = ev(s, d)
+          .groupBy(hour(col("ts")).cast("int").as("hod"),
+            floor(col("value") / 100).cast("long").as("band"),
+            col("event_type"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        val nCell = sum(col("c"))
+          .over(Window.partitionBy(col("hod"), col("band")))
+        val gType = sum(col("c"))
+          .over(Window.partitionBy(col("event_type")))
+        val gTot = sum(col("c")).over(Window.partitionBy())
+        counts
+          .select(col("hod"), col("band"), col("c"), nCell.as("n_cell"),
+            (gType / gTot).as("p_g"))
+          .groupBy(col("hod"), col("band"))
+          .agg(min(col("n_cell")).cast("long").as("n_rows"),
+            round((sum(abs(col("c") / col("n_cell") - col("p_g"))) +
+              (lit(1.0) - sum(col("p_g")))) / 2, 6).as("t"))
+          .filter(col("t") > 0.25)
+      },
+      Some("""WITH counts AS (SELECT
+                  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                    AS hod,
+                  CAST(floor(value / 100) AS BIGINT) AS band,
+                  event_type, CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2, 3),
+              m AS (SELECT hod, band, c,
+                  sum(c) OVER (PARTITION BY hod, band) AS n_cell,
+                  sum(c) OVER (PARTITION BY event_type) /
+                    sum(c) OVER () AS p_g
+                FROM counts)
+              SELECT hod, band,
+                CAST(min(n_cell) AS BIGINT) AS n_rows,
+                round((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2,
+                  6) AS t
+              FROM m GROUP BY 1, 2
+              HAVING round((sum(abs(c / n_cell - p_g)) +
+                (1.0 - sum(p_g))) / 2, 6) > 0.25""")),
+
+    // Streaming A/B monitor (streaming/AbMonitorStream) — the live twin
+    // of agg_welch_ttest: two rows of per-arm moment state (n, Σ, Σ²
+    // over integer cents — exact sums, so micro-batch arrival order
+    // cannot perturb the result), Welch t/df derived from the final
+    // state. Oracle replays the identical cents formulas in batch.
+    Q("stream_ab_monitor",
+      (s, d) => graft.streaming.AbMonitorStream.runToCompletion(s, d),
+      Some("""WITH g AS (SELECT
+                  CASE WHEN CAST(concat('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                  count(*) AS n,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+                  sum(CAST(round(value * 100, 0) AS BIGINT) *
+                      CAST(round(value * 100, 0) AS BIGINT)) AS q
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              p AS (SELECT
+                  min(CASE WHEN variant = 'A' THEN n END) AS na,
+                  min(CASE WHEN variant = 'B' THEN n END) AS nb,
+                  min(CASE WHEN variant = 'A' THEN s END) AS sa,
+                  min(CASE WHEN variant = 'B' THEN s END) AS sb,
+                  min(CASE WHEN variant = 'A' THEN q END) AS qa,
+                  min(CASE WHEN variant = 'B' THEN q END) AS qb
+                FROM g),
+              f AS (SELECT na, nb,
+                  CAST(sa AS DOUBLE) / 100.0 / CAST(na AS DOUBLE) AS ma,
+                  CAST(sb AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE) AS mb,
+                  (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) *
+                    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 10000.0 /
+                    (CAST(na AS DOUBLE) - 1) AS va,
+                  (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) *
+                    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 10000.0 /
+                    (CAST(nb AS DOUBLE) - 1) AS vb
+                FROM p)
+              SELECT na AS n_a, nb AS n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                round(pow(va / na + vb / nb, 2) /
+                  (pow(va / na, 2) / (na - 1) +
+                   pow(vb / nb, 2) / (nb - 1)), 2) AS df
+              FROM f""")),
+
+    // Stats-manifest sink — the Delta/Iceberg file-statistics pattern:
+    // write day-partitioned parquet (repartition by day first, so each
+    // day is exactly one file) and emit the per-FILE manifest of
+    // (rows, min, max) a data-skipping reader would prune on. At
+    // 100 TB this manifest IS what makes point/range lookups cheap:
+    // the reader consults day+minmax instead of opening files. The
+    // manifest is honestly file-level (input_file_name grouping);
+    // one-file-per-day makes it oracle-comparable.
+    Q("sink_manifest_stats",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_manifest")
+        ev(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("day"), col("cents"),
+            input_file_name().as("__file"))
+          .groupBy(col("day"), col("__file"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+          .drop("__file")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+                min(CAST(round(value * 100, 0) AS BIGINT)) AS min_cents,
+                max(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
+              FROM events GROUP BY 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
-      round10f ++ round10g
+      round10f ++ round10g ++ round10h
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
