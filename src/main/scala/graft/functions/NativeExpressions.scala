@@ -337,4 +337,58 @@ object GraftNative {
       Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(ExpressionUtils.expression(key)))))
   }
+
+  // ------------------------------------------------------------------
+  // SQL surface: names for the native expressions so a pure-SQL caller
+  // (spark.sql, thrift, notebooks) reaches the same codegen'd hot
+  // paths as the Column API. Registered at session build via
+  // `spark.sql.extensions=graft.plans.GraftExtensions`, or on a live
+  // session via [[registerSqlFunctions]] (no restart).
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal => CLiteral}
+
+  private def fnInfo(name: String, usage: String) =
+    new ExpressionInfo(getClass.getName, name, usage)
+
+  val sqlFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_float_dot"),
+        fnInfo("graft_float_dot",
+          "graft_float_dot(a, b) - fused dot product of two float arrays"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_float_dot(a, b)")
+          FloatDotProduct(args(0), args(1))
+        }),
+      (FunctionIdentifier("graft_md5_base28"),
+        fnInfo("graft_md5_base28",
+          "graft_md5_base28(arr) - 28-bit md5 base hash per string element"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_md5_base28(arr)")
+          Md5Base28Array(args(0))
+        }),
+      (FunctionIdentifier("graft_minhash_signature"),
+        fnInfo("graft_minhash_signature",
+          "graft_minhash_signature(bases, n) - n-hash minhash signature " +
+            "over base-28 hashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_minhash_signature(bases, numHashes)")
+          val n = args(1) match {
+            case CLiteral(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"numHashes must be an integer literal, got $other")
+          }
+          MinHashSignature(args(0), n)
+        }))
+
+  /** Imperative registration on a live session — `sessionState` is
+    * private[sql], which is why this lives here and not in
+    * `graft.plans`.
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

@@ -100,8 +100,19 @@ object FuseFloatDot extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations.filterNot(_ == FuseFloatDot)
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the fusion rule plus SQL names
+  * for the native expressions, so a pure-SQL caller (`spark.sql`,
+  * thrift, notebooks) reaches the same codegen'd hot paths as the
+  * Column API:
+  *
+  *   SELECT graft_float_dot(a.embedding, b.embedding)        -- scoring
+  *   SELECT graft_md5_base28(shingles)                       -- hashing
+  *   SELECT graft_minhash_signature(graft_md5_base28(sh), 64)
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseFloatDot)
+    org.apache.spark.sql.graftnative.GraftNative.sqlFunctions
+      .foreach(e.injectFunction)
+  }
 }

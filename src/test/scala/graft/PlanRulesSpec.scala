@@ -489,4 +489,29 @@ class PlanRulesSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrderedAndProject:\n$plan")
   }
+
+  test("SQL names reach the native expressions (pure-SQL surface)") {
+    org.apache.spark.sql.graftnative.GraftNative
+      .registerSqlFunctions(spark)
+    val dot = spark.sql(
+      """SELECT graft_float_dot(
+           array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    // md5_base28 matches the portable Column formulation bit-for-bit
+    val row = spark.sql(
+      """SELECT graft_md5_base28(array('a', 'b')) AS h,
+                graft_minhash_signature(
+                  graft_md5_base28(array('a', 'b')), 4) AS sig""").head()
+    val viaColumns = spark.range(1)
+      .select(graft.functions.PortableHash
+        .md5Long(org.apache.spark.sql.functions.lit("a"), 7).as("ha"),
+        graft.functions.PortableHash
+          .md5Long(org.apache.spark.sql.functions.lit("b"), 7).as("hb"))
+      .head()
+    assert(row.getSeq[Long](0) === Seq(viaColumns.getLong(0),
+      viaColumns.getLong(1)))
+    assert(row.getSeq[Long](1).length === 4)
+  }
 }
