@@ -7627,13 +7627,70 @@ object SparkEntry {
               FROM events GROUP BY 1""")),
   )
 
+  // ---------------------------------------------------------------- §2.29
+  private val round10i = Seq(
+    // Grouped log-log regression — price elasticity of demand per
+    // segment (the reference's domain is energy pricing; elasticity is
+    // THE pricing readout): slope of ln(quantity) on ln(unit price),
+    // closed-form regr_* aggregates per group. Distinct relational
+    // shape from ml_linreg (global fit): one keyed aggregate, no
+    // iteration, any group count.
+    Q("agg_price_elasticity",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          log(col("l_quantity")).as("lq"),
+          log(col("l_extendedprice") / col("l_quantity")).as("lp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("lq"), col("lp")), 6).as("elasticity"),
+          round(regr_intercept(col("lq"), col("lp")), 6).as("intercept"),
+          round(regr_r2(col("lq"), col("lp")), 6).as("r2")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+                round(regr_slope(ln(l_quantity),
+                  ln(l_extendedprice / l_quantity)), 6) AS elasticity,
+                round(regr_intercept(ln(l_quantity),
+                  ln(l_extendedprice / l_quantity)), 6) AS intercept,
+                round(regr_r2(ln(l_quantity),
+                  ln(l_extendedprice / l_quantity)), 6) AS r2
+              FROM lineitem GROUP BY 1""")),
+
+    // Near-dup threshold operating curve: the pair-similarity histogram
+    // that tells an operator where to SET the dedup threshold before
+    // committing to one — LSH candidates verified down to 0.3, bucketed
+    // by jaccard decile, with the cumulative pair count a given
+    // threshold would remove. Same bounded LSH candidate generation as
+    // dedup_minhash_lsh; the sweep costs one extra decile-sized
+    // aggregate, not one run per candidate threshold.
+    Q("dedup_threshold_sweep",
+      (s, d) => Dedup.withMinhashLshPairs(
+        withPlantedDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.3) { pairs =>
+        val b = pairs
+          .groupBy(floor(col("jaccard") * 10).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+        b.withColumn("n_pairs_cum",
+          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some(s"""WITH $plantedDocsSql,
+              $minhashCtesSql,
+              b AS (SELECT CAST(floor(round(j, 6) * 10) AS INTEGER)
+                      AS bucket, count(*) AS n_pairs
+                    FROM verified WHERE j >= 0.3 GROUP BY 1)
+              SELECT bucket, n_pairs,
+                CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_pairs_cum
+              FROM b""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
-      round10f ++ round10g ++ round10h
+      round10f ++ round10g ++ round10h ++ round10i
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
