@@ -7684,13 +7684,159 @@ object SparkEntry {
               FROM b""")),
   )
 
+  // ---------------------------------------------------------------- §2.30
+  // Time-series audit statistics over per-type DAILY aggregates. Shared
+  // determinism move: daily means never materialize as floats — each day
+  // carries exact (Σcents, n), and every comparison cross-multiplies
+  // integers (sign(s_b·n_a − s_a·n_b)), so partial-aggregation order can
+  // never flip a sign. The day table is ~30 rows per type: the only
+  // corpus-sized pass is the daily aggregate; the O(days²) pair join and
+  // the argmax windows are dim-sized.
+  /** Per-type daily series as exact integers: (event_type, day,
+    * Σcents, n). Every §2.30 statistic compares days by
+    * cross-multiplied integers, never by a float mean.
+    */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+
+  private val round10j = Seq(
+    // Mann–Kendall trend test: S = Σ_{i<j} sign(m_j − m_i) over the
+    // daily mean series, plus Kendall's tau = S / C(n,2) — the
+    // standard nonparametric "is this metric drifting" audit (no
+    // distribution assumption, robust to outliers). sign via
+    // sign(s_j·n_i − s_i·n_j): exact integers, no float mean ever
+    // compared.
+    Q("win_mann_kendall",
+      (s, d) => {
+        val daily = dailyCents(s, d)
+        val a = daily.select(col("event_type"), col("day").as("day_a"),
+          col("s").as("s_a"), col("n").as("n_a"))
+        val b = daily.select(col("event_type"), col("day").as("day_b"),
+          col("s").as("s_b"), col("n").as("n_b"))
+        a.join(b, Seq("event_type")).filter(col("day_a") < col("day_b"))
+          .groupBy(col("event_type"))
+          .agg(sum(signum(col("s_b") * col("n_a") - col("s_a") * col("n_b"))
+              .cast("long")).as("s_stat"),
+            count(lit(1)).as("n_pairs"))
+          .select(col("event_type"), col("s_stat"), col("n_pairs"),
+            round(col("s_stat").cast("double") / col("n_pairs"), 6)
+              .as("tau"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              p AS (SELECT a.event_type,
+                  sign(b.s * a.n - a.s * b.n) AS sgn
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.day < b.day)
+              SELECT event_type,
+                CAST(sum(sgn) AS BIGINT) AS s_stat,
+                count(*) AS n_pairs,
+                round(CAST(sum(sgn) AS DOUBLE) / count(*), 6) AS tau
+              FROM p GROUP BY 1""")),
+
+    // Single change-point detection per series: the day t maximizing
+    // |S_t·T − t·S_T| (integer CUSUM deviation of the prefix sum from
+    // the uniform ramp — the classic binary-segmentation score). All
+    // integers until the final normalized output, argmax tie-broken to
+    // the earliest day.
+    Q("agg_changepoint",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+        val wo = w.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = dailyCents(s, d)
+          .withColumn("t", row_number().over(w.orderBy(col("day"))))
+          .withColumn("s_t", sum(col("s")).over(wo))
+          .withColumn("s_tot", sum(col("s")).over(w))
+          .withColumn("bigt", count(lit(1)).over(w))
+          .withColumn("dev",
+            abs(col("s_t") * col("bigt") - col("t") * col("s_tot")))
+        scored
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("dev").desc, col("day"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("change_day"),
+            col("dev").as("max_dev"),
+            round(col("dev").cast("double") /
+              (col("bigt").cast("double") * col("s_tot")), 6)
+              .as("dev_norm"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2),
+              scored AS (SELECT event_type, day,
+                  row_number() OVER w AS t,
+                  sum(s) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS s_t,
+                  sum(s) OVER (PARTITION BY event_type) AS s_tot,
+                  count(*) OVER (PARTITION BY event_type) AS bigt
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+              dev AS (SELECT event_type, day,
+                  abs(s_t * bigt - t * s_tot) AS dev, bigt, s_tot
+                FROM scored),
+              r AS (SELECT event_type, day, dev, bigt, s_tot,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY dev DESC, day) AS rk
+                FROM dev)
+              SELECT event_type, day AS change_day,
+                CAST(dev AS BIGINT) AS max_dev,
+                round(CAST(dev AS DOUBLE) /
+                  (CAST(bigt AS DOUBLE) * s_tot), 6) AS dev_norm
+              FROM r WHERE rk = 1""")),
+
+    // Cramér's V — the effect size chi2 alone doesn't give (χ² grows
+    // with N even for a fixed association): V = √(χ²/(N·min(r−1,c−1)))
+    // over the same event_type × day-of-week table as
+    // agg_chi2_independence.
+    Q("agg_cramers_v",
+      (s, d) => {
+        val cells = ev(s, d)
+          .groupBy(col("event_type"),
+            ScalarFns.dowPg(col("ts")).as("dow"))
+          .agg(count(lit(1)).cast("double").as("o"))
+        val rowT = sum(col("o")).over(Window.partitionBy(col("event_type")))
+        val colT = sum(col("o")).over(Window.partitionBy(col("dow")))
+        val n = sum(col("o")).over(Window.partitionBy())
+        cells.select(col("event_type"), col("dow"), col("o"),
+            (rowT * colT / n).as("e"), n.as("bign"))
+          .agg(round(sqrt(
+              sum(pow(col("o") - col("e"), 2) / col("e")) /
+              (min(col("bign")) *
+                least(countDistinct(col("event_type")) - 1,
+                  countDistinct(col("dow")) - 1))), 6).as("v"),
+            min(col("bign")).cast("long").as("n"))
+      },
+      Some("""WITH cells AS (SELECT event_type,
+                  dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                  CAST(count(*) AS DOUBLE) AS o
+                FROM events GROUP BY 1, 2),
+              e AS (SELECT event_type, dow, o,
+                  sum(o) OVER (PARTITION BY event_type) *
+                  sum(o) OVER (PARTITION BY dow) /
+                  sum(o) OVER () AS e,
+                  sum(o) OVER () AS bign
+                FROM cells)
+              SELECT round(sqrt(
+                  sum(pow(o - e, 2) / e) /
+                  (min(bign) * least(count(DISTINCT event_type) - 1,
+                    count(DISTINCT dow) - 1))), 6) AS v,
+                CAST(min(bign) AS BIGINT) AS n
+              FROM e""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
-      round10f ++ round10g ++ round10h ++ round10i
+      round10f ++ round10g ++ round10h ++ round10i ++ round10j
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.30 operators: Mann–Kendall and the change-point argmax on hand
+  * fixtures with known answers, Cramér's V bounds.
+  */
+class Round10kOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String, Double,
+      String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("r10k").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("win_mann_kendall: strictly rising series scores tau = 1") {
+    // one event per day, value rising with the day → every pair sign +1
+    val rising = (1 to 10).map(i => (i.toLong,
+      f"2024-01-$i%02d 10:00:00", 1L, "up", i * 10.0, "{}"))
+    // strictly falling twin
+    val falling = (1 to 10).map(i => (100L + i,
+      f"2024-01-$i%02d 10:00:00", 1L, "down", 200.0 - i * 10.0, "{}"))
+    val d = writeEvents(rising ++ falling)
+    val got = SparkEntry.queries("win_mann_kendall")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("up") === ((45L, 45L, 1.0)), "all 45 pairs positive")
+    assert(got("down") === ((-45L, 45L, -1.0)), "all 45 pairs negative")
+  }
+
+  test("agg_changepoint finds a planted mean shift at the right day") {
+    // 10 days at 10.00, then 10 days at 100.00 → change at the boundary
+    val rows = (1 to 20).map { i =>
+      val v = if (i <= 10) 10.0 else 100.0
+      (i.toLong, f"2024-01-$i%02d 10:00:00", 1L, "m", v, "{}")
+    }
+    val d = writeEvents(rows)
+    val got = SparkEntry.queries("agg_changepoint")(spark, d).head()
+    // argmax of |S_t·T − t·S_tot| for a step series is the last day of
+    // the low regime
+    assert(got.getString(0) === "m")
+    assert(got.getDate(1).toString === "2024-01-10", "boundary day")
+    assert(got.getDouble(3) > 0.3, "strong normalized deviation")
+  }
+
+  test("agg_cramers_v is in [0, 1] and matches the chi2 relation") {
+    val d = sf()
+    val v = SparkEntry.queries("agg_cramers_v")(spark, d).head()
+    val chi = SparkEntry.queries("agg_chi2_independence")(spark, d).head()
+    assert(v.getDouble(0) >= 0 && v.getDouble(0) <= 1)
+    // V² · N · min(r−1, c−1) ≈ χ² (rounding at 6 on both)
+    val n = v.getLong(1).toDouble
+    val ev = Tables.events(spark, d)
+    val r1 = ev.select(col("event_type")).distinct().count() - 1
+    val c1 = ev.select(dayofweek(col("ts"))).distinct().count() - 1
+    val dof1 = math.min(r1, c1).toDouble
+    val back = v.getDouble(0) * v.getDouble(0) * n * dof1
+    assert(math.abs(back - chi.getDouble(0)) / chi.getDouble(0) < 0.01,
+      s"V²·N·min(r−1,c−1)=$back vs χ²=${chi.getDouble(0)}")
+  }
+}
