@@ -7828,6 +7828,141 @@ object SparkEntry {
                     count(DISTINCT dow) - 1))), 6) AS v,
                 CAST(min(bign) AS BIGINT) AS n
               FROM e""")),
+
+    // Markov removal-effect attribution — the data-driven alternative
+    // to last-touch (agg_attribution_last_touch): model user journeys
+    // as an absorbing Markov chain (__start → channels → __conv), and
+    // credit each channel by how much conversion probability DISAPPEARS
+    // when it is removed. All removal variants ride ONE keyed matrix
+    // (rm, i, j, pr) — the 6 squarings that push M to M⁶⁴ (absorption
+    // horizon) are joins on (rm, k) over a ≤|variants|·|states|² table,
+    // so adding a channel adds rows, not jobs. The only corpus-sized
+    // work is the journey pass that counts transitions; each squaring
+    // level is persisted so the doubly-self-referencing plan stays
+    // linear, not 2⁶ copies of the scan.
+    Q("agg_attribution_markov",
+      (s, d) => {
+        val spark = s; import spark.implicits._
+        val uw = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        val seq0 = ev(s, d).select(col("user_id"), col("event_type"),
+          row_number().over(uw).as("rn"))
+        val firstp = seq0.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+        val trunc = seq0.join(firstp, Seq("user_id"), "left")
+          .filter(col("prn").isNull || col("rn") <= col("prn"))
+          .select(col("user_id"), col("rn"),
+            when(col("event_type") === "purchase", "__conv")
+              .otherwise(col("event_type")).as("st"))
+        val aug = trunc.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(0).as("rn"), lit("__start").as("st"))
+          .unionByName(trunc)
+        val edges = aug
+          .withColumn("j", lead(col("st"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("rn"))))
+          .filter(col("j").isNotNull)
+          .groupBy(col("st").as("i"), col("j")).agg(count(lit(1)).as("c"))
+        val p = edges
+          .select(col("i"), col("j"), (col("c") * lit(1.0) /
+            sum(col("c")).over(Window.partitionBy(col("i")))).as("pr"))
+          .unionByName(Seq(("__conv", "__conv", 1.0)).toDF("i", "j", "pr"))
+          .persist()
+        // channels = every state seen on either side (a terminal-only
+        // channel has no outgoing row but is still removable)
+        val vars = p.select(col("i").as("rm"))
+          .unionByName(p.select(col("j").as("rm"))).distinct()
+          .filter(!col("rm").isin("__start", "__conv"))
+          .unionByName(Seq("none").toDF("rm"))
+        // each squaring references the previous level TWICE — without a
+        // lineage cut the logical plan doubles per level (2⁶ copies of
+        // the corpus pass; OOMs the analyzer). localCheckpoint
+        // materializes the dim-sized matrix and truncates the plan, so
+        // every level starts from a ≤|variants|·|states|² leaf.
+        var m = p.crossJoin(broadcast(vars))
+          .filter(col("i") =!= col("rm") && col("j") =!= col("rm"))
+          .localCheckpoint()
+        for (_ <- 1 to 6) {
+          val a = m.select(col("rm"), col("i"), col("j").as("k"),
+            col("pr").as("pa"))
+          val b = m.select(col("rm"), col("i").as("k"), col("j"),
+            col("pr").as("pb"))
+          m = a.join(b, Seq("rm", "k"))
+            .groupBy(col("rm"), col("i"), col("j"))
+            .agg(sum(col("pa") * col("pb")).as("pr"))
+            .localCheckpoint()
+        }
+        // the matrix is SPARSE: a variant whose conversion probability
+        // is exactly 0 has no (start, conv) row at all — left-join the
+        // variant list and read the hole as 0
+        val pc = vars.join(
+            m.filter(col("i") === "__start" && col("j") === "__conv")
+              .select(col("rm"), col("pr")),
+            Seq("rm"), "left")
+          .select(col("rm"), coalesce(col("pr"), lit(0.0)).as("pr"))
+          .localCheckpoint()
+        val basep = pc.filter(col("rm") === "none")
+          .select(col("pr").as("p0"))
+        pc.filter(col("rm") =!= "none").crossJoin(broadcast(basep))
+          .select(col("rm").as("channel"),
+            round(col("pr"), 6).as("p_conv_without"),
+            round((col("p0") - col("pr")) / col("p0"), 6)
+              .as("removal_effect"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              firstp AS (SELECT user_id, min(rn) AS prn FROM seq
+                WHERE event_type = 'purchase' GROUP BY 1),
+              trunc AS (SELECT s.user_id, s.rn,
+                  CASE WHEN s.event_type = 'purchase' THEN '__conv'
+                    ELSE s.event_type END AS st
+                FROM seq s LEFT JOIN firstp f USING (user_id)
+                WHERE f.prn IS NULL OR s.rn <= f.prn),
+              aug AS (SELECT user_id, 0 AS rn, '__start' AS st
+                FROM (SELECT DISTINCT user_id FROM trunc)
+                UNION ALL SELECT user_id, rn, st FROM trunc),
+              edges AS (SELECT i, j, count(*) AS c FROM (
+                  SELECT st AS i, lead(st) OVER (PARTITION BY user_id
+                    ORDER BY rn) AS j FROM aug)
+                WHERE j IS NOT NULL GROUP BY 1, 2),
+              p AS MATERIALIZED (SELECT i, j,
+                  c * 1.0 / sum(c) OVER (PARTITION BY i) AS pr FROM edges
+                UNION ALL SELECT '__conv', '__conv', 1.0),
+              vars AS (SELECT 'none' AS rm UNION ALL
+                SELECT DISTINCT ch FROM
+                  (SELECT i AS ch FROM p UNION SELECT j AS ch FROM p)
+                WHERE ch NOT IN ('__start', '__conv')),
+              m0 AS MATERIALIZED (SELECT v.rm, p.i, p.j, p.pr
+                FROM p CROSS JOIN vars v
+                WHERE p.i <> v.rm AND p.j <> v.rm),
+              m1 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m0 a JOIN m0 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              m2 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m1 a JOIN m1 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              m3 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m2 a JOIN m2 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              m4 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m3 a JOIN m3 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              m5 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m4 a JOIN m4 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              m6 AS MATERIALIZED (SELECT a.rm, a.i, b.j,
+                  sum(a.pr * b.pr) AS pr FROM m5 a JOIN m5 b
+                  ON a.rm = b.rm AND a.j = b.i GROUP BY 1, 2, 3),
+              pc AS (SELECT v.rm, COALESCE(s.pr, 0) AS pr
+                FROM vars v LEFT JOIN
+                  (SELECT rm, pr FROM m6
+                   WHERE i = '__start' AND j = '__conv') s
+                  ON s.rm = v.rm),
+              basep AS (SELECT pr FROM pc WHERE rm = 'none')
+              SELECT rm AS channel, round(pr, 6) AS p_conv_without,
+                round(((SELECT pr FROM basep) - pr) /
+                  (SELECT pr FROM basep), 6) AS removal_effect
+              FROM pc WHERE rm <> 'none'""")),
   )
 
   // ----------------------------------------------------------------

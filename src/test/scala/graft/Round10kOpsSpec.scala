@@ -47,6 +47,28 @@ class Round10kOpsSpec extends SparkSpecBase {
     assert(got.getDouble(3) > 0.3, "strong normalized deviation")
   }
 
+  test("agg_attribution_markov: planted chain gives exact removal effects") {
+    // users 1-5 journey a → purchase; users 6-10 journey b (no
+    // conversion). Removing a kills every converting path (effect 1);
+    // removing b changes nothing (effect 0).
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L, f"2024-01-01 10:0$u:00", u.toLong, "a", 1.0, "{}"),
+        (u * 10L + 1, f"2024-01-01 11:0$u:00", u.toLong, "purchase", 1.0,
+          "{}"))
+    } ++ (6 to 10).map { u =>
+      (u * 10L, f"2024-01-01 10:0${u - 5}:00", u.toLong, "b", 1.0, "{}")
+    }
+    val d = writeEvents(rows)
+    val got = SparkEntry.queries("agg_attribution_markov")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(math.abs(got("a")._1 - 0.0) < 1e-6, "no conversion without a")
+    assert(math.abs(got("a")._2 - 1.0) < 1e-6, "a carries all conversions")
+    assert(math.abs(got("b")._1 - 0.5) < 1e-6, "b removal leaves P = 0.5")
+    assert(math.abs(got("b")._2 - 0.0) < 1e-6, "b contributes nothing")
+  }
+
   test("agg_cramers_v is in [0, 1] and matches the chi2 relation") {
     val d = sf()
     val v = SparkEntry.queries("agg_cramers_v")(spark, d).head()
