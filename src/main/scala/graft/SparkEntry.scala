@@ -7963,6 +7963,146 @@ object SparkEntry {
                 round(((SELECT pr FROM basep) - pr) /
                   (SELECT pr FROM basep), 6) AS removal_effect
               FROM pc WHERE rm <> 'none'""")),
+
+    // Causal-impact-lite: linear counterfactual per series. Fit
+    // y = a + b·t on the PRE-intervention days (closed-form regr_*),
+    // extrapolate over the post period, report cumulative actual −
+    // predicted lift. The pre/post split day is a parameter (here the
+    // corpus midpoint). The honest small sibling of the full
+    // state-space CausalImpact: same readout, linear trend instead of
+    // a Bayesian structural model.
+    Q("agg_causal_impact",
+      (s, d) => {
+        val daily = dailyCents(s, d)
+          .withColumn("t", datediff(col("day"), lit("2024-01-01"))
+            .cast("double"))
+        val split = lit("2024-01-16")
+        val fit = daily.filter(col("day") < split)
+          .groupBy(col("event_type"))
+          .agg(regr_slope(col("s").cast("double"), col("t")).as("b"),
+            regr_intercept(col("s").cast("double"), col("t")).as("a"))
+        daily.filter(col("day") >= split)
+          .join(fit, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_post_days"),
+            sum(col("s")).as("actual_cents"),
+            round(sum(col("a") + col("b") * col("t")), 2)
+              .as("pred_cents"),
+            round((sum(col("s")) - sum(col("a") + col("b") * col("t"))) /
+              sum(col("a") + col("b") * col("t")), 6).as("rel_lift"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2),
+              dt AS (SELECT event_type, day, s,
+                  CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)
+                    AS t
+                FROM daily),
+              fit AS (SELECT event_type,
+                  regr_slope(CAST(s AS DOUBLE), t) AS b,
+                  regr_intercept(CAST(s AS DOUBLE), t) AS a
+                FROM dt WHERE day < DATE '2024-01-16' GROUP BY 1)
+              SELECT d.event_type, count(*) AS n_post_days,
+                CAST(sum(d.s) AS BIGINT) AS actual_cents,
+                round(sum(f.a + f.b * d.t), 2) AS pred_cents,
+                round((sum(d.s) - sum(f.a + f.b * d.t)) /
+                  sum(f.a + f.b * d.t), 6) AS rel_lift
+              FROM dt d JOIN fit f USING (event_type)
+              WHERE d.day >= DATE '2024-01-16' GROUP BY 1""")),
+
+    // RFM segmentation — the classic customer scoring: recency (days
+    // since last purchase), frequency (purchase count), monetary
+    // (Σcents), each cut into quintiles (unique-keyed ntile ties), the
+    // three digits concatenated into the segment code. The per-user
+    // aggregate is the only corpus-sized pass; the three quintile
+    // windows run over the user dim (ScalableRank's bucketed
+    // percent_rank at 100×).
+    Q("agg_rfm_segments",
+      (s, d) => {
+        val maxDay = ev(s, d).agg(max(to_date(col("ts"))).as("d0"))
+        val per = ev(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100, 0).cast("long")).as("m"))
+          .crossJoin(broadcast(maxDay))
+          .select(col("user_id"),
+            datediff(col("d0"), col("last_day")).as("recency_days"),
+            col("f"), col("m"))
+        def q(c: Column, tie: Column, asc: Boolean) = ntile(5).over(
+          if (asc) Window.orderBy(c.asc, tie.asc)
+          else Window.orderBy(c.desc, tie.asc))
+        per.select(col("user_id"), col("recency_days"), col("f"), col("m"),
+            q(col("recency_days"), col("user_id"), asc = true).as("r_q"),
+            q(col("f"), col("user_id"), asc = false).as("f_q"),
+            q(col("m"), col("user_id"), asc = false).as("m_q"))
+          .withColumn("segment", concat_ws("-",
+            col("r_q"), col("f_q"), col("m_q")))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                  max(CAST(ts AS DATE)) AS last_day,
+                  count(*) AS f,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS m
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              d0 AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+              r AS (SELECT user_id,
+                  datediff('day', last_day, (SELECT d0 FROM d0))
+                    AS recency_days, f, m
+                FROM per)
+              SELECT user_id, CAST(recency_days AS INTEGER)
+                  AS recency_days, f, m,
+                CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
+                  AS INTEGER) AS r_q,
+                CAST(ntile(5) OVER (ORDER BY f DESC, user_id)
+                  AS INTEGER) AS f_q,
+                CAST(ntile(5) OVER (ORDER BY m DESC, user_id)
+                  AS INTEGER) AS m_q,
+                concat(CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
+                    AS VARCHAR), '-',
+                  CAST(ntile(5) OVER (ORDER BY f DESC, user_id)
+                    AS VARCHAR), '-',
+                  CAST(ntile(5) OVER (ORDER BY m DESC, user_id)
+                    AS VARCHAR)) AS segment
+              FROM r""")),
+
+    // Tokenizer-vocabulary coverage — the corpus-health readout before
+    // committing to a fixed vocab: per document, the fraction of token
+    // OCCURRENCES covered by the corpus's top-100 tokens. The vocab is
+    // a broadcast 100-row table; the per-doc pass is one explode +
+    // semi-join-shaped aggregate.
+    Q("f_vocab_coverage",
+      (s, d) => {
+        val toks = Par.widen(Tables.documents(s, d))
+          .select(col("doc_id"), explode(Dedup.tokens(col("text")))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("c").desc, col("tok"))))
+          .filter(col("rk") <= 100).select(col("tok"), lit(1).as("in_v"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_v"), lit(0))).cast("long")
+              .as("n_covered"),
+            round(sum(coalesce(col("in_v"), lit(0))) /
+              count(lit(1)).cast("double"), 6).as("coverage"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS tok FROM documents),
+              t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+              vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c,
+                    row_number() OVER (ORDER BY count(*) DESC, tok)
+                      AS rk
+                  FROM t GROUP BY tok) WHERE rk <= 100)
+              SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS coverage
+              FROM t GROUP BY 1""")),
   )
 
   // ----------------------------------------------------------------
