@@ -7159,6 +7159,12 @@ object SparkEntry {
           .agg(count(lit(1)).cast("double").as("c"))
           .select(col("cur"), col("nxt"),
             (col("c") / sum(col("c")).over(w)).as("pr"))
+          // lineage cut: the nested squarings below reference their
+          // input twice each, so without it the plan carries 2⁴ = 16
+          // copies of the corpus pass (same lesson as
+          // agg_attribution_markov); after the cut they reference a
+          // |types|²-row leaf
+          .localCheckpoint()
         def square(m: DataFrame): DataFrame = {
           val a = m.select(col("cur").as("i"), col("nxt").as("k"),
             col("pr").as("pa"))
@@ -7880,15 +7886,18 @@ object SparkEntry {
         var m = p.crossJoin(broadcast(vars))
           .filter(col("i") =!= col("rm") && col("j") =!= col("rm"))
           .localCheckpoint()
-        for (_ <- 1 to 6) {
+        for (it <- 1 to 6) {
           val a = m.select(col("rm"), col("i"), col("j").as("k"),
             col("pr").as("pa"))
           val b = m.select(col("rm"), col("i").as("k"), col("j"),
             col("pr").as("pb"))
-          m = a.join(b, Seq("rm", "k"))
+          val sq = a.join(b, Seq("rm", "k"))
             .groupBy(col("rm"), col("i"), col("j"))
             .agg(sum(col("pa") * col("pb")).as("pr"))
-            .localCheckpoint()
+          // cut every OTHER level: one uncut level between cuts means
+          // the next plan holds 2 copies of a dim-sized checkpoint
+          // leaf (fine); cutting all 6 pays 3 extra scheduling rounds
+          m = if (it % 2 == 0) sq.localCheckpoint() else sq
         }
         // the matrix is SPARSE: a variant whose conversion probability
         // is exactly 0 has no (start, conv) row at all — left-join the
