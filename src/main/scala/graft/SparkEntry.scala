@@ -8112,6 +8112,75 @@ object SparkEntry {
                 round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
                   THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS coverage
               FROM t GROUP BY 1""")),
+
+    // Pure-SQL surface, end-to-end: the same engine driven entirely
+    // through spark.sql over registered views — what a notebook/BI
+    // caller sees. Multi-CTE: daily per-type revenue, 7-day trailing
+    // average, in-type rank. The view registers the ADAPTED events
+    // table, so the ts-encoding branch rides underneath the SQL
+    // surface too.
+    Q("sql_analytics_pipeline",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_v")
+        s.sql("""
+          WITH daily AS (
+            SELECT event_type, to_date(ts) AS day,
+              sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+            FROM events_v GROUP BY 1, 2),
+          win AS (
+            SELECT event_type, day, cents,
+              avg(cents) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+              rank() OVER (PARTITION BY event_type
+                ORDER BY cents DESC, day) AS rk
+            FROM daily)
+          SELECT event_type, day, cents, round(ma7, 2) AS ma7,
+            CAST(rk AS INT) AS rk
+          FROM win""")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT event_type, day, cents,
+                  avg(cents) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+                  rank() OVER (PARTITION BY event_type
+                    ORDER BY cents DESC, day) AS rk
+                FROM daily)
+              SELECT event_type, day, cents, round(ma7, 2) AS ma7,
+                CAST(rk AS INTEGER) AS rk
+              FROM win""")),
+
+    // Pure-SQL similarity scoring through the REGISTERED native
+    // expression (graft_float_dot — GraftExtensions/
+    // registerSqlFunctions): the ANN hot path reachable from a SQL
+    // string, codegen'd, no Column API in sight. Oracle uses DuckDB's
+    // list_dot_product over double-cast lists (bit-identical
+    // element-order double accumulation).
+    Q("sql_topk_similarity",
+      (s, d) => {
+        org.apache.spark.sql.graftnative.GraftNative.registerSqlFunctions(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("emb_v")
+        s.sql("""
+          WITH q AS (SELECT embedding AS qe FROM emb_v WHERE vec_id = 0)
+          SELECT e.vec_id,
+            round(graft_float_dot(e.embedding, q.qe), 4) AS score
+          FROM emb_v e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY score DESC, e.vec_id LIMIT 20""")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings),
+              q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+              SELECT e.vec_id,
+                round(list_dot_product(e.emb, q.qe), 4) AS score
+              FROM e CROSS JOIN q
+              WHERE e.vec_id <> 0
+              ORDER BY score DESC, e.vec_id LIMIT 20""")),
   )
 
   // ----------------------------------------------------------------

@@ -55,4 +55,35 @@ class Round10lOpsSpec extends SparkSpecBase {
     // top-100 vocab covers everything — a real corpus would not
     assert(rows.forall(_._3 === 1.0) || rows.exists(_._3 < 1.0))
   }
+
+  test("sql_analytics_pipeline ≡ the same pipeline via the Column API") {
+    val d = sf()
+    val got = SparkEntry.queries("sql_analytics_pipeline")(spark, d)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).sortBy(x => (x._1, x._2))
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    val want = daily.select(col("event_type"), col("day"), col("cents"),
+        round(avg(col("cents")).over(w), 2).as("ma7"),
+        rank().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("cents").desc, col("day"))).cast("int").as("rk"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want.toSeq, "SQL and Column API plans agree")
+  }
+
+  test("sql_topk_similarity scores with the native codegen'd dot") {
+    val d = sf()
+    val df = SparkEntry.queries("sql_topk_similarity")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("float_dot"), "native expression in plan")
+    val rows = df.collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getDouble(1)).sliding(2)
+      .forall(p => p(0) >= p(1) - 1e-9), "descending scores")
+  }
 }
