@@ -8181,6 +8181,70 @@ object SparkEntry {
               FROM e CROSS JOIN q
               WHERE e.vec_id <> 0
               ORDER BY score DESC, e.vec_id LIMIT 20""")),
+
+    // Seasonal Mann–Kendall: the trend statistic computed WITHIN each
+    // day-of-week stratum and summed — the standard correction when
+    // the series has a weekly cycle (plain MK reads the cycle itself
+    // as trend). Same exact-integer sign contract as win_mann_kendall;
+    // the pair join adds a stratum equality, shrinking it.
+    Q("win_seasonal_mk",
+      (s, d) => {
+        val daily = dailyCents(s, d)
+          .withColumn("dow", ScalarFns.dowPg(col("day")
+            .cast("timestamp")))
+        val a = daily.select(col("event_type"), col("dow"),
+          col("day").as("day_a"), col("s").as("s_a"), col("n").as("n_a"))
+        val b = daily.select(col("event_type"), col("dow"),
+          col("day").as("day_b"), col("s").as("s_b"), col("n").as("n_b"))
+        a.join(b, Seq("event_type", "dow"))
+          .filter(col("day_a") < col("day_b"))
+          .groupBy(col("event_type"))
+          .agg(sum(signum(col("s_b") * col("n_a") - col("s_a") * col("n_b"))
+              .cast("long")).as("s_stat"),
+            count(lit(1)).as("n_pairs"))
+          .select(col("event_type"), col("s_stat"), col("n_pairs"),
+            round(col("s_stat").cast("double") / col("n_pairs"), 6)
+              .as("tau"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  dayofweek(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS dow,
+                  sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2, 3),
+              p AS (SELECT a.event_type,
+                  sign(b.s * a.n - a.s * b.n) AS sgn
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.dow = b.dow
+                    AND a.day < b.day)
+              SELECT event_type,
+                CAST(sum(sgn) AS BIGINT) AS s_stat,
+                count(*) AS n_pairs,
+                round(CAST(sum(sgn) AS DOUBLE) / count(*), 6) AS tau
+              FROM p GROUP BY 1""")),
+
+    // Herfindahl–Hirschman concentration index per day: Σ share² over
+    // event types — the market-concentration readout (how dominated is
+    // the day's traffic by one type). Exact counts; the share division
+    // and square are the only doubles.
+    Q("agg_hhi_concentration",
+      (s, d) => {
+        val cells = ev(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        val tot = sum(col("c")).over(Window.partitionBy(col("day")))
+        cells.select(col("day"), col("c"), tot.as("t"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_types"),
+            round(sum(pow(col("c") / col("t"), 2)), 6).as("hhi"))
+      },
+      Some("""WITH cells AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2),
+              t AS (SELECT day, c,
+                  sum(c) OVER (PARTITION BY day) AS t FROM cells)
+              SELECT day, count(*) AS n_types,
+                round(sum(pow(c / t, 2)), 6) AS hhi
+              FROM t GROUP BY 1""")),
   )
 
   // ----------------------------------------------------------------

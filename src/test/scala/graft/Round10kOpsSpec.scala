@@ -69,6 +69,40 @@ class Round10kOpsSpec extends SparkSpecBase {
     assert(math.abs(got("b")._2 - 0.0) < 1e-6, "b contributes nothing")
   }
 
+  test("win_seasonal_mk: weekly-cycle series scores tau ≈ 0, trend +1") {
+    // 28 days: pure weekly cycle (value depends only on dow) → within
+    // every dow stratum the series is constant → S = 0. A rising twin
+    // scores +1 in every stratum.
+    val rows = (1 to 28).flatMap { i =>
+      Seq((i.toLong, f"2024-01-$i%02d 10:00:00", 1L, "cyc",
+          (i % 7) * 10.0 + 10.0, "{}"),
+        (100L + i, f"2024-01-$i%02d 10:00:00", 1L, "up", i * 10.0, "{}"))
+    }
+    val d = writeEvents(rows)
+    val got = SparkEntry.queries("win_seasonal_mk")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("cyc")._1 === 0L, "pure cycle: zero seasonal-MK statistic")
+    assert(got("up")._2 === 1.0, "monotone trend: tau = 1 in every stratum")
+  }
+
+  test("agg_hhi_concentration: uniform day scores 1/k, single-type day 1") {
+    // day 1: 4 types × 5 events (HHI = 4·(1/4)² = 0.25);
+    // day 2: one type (HHI = 1)
+    val rows = (0 until 20).map { i =>
+      (i.toLong, f"2024-01-01 10:${i % 60}%02d:00", 1L,
+        s"t${i % 4}", 1.0, "{}")
+    } ++ (20 until 30).map { i =>
+      (i.toLong, f"2024-01-02 10:${i % 60}%02d:00", 1L, "solo", 1.0, "{}")
+    }
+    val d = writeEvents(rows)
+    val got = SparkEntry.queries("agg_hhi_concentration")(spark, d)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("2024-01-01") === ((4L, 0.25)), "uniform 4-type day")
+    assert(got("2024-01-02") === ((1L, 1.0)), "monopoly day")
+  }
+
   test("agg_cramers_v is in [0, 1] and matches the chi2 relation") {
     val d = sf()
     val v = SparkEntry.queries("agg_cramers_v")(spark, d).head()
