@@ -7121,25 +7121,31 @@ object SparkEntry {
     // Cyclical calendar encoding — the standard ML feature transform
     // that maps hour-of-day / day-of-week onto the unit circle so 23:00
     // and 00:00 are neighbors. Pure per-row codegen'd trigonometry.
+    // Each round(...) is normalized with `+ 0.0` because the engines
+    // disagree on the SIGN of zero, not the value: dow=7 gives
+    // sin(2π) ≈ -2.45e-16, which C round (DuckDB) keeps as -0.0 while
+    // Spark's BigDecimal HALF_UP yields +0.0. IEEE -0.0 + 0.0 = +0.0,
+    // so the addition canonicalizes both engines at zero cost.
     Q("f_cyclic_encode",
       (s, d) => {
         val hr = ScalarFns.hourOfDay(col("ts")).cast("double")
         val dw = ScalarFns.dowPg(col("ts")).cast("double")
+        def nz(c: Column): Column = c + lit(0.0)
         ev(s, d).select(col("event_id"),
-          round(sin(hr * (lit(2) * lit(math.Pi) / 24)), 6).as("hr_sin"),
-          round(cos(hr * (lit(2) * lit(math.Pi) / 24)), 6).as("hr_cos"),
-          round(sin(dw * (lit(2) * lit(math.Pi) / 7)), 6).as("dow_sin"),
-          round(cos(dw * (lit(2) * lit(math.Pi) / 7)), 6).as("dow_cos"))
+          nz(round(sin(hr * (lit(2) * lit(math.Pi) / 24)), 6)).as("hr_sin"),
+          nz(round(cos(hr * (lit(2) * lit(math.Pi) / 24)), 6)).as("hr_cos"),
+          nz(round(sin(dw * (lit(2) * lit(math.Pi) / 7)), 6)).as("dow_sin"),
+          nz(round(cos(dw * (lit(2) * lit(math.Pi) / 7)), 6)).as("dow_cos"))
       },
       Some("""SELECT event_id,
                 round(sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
-                  6) AS hr_sin,
+                  6) + 0.0 AS hr_sin,
                 round(cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
-                  6) AS hr_cos,
+                  6) + 0.0 AS hr_cos,
                 round(sin(dayofweek(CAST(ts AS TIMESTAMP)) *
-                  (2 * pi() / 7)), 6) AS dow_sin,
+                  (2 * pi() / 7)), 6) + 0.0 AS dow_sin,
                 round(cos(dayofweek(CAST(ts AS TIMESTAMP)) *
-                  (2 * pi() / 7)), 6) AS dow_cos
+                  (2 * pi() / 7)), 6) + 0.0 AS dow_cos
               FROM events""")),
 
     // Stationary distribution of the event-type Markov chain
@@ -8247,13 +8253,431 @@ object SparkEntry {
               FROM t GROUP BY 1""")),
   )
 
+  // ---------------------------------------------------------------- §2.32
+  private val round11 = Seq(
+    // Spearman rank correlation per event type between two derived
+    // daily series (count vs exact-cents revenue) — the monotone-
+    // association readout Pearson misses. Average ranks for ties,
+    // computed deterministically as rank() + (ties−1)/2 (rank/count
+    // windows partitioned BY TYPE — day-sized partitions, no global
+    // sort), then plain corr over the ranks.
+    Q("agg_spearman",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .cast("double").as("cents"))
+        def avgRank(x: Column): Column =
+          rank().over(Window.partitionBy(col("event_type")).orderBy(x)) +
+            (count(lit(1)).over(
+              Window.partitionBy(col("event_type"), x)) - 1) / lit(2.0)
+        daily.select(col("event_type"),
+            avgRank(col("n")).as("rn"), avgRank(col("cents")).as("rv"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            round(corr(col("rn"), col("rv")), 6).as("spearman"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*) AS n,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS cents
+                FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type,
+                  rank() OVER (PARTITION BY event_type ORDER BY n) +
+                    (count(*) OVER (PARTITION BY event_type, n) - 1) / 2.0
+                    AS rn,
+                  rank() OVER (PARTITION BY event_type ORDER BY cents) +
+                    (count(*) OVER (PARTITION BY event_type, cents) - 1)
+                      / 2.0 AS rv
+                FROM daily)
+              SELECT event_type, count(*) AS n_days,
+                round(corr(rn, rv), 6) AS spearman
+              FROM r GROUP BY 1""")),
+
+    // Two-sample Kolmogorov–Smirnov distance between the value
+    // distributions of two event types: sup |F₁ − F₂| over the merged
+    // support. Grouping by distinct value first collapses the data to
+    // its support; the global cumulative counts then ride the bucketed
+    // prefix sum (bucket = floor(value), monotone in the order — no
+    // single-partition window at any size).
+    Q("dq_ks_test",
+      (s, d) => {
+        val sdf = ev(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("value"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("i1"))
+        val g = sdf.groupBy(col("value"))
+          .agg(sum(col("i1")).as("c1"),
+            (count(lit(1)) - sum(col("i1"))).as("c2"))
+        val cum1 = ScalableRank.globalPrefixSum(g, floor(col("value")),
+          Seq(col("value")), col("c1"), "cum1", inclusive = true)
+        val cum = ScalableRank.globalPrefixSum(cum1, floor(col("value")),
+          Seq(col("value")), col("c2"), "cum2", inclusive = true)
+        val n = sdf.agg(sum(col("i1")).as("n1"),
+          (count(lit(1)) - sum(col("i1"))).as("n2"))
+        cum.crossJoin(broadcast(n))
+          .groupBy(col("n1"), col("n2"))
+          .agg(round(max(abs(col("cum1") / col("n1") -
+            col("cum2") / col("n2"))), 6).as("ks_d"))
+          .select(col("ks_d"), col("n1"), col("n2"))
+      },
+      Some("""WITH s AS (SELECT value,
+                  CASE WHEN event_type='click' THEN 1 ELSE 0 END AS i1
+                FROM events WHERE event_type IN ('click', 'view')),
+              n AS (SELECT sum(i1) AS n1, count(*) - sum(i1) AS n2 FROM s),
+              g AS (SELECT value, sum(i1) AS c1, count(*) - sum(i1) AS c2
+                FROM s GROUP BY 1),
+              c AS (SELECT value,
+                  sum(c1) OVER (ORDER BY value) AS cum1,
+                  sum(c2) OVER (ORDER BY value) AS cum2 FROM g)
+              SELECT round(max(abs(cum1 * 1.0 / n.n1 - cum2 * 1.0 / n.n2)),
+                  6) AS ks_d,
+                CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
+              FROM c, n GROUP BY n.n1, n.n2""")),
+
+    // Association rules over the per-user event-type basket:
+    // support / confidence / lift for every unordered type pair — the
+    // market-basket readout. The self-join key is user_id (exact
+    // equi-join); both per-type marginals and the user total are
+    // broadcast one-row/dim-sized sides.
+    Q("agg_assoc_rules",
+      (s, d) => {
+        val ut = ev(s, d).select(col("user_id"), col("event_type")).distinct()
+        val na = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        val tot = ut.agg(countDistinct(col("user_id")).as("total"))
+        val a = ut.select(col("user_id"), col("event_type").as("ante"))
+        val b = ut.select(col("user_id"), col("event_type").as("cons"))
+        a.join(b, a("user_id") === b("user_id") && col("ante") < col("cons"))
+          .groupBy(col("ante"), col("cons"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(na.select(col("event_type").as("ante"),
+            col("cnt").as("cnt_a"))), Seq("ante"))
+          .join(broadcast(na.select(col("event_type").as("cons"),
+            col("cnt").as("cnt_c"))), Seq("cons"))
+          .crossJoin(broadcast(tot))
+          .select(col("ante"), col("cons"), col("n_both"),
+            round(col("n_both") / col("total"), 6).as("support"),
+            round(col("n_both") / col("cnt_a"), 6).as("confidence"),
+            round((col("n_both") / col("cnt_a")) /
+              (col("cnt_c") / col("total")), 6).as("lift"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              n AS (SELECT count(DISTINCT user_id) AS total FROM events),
+              na AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY 1),
+              pairs AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                  count(*) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+              SELECT p.ante, p.cons, p.n_both,
+                round(p.n_both * 1.0 / n.total, 6) AS support,
+                round(p.n_both * 1.0 / x.cnt, 6) AS confidence,
+                round((p.n_both * 1.0 / x.cnt) / (y.cnt * 1.0 / n.total), 6)
+                  AS lift
+              FROM pairs p JOIN na x ON x.event_type = p.ante
+              JOIN na y ON y.event_type = p.cons, n""")),
+
+    // Hour-of-day activity bitmap per user (bit_or of 1<<hour — a
+    // 24-bit presence sketch, the cheapest "when is this user active"
+    // fingerprint), rolled up to a popcount histogram. Both the OR and
+    // the popcount are codegen'd integer ops; one shuffle on user_id,
+    // one on the popcount.
+    Q("agg_bitmap_presence",
+      (s, d) => ev(s, d)
+        .withColumn("h", ScalarFns.hourOfDay(col("ts")))
+        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), h)"))
+        .groupBy(col("user_id"))
+        .agg(bit_or(col("bit")).as("mask"))
+        .groupBy(expr("bit_count(mask)").as("n_active_hours"))
+        .agg(count(lit(1)).as("n_users")),
+      Some("""WITH m AS (SELECT user_id,
+                  bit_or(CAST(1 AS BIGINT) << hour(CAST(ts AS TIMESTAMP)))
+                    AS mask
+                FROM events GROUP BY 1)
+              SELECT bit_count(mask) AS n_active_hours, count(*) AS n_users
+              FROM m GROUP BY 1""")),
+
+    // Trimmed mean per group: the mean of the [p10, p90] interior —
+    // the robust location estimate that survives fat tails. Exact
+    // interpolated percentiles (the agg_percentiles machinery) on the
+    // dim-sized group table, broadcast back over the fact scan.
+    Q("agg_trimmed_mean",
+      (s, d) => {
+        val b = ev(s, d).groupBy(col("event_type"))
+          .agg(percentile(col("value"), lit(0.1)).as("lo"),
+            percentile(col("value"), lit(0.9)).as("hi"))
+        ev(s, d).join(broadcast(b), Seq("event_type"))
+          .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("value")), 6).as("trimmed_mean"))
+      },
+      Some("""WITH b AS (SELECT event_type,
+                  quantile_cont(value, 0.1) AS lo,
+                  quantile_cont(value, 0.9) AS hi
+                FROM events GROUP BY 1)
+              SELECT e.event_type, count(*) AS n_kept,
+                round(avg(e.value), 6) AS trimmed_mean
+              FROM events e JOIN b ON e.event_type = b.event_type
+              WHERE e.value >= b.lo AND e.value <= b.hi GROUP BY 1""")),
+
+    // Expanding (inception-to-date) mean and sample std of the daily
+    // exact-cents revenue per type — the anomaly baseline that uses
+    // ALL history, vs the rolling family's fixed lookback. Exact
+    // integer daily totals keep the expanding sums drift-free; the
+    // n=1 std is pinned to 0 on both engines (Spark NaN vs DuckDB
+    // NULL otherwise).
+    Q("win_expanding_stats",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("rev"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select(col("event_type"), col("day"),
+          round(avg(col("rev")).over(w), 6).as("exp_mean"),
+          when(count(lit(1)).over(w) === 1, lit(0.0))
+            .otherwise(round(stddev_samp(col("rev")).over(w), 6))
+            .as("exp_std"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS rev
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, day,
+                round(avg(rev) OVER w, 6) AS exp_mean,
+                CASE WHEN count(*) OVER w = 1 THEN 0.0
+                  ELSE round(stddev_samp(rev) OVER w, 6) END AS exp_std
+              FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // Mann–Whitney U (rank-sum) between two samples — the
+    // nonparametric A/B test the welch_ttest family can't replace when
+    // the distributions are skewed. Average ranks come from the
+    // grouped support + exclusive bucketed prefix sum (ar = before +
+    // (ties+1)/2), so no global sort exists anywhere; the z uses the
+    // standard no-tie-correction normal approximation (documented).
+    Q("agg_mannwhitney_u",
+      (s, d) => {
+        val sdf = ev(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("value"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("i1"))
+        val g = sdf.groupBy(col("value"))
+          .agg(sum(col("i1")).as("c1"), count(lit(1)).as("ct"))
+        val withBefore = ScalableRank.globalPrefixSum(g, floor(col("value")),
+          Seq(col("value")), col("ct"), "before", inclusive = false)
+        val agg = withBefore
+          .select((col("c1") * (col("before") + (col("ct") + 1) / lit(2.0)))
+              .as("contrib"), col("c1"), col("ct"))
+          .agg(sum(col("contrib")).as("r1"),
+            sum(col("c1")).cast("double").as("n1"),
+            (sum(col("ct")) - sum(col("c1"))).cast("double").as("n2"))
+        agg.select(col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"),
+          round(col("r1") - col("n1") * (col("n1") + 1) / 2, 6).as("u1"),
+          round((col("r1") - col("n1") * (col("n1") + 1) / 2 -
+            col("n1") * col("n2") / 2) /
+            sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / 12),
+            6).as("z"))
+      },
+      Some("""WITH s AS (SELECT value,
+                  CASE WHEN event_type='click' THEN 1 ELSE 0 END AS i1
+                FROM events WHERE event_type IN ('click', 'view')),
+              r AS (SELECT i1,
+                  rank() OVER (ORDER BY value) +
+                    (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar
+                FROM s),
+              agg AS (SELECT sum(CASE WHEN i1=1 THEN ar END) AS r1,
+                  CAST(sum(i1) AS DOUBLE) AS n1,
+                  CAST(count(*) - sum(i1) AS DOUBLE) AS n2 FROM r)
+              SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round(r1 - n1*(n1+1)/2, 6) AS u1,
+                round((r1 - n1*(n1+1)/2 - n1*n2/2) /
+                  sqrt(n1*n2*(n1+n2+1)/12), 6) AS z
+              FROM agg""")),
+
+    // Two-feature ridge regression in closed form: the regularized
+    // 2×2 normal equations ((C + λ/n·I)β = c_y with centered
+    // moments), solved symbolically inside one aggregate — the
+    // multi-feature step past ml_linreg that still needs NO iteration
+    // and no driver matrix. λ = 1 on the normalized Gram.
+    Q("ml_ridge2_closed_form",
+      (s, d) => {
+        val src = ev(s, d).select(col("value").as("y"),
+          ScalarFns.hourOfDay(col("ts")).cast("double").as("x1"),
+          ScalarFns.dowPg(col("ts")).cast("double").as("x2"))
+        val m = src.agg(covar_pop(col("x1"), col("y")).as("c1y"),
+          covar_pop(col("x2"), col("y")).as("c2y"),
+          covar_pop(col("x1"), col("x2")).as("c12"),
+          var_pop(col("x1")).as("v1"), var_pop(col("x2")).as("v2"),
+          avg(col("x1")).as("m1"), avg(col("x2")).as("m2"),
+          avg(col("y")).as("my"), count(lit(1)).as("n"))
+        val det = (col("v1") + lit(1.0) / col("n")) *
+          (col("v2") + lit(1.0) / col("n")) - col("c12") * col("c12")
+        val b1 = (col("c1y") * (col("v2") + lit(1.0) / col("n")) -
+          col("c2y") * col("c12")) / det
+        val b2 = (col("c2y") * (col("v1") + lit(1.0) / col("n")) -
+          col("c1y") * col("c12")) / det
+        m.select(round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+          round(col("my") - b1 * col("m1") - b2 * col("m2"), 6).as("b0"),
+          col("n"))
+      },
+      Some("""WITH s AS (SELECT value AS y,
+                  CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x1,
+                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x2
+                FROM events),
+              m AS (SELECT covar_pop(x1,y) AS c1y, covar_pop(x2,y) AS c2y,
+                  covar_pop(x1,x2) AS c12, var_pop(x1) AS v1,
+                  var_pop(x2) AS v2, avg(x1) AS m1, avg(x2) AS m2,
+                  avg(y) AS my, count(*) AS n FROM s)
+              SELECT
+                round(((c1y*(v2 + 1.0/n) - c2y*c12) /
+                  ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)), 6) AS b1,
+                round(((c2y*(v1 + 1.0/n) - c1y*c12) /
+                  ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)), 6) AS b2,
+                round(my - ((c1y*(v2 + 1.0/n) - c2y*c12) /
+                    ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m1
+                  - ((c2y*(v1 + 1.0/n) - c1y*c12) /
+                    ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m2, 6) AS b0,
+                CAST(n AS BIGINT) AS n
+              FROM m""")),
+
+    // Seasonality strength per type: the share of value variance
+    // explained by the hour-of-day profile (1 − var(resid)/var(total),
+    // clamped at 0) — the "is there a daily cycle worth modelling"
+    // gate before fitting anything seasonal. The 24-row-per-type
+    // profile is a broadcast dim.
+    Q("agg_seasonality_strength",
+      (s, d) => {
+        val hm = ev(s, d)
+          .groupBy(col("event_type"), ScalarFns.hourOfDay(col("ts")).as("h"))
+          .agg(avg(col("value")).as("hmean"))
+        ev(s, d).withColumn("h", ScalarFns.hourOfDay(col("ts")))
+          .join(broadcast(hm), Seq("event_type", "h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(greatest(lit(0.0), lit(1.0) -
+              var_pop(col("value") - col("hmean")) / var_pop(col("value"))),
+              6).as("strength"))
+      },
+      Some("""WITH hm AS (SELECT event_type,
+                  hour(CAST(ts AS TIMESTAMP)) AS h, avg(value) AS hmean
+                FROM events GROUP BY 1, 2)
+              SELECT e.event_type, count(*) AS n,
+                round(greatest(0.0, 1.0 - var_pop(e.value - hm.hmean) /
+                  var_pop(e.value)), 6) AS strength
+              FROM events e JOIN hm ON hm.event_type = e.event_type
+                AND hm.h = hour(CAST(e.ts AS TIMESTAMP))
+              GROUP BY 1""")),
+
+    // Character-level Shannon entropy per document (non-whitespace
+    // chars) — the classic low-entropy/boilerplate and high-entropy/
+    // binary-noise corpus filter. Explode → per-doc frequency →
+    // partition-local window for the total; entropy in one aggregate.
+    Q("text_char_entropy",
+      (s, d) => {
+        val ch = Par.widen(Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "")).as("c"))
+          .filter(col("c").rlike("^\\S$"))
+        val f = ch.groupBy(col("doc_id"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+        f.select(col("doc_id"), col("cnt"), n.as("n"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_chars_nospace"),
+            round(-sum((col("cnt") / col("n")) *
+              log2(col("cnt") / col("n"))), 6).as("entropy_bits"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(
+                    lower(text), '\S')) AS c
+                FROM documents),
+              f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+              t AS (SELECT doc_id, c, cnt,
+                  sum(cnt) OVER (PARTITION BY doc_id) AS n FROM f)
+              SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_nospace,
+                round(-sum((cnt*1.0/n) * log2(cnt*1.0/n)), 6)
+                  AS entropy_bits
+              FROM t GROUP BY 1""")),
+
+    // Seasonal-naive forecasting baseline: predict this hour's exact-
+    // cents revenue with the value 24 hours earlier, report masked
+    // MAPE + MAE per type — the reference's naive-baseline discipline
+    // (beat this before shipping a model) applied to the hourly series.
+    Q("ml_seasonal_naive",
+      (s, d) => {
+        val h = ev(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        h.withColumn("pred", lag(col("y"), 24).over(w))
+          .filter(col("pred").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(abs(col("y") - col("pred"))), 6).as("mae"),
+            round(avg(when(abs(col("y")) >= 10,
+              abs(col("y") - col("pred")) / abs(col("y")))) * 100, 6)
+              .as("mape"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS y
+                FROM events GROUP BY 1, 2),
+              p AS (SELECT event_type, y, lag(y, 24) OVER
+                  (PARTITION BY event_type ORDER BY hr) AS pred FROM h)
+              SELECT event_type, count(*) AS n,
+                round(avg(abs(y - pred)), 6) AS mae,
+                round(avg(CASE WHEN abs(y) >= 10
+                  THEN abs(y - pred)/abs(y) END) * 100, 6) AS mape
+              FROM p WHERE pred IS NOT NULL GROUP BY 1""")),
+
+    // OCR/markup-noise heuristics per document: longest consonant run
+    // + symbol ratio → gibberish flag — the cheap lexical screen that
+    // runs before any model-based quality score. Pure per-row regex,
+    // fully codegen'd, no shuffle at all.
+    Q("text_gibberish_score",
+      (s, d) => Par.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          coalesce(array_max(transform(regexp_extract_all(
+              lower(col("text")),
+              lit("[bcdfghjklmnpqrstvwxz]+"), lit(0)),
+            x => length(x))), lit(0)).cast("long").as("max_consonant_run"),
+          (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) /
+            greatest(length(col("text")), lit(1)).cast("double"))
+            .as("sym_ratio"))
+        .select(col("doc_id"), col("max_consonant_run"),
+          round(col("sym_ratio"), 6).as("symbol_ratio"),
+          when(col("max_consonant_run") >= 5 || col("sym_ratio") > 0.3, 1)
+            .otherwise(0).as("is_gibberish")),
+      Some("""WITH m AS (SELECT doc_id,
+                  coalesce((SELECT max(length(r)) FROM unnest(
+                    regexp_extract_all(lower(text),
+                      '[bcdfghjklmnpqrstvwxz]+')) AS u(r)), 0)
+                    AS max_consonant_run,
+                  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                    * 1.0 / greatest(length(text), 1) AS sym_ratio
+                FROM documents)
+              SELECT doc_id,
+                CAST(max_consonant_run AS BIGINT) AS max_consonant_run,
+                round(sym_ratio, 6) AS symbol_ratio,
+                CASE WHEN max_consonant_run >= 5 OR sym_ratio > 0.3
+                  THEN 1 ELSE 0 END AS is_gibberish
+              FROM m""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
-      round10f ++ round10g ++ round10h ++ round10i ++ round10j
+      round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

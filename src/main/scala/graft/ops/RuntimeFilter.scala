@@ -20,19 +20,36 @@ import org.apache.spark.sql.graftnative.GraftNative
   * uses when it fires; doing it manually makes the filter available
   * unconditionally (the optimizer's version is gated on cost
   * heuristics and join-shape restrictions) and lets the caller size
-  * it. ~10 bits/key ≈ 1% false-positive rate; the filter binary
-  * scales linearly with `expectedItems` (10⁸ keys ≈ 125 MB — still
-  * one broadcast-sized literal).
+  * it at ~10 bits/key ≈ 1% false-positive rate.
+  *
+  * Sizing ceiling: `BloomFilterAggregate` silently clamps its inputs
+  * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+  * 4 × 10⁶) and `…maxNumBits` (default 2²⁶ = 8 MB), so a naive
+  * `expectedItems × 10` request past the confs would silently degrade
+  * the false-positive rate (never correctness — the exact semi join
+  * removes false positives either way). [[buildBloom]] therefore
+  * raises both session confs to the requested size before the build,
+  * so the 10-bits/key budget actually holds: 10⁸ keys ≈ 125 MB —
+  * still one broadcast-sized plan literal.
   */
 object RuntimeFilter {
 
-  /** Serialized Bloom filter over `key` of `dim` (blocking: runs the
-    * dim-side aggregate now; the dim aggregate is the small side by
-    * assumption).
+  /** Serialized Bloom filter over `key` of `dim` at ~10 bits/key
+    * (blocking: runs the dim-side aggregate now; the dim aggregate is
+    * the small side by assumption). Raises the session's runtime
+    * bloom-filter conf ceilings when `expectedItems` exceeds them —
+    * see the object doc.
     */
   def buildBloom(dim: DataFrame, key: Column,
-      expectedItems: Long, fpp10BitsPerItem: Boolean = true): Array[Byte] = {
+      expectedItems: Long): Array[Byte] = {
     val numBits = expectedItems * 10
+    val conf = dim.sparkSession.conf
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsConf).toLong < expectedItems)
+      conf.set(itemsConf, expectedItems)
+    if (conf.get(bitsConf).toLong < numBits)
+      conf.set(bitsConf, numBits)
     dim.agg(GraftNative.bloomFilterAgg(key, expectedItems, numBits)
       .as("bf")).head().getAs[Array[Byte]](0)
   }

@@ -81,6 +81,36 @@ object ScalableRank {
       .drop(rn, "__graft_n")
   }
 
+  /** Chronological three-way split (reference
+    * `export_pipeline.py:164-207` `split_chronological_three_way`):
+    * train = first `floor(n·(1−val−test))` rows of the global order,
+    * val = the next `floor(n·val)`-ish band up to `floor(n·(1−test))`,
+    * test = the rest — the boundary arithmetic matches the reference's
+    * `int(n * ratio)` cutoffs exactly. Same bucket-offset global
+    * numbering as [[chronoSplit]] (no global sort, no collect).
+    */
+  def chronoSplitThreeWay(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      valRatio: Double = 0.15,
+      testRatio: Double = 0.15,
+      name: String = "split"): DataFrame = {
+    require(valRatio > 0 && testRatio > 0 && valRatio + testRatio < 1,
+      s"ratios must be positive and sum below 1, got $valRatio/$testRatio")
+    val rn = "__graft_rn"
+    val numbered = globalRowNumber(df, bucket, orderCols, rn, Some("__graft_n"))
+    numbered
+      .withColumn(
+        name,
+        when(col(rn) <= floor(col("__graft_n") *
+            lit(1.0 - valRatio - testRatio)), lit("train"))
+          .when(col(rn) <= floor(col("__graft_n") * lit(1.0 - testRatio)),
+            lit("val"))
+          .otherwise(lit("test")))
+      .drop(rn, "__graft_n")
+  }
+
   /** Adds a global running sum of `value` over the global ordering —
     * the same bucket-offset decomposition as [[globalRowNumber]], but
     * summing a value column instead of counting rows: per-bucket totals

@@ -51,9 +51,10 @@ class Round10lOpsSpec extends SparkSpecBase {
       assert(cov >= 0 && cov <= 1)
       assert(math.abs(cov - c.toDouble / n) < 1e-6)
     }
-    // the synthetic corpus has a tiny vocabulary (~31 tokens), so the
-    // top-100 vocab covers everything — a real corpus would not
-    assert(rows.forall(_._3 === 1.0) || rows.exists(_._3 < 1.0))
+    // the synthetic corpus has a tiny vocabulary (31 distinct tokens),
+    // so the top-100 vocab must cover every occurrence in every doc
+    assert(rows.nonEmpty && rows.forall(r => r._2 == r._1 && r._3 == 1.0),
+      "tiny-vocab corpus: top-100 vocab covers all token occurrences")
   }
 
   test("sql_analytics_pipeline ≡ the same pipeline via the Column API") {
