@@ -8671,13 +8671,263 @@ object SparkEntry {
               FROM m""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 2:
+  // audience accounting (new/returning, lifetimes, rates), sensor and
+  // effect-size audits, rolling nonparametric rank, corpus vocabulary
+  // richness, and the streaming bitmap twin.
+  private val round11b = Seq(
+    // Rolling percentile rank: where does this hour's revenue sit
+    // within its own trailing day? The 24-deep frame is collected per
+    // row (collect_list over a ROWS frame — bounded at 24 elements by
+    // construction, the documented contract for list-frame windows)
+    // and ranked with one codegen'd lambda; partitions are per type.
+    Q("win_rolling_pct_rank",
+      (s, d) => {
+        val h = ev(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-23, Window.currentRow)
+        h.select(col("event_type"), col("hr"),
+          round(size(filter(collect_list(col("y")).over(w),
+              x => x <= col("y"))) /
+            size(collect_list(col("y")).over(w)).cast("double"), 6)
+            .as("pct_rank"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS y
+                FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, hr, y,
+                  list(y) OVER (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS w
+                FROM h)
+              SELECT event_type, hr,
+                round(len(list_filter(w, x -> x <= y)) * 1.0 / len(w), 6)
+                  AS pct_rank
+              FROM l""")),
+
+    // Daily new-vs-returning split: classify each (user, active day)
+    // against the user's first-ever day — the audience-growth readout
+    // upstream of churn/stickiness. First-seen is one keyed min;
+    // the classification join shuffles on user_id only.
+    Q("agg_new_vs_returning",
+      (s, d) => {
+        val f = ev(s, d).groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        val days = ev(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        days.join(f, Seq("user_id"))
+          .groupBy(col("day"))
+          .agg(sum(when(col("day") === col("first_day"), 1).otherwise(0))
+              .cast("long").as("new_users"),
+            sum(when(col("day") > col("first_day"), 1).otherwise(0))
+              .cast("long").as("returning_users"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY 1),
+              d AS (SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day
+                FROM events e)
+              SELECT d.day,
+                CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+                CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS returning_users
+              FROM d JOIN f ON f.user_id = d.user_id GROUP BY 1""")),
+
+    // Sensor-saturation audit: the share of readings pinned at the
+    // observed min/max per series — a clipped sensor shows mass at the
+    // rail. Bounds are a dim-sized aggregate broadcast over the scan.
+    Q("dq_value_saturation",
+      (s, d) => {
+        val b = ev(s, d).groupBy(col("event_type"))
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev(s, d).join(broadcast(b), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") === col("lo"), 1).otherwise(0))
+              .cast("long").as("n_at_min"),
+            sum(when(col("value") === col("hi"), 1).otherwise(0))
+              .cast("long").as("n_at_max"),
+            round(sum(when(col("value") === col("lo") ||
+                col("value") === col("hi"), 1).otherwise(0)) /
+              count(lit(1)).cast("double"), 6).as("saturation_share"))
+      },
+      Some("""WITH b AS (SELECT event_type, min(value) AS lo,
+                  max(value) AS hi
+                FROM events GROUP BY 1)
+              SELECT e.event_type, count(*) AS n,
+                CAST(sum(CASE WHEN e.value = b.lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_at_min,
+                CAST(sum(CASE WHEN e.value = b.hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_at_max,
+                round(sum(CASE WHEN e.value = b.lo OR e.value = b.hi
+                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                  AS saturation_share
+              FROM events e JOIN b ON b.event_type = e.event_type
+              GROUP BY 1""")),
+
+    // Per-user lifetime accounting: span, active days, intensity —
+    // the base table for LTV/engagement segmentation. One keyed
+    // aggregate; the distinct-day count is exact (count distinct
+    // within the user key, partition-local after the shuffle).
+    Q("agg_user_lifetime",
+      (s, d) => ev(s, d).groupBy(col("user_id"))
+        .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            + 1).cast("long").as("lifespan_days"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          count(lit(1)).as("n_events"),
+          round(count(lit(1)) /
+            countDistinct(to_date(col("ts"))).cast("double"), 6)
+            .as("events_per_active_day")),
+      Some("""SELECT user_id,
+                CAST(date_diff('day', min(CAST(ts AS DATE)),
+                  max(CAST(ts AS DATE))) + 1 AS BIGINT) AS lifespan_days,
+                CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                  AS active_days,
+                count(*) AS n_events,
+                round(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE)), 6)
+                  AS events_per_active_day
+              FROM events GROUP BY 1""")),
+
+    // Weekday-vs-weekend effect size (Cohen's d with pooled variance)
+    // per series — the magnitude readout the Welch test's p-value
+    // doesn't give. Both subgroup moments come out of ONE conditional
+    // aggregate (null-skipping avg/var over CASE columns), so the
+    // whole statistic is a single pass.
+    Q("agg_cohens_d",
+      (s, d) => {
+        val we = ScalarFns.isWeekend(col("ts"))
+        val m = ev(s, d).select(col("event_type"), col("value"),
+            we.cast("double").as("we"))
+          .groupBy(col("event_type"))
+          .agg(avg(when(col("we") === 0, col("value"))).as("m1"),
+            avg(when(col("we") === 1, col("value"))).as("m2"),
+            var_samp(when(col("we") === 0, col("value"))).as("v1"),
+            var_samp(when(col("we") === 1, col("value"))).as("v2"),
+            sum(lit(1.0) - col("we")).as("n1"), sum(col("we")).as("n2"))
+        m.select(col("event_type"),
+          col("n1").cast("long").as("n_weekday"),
+          col("n2").cast("long").as("n_weekend"),
+          round((col("m1") - col("m2")) /
+            sqrt(((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2"))
+              / (col("n1") + col("n2") - 2)), 6).as("cohens_d"))
+      },
+      Some("""WITH s AS (SELECT event_type, value,
+                  CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS we
+                FROM events),
+              m AS (SELECT event_type,
+                  avg(CASE WHEN we=0 THEN value END) AS m1,
+                  avg(CASE WHEN we=1 THEN value END) AS m2,
+                  var_samp(CASE WHEN we=0 THEN value END) AS v1,
+                  var_samp(CASE WHEN we=1 THEN value END) AS v2,
+                  CAST(sum(1 - we) AS DOUBLE) AS n1,
+                  CAST(sum(we) AS DOUBLE) AS n2
+                FROM s GROUP BY 1)
+              SELECT event_type, CAST(n1 AS BIGINT) AS n_weekday,
+                CAST(n2 AS BIGINT) AS n_weekend,
+                round((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) /
+                  (n1 + n2 - 2)), 6) AS cohens_d
+              FROM m""")),
+
+    // Poisson rate estimation per series: events/day with the
+    // normal-approximation 95% interval (λ̂ ± 1.96·√N/days) — the
+    // "is this feed's volume in its usual band" readout. Two nested
+    // counts, both keyed.
+    Q("agg_poisson_rate",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy(col("event_type"))
+          .agg(sum(col("n")).cast("double").as("total"),
+            count(lit(1)).cast("double").as("days"))
+          .select(col("event_type"),
+            col("total").cast("long").as("n_events"),
+            col("days").cast("long").as("n_days"),
+            round(col("total") / col("days"), 6).as("rate_per_day"),
+            round(col("total") / col("days") -
+              lit(1.959964) * sqrt(col("total")) / col("days"), 6)
+              .as("ci_lo"),
+            round(col("total") / col("days") +
+              lit(1.959964) * sqrt(col("total")) / col("days"), 6)
+              .as("ci_hi"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS total,
+                  CAST(count(*) AS DOUBLE) AS days FROM d GROUP BY 1)
+              SELECT event_type, CAST(total AS BIGINT) AS n_events,
+                CAST(days AS BIGINT) AS n_days,
+                round(total / days, 6) AS rate_per_day,
+                round(total / days - 1.959964 * sqrt(total) / days, 6)
+                  AS ci_lo,
+                round(total / days + 1.959964 * sqrt(total) / days, 6)
+                  AS ci_hi
+              FROM m""")),
+
+    // Type-token ratio + hapax share per document — the vocabulary-
+    // richness screen (template/boilerplate docs have low TTR, OCR
+    // noise has high hapax share). Same tokenizer contract as the
+    // vocab/logprob family; one explode + two nested keyed aggregates.
+    Q("text_type_token_ratio",
+      (s, d) => {
+        val f = Par.widen(Tables.documents(s, d))
+          .select(col("doc_id"), explode(Dedup.tokens(col("text")))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        f.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            round(count(lit(1)) / sum(col("c")).cast("double"), 6)
+              .as("ttr"),
+            sum(when(col("c") === 1, 1).otherwise(0)).cast("long")
+              .as("n_hapax"),
+            round(sum(when(col("c") === 1, 1).otherwise(0)) /
+              count(lit(1)).cast("double"), 6).as("hapax_share"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS tok FROM documents),
+              t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+              f AS (SELECT doc_id, tok, count(*) AS c
+                FROM t GROUP BY 1, 2)
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_types,
+                round(count(*) * 1.0 / sum(c), 6) AS ttr,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                  / count(*), 6) AS hapax_share
+              FROM f GROUP BY 1""")),
+
+    // Streaming twin of the activity bitmap's per-user stage: ONE long
+    // of bit_or state per user — OR is commutative, associative, AND
+    // idempotent, so stream state ≡ batch aggregate under any arrival
+    // order or replay (the strongest merge guarantee in the streaming
+    // family; the spec asserts stream ≡ batch).
+    Q("stream_bitmap_state",
+      (s, d) => graft.streaming.BitmapStream.runToCompletion(s, d),
+      Some("""SELECT user_id,
+                bit_or(CAST(1 AS BIGINT) << hour(CAST(ts AS TIMESTAMP)))
+                  AS mask
+              FROM events GROUP BY 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
       sets ++ scalars ++ scalars2 ++ dq ++ streaming ++ llm ++ widening ++
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
-      round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11
+      round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
+      round11b
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
