@@ -8920,6 +8920,257 @@ object SparkEntry {
               FROM events GROUP BY 1""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 3:
+  // robust rolling outlier detection, randomness testing, time-series
+  // CV folds, readability scoring, the scalable quantile transform,
+  // and softmax shares.
+  private val round11b2 = Seq(
+    // Hampel filter: flag |x − rolling median| > 3·1.4826·rolling MAD
+    // over a 25-deep frame per series — the robust spike detector that
+    // survives the spikes it hunts (a z-score's own mean/std are
+    // dragged by the outlier; the median/MAD pair is not). The frame
+    // is a bounded 25-element collect_list; median and MAD come from
+    // two array sorts per row, all codegen'd, partitions per user.
+    Q("win_hampel_outlier",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+          .rowsBetween(-24, Window.currentRow)
+        ev(s, d)
+          .select(col("event_id"), col("value"),
+            collect_list(col("value")).over(w).as("w"))
+          .withColumn("s", expr("array_sort(w)"))
+          .withColumn("n", size(col("w")))
+          .withColumn("med", expr(
+            "(element_at(s, CAST((n+1) div 2 AS INT)) + " +
+              "element_at(s, CAST(n div 2 + 1 AS INT))) / 2.0"))
+          .withColumn("sd", expr(
+            "array_sort(transform(w, x -> abs(x - med)))"))
+          .withColumn("mad", expr(
+            "(element_at(sd, CAST((n+1) div 2 AS INT)) + " +
+              "element_at(sd, CAST(n div 2 + 1 AS INT))) / 2.0"))
+          .select(col("event_id"),
+            round(col("med"), 6).as("roll_med"),
+            round(col("mad"), 6).as("roll_mad"),
+            when(col("mad") > 0 &&
+              abs(col("value") - col("med")) > lit(3) * lit(1.4826) *
+                col("mad"), 1).otherwise(0).as("is_outlier"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, value,
+                  list(value) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS w
+                FROM events),
+              m AS (SELECT event_id, value, w, list_sort(w) AS s,
+                  len(w) AS n FROM l),
+              m2 AS (SELECT event_id, value, w, n,
+                  (s[CAST((n+1)//2 AS INTEGER)] +
+                   s[CAST(n//2 + 1 AS INTEGER)]) / 2.0 AS med FROM m),
+              m3 AS (SELECT event_id, value, med, n,
+                  list_sort(list_transform(w, x -> abs(x - med))) AS sd
+                FROM m2),
+              m4 AS (SELECT event_id, value, med,
+                  (sd[CAST((n+1)//2 AS INTEGER)] +
+                   sd[CAST(n//2 + 1 AS INTEGER)]) / 2.0 AS mad FROM m3)
+              SELECT event_id, round(med, 6) AS roll_med,
+                round(mad, 6) AS roll_mad,
+                CASE WHEN mad > 0 AND abs(value - med) > 3 * 1.4826 * mad
+                  THEN 1 ELSE 0 END AS is_outlier
+              FROM m4""")),
+
+    // Wald–Wolfowitz runs test on the daily revenue series: does the
+    // above/below-median sign sequence look random, or does it trend/
+    // oscillate? Values equal to the median are dropped (the standard
+    // convention). The sign sequence and lag live on the day dim
+    // (~corpus-days rows) — the one corpus-sized job is the daily
+    // aggregate.
+    Q("dq_runs_test",
+      (s, d) => {
+        val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double").as("rev"))
+        val med = daily.agg(percentile(col("rev"), lit(0.5)).as("m"))
+        val sgn = daily.crossJoin(broadcast(med))
+          .filter(col("rev") =!= col("m"))
+          .select(col("day"),
+            when(col("rev") > col("m"), 1).otherwise(0).as("sgn"))
+        val r = sgn.withColumn("prev",
+          lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+        val agg = r.agg(
+          sum(col("sgn")).cast("double").as("n1"),
+          (count(lit(1)) - sum(col("sgn"))).cast("double").as("n2"),
+          (lit(1) + sum(when(col("prev").isNotNull &&
+            col("sgn") =!= col("prev"), 1).otherwise(0))).as("runs"))
+        agg.select(col("n1").cast("long").as("n_above"),
+          col("n2").cast("long").as("n_below"),
+          col("runs").cast("long").as("n_runs"),
+          round((col("runs") - (lit(2) * col("n1") * col("n2") /
+              (col("n1") + col("n2")) + 1)) /
+            sqrt(lit(2) * col("n1") * col("n2") *
+              (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")) /
+              ((col("n1") + col("n2")) * (col("n1") + col("n2")) *
+                (col("n1") + col("n2") - 1))), 6).as("z"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS rev
+                FROM events GROUP BY 1),
+              med AS (SELECT quantile_cont(rev, 0.5) AS m FROM d),
+              s AS (SELECT day, CASE WHEN rev > med.m THEN 1 ELSE 0 END
+                  AS sgn
+                FROM d, med WHERE rev <> med.m),
+              r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+                FROM s),
+              agg AS (SELECT CAST(sum(sgn) AS DOUBLE) AS n1,
+                  CAST(count(*) - sum(sgn) AS DOUBLE) AS n2,
+                  1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                    THEN 1 ELSE 0 END) AS runs
+                FROM r)
+              SELECT CAST(n1 AS BIGINT) AS n_above,
+                CAST(n2 AS BIGINT) AS n_below,
+                CAST(runs AS BIGINT) AS n_runs,
+                round((runs - (2*n1*n2/(n1+n2) + 1)) /
+                  sqrt(2*n1*n2*(2*n1*n2 - n1 - n2) /
+                    ((n1+n2)*(n1+n2)*(n1+n2-1))), 6) AS z
+              FROM agg""")),
+
+    // Rolling-origin (expanding-window) CV folds over the day dim —
+    // the time-series cross-validation the random k-fold split would
+    // leak on: fold k trains on the first k/(folds+1) of days and
+    // tests on the next slice. Pure day-dim arithmetic (the dim is
+    // corpus-days-sized); events join against it downstream.
+    Q("split_rolling_origin",
+      (s, d) => {
+        val days = ev(s, d).select(to_date(col("ts")).as("day")).distinct()
+        val r = days
+          .withColumn("rk", rank().over(Window.orderBy(col("day"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        r.crossJoin(broadcast(
+            s.createDataFrame((1 to 3).map(k => Tuple1(k))).toDF("fold")))
+          .withColumn("role",
+            when(col("rk") <= floor(col("n") * col("fold") / 4),
+              lit("train"))
+            .when(col("rk") <= floor(col("n") * (col("fold") + 1) / 4),
+              lit("test")))
+          .filter(col("role").isNotNull)
+          .select(col("fold"), col("day"), col("role"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+                FROM events),
+              r AS (SELECT day, rank() OVER (ORDER BY day) AS rk,
+                  count(*) OVER () AS n FROM days),
+              folds AS (SELECT unnest(generate_series(1, 3)) AS fold)
+              SELECT f.fold, r.day,
+                CASE WHEN r.rk <= (r.n * f.fold) // 4 THEN 'train'
+                  WHEN r.rk <= (r.n * (f.fold + 1)) // 4 THEN 'test'
+                  END AS role
+              FROM r CROSS JOIN folds f
+              WHERE CASE WHEN r.rk <= (r.n * f.fold) // 4 THEN 'train'
+                  WHEN r.rk <= (r.n * (f.fold + 1)) // 4 THEN 'test'
+                  END IS NOT NULL""")),
+
+    // Flesch reading-ease per document with a vowel-group syllable
+    // proxy — the readability screen between the lexical (gibberish)
+    // and statistical (logprob) quality scores. Three regex counts per
+    // row, codegen'd, zero shuffle.
+    Q("text_readability",
+      (s, d) => {
+        val words = size(regexp_extract_all(lower(trim(col("text"))),
+          lit("\\S+"), lit(0)))
+        val sentences = greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1))
+        val syllables = size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0)))
+        Par.widen(Tables.documents(s, d))
+          .select(col("doc_id"),
+            words.cast("long").as("n_words"),
+            sentences.cast("long").as("n_sentences"),
+            syllables.cast("long").as("n_syllables"),
+            round(lit(206.835) -
+              lit(1.015) * (words / sentences.cast("double")) -
+              lit(84.6) * (syllables / greatest(words, lit(1))
+                .cast("double")), 6).as("flesch"))
+      },
+      Some("""SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
+                  AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables,
+                round(206.835
+                  - 1.015 * (len(regexp_extract_all(lower(trim(text)),
+                      '\S+')) * 1.0
+                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                  - 84.6 * (len(regexp_extract_all(lower(text),
+                      '[aeiouy]+')) * 1.0
+                    / greatest(len(regexp_extract_all(lower(trim(text)),
+                      '\S+')), 1)), 6) AS flesch
+              FROM documents""")),
+
+    // Quantile normalization: map every value to its mid-rank uniform
+    // quantile WITHIN its series — the rank-based feature transform
+    // that kills distribution drift. No per-type whole-partition sort
+    // anywhere: the grouped (type, value) support rides ONE bucketed
+    // global prefix sum ordered (type, value); subtracting each type's
+    // broadcast offset converts the global running count into the
+    // per-type one, and the transform table joins back to the rows.
+    Q("f_quantile_normalize",
+      (s, d) => {
+        val g = ev(s, d).groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("ct"))
+        val cum = ScalableRank.globalPrefixSum(g,
+          struct(col("event_type"), floor(col("value"))),
+          Seq(col("event_type"), col("value")), col("ct"), "gbefore",
+          inclusive = false)
+        val totals = g.groupBy(col("event_type"))
+          .agg(sum(col("ct")).as("ntype"))
+          .withColumn("offset", coalesce(
+            sum(col("ntype")).over(Window.orderBy(col("event_type"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val table = cum.join(broadcast(totals), Seq("event_type"))
+          .select(col("event_type"), col("value"),
+            round((col("gbefore") - col("offset") +
+              (col("ct") + 1) / lit(2.0)) / col("ntype"), 6).as("q"))
+        ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+          .join(table, Seq("event_type", "value"))
+          .select(col("event_id"), col("q"))
+      },
+      Some("""WITH r AS (SELECT event_id, event_type, value,
+                  rank() OVER (PARTITION BY event_type ORDER BY value) +
+                    (count(*) OVER (PARTITION BY event_type, value) - 1)
+                      / 2.0 AS ar,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+              SELECT event_id, round(ar / n, 6) AS q
+              FROM r""")),
+
+    // Per-day softmax share across series of the exact-cents revenue
+    // (max-subtracted for overflow safety) — the normalized-exponential
+    // mixture weighting used for temperature-style sampling policies.
+    // Day-partition windows over the day×type dim.
+    Q("f_softmax_share",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long")) /
+            lit(10000.0)).as("x"))
+        val wd = Window.partitionBy(col("day"))
+        daily.withColumn("mx", max(col("x")).over(wd))
+          .select(col("day"), col("event_type"),
+            round(exp(col("x") - col("mx")) /
+              sum(exp(col("x") - col("mx"))).over(wd), 6).as("share"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                  sum(CAST(floor(value*100+0.5) AS BIGINT)) / 10000.0 AS x
+                FROM events GROUP BY 1, 2),
+              m AS (SELECT day, event_type, x,
+                  max(x) OVER (PARTITION BY day) AS mx FROM d)
+              SELECT day, event_type,
+                round(exp(x - mx) / sum(exp(x - mx))
+                  OVER (PARTITION BY day), 6) AS share
+              FROM m""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -8927,7 +9178,7 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b
+      round11b ++ round11b2
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
