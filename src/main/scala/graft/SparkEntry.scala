@@ -9171,6 +9171,257 @@ object SparkEntry {
               FROM m""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 4:
+  // the snowflake dimension chain, Heikin-Ashi candles, robust paired
+  // estimators, vocabulary burstiness, and scalar calibration error.
+  private val round11c = Seq(
+    // TPC-H Q5-shaped snowflake rollup: revenue per region/year through
+    // the lineitem→orders→customer→nation→region chain. The two fact
+    // joins shuffle on their keys (orderkey, custkey); nation and
+    // region are explicit broadcasts, so the dim chain collapses into
+    // map-side lookups after the last shuffle — the canonical
+    // star/snowflake plan at any scale.
+    Q("join_snowflake_chain",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        val dims = n.join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey"))
+          .select(col("n_nationkey"), col("r_name"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(dims), c("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("r_name").as("region"),
+            year(col("o_orderdate").cast("date")).as("yr"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+              2).as("revenue"))
+      },
+      Some("""SELECT r.r_name AS region,
+                CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS yr,
+                count(*) AS n_items,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS revenue
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              GROUP BY 1, 2""")),
+
+    // Heikin-Ashi smoothed candles — the recursive candle transform
+    // traders read trends from; see TimeSeries.heikinAshi for the
+    // fold/recursive-CTE exactness contract.
+    Q("win_heikin_ashi",
+      (s, d) => TimeSeries.heikinAshi(
+        ev(s, d).withColumn("__vc",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        col("event_type"), col("ts"), col("__vc"), col("event_id"),
+        keyName = "event_type"),
+      Some("""WITH RECURSIVE k AS (SELECT event_type,
+                  CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day,
+                  CAST(arg_min(vc, ok) AS DOUBLE) AS o,
+                  CAST(max(vc) AS DOUBLE) AS h,
+                  CAST(min(vc) AS DOUBLE) AS l,
+                  CAST(arg_max(vc, ok) AS DOUBLE) AS c
+                FROM k GROUP BY 1, 2),
+              d AS (SELECT *, (o+h+l+c)/4.0 AS hc,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS rn FROM daily),
+              rec AS (
+                SELECT event_type, rn, day, o, h, l, hc, o AS ho
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.rn, d.day, d.o, d.h, d.l, d.hc,
+                    (r.ho + r.hc) / 2.0 AS ho
+                FROM d JOIN rec r ON d.event_type = r.event_type
+                  AND d.rn = r.rn + 1)
+              SELECT event_type, day, round(ho, 6) AS ha_open,
+                round(hc, 6) AS ha_close,
+                round(greatest(h, ho, hc), 6) AS ha_high,
+                round(least(l, ho, hc), 6) AS ha_low
+              FROM rec""")),
+
+    // Hodges–Lehmann location estimate per series: the median of all
+    // Walsh averages (pairwise means, i ≤ j) of the daily revenue —
+    // the robust "typical day" that one outlier day cannot move. The
+    // pair join is day-dim² per series (dim-sized); the median is the
+    // exact interpolated percentile.
+    Q("agg_hodges_lehmann",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("rev"))
+        val a = daily.select(col("event_type"), col("day").as("da"),
+          col("rev").as("ra"))
+        val b = daily.select(col("event_type").as("et2"),
+          col("day").as("db"), col("rev").as("rb"))
+        a.join(b, a("event_type") === b("et2") && col("da") <= col("db"))
+          .select(col("event_type"), ((col("ra") + col("rb")) / 2).as("w"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(percentile(col("w"), lit(0.5)), 6).as("hl_estimate"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS rev
+                FROM events GROUP BY 1, 2),
+              p AS (SELECT a.event_type, (a.rev + b.rev)/2.0 AS w
+                FROM d a JOIN d b ON a.event_type = b.event_type
+                  AND a.day <= b.day)
+              SELECT event_type, count(*) AS n_pairs,
+                round(quantile_cont(w, 0.5), 6) AS hl_estimate
+              FROM p GROUP BY 1""")),
+
+    // Wilcoxon signed-rank test of day-vs-same-day-last-week revenue:
+    // the paired nonparametric "did this week really shift" readout
+    // (average ranks of |diff|, zero diffs dropped per convention,
+    // normal approximation without tie correction — documented). All
+    // ranking happens on the day dim per series.
+    Q("agg_wilcoxon_signed_rank",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("rev"))
+        val wk = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val diffs = daily
+          .withColumn("diff", col("rev") - lag(col("rev"), 7).over(wk))
+          .filter(col("diff").isNotNull && col("diff") =!= 0)
+        val ar = rank().over(Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("diff")))) +
+          (count(lit(1)).over(Window.partitionBy(col("event_type"),
+            abs(col("diff")))) - 1) / lit(2.0)
+        diffs.select(col("event_type"), col("diff"), ar.as("ar"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(when(col("diff") > 0, col("ar")).otherwise(0.0))
+              .as("wplus"))
+          .select(col("event_type"), col("n").cast("long").as("n_pairs"),
+            round(col("wplus"), 6).as("w_plus"),
+            round((col("wplus") - col("n") * (col("n") + 1) / 4) /
+              sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24),
+              6).as("z"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS rev
+                FROM events GROUP BY 1, 2),
+              pair AS (SELECT event_type, rev - lag(rev, 7) OVER
+                  (PARTITION BY event_type ORDER BY day) AS diff FROM d),
+              nz AS (SELECT event_type, diff FROM pair
+                WHERE diff IS NOT NULL AND diff <> 0),
+              r AS (SELECT event_type, diff,
+                  rank() OVER (PARTITION BY event_type
+                    ORDER BY abs(diff)) +
+                    (count(*) OVER (PARTITION BY event_type, abs(diff))
+                      - 1) / 2.0 AS ar
+                FROM nz),
+              agg AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  sum(CASE WHEN diff > 0 THEN ar ELSE 0 END) AS wplus
+                FROM r GROUP BY 1)
+              SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                round(wplus, 6) AS w_plus,
+                round((wplus - n*(n+1)/4) / sqrt(n*(n+1)*(2*n+1)/24), 6)
+                  AS z
+              FROM agg""")),
+
+    // Token burstiness (variance-to-mean of per-doc counts, zeros
+    // included via the moment identity) for tokens in ≥5 docs, top-20
+    // — bursty tokens are topical, uniform ones are function words;
+    // the dispersion readout tf-idf approximates. Corpus-sized explode
+    // → keyed moments; the top-k is a bounded dim sort.
+    Q("text_token_burstiness",
+      (s, d) => {
+        val t = Par.widen(Tables.documents(s, d))
+          .select(col("doc_id"), explode(Dedup.tokens(col("text")))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+        val nd = t.agg(countDistinct(col("doc_id")).as("nd"))
+        val st = t.groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+            sum(col("c") * col("c")).as("sumsq"))
+          .filter(col("df") >= 5)
+        val m = col("total") / col("nd")
+        st.crossJoin(broadcast(nd))
+          .select(col("tok"), col("df").as("doc_freq"),
+            col("total").as("n_occurrences"),
+            round((col("sumsq") / col("nd") - m * m) / m, 6)
+              .as("burstiness"))
+          .orderBy(col("burstiness").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS tok FROM documents),
+              t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+              ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+              f AS (SELECT tok, doc_id, count(*) AS c
+                FROM t GROUP BY 1, 2),
+              st AS (SELECT tok, count(*) AS df,
+                  CAST(sum(c) AS BIGINT) AS total,
+                  CAST(sum(c*c) AS BIGINT) AS sumsq FROM f GROUP BY 1),
+              b AS (SELECT tok, df, total,
+                  (sumsq * 1.0 / nd - (total * 1.0 / nd) *
+                    (total * 1.0 / nd)) / (total * 1.0 / nd)
+                    AS burstiness
+                FROM st, ndocs WHERE df >= 5)
+              SELECT tok, CAST(df AS BIGINT) AS doc_freq,
+                total AS n_occurrences, round(burstiness, 6) AS burstiness
+              FROM b ORDER BY burstiness DESC, tok LIMIT 20""")),
+
+    // Expected + maximum calibration error: the scalar rollup of the
+    // agg_calibration_bins reliability table (same keyed-md5 pseudo
+    // score / label so the oracle replays it bit-exactly) — one number
+    // to gate a scorer on instead of eyeballing ten bins.
+    Q("agg_ece",
+      (s, d) => {
+        val t = ev(s, d).select(
+          graft.functions.PortableHash
+            .md5Long(col("event_id").cast("string"), 6).as("h"),
+          when(col("value") >= 100, 1L).otherwise(0L).as("lab"))
+        val b = t.groupBy(expr("(h * 10) div 16777216").cast("long")
+            .as("bin"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("lab")) * lit(1.0) / count(lit(1))).as("acc"),
+            (sum(col("h")) / lit(16777216.0) / count(lit(1))).as("conf"))
+        val tot = b.agg(sum(col("n")).as("total"))
+        b.crossJoin(broadcast(tot))
+          .groupBy(col("total"))
+          .agg(round(sum((col("n") / col("total").cast("double")) *
+              abs(col("acc") - col("conf"))), 6).as("ece"),
+            round(max(abs(col("acc") - col("conf"))), 6).as("mce"))
+          .select(col("total").as("n"), col("ece"), col("mce"))
+      },
+      Some("""WITH t AS (SELECT
+                  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                    1, 6)) AS BIGINT) AS h,
+                  CASE WHEN value >= 100 THEN 1 ELSE 0 END AS lab
+                FROM events),
+              b AS (SELECT CAST((h * 10) // 16777216 AS BIGINT) AS bin,
+                  count(*) AS n,
+                  CAST(sum(lab) AS BIGINT) * 1.0 / count(*) AS acc,
+                  CAST(sum(h) AS BIGINT) / 16777216.0 / count(*) AS conf
+                FROM t GROUP BY 1),
+              tot AS (SELECT sum(n) AS total FROM b)
+              SELECT CAST(tot.total AS BIGINT) AS n,
+                round(sum((b.n * 1.0 / tot.total) * abs(b.acc - b.conf)),
+                  6) AS ece,
+                round(max(abs(b.acc - b.conf)), 6) AS mce
+              FROM b, tot GROUP BY tot.total""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -9178,7 +9429,7 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b ++ round11b2
+      round11b ++ round11b2 ++ round11c
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →

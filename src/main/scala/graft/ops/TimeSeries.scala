@@ -615,6 +615,54 @@ object TimeSeries {
     * calendar (bounded by days, not events) — the intrinsic data
     * dependence of an EMA, confined to the smallest possible series.
     */
+  /** Heikin-Ashi smoothed candles over each key's daily cents OHLC:
+    * ha_close = (o+h+l+c)/4, ha_open_t = (ha_open_{t−1} +
+    * ha_close_{t−1})/2 (initialized ha_open_1 = o_1), ha_high/low =
+    * extreme of {h, ha_open, ha_close} / {l, …}. The recursion is the
+    * same fold-over-sorted-series shape as [[macd]]: the per-key daily
+    * series is collected (bounded by the series length — the
+    * documented contract of the recursive family) and folded with one
+    * `aggregate` lambda; every operation is an IEEE +,/2,/4 on
+    * integer-cents doubles, executed in the identical order by the
+    * DuckDB recursive-CTE oracle, so the candles are bit-identical
+    * cross-engine.
+    */
+  def heikinAshi(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      cents: Column,
+      tie: Column,
+      keyName: String = "key"): DataFrame = {
+    val daily = ohlc(df, key, to_date(ts), ts, cents.cast("double"), tie)
+    val series = daily.groupBy(col("series").as(keyName))
+      .agg(sort_array(collect_list(struct(col("bucket").as("day"),
+        col("open").as("o"), col("high").as("h"), col("low").as("l"),
+        col("close").as("c")))).as("xs"))
+    val zero = struct(
+      lit(0.0).as("ho"), lit(0.0).as("hc"),
+      expr("CAST(array() AS array<struct<day:date,ha_open:double," +
+        "ha_close:double,ha_high:double,ha_low:double>>)").as("out"))
+    val folded = series.withColumn("__r",
+      aggregate(col("xs"), zero, (acc, x) => {
+        val first = size(acc("out")) === 0
+        val hc = (x("o") + x("h") + x("l") + x("c")) / 4.0
+        val ho = when(first, x("o"))
+          .otherwise((acc("ho") + acc("hc")) / 2.0)
+        struct(ho.as("ho"), hc.as("hc"),
+          concat(acc("out"), array(struct(x("day").as("day"),
+            round(ho, 6).as("ha_open"), round(hc, 6).as("ha_close"),
+            round(greatest(x("h"), ho, hc), 6).as("ha_high"),
+            round(least(x("l"), ho, hc), 6).as("ha_low")))).as("out"))
+      }))
+    folded
+      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+      .select(col(keyName), col("__e.day").as("day"),
+        col("__e.ha_open").as("ha_open"),
+        col("__e.ha_close").as("ha_close"),
+        col("__e.ha_high").as("ha_high"), col("__e.ha_low").as("ha_low"))
+  }
+
   def macd(
       df: DataFrame,
       key: Column,
