@@ -9422,6 +9422,174 @@ object SparkEntry {
               FROM b, tot GROUP BY tot.total""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 5:
+  // value-RANGE frames, range volatility, white-noise auditing, and
+  // ecological population estimation.
+  private val round11d = Seq(
+    // RANGE frame over the VALUE order (±5 units of the current row's
+    // value, not ±5 rows / seconds) — the neighborhood-density window
+    // the time-RANGE family can't express. Completes the frame-type
+    // coverage: ROWS, time-RANGE, and value-RANGE.
+    // The neighborhood average runs over exact integer cents (a sum of
+    // integer-valued doubles is IEEE-exact in ANY accumulation order)
+    // and is finished with the portable floor-form round (see f_round:
+    // engine round() implementations disagree on boundary doubles;
+    // floor(x·1e6 + 0.5)/1e6 is the identical IEEE op sequence on
+    // both).
+    Q("win_value_range_sum",
+      (s, d) => ev(s, d).select(col("event_id"),
+        expr("count(*) OVER (PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)").as("n_near"),
+        (floor(expr("avg(floor(value * 100 + 0.5)) OVER " +
+          "(PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)") / 100.0 *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_near")),
+      Some("""SELECT event_id,
+                count(*) OVER (PARTITION BY event_type ORDER BY value
+                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n_near,
+                floor(avg(floor(value * 100 + 0.5)) OVER
+                  (PARTITION BY event_type ORDER BY value
+                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) / 100.0
+                  * 1000000 + 0.5) / 1000000 AS avg_near
+              FROM events""")),
+
+    // Parkinson range volatility per week: √(avg(ln(H/L)²)/(4·ln2))
+    // over the daily cents high/low — the estimator that reads intraday
+    // range instead of close-to-close variance (≈5× more efficient on
+    // the same data). One keyed candle aggregate, one weekly rollup.
+    Q("agg_parkinson_vol",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+            date_trunc("week", col("ts")).as("wk"))
+          .agg(max(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .cast("double").as("h"),
+            min(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .cast("double").as("l"))
+          .filter(col("l") > 0)
+        daily.groupBy(col("event_type"), col("wk").cast("date").as("week"))
+          .agg(count(lit(1)).as("n_days"),
+            round(sqrt(avg(pow(log(col("h") / col("l")), 2)) /
+              (lit(4) * log(lit(2.0)))), 6).as("parkinson_vol"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+                  CAST(max(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS h,
+                  CAST(min(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS l
+                FROM events GROUP BY 1, 2, 3)
+              SELECT event_type, CAST(wk AS DATE) AS week,
+                count(*) AS n_days,
+                round(sqrt(avg(pow(ln(h / l), 2)) / (4 * ln(2))), 6)
+                  AS parkinson_vol
+              FROM d WHERE l > 0 GROUP BY 1, 2""")),
+
+    // Ljung–Box white-noise audit: Q = n(n+2)·Σ_{k=1..7} ρ̂²_k/(n−k)
+    // over the daily revenue series per type — "is there ANY serial
+    // structure left" in one number, vs agg_autocorr's single lag.
+    // The centered series and the seven lag products all live on the
+    // day dim (a 7-way band self-join of a ~30-row-per-type table).
+    Q("dq_ljung_box",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("rev"))
+        val mu = daily.groupBy(col("event_type"))
+          .agg(avg(col("rev")).as("mu"))
+        val c = daily.join(broadcast(mu), Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (col("rev") - col("mu")).as("e"))
+        val den = c.groupBy(col("event_type"))
+          .agg(sum(col("e") * col("e")).as("s0"),
+            count(lit(1)).cast("double").as("n"))
+        val ks = s.range(1, 8).toDF("k")
+        val c2 = c.select(col("event_type").as("et2"),
+          col("day").as("day2"), col("e").as("e2"))
+        val lags = c.crossJoin(broadcast(ks))
+          .join(c2, col("et2") === col("event_type") &&
+            col("day2") === date_add(col("day"), col("k").cast("int")))
+          .groupBy(col("event_type"), col("k"))
+          .agg(sum(col("e") * col("e2")).as("sk"))
+        lags.join(broadcast(den), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("k"),
+            (col("sk") / col("s0")).as("r"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).cast("long").as("n_days"),
+            round(max(col("n")) * (max(col("n")) + 2) *
+              sum(col("r") * col("r") / (col("n") - col("k"))), 6)
+              .as("q_stat"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS rev
+                FROM events GROUP BY 1, 2),
+              c AS (SELECT d.event_type, d.day, d.rev - m2.mu AS e
+                FROM d JOIN (SELECT event_type, avg(rev) AS mu
+                  FROM d GROUP BY 1) m2
+                  ON m2.event_type = d.event_type),
+              den AS (SELECT event_type, sum(e*e) AS s0,
+                  CAST(count(*) AS DOUBLE) AS n
+                FROM c GROUP BY 1),
+              lags AS (SELECT c.event_type, k.k, sum(c.e * c2.e) AS sk
+                FROM c JOIN (SELECT unnest(generate_series(1, 7)) AS k) k
+                  ON TRUE
+                JOIN c c2 ON c2.event_type = c.event_type
+                  AND c2.day = c.day + CAST(k.k AS INTEGER)
+                GROUP BY 1, 2),
+              rho AS (SELECT l.event_type, l.k, l.sk / den.s0 AS r, den.n
+                FROM lags l JOIN den ON den.event_type = l.event_type)
+              SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+                round(max(n) * (max(n) + 2) * sum(r * r / (n - k)), 6)
+                  AS q_stat
+              FROM rho GROUP BY 1""")),
+
+    // Lincoln–Petersen capture–recapture: estimate the total user
+    // population from the first day's "capture" and the last day's
+    // "recapture" overlap (n1·n2/m) — the ecological estimator that
+    // sanity-checks distinct counts you can't afford to compute
+    // exactly. Emitted alongside the true distinct so the estimate's
+    // error is auditable. Two day-filtered distinct sets, one semi
+    // join; everything else is one-row broadcasts.
+    Q("agg_capture_recapture",
+      (s, d) => {
+        val days = ev(s, d).agg(min(to_date(col("ts"))).as("d1"),
+          max(to_date(col("ts"))).as("d2"))
+        val e = ev(s, d).crossJoin(broadcast(days))
+        val s1 = e.filter(to_date(col("ts")) === col("d1"))
+          .select(col("user_id")).distinct()
+        val s2 = e.filter(to_date(col("ts")) === col("d2"))
+          .select(col("user_id")).distinct()
+        val n1 = s1.agg(count(lit(1)).as("n1"))
+        val n2 = s2.agg(count(lit(1)).as("n2"))
+        val m = s1.join(s2, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_both"))
+        val tru = ev(s, d).agg(countDistinct(col("user_id")).as("true_distinct"))
+        n1.crossJoin(n2).crossJoin(m).crossJoin(tru)
+          .select(col("n1"), col("n2"), col("n_both"),
+            round(col("n1") * lit(1.0) * col("n2") / col("n_both"), 6)
+              .as("lincoln_petersen"),
+            col("true_distinct"))
+      },
+      Some("""WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d1,
+                  max(CAST(ts AS DATE)) AS d2 FROM events),
+              s1 AS (SELECT DISTINCT user_id FROM events, bounds
+                WHERE CAST(ts AS DATE) = bounds.d1),
+              s2 AS (SELECT DISTINCT user_id FROM events, bounds
+                WHERE CAST(ts AS DATE) = bounds.d2),
+              co AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                  (SELECT count(*) FROM s2) AS n2,
+                  (SELECT count(*) FROM s1 JOIN s2 USING (user_id)) AS m),
+              tru AS (SELECT count(DISTINCT user_id) AS total FROM events)
+              SELECT CAST(co.n1 AS BIGINT) AS n1,
+                CAST(co.n2 AS BIGINT) AS n2,
+                CAST(co.m AS BIGINT) AS n_both,
+                round(co.n1 * 1.0 * co.n2 / co.m, 6) AS lincoln_petersen,
+                CAST(tru.total AS BIGINT) AS true_distinct
+              FROM co, tru""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -9429,7 +9597,7 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b ++ round11b2 ++ round11c
+      round11b ++ round11b2 ++ round11c ++ round11d
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
