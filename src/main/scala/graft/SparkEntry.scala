@@ -9430,20 +9430,33 @@ object SparkEntry {
     // value, not ±5 rows / seconds) — the neighborhood-density window
     // the time-RANGE family can't express. Completes the frame-type
     // coverage: ROWS, time-RANGE, and value-RANGE.
-    // The neighborhood average runs over exact integer cents (a sum of
-    // integer-valued doubles is IEEE-exact in ANY accumulation order)
-    // and is finished with the portable floor-form round (see f_round:
-    // engine round() implementations disagree on boundary doubles;
-    // floor(x·1e6 + 0.5)/1e6 is the identical IEEE op sequence on
-    // both).
+    // The frame runs over the grouped (type, value) SUPPORT, not the
+    // raw rows — equal values share one neighborhood, so the window
+    // walks a distinct-value dim instead of the corpus (the corpus
+    // pass is one keyed aggregate + one equi-join back). Exact
+    // integer-cents sums keep the average order-independent, and the
+    // portable floor-form round finishes it (engine round() builtins
+    // disagree on boundary doubles — see f_round).
     Q("win_value_range_sum",
-      (s, d) => ev(s, d).select(col("event_id"),
-        expr("count(*) OVER (PARTITION BY event_type ORDER BY value " +
-          "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)").as("n_near"),
-        (floor(expr("avg(floor(value * 100 + 0.5)) OVER " +
-          "(PARTITION BY event_type ORDER BY value " +
-          "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)") / 100.0 *
-          lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_near")),
+      (s, d) => {
+        val g = ev(s, d)
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("ct"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("sc"))
+        val near = g.select(col("event_type"), col("value"),
+          expr("sum(ct) OVER (PARTITION BY event_type ORDER BY value " +
+            "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)").as("n_near"),
+          (floor(expr("sum(sc) OVER (PARTITION BY event_type " +
+            "ORDER BY value RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)")
+            .cast("double") /
+            expr("sum(ct) OVER (PARTITION BY event_type ORDER BY value " +
+              "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)") / 100.0 *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_near"))
+        ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+          .join(near, Seq("event_type", "value"))
+          .select(col("event_id"), col("n_near"), col("avg_near"))
+      },
       Some("""SELECT event_id,
                 count(*) OVER (PARTITION BY event_type ORDER BY value
                   RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n_near,
