@@ -9558,6 +9558,48 @@ object SparkEntry {
                   AS q_stat
               FROM rho GROUP BY 1""")),
 
+    // Containment dedup with EXACT recall — the refinement closing
+    // dedup_containment's documented gap (MinHash bands key on
+    // Jaccard, so a small⊂large pair with skewed sizes can miss every
+    // band). Prefix filtering reasons about containment directly: the
+    // smaller set's canonical prefix of |s|−⌈τ|s|⌉+1 shingles MUST
+    // share a shingle with the partner, so probing prefixes against
+    // the full inverted index is deterministic full recall; exact
+    // verification then scores candidates. See
+    // Dedup.containmentPairsPrefix for the scale contract.
+    Q("dedup_containment_prefix",
+      (s, d) => Dedup.containmentPairsPrefix(
+        withPlantedDups(Tables.documents(s, d)),
+        col("doc_id"), col("text"), threshold = 0.8),
+      Some(s"""WITH $plantedDocsSql,
+              base AS (SELECT id,
+                  list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                     for i in range(0, greatest(len(toks) - 3, 0) + 1)])
+                    AS sh
+                FROM (SELECT id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM docs)),
+              ex AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM base),
+              hb AS (SELECT id, n, s,
+                  CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+                FROM ex),
+              rn AS (SELECT id, n, s,
+                  row_number() OVER (PARTITION BY id ORDER BY h, s) AS r
+                FROM hb),
+              probe AS (SELECT id, s FROM rn
+                WHERE r <= n - CAST(ceiling(0.8 * n) AS BIGINT) + 1),
+              cand AS (SELECT DISTINCT least(p.id, x.id) AS id_a,
+                  greatest(p.id, x.id) AS id_b
+                FROM probe p JOIN hb x ON x.s = p.s AND x.id <> p.id),
+              scored AS (SELECT c.id_a, c.id_b,
+                  len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    least(len(a.sh), len(b.sh)) AS containment
+                FROM cand c JOIN base a ON a.id = c.id_a
+                JOIN base b ON b.id = c.id_b
+                WHERE least(len(a.sh), len(b.sh)) > 0)
+              SELECT id_a, id_b, round(containment, 6) AS containment
+              FROM scored WHERE containment >= 0.8""")),
+
     // Lincoln–Petersen capture–recapture: estimate the total user
     // population from the first day's "capture" and the last day's
     // "recapture" overlap (n1·n2/m) — the ecological estimator that

@@ -217,6 +217,73 @@ object Dedup {
     minhashLshPairsWithCache(df, idCol, text, shingleK, numHashes, bands,
       threshold, maxBucketSize, score = "containment")._1
 
+  /** Containment pairs with EXACT recall via prefix filtering (the
+    * PPJoin family) — the refinement the banded [[containmentPairs]]
+    * documents as its gap: MinHash banding keys on JACCARD, so a
+    * containment-heavy pair with skewed sizes (small ⊂ large) has low
+    * Jaccard and can miss every band. Prefix filtering reasons about
+    * containment directly: if |a∩b| ≥ τ·|small|, then the smaller
+    * set's canonically-ordered prefix of length
+    * |small| − ⌈τ·|small|⌉ + 1 MUST contain a shared shingle (fewer
+    * than the required overlap can sit outside it) — so probing each
+    * doc's prefix against the full inverted index finds every
+    * qualifying pair through its smaller side, deterministically, no
+    * probability involved. The canonical order is the portable md5
+    * base (ties broken by the shingle itself), so the oracle replays
+    * the identical prefix.
+    *
+    * Scale: the probe explodes ~(1−τ) of each doc's shingles; the
+    * index is the full posting table capped at `maxPosting` docs per
+    * shingle (the standard df-cap — recall stays exact while no
+    * qualifying pair depends solely on a capped shingle; the cap is a
+    * knob, default high enough that the verification corpus is
+    * uncapped). Exact verification is confined to candidates, as in
+    * the banded family.
+    */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxPosting: Int = 100000): DataFrame = {
+    val base = Par.widen(df)
+      .select(idCol.as("id"), tokens(text).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      .withColumn("h", PortableHash.base28(col("s")))
+    val probe = ex
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("h"), col("s"))))
+      .filter(col("r") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
+      .select(col("id"), col("s"))
+    val index = ex
+      .withColumn("__pc", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("__pc") <= maxPosting)
+      .select(col("s"), col("id").as("id2"))
+    val cand = probe.join(index, Seq("s"))
+      .filter(col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("__inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("containment",
+        col("__inter") / least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) > 0 &&
+        col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   private def minhashLshPairsWithCache(
       df: DataFrame,
       idCol: Column,
