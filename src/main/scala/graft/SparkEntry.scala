@@ -9645,6 +9645,199 @@ object SparkEntry {
               FROM co, tru""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 6:
+  // information-theoretic audits, extreme-value fitting, and the
+  // model-eval gains table.
+  private val round11e = Seq(
+    // Mutual information (bits) between series identity and
+    // hour-of-day: the single-number "how much does WHEN tell you
+    // about WHAT" dependence readout — chi2's effect-size sibling on
+    // the same contingency table. Marginals via partition windows over
+    // the |types|×24 cell dim.
+    Q("agg_mutual_information",
+      (s, d) => {
+        val c = ev(s, d)
+          .groupBy(col("event_type").as("x"),
+            ScalarFns.hourOfDay(col("ts")).as("y"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val t = c.select(col("n"),
+          sum(col("n")).over(Window.partitionBy()).as("tot"),
+          sum(col("n")).over(Window.partitionBy(col("x"))).as("nx"),
+          sum(col("n")).over(Window.partitionBy(col("y"))).as("ny"))
+        t.groupBy(col("tot"))
+          .agg(round(sum((col("n") / col("tot")) *
+            log2((col("n") * col("tot")) / (col("nx") * col("ny")))), 6)
+            .as("mi_bits"))
+          .select(col("tot").cast("long").as("n"), col("mi_bits"))
+      },
+      Some("""WITH c AS (SELECT event_type AS x,
+                  hour(CAST(ts AS TIMESTAMP)) AS y,
+                  CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+              t AS (SELECT x, y, n,
+                  sum(n) OVER () AS tot,
+                  sum(n) OVER (PARTITION BY x) AS nx,
+                  sum(n) OVER (PARTITION BY y) AS ny
+                FROM c)
+              SELECT CAST(sum(n) AS BIGINT) AS n,
+                round(sum((n / tot) * log2((n * tot) / (nx * ny))), 6)
+                  AS mi_bits
+              FROM t GROUP BY tot""")),
+
+    // Jensen–Shannon divergence (bits) between two sources' unigram
+    // distributions — the symmetric bounded corpus-drift readout
+    // (KL's usable sibling: defined even where one side has zero
+    // mass). One tokenize pass; the distribution table is vocab-sized.
+    Q("text_js_divergence",
+      (s, d) => {
+        val t = Par.widen(Tables.documents(s, d))
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), explode(Dedup.tokens(col("text")))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+        val p = t.groupBy(col("tok"))
+          .agg(sum(when(col("source") === "src0", 1.0).otherwise(0.0))
+              .as("ca"),
+            sum(when(col("source") === "src1", 1.0).otherwise(0.0))
+              .as("cb"))
+        val n = p.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        val dd = p.crossJoin(broadcast(n))
+          .select((col("ca") / col("na")).as("pa"),
+            (col("cb") / col("nb")).as("pb"))
+          .withColumn("m", (col("pa") + col("pb")) / 2)
+        dd.agg(round(lit(0.5) *
+            sum(when(col("pa") > 0,
+              col("pa") * log2(col("pa") / col("m"))).otherwise(0.0)) +
+            lit(0.5) *
+            sum(when(col("pb") > 0,
+              col("pb") * log2(col("pb") / col("m"))).otherwise(0.0)), 6)
+            .as("js_divergence_bits"),
+          count(lit(1)).as("n_vocab"))
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS tok
+                FROM documents WHERE source IN ('src0', 'src1')),
+              t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+              f AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+                FROM t GROUP BY 1, 2),
+              p AS (SELECT tok,
+                  coalesce(sum(CASE WHEN source='src0' THEN c END), 0)
+                    AS ca,
+                  coalesce(sum(CASE WHEN source='src1' THEN c END), 0)
+                    AS cb
+                FROM f GROUP BY 1),
+              n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM p),
+              d AS (SELECT p.tok, p.ca / n.na AS pa, p.cb / n.nb AS pb,
+                  (p.ca / n.na + p.cb / n.nb) / 2 AS m FROM p, n)
+              SELECT round(0.5 * sum(CASE WHEN pa > 0
+                  THEN pa * log2(pa / m) ELSE 0 END)
+                + 0.5 * sum(CASE WHEN pb > 0
+                  THEN pb * log2(pb / m) ELSE 0 END), 6)
+                  AS js_divergence_bits,
+                CAST(count(*) AS BIGINT) AS n_vocab
+              FROM d""")),
+
+    // Gumbel extreme-value fit by method of moments over the daily
+    // maxima per series (μ = mean − γ·β, β = s·√6/π) — the EVT readout
+    // that turns "what was the worst day" into "how bad is a 1-in-N
+    // day". Two nested keyed aggregates, day-dim moments.
+    Q("agg_extreme_value_fit",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((max(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("mx"))
+        val beta = stddev_samp(col("mx")) * sqrt(lit(6.0)) / lit(math.Pi)
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            round(avg(col("mx")) - lit(0.5772156649015329) * beta, 6)
+              .as("gumbel_mu"),
+            round(beta, 6).as("gumbel_beta"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(max(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0 AS mx
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, count(*) AS n_days,
+                round(avg(mx) - 0.5772156649015329 *
+                  (stddev_samp(mx) * sqrt(6) / pi()), 6) AS gumbel_mu,
+                round(stddev_samp(mx) * sqrt(6) / pi(), 6) AS gumbel_beta
+              FROM d GROUP BY 1""")),
+
+    // Last-digit uniformity audit: χ² of the final cent digit against
+    // uniform — fabricated or unit-rounded measurements cluster on 0/5
+    // where Benford's first-digit law can't see them. One 10-cell
+    // contingency aggregate.
+    Q("dq_last_digit_uniformity",
+      (s, d) => {
+        val dd = ev(s, d)
+          .groupBy((floor(col("value") * 100 + lit(0.5)).cast("long") % 10)
+            .as("dig"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val t = dd.select(col("n"),
+          (sum(col("n")).over(Window.partitionBy()) / 10.0).as("e"))
+        t.groupBy(col("e"))
+          .agg(sum(col("n")).cast("long").as("n"),
+            count(lit(1)).as("n_digits"),
+            round(sum(pow(col("n") - col("e"), 2) / col("e")), 6)
+              .as("chi2"))
+          .select(col("n"), col("n_digits"), col("chi2"))
+      },
+      Some("""WITH d AS (SELECT
+                  CAST(floor(value*100+0.5) AS BIGINT) % 10 AS dig,
+                  count(*) AS n FROM events GROUP BY 1),
+              t AS (SELECT dig, CAST(n AS DOUBLE) AS n,
+                  sum(n) OVER () / 10.0 AS e FROM d)
+              SELECT CAST(sum(n) AS BIGINT) AS n,
+                count(*) AS n_digits,
+                round(sum(pow(n - e, 2) / e), 6) AS chi2
+              FROM t GROUP BY e""")),
+
+    // Gains table: cumulative capture and lift by score decile,
+    // walking deciles best-first — the "top 20% of scores captures X%
+    // of positives" model-eval readout, over the same keyed-md5
+    // pseudo score/label as the calibration family. Cumulations run
+    // on the 10-row decile dim.
+    Q("agg_gains_table",
+      (s, d) => {
+        val t = ev(s, d).select(
+          graft.functions.PortableHash
+            .md5Long(col("event_id").cast("string"), 6).as("h"),
+          when(col("value") >= 100, 1L).otherwise(0L).as("lab"))
+        val b = t.groupBy(expr("(h * 10) div 16777216").cast("long")
+            .as("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("lab")).as("pos"))
+        val wDesc = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        b.select(col("decile"), col("n"), col("pos"),
+          round(sum(col("pos")).over(wDesc) /
+            sum(col("pos")).over(wAll).cast("double"), 6)
+            .as("cum_capture"),
+          round((sum(col("pos")).over(wDesc) /
+              sum(col("n")).over(wDesc).cast("double")) /
+            (sum(col("pos")).over(wAll) /
+              sum(col("n")).over(wAll).cast("double")), 6).as("cum_lift"))
+      },
+      Some("""WITH t AS (SELECT
+                  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                    1, 6)) AS BIGINT) AS h,
+                  CASE WHEN value >= 100 THEN 1 ELSE 0 END AS lab
+                FROM events),
+              b AS (SELECT CAST((h * 10) // 16777216 AS BIGINT) AS decile,
+                  count(*) AS n, CAST(sum(lab) AS BIGINT) AS pos
+                FROM t GROUP BY 1),
+              c AS (SELECT decile, n, pos,
+                  sum(n) OVER (ORDER BY decile DESC) AS cum_n,
+                  sum(pos) OVER (ORDER BY decile DESC) AS cum_pos,
+                  sum(pos) OVER () AS tot_pos, sum(n) OVER () AS tot_n
+                FROM b)
+              SELECT decile, n, pos,
+                round(cum_pos * 1.0 / tot_pos, 6) AS cum_capture,
+                round((cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n),
+                  6) AS cum_lift
+              FROM c""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -9652,7 +9845,7 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b ++ round11b2 ++ round11c ++ round11d
+      round11b ++ round11b2 ++ round11c ++ round11d ++ round11e
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
