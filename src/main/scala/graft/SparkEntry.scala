@@ -9838,6 +9838,238 @@ object SparkEntry {
               FROM c""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 7:
+  // k-sample nonparametrics, corpus novelty, rank fusion, inequality,
+  // and survey-sampling allocation.
+  private val round11f = Seq(
+    // Kruskal–Wallis H: the k-sample rank ANOVA (does ANY series'
+    // value distribution differ?) completing the nonparametric suite
+    // past the pairwise Mann–Whitney. Global average ranks ride the
+    // same grouped-support + bucketed-prefix-sum machinery (no global
+    // sort); per-series rank sums come from the (series, value) count
+    // table joined to the support. No tie-correction term
+    // (documented, matching the oracle exactly).
+    Q("agg_kruskal_wallis",
+      (s, d) => {
+        val g1 = ev(s, d).groupBy(col("value"))
+          .agg(count(lit(1)).as("ct"))
+        val ar = ScalableRank.globalPrefixSum(g1, floor(col("value")),
+          Seq(col("value")), col("ct"), "before", inclusive = false)
+          .select(col("value"),
+            (col("before") + (col("ct") + 1) / lit(2.0)).as("ar"))
+        val g2 = ev(s, d).groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("ctv"))
+        val perType = g2.join(ar, Seq("value"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("ctv")).cast("double").as("nj"),
+            sum(col("ctv") * col("ar")).as("rj"))
+        val t = perType.agg(sum(col("nj")).as("n"))
+        perType.crossJoin(broadcast(t))
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("k"),
+            round(lit(12.0) / (col("n") * (col("n") + 1)) *
+              sum(col("rj") * col("rj") / col("nj")) -
+              lit(3) * (col("n") + 1), 6).as("h_stat"))
+          .select(col("n").cast("long").as("n"), col("k"), col("h_stat"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+                  rank() OVER (ORDER BY value) +
+                    (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar
+                FROM events),
+              g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nj,
+                  sum(ar) AS rj
+                FROM r GROUP BY 1),
+              t AS (SELECT sum(nj) AS n FROM g)
+              SELECT CAST(t.n AS BIGINT) AS n, count(*) AS k,
+                round(12.0 / (t.n * (t.n + 1)) * sum(rj * rj / nj)
+                  - 3 * (t.n + 1), 6) AS h_stat
+              FROM g, t GROUP BY t.n""")),
+
+    // Friedman test: rank the k series WITHIN each day block, then ask
+    // whether the rank sums differ — the repeated-measures sibling of
+    // Kruskal–Wallis that controls for the day effect. Blocks are
+    // k-row day partitions; everything is day-dim sized.
+    Q("agg_friedman_test",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double").as("rev"))
+        val ar = rank().over(Window.partitionBy(col("day"))
+            .orderBy(col("rev"))) +
+          (count(lit(1)).over(Window.partitionBy(col("day"), col("rev")))
+            - 1) / lit(2.0)
+        val g = daily.select(col("event_type"), ar.as("ar"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("ar")).as("rj"),
+            count(lit(1)).cast("double").as("nb"))
+        val dims = g.agg(max(col("nb")).as("n"),
+          count(lit(1)).cast("double").as("k"))
+        g.crossJoin(broadcast(dims))
+          .groupBy(col("n"), col("k"))
+          .agg(round(lit(12.0) /
+              (col("n") * col("k") * (col("k") + 1)) *
+              sum(col("rj") * col("rj")) -
+              lit(3) * col("n") * (col("k") + 1), 6).as("chi2_f"))
+          .select(col("n").cast("long").as("n_blocks"),
+            col("k").cast("long").as("k"), col("chi2_f"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS rev
+                FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, day,
+                  rank() OVER (PARTITION BY day ORDER BY rev) +
+                    (count(*) OVER (PARTITION BY day, rev) - 1) / 2.0
+                    AS ar
+                FROM d),
+              g AS (SELECT event_type, sum(ar) AS rj,
+                  CAST(count(*) AS DOUBLE) AS nb
+                FROM r GROUP BY 1),
+              dims AS (SELECT CAST(max(nb) AS DOUBLE) AS n,
+                  CAST(count(*) AS DOUBLE) AS k FROM g)
+              SELECT CAST(dims.n AS BIGINT) AS n_blocks,
+                CAST(dims.k AS BIGINT) AS k,
+                round(12.0 / (dims.n * dims.k * (dims.k + 1)) *
+                  sum(rj * rj) - 3 * dims.n * (dims.k + 1), 6) AS chi2_f
+              FROM g, dims GROUP BY dims.n, dims.k""")),
+
+    // Shingle novelty per document: the share of a doc's 3-shingles
+    // whose FIRST corpus occurrence (min doc id) is this doc — the
+    // marginal-contribution curve that tells a curation pipeline when
+    // additional data stops adding content. First-occurrence is one
+    // keyed min over the exploded shingles.
+    Q("text_ngram_novelty",
+      (s, d) => {
+        val base = Par.widen(Tables.documents(s, d))
+          .select(col("doc_id").as("id"), Dedup.tokens(col("text"))
+            .as("toks"))
+          .select(col("id"),
+            Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+        val ex = base.select(col("id"), explode(col("sh")).as("s"))
+        val fo = ex.groupBy(col("s")).agg(min(col("id")).as("first_id"))
+        ex.join(fo, Seq("s"))
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_id") === col("id"), 1).otherwise(0))
+              .cast("long").as("n_novel"),
+            round(sum(when(col("first_id") === col("id"), 1).otherwise(0))
+              / count(lit(1)).cast("double"), 6).as("novelty"))
+      },
+      Some("""WITH base AS (SELECT doc_id AS id,
+                  list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                     for i in range(0, greatest(len(toks) - 3, 0) + 1)])
+                    AS sh
+                FROM (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents)),
+              ex AS (SELECT id, unnest(sh) AS s FROM base),
+              fo AS (SELECT s, min(id) AS first_id FROM ex GROUP BY 1)
+              SELECT ex.id AS doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END)
+                  * 1.0 / count(*), 6) AS novelty
+              FROM ex JOIN fo ON fo.s = ex.s GROUP BY 1""")),
+
+    // Reciprocal-rank fusion of two orderings (value-rank and
+    // recency-rank) per series, top-10 — the standard no-tuning
+    // reranker for combining retrieval signals (k = 60). All ranks are
+    // deterministic (event_id tiebreaker).
+    Q("f_rank_fusion",
+      (s, d) => {
+        val byV = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        val byT = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").desc, col("event_id"))
+        val f = ev(s, d).select(col("event_id"), col("event_type"),
+          (lit(1.0) / (lit(60) + rank().over(byV)) +
+            lit(1.0) / (lit(60) + rank().over(byT))).as("rrf"))
+        f.withColumn("rnk", rank().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("rrf").desc, col("event_id"))))
+          .filter(col("rnk") <= 10)
+          .select(col("event_type"), col("event_id"),
+            round(col("rrf"), 6).as("rrf_score"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH r AS (SELECT event_id, event_type,
+                  rank() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rv,
+                  rank() OVER (PARTITION BY event_type
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id) AS rt
+                FROM events),
+              f AS (SELECT event_id, event_type,
+                  1.0/(60 + rv) + 1.0/(60 + rt) AS rrf FROM r),
+              k AS (SELECT event_id, event_type, rrf,
+                  rank() OVER (PARTITION BY event_type
+                    ORDER BY rrf DESC, event_id) AS rk
+                FROM f)
+              SELECT event_type, event_id, round(rrf, 6) AS rrf_score,
+                CAST(rk AS BIGINT) AS rnk
+              FROM k WHERE rk <= 10""")),
+
+    // Theil T inequality per series over per-user revenue — the
+    // log-based, exactly-decomposable inequality index complementing
+    // the rank-based Gini. One user rollup, one broadcast of the
+    // series means.
+    Q("agg_theil_index",
+      (s, d) => {
+        val u = ev(s, d).groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double").as("x"))
+        val m = u.groupBy(col("event_type"))
+          .agg(avg(col("x")).as("mu"),
+            count(lit(1)).cast("double").as("n"))
+        u.join(broadcast(m), Seq("event_type"))
+          .filter(col("x") > 0)
+          .groupBy(col("event_type"), col("n"))
+          .agg(round(sum((col("x") / (col("mu") * col("n"))) *
+            log(col("x") / col("mu"))), 6).as("theil_t"))
+          .select(col("event_type"), col("n").cast("long").as("n_users"),
+            col("theil_t"))
+      },
+      Some("""WITH u AS (SELECT event_type, user_id,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS x
+                FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, avg(x) AS mu,
+                  CAST(count(*) AS DOUBLE) AS n
+                FROM u GROUP BY 1)
+              SELECT u.event_type, CAST(m.n AS BIGINT) AS n_users,
+                round(sum((u.x / (m.mu * m.n)) * ln(u.x / m.mu)), 6)
+                  AS theil_t
+              FROM u JOIN m ON m.event_type = u.event_type
+              WHERE u.x > 0 GROUP BY 1, 2""")),
+
+    // Neyman allocation for a 1000-row stratified sample: per stratum
+    // n_h ∝ N_h·S_h — minimal-variance sampling design, vs the
+    // proportional allocation sample_stratified uses. The allocation
+    // table is stratum-sized; the draw itself is the existing
+    // md5-deterministic machinery.
+    Q("sample_neyman_alloc",
+      (s, d) => {
+        val st = ev(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("double").as("nh"),
+            stddev_samp(col("value")).as("sh"))
+        val t = st.agg(sum(col("nh") * col("sh")).as("tot"))
+        st.crossJoin(broadcast(t))
+          .select(col("event_type"),
+            col("nh").cast("long").as("stratum_size"),
+            round(col("sh"), 6).as("stratum_std"),
+            floor(lit(1000) * col("nh") * col("sh") / col("tot"))
+              .cast("long").as("neyman_n"))
+      },
+      Some("""WITH s AS (SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS nh,
+                  stddev_samp(value) AS sh FROM events GROUP BY 1),
+              t AS (SELECT sum(nh * sh) AS tot FROM s)
+              SELECT event_type, CAST(nh AS BIGINT) AS stratum_size,
+                round(sh, 6) AS stratum_std,
+                CAST(floor(1000 * nh * sh / t.tot) AS BIGINT) AS neyman_n
+              FROM s, t""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -9845,7 +10077,7 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b ++ round11b2 ++ round11c ++ round11d ++ round11e
+      round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++ round11f
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
