@@ -10070,6 +10070,244 @@ object SparkEntry {
               FROM s, t""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 8:
+  // indicator-family completion (stochastic, ATR), heavy-tail fitting,
+  // inter-rater agreement, and tournament ranking.
+  private val round11g = Seq(
+    // Stochastic oscillator %K/%D over the daily cents candles —
+    // where does today's close sit inside the trailing-14-day range.
+    // Exact integer extremes; flat-range days pin %K to 50 on both
+    // engines; the 3-SMA and the output go through the portable
+    // floor-form round.
+    Q("win_stochastic_oscillator",
+      (s, d) => {
+        val daily = TimeSeries.ohlc(
+          ev(s, d).withColumn("__vc",
+            floor(col("value") * 100 + lit(0.5)).cast("long")),
+          col("event_type"), to_date(col("ts")), col("ts"),
+          col("__vc").cast("double"), col("event_id"))
+        val fr = Window.partitionBy(col("series")).orderBy(col("bucket"))
+          .rowsBetween(-13, Window.currentRow)
+        val w3 = Window.partitionBy(col("series")).orderBy(col("bucket"))
+          .rowsBetween(-2, Window.currentRow)
+        def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val k = daily.select(col("series").as("event_type"),
+            col("bucket").as("day"), col("close"),
+            min(col("low")).over(fr).as("lo"),
+            max(col("high")).over(fr).as("hi"))
+          .withColumn("k", when(col("hi") === col("lo"), lit(50.0))
+            .otherwise(lit(100.0) * (col("close") - col("lo")) /
+              (col("hi") - col("lo"))))
+        k.select(col("event_type"), col("day"),
+          r6(col("k")).as("pct_k"),
+          r6(avg(col("k")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("day")).rowsBetween(-2, Window.currentRow)))
+            .as("pct_d"))
+      },
+      Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day,
+                  CAST(max(vc) AS DOUBLE) AS h,
+                  CAST(min(vc) AS DOUBLE) AS l,
+                  CAST(arg_max(vc, ok) AS DOUBLE) AS c
+                FROM k GROUP BY 1, 2),
+              w AS (SELECT event_type, day, c,
+                  min(l) OVER fr AS lo, max(h) OVER fr AS hi
+                FROM daily WINDOW fr AS (PARTITION BY event_type
+                  ORDER BY day
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+              pk AS (SELECT event_type, day,
+                  CASE WHEN hi = lo THEN 50.0
+                    ELSE 100.0 * (c - lo) / (hi - lo) END AS k
+                FROM w)
+              SELECT event_type, day,
+                floor(k * 1000000 + 0.5) / 1000000 AS pct_k,
+                floor(avg(k) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  * 1000000 + 0.5) / 1000000 AS pct_d
+              FROM pk""")),
+
+    // Average True Range: TR = max(H−L, |H−prevC|, |L−prevC|) over the
+    // daily cents candles, 14-day rolling mean — the gap-aware
+    // volatility the plain daily range understates. First day falls
+    // back to H−L (prevC := C) on both engines.
+    Q("win_atr",
+      (s, d) => {
+        val daily = TimeSeries.ohlc(
+          ev(s, d).withColumn("__vc",
+            floor(col("value") * 100 + lit(0.5)).cast("long")),
+          col("event_type"), to_date(col("ts")), col("ts"),
+          col("__vc").cast("double"), col("event_id"))
+        val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+        val prevC = coalesce(lag(col("close"), 1).over(w), col("close"))
+        val tr = daily.select(col("series").as("event_type"),
+          col("bucket").as("day"),
+          greatest(col("high") - col("low"),
+            abs(col("high") - prevC), abs(col("low") - prevC)).as("tr"))
+        tr.select(col("event_type"), col("day"), col("tr"),
+          (floor(avg(col("tr")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))
+              .rowsBetween(-13, Window.currentRow)) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("atr14"))
+      },
+      Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day,
+                  CAST(max(vc) AS DOUBLE) AS h,
+                  CAST(min(vc) AS DOUBLE) AS l,
+                  CAST(arg_max(vc, ok) AS DOUBLE) AS c
+                FROM k GROUP BY 1, 2),
+              tr AS (SELECT event_type, day,
+                  greatest(h - l,
+                    abs(h - coalesce(lag(c) OVER w, c)),
+                    abs(l - coalesce(lag(c) OVER w, c))) AS tr
+                FROM daily WINDOW w AS (PARTITION BY event_type
+                  ORDER BY day))
+              SELECT event_type, day, tr,
+                floor(avg(tr) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                  * 1000000 + 0.5) / 1000000 AS atr14
+              FROM tr""")),
+
+    // Hill estimator of the Pareto tail index α over the top-50
+    // per-user revenues per series — "how heavy is the whale tail"
+    // (α ≤ 2: infinite variance; the readout that decides whether
+    // mean-based budgeting is meaningful at all). The order statistics
+    // live on the per-series top-k dim.
+    Q("agg_pareto_tail_fit",
+      (s, d) => {
+        val u = ev(s, d).groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("double").as("x"))
+          .filter(col("x") > 0)
+        val r = u.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("x").desc, col("user_id"))))
+        val kmin = r.filter(col("rk") === 51)
+          .select(col("event_type"), col("x").as("xk"))
+        r.filter(col("rk") <= 50)
+          .join(kmin, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("k"),
+            round(lit(1.0) /
+              (sum(log(col("x") / col("xk"))) / count(lit(1))), 6)
+              .as("hill_alpha"))
+      },
+      Some("""WITH u AS (SELECT event_type, user_id,
+                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
+                    AS x
+                FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, x,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY x DESC, user_id) AS rk
+                FROM u WHERE x > 0),
+              kmin AS (SELECT event_type, x AS xk FROM r WHERE rk = 51)
+              SELECT r.event_type, count(*) AS k,
+                round(1.0 / (sum(ln(r.x / kmin.xk)) / count(*)), 6)
+                  AS hill_alpha
+              FROM r JOIN kmin ON kmin.event_type = r.event_type
+              WHERE r.rk <= 50 GROUP BY 1""")),
+
+    // Cohen's kappa between two deterministic binary raters (the
+    // value-threshold rule vs the keyed-md5 pseudo-model) —
+    // chance-corrected agreement, the honest sibling of raw accuracy
+    // when classes are imbalanced. One contingency aggregate.
+    Q("agg_kappa_agreement",
+      (s, d) => {
+        val t = ev(s, d).select(
+          when(col("value") >= 50, 1L).otherwise(0L).as("a"),
+          when(graft.functions.PortableHash
+            .md5Long(col("event_id").cast("string"), 6) >= 8388608L, 1L)
+            .otherwise(0L).as("b"))
+        val c = t.agg(count(lit(1)).cast("double").as("n"),
+          sum(when(col("a") === col("b"), 1).otherwise(0))
+            .cast("double").as("agree"),
+          sum(col("a")).cast("double").as("na"),
+          sum(col("b")).cast("double").as("nb"))
+        val pe = (col("na") * col("nb") +
+          (col("n") - col("na")) * (col("n") - col("nb"))) /
+          (col("n") * col("n"))
+        c.select(col("n").cast("long").as("n"),
+          round(col("agree") / col("n"), 6).as("p_observed"),
+          round(pe, 6).as("p_expected"),
+          round((col("agree") / col("n") - pe) / (lit(1) - pe), 6)
+            .as("kappa"))
+      },
+      Some("""WITH t AS (SELECT
+                  CASE WHEN value >= 50 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN CAST(concat('0x', substr(md5(
+                      CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                    >= 8388608 THEN 1 ELSE 0 END AS b
+                FROM events),
+              c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(CASE WHEN a = b THEN 1 ELSE 0 END) * 1.0 AS agree,
+                  CAST(sum(a) AS DOUBLE) AS na,
+                  CAST(sum(b) AS DOUBLE) AS nb
+                FROM t)
+              SELECT CAST(n AS BIGINT) AS n,
+                round(agree / n, 6) AS p_observed,
+                round((na*nb + (n-na)*(n-nb)) / (n*n), 6) AS p_expected,
+                round((agree/n - (na*nb + (n-na)*(n-nb))/(n*n)) /
+                  (1 - (na*nb + (n-na)*(n-nb))/(n*n)), 6) AS kappa
+              FROM c""")),
+
+    // Copeland tournament score: each day "votes" by daily revenue,
+    // each pair of series plays one match decided by net daily wins
+    // (win 1 / tie ½ / loss 0) — the rank-aggregation readout that is
+    // robust to one blowout day, vs the season-total ranking a plain
+    // sum gives. Pair matrix is |types|², day joins are day-dim.
+    Q("agg_copeland_score",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("rev"))
+        val a = daily.select(col("day"), col("event_type").as("x"),
+          col("rev").as("rx"))
+        val b = daily.select(col("day").as("day2"),
+          col("event_type").as("y"), col("rev").as("ry"))
+        val p = a.join(b, col("day") === col("day2") && col("x") < col("y"))
+          .groupBy(col("x"), col("y"))
+          .agg(sum(when(col("rx") > col("ry"), 1)
+            .when(col("rx") < col("ry"), -1).otherwise(0)).as("net"))
+        val scores = p.select(col("x").as("t"),
+            when(col("net") > 0, 1.0).when(col("net") === 0, 0.5)
+              .otherwise(0.0).as("w"))
+          .unionByName(p.select(col("y").as("t"),
+            when(col("net") < 0, 1.0).when(col("net") === 0, 0.5)
+              .otherwise(0.0).as("w")))
+        scores.groupBy(col("t").as("event_type"))
+          .agg(round(sum(col("w")), 6).as("copeland_score"),
+            count(lit(1)).as("n_opponents"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(floor(value*100+0.5) AS BIGINT)) AS rev
+                FROM events GROUP BY 1, 2),
+              p AS (SELECT a.event_type AS x, b.event_type AS y,
+                  sum(CASE WHEN a.rev > b.rev THEN 1
+                    WHEN a.rev < b.rev THEN -1 ELSE 0 END) AS net
+                FROM d a JOIN d b ON a.day = b.day
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2),
+              s AS (SELECT x AS t, CASE WHEN net > 0 THEN 1.0
+                    WHEN net = 0 THEN 0.5 ELSE 0 END AS w FROM p
+                UNION ALL
+                SELECT y, CASE WHEN net < 0 THEN 1.0
+                  WHEN net = 0 THEN 0.5 ELSE 0 END FROM p)
+              SELECT t AS event_type,
+                round(CAST(sum(w) AS DOUBLE), 6) AS copeland_score,
+                count(*) AS n_opponents
+              FROM s GROUP BY 1""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -10077,7 +10315,8 @@ object SparkEntry {
       curation ++ extras ++ hyper ++ analytics ++ hyper2 ++ hyper3 ++
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
-      round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++ round11f
+      round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++
+      round11f ++ round11g
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
