@@ -10308,6 +10308,177 @@ object SparkEntry {
               FROM s GROUP BY 1""")),
   )
 
+  // ------------------------------------------- §2.32 round-11 batch 9:
+  // graph-family completion, temporal burstiness, and candle pivots.
+  private val round11h = Seq(
+    // Global clustering coefficient 3T/W over the co-order part graph
+    // (same support-thresholded edges as graph_triangles) — the
+    // one-number "is this graph clumpy or random" readout. Wedge count
+    // is a degree aggregate; the triangle count reuses the
+    // degree-oriented wedge join.
+    Q("graph_clustering_coeff",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("__sup"))
+          .filter(col("__sup") >= 2)
+          .select(col("a"), col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+        val wedges = edges
+          .select(explode(array(col("a"), col("b"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("w"))
+        val tri = Graph.triangleCount(edges)
+          .agg(sum(col("n_triangles")).as("t"))
+        val out = nEdges.crossJoin(broadcast(wedges))
+          .crossJoin(broadcast(tri))
+          .select(col("n_edges"), col("w").as("n_wedges"),
+            col("t").as("n_triangles"),
+            round(lit(3.0) * col("t") / col("w"), 6)
+              .as("clustering_coeff"))
+        out
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                    l_partkey AS pk FROM lineitem),
+              e AS (SELECT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (SELECT n, count(*) AS d FROM (
+                  SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+              wedges AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg),
+              wd AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+              tri AS (SELECT count(*) AS t FROM wd
+                JOIN e ON e.a = wd.y AND e.b = wd.z)
+              SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                CAST(wedges.w AS BIGINT) AS n_wedges,
+                CAST(tri.t AS BIGINT) AS n_triangles,
+                round(3.0 * tri.t / wedges.w, 6) AS clustering_coeff
+              FROM wedges, tri""")),
+
+    // Degree histogram of the same graph — the first thing anyone
+    // plots before trusting any graph statistic (and the input to a
+    // power-law eyeball). Two keyed aggregates.
+    Q("graph_degree_histogram",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("__sup"))
+          .filter(col("__sup") >= 2)
+          .select(col("a"), col("b"))
+        edges.select(explode(array(col("a"), col("b"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                    l_partkey AS pk FROM lineitem),
+              e AS (SELECT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (SELECT n, count(*) AS degree FROM (
+                  SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1)
+              SELECT degree, count(*) AS n_nodes
+              FROM deg GROUP BY 1""")),
+
+    // Barabási burstiness B = (σ−μ)/(σ+μ) of each user's inter-event
+    // gaps: −1 = metronome, 0 = Poisson, →1 = bursty — the temporal
+    // fingerprint that separates bots from humans. One partitioned
+    // lag + one keyed moment aggregate over exact-integer microsecond
+    // gaps.
+    Q("agg_interevent_burstiness",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        val micros = unix_micros(col("ts").cast("timestamp"))
+        val g = ev(s, d)
+          .select(col("user_id"),
+            (micros - lag(micros, 1).over(w)).as("gap"))
+          .filter(col("gap").isNotNull)
+        g.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            avg(col("gap")).as("mu"), stddev_samp(col("gap")).as("s"))
+          .filter(col("n_gaps") >= 2)
+          .select(col("user_id"), col("n_gaps"),
+            round((col("s") - col("mu")) / (col("s") + col("mu")), 6)
+              .as("burstiness"))
+      },
+      Some("""WITH g AS (SELECT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+                FROM events),
+              m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                  avg(gap) AS mu, stddev_samp(gap) AS s
+                FROM g WHERE gap IS NOT NULL GROUP BY 1
+                HAVING count(*) >= 2)
+              SELECT user_id, n_gaps,
+                round((s - mu) / (s + mu), 6) AS burstiness
+              FROM m""")),
+
+    // Floor-trader pivot points from the PREVIOUS day's candle
+    // (P = (H+L+C)/3, R1/S1/R2/S2) — the level set published before
+    // each session opens; leakage-safe by construction (only lagged
+    // inputs). Exact integer candles, one lag window.
+    Q("win_pivot_points",
+      (s, d) => {
+        val daily = TimeSeries.ohlc(
+          ev(s, d).withColumn("__vc",
+            floor(col("value") * 100 + lit(0.5)).cast("long")),
+          col("event_type"), to_date(col("ts")), col("ts"),
+          col("__vc").cast("double"), col("event_id"))
+        val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+        val p = daily.select(col("series").as("event_type"),
+            col("bucket").as("day"),
+            lag(col("high"), 1).over(w).as("ph"),
+            lag(col("low"), 1).over(w).as("pl"),
+            lag(col("close"), 1).over(w).as("pc"))
+          .filter(col("ph").isNotNull)
+        val piv = (col("ph") + col("pl") + col("pc")) / 3
+        p.select(col("event_type"), col("day"),
+          round(piv, 6).as("pivot"),
+          round(lit(2) * piv - col("pl"), 6).as("r1"),
+          round(lit(2) * piv - col("ph"), 6).as("s1"),
+          round(piv + (col("ph") - col("pl")), 6).as("r2"),
+          round(piv - (col("ph") - col("pl")), 6).as("s2"))
+      },
+      Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day,
+                  CAST(max(vc) AS DOUBLE) AS h,
+                  CAST(min(vc) AS DOUBLE) AS l,
+                  CAST(arg_max(vc, ok) AS DOUBLE) AS c
+                FROM k GROUP BY 1, 2),
+              prev AS (SELECT event_type, day,
+                  lag(h) OVER w AS ph, lag(l) OVER w AS pl,
+                  lag(c) OVER w AS pc
+                FROM daily WINDOW w AS (PARTITION BY event_type
+                  ORDER BY day))
+              SELECT event_type, day,
+                round((ph + pl + pc) / 3, 6) AS pivot,
+                round(2 * (ph + pl + pc) / 3 - pl, 6) AS r1,
+                round(2 * (ph + pl + pc) / 3 - ph, 6) AS s1,
+                round((ph + pl + pc) / 3 + (ph - pl), 6) AS r2,
+                round((ph + pl + pc) / 3 - (ph - pl), 6) AS s2
+              FROM prev WHERE ph IS NOT NULL""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -10316,7 +10487,7 @@ object SparkEntry {
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
       round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++
-      round11f ++ round11g
+      round11f ++ round11g ++ round11h
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
