@@ -10479,6 +10479,165 @@ object SparkEntry {
               FROM prev WHERE ph IS NOT NULL""")),
   )
 
+  // ------------------------------------------ §2.32 round-11 batch 10:
+  // signed-volume accumulation, factorial variance decomposition, and
+  // the range channel.
+  private val round11i = Seq(
+    // On-balance volume: cumulative daily volume signed by the close
+    // direction — the classic "is volume confirming the move"
+    // accumulation line. Exact integer candle closes decide every
+    // sign identically; the running sum is an integer cumsum per
+    // series.
+    Q("win_obv",
+      (s, d) => {
+        val k = ev(s, d).withColumn("__vc",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+        val okey = concat(
+          lpad(unix_micros(col("ts").cast("timestamp")).cast("string"),
+            20, "0"),
+          lpad(col("event_id").cast("string"), 20, "0"))
+        val daily = k.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("vol"), max_by(col("__vc"), okey).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val sgn = when(col("c") > lag(col("c"), 1).over(w), 1L)
+          .when(col("c") < lag(col("c"), 1).over(w), -1L).otherwise(0L)
+        daily.select(col("event_type"), col("day"),
+          sum(sgn * col("vol")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("obv"))
+      },
+      Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day, count(*) AS vol,
+                  arg_max(vc, ok) AS c
+                FROM k GROUP BY 1, 2),
+              s AS (SELECT event_type, day, vol,
+                  CASE WHEN c > lag(c) OVER w THEN 1
+                    WHEN c < lag(c) OVER w THEN -1 ELSE 0 END AS sgn
+                FROM daily WINDOW w AS (PARTITION BY event_type
+                  ORDER BY day))
+              SELECT event_type, day,
+                CAST(sum(sgn * vol) OVER (PARTITION BY event_type
+                  ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS obv
+              FROM s""")),
+
+    // Two-way ANOVA sum-of-squares decomposition for
+    // value ~ series × weekend: SS_A, SS_B, SS_interaction, SS_error —
+    // which factor actually carries the variance. Every SS derives
+    // from the exact-integer (n, Σcents, Σcents²) CELL table (one
+    // corpus-sized keyed aggregate), so the decomposition is
+    // bit-deterministic under any partial-aggregation order; all
+    // downstream arithmetic runs on the |A|×2-row dim.
+    Q("agg_two_way_anova",
+      (s, d) => {
+        val src = ev(s, d).select(
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("yc"),
+          col("event_type").as("a"),
+          ScalarFns.isWeekend(col("ts")).as("b"))
+        val cells = src.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("yc")).cast("double").as("s1"),
+            sum(col("yc") * col("yc")).cast("double").as("s2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gm = cells.agg(sum(col("n")).as("nn"), sum(col("s1")).as("t1"),
+          sum(col("s2")).as("t2"))
+        val m = col("t1") / col("nn")
+        def ssOver(grouped: DataFrame): DataFrame = grouped
+          .crossJoin(broadcast(gm))
+          .agg(sum(col("ng") * pow(col("sg") / col("ng") - m, 2)).as("v"))
+        val ssa = ssOver(cells.groupBy(col("a"))
+          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")))
+        val ssb = ssOver(cells.groupBy(col("b"))
+          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")))
+        val sscell = ssOver(cells
+          .select(col("n").as("ng"), col("s1").as("sg")))
+        val sstot = gm.select((col("t2") - col("nn") * pow(m, 2)).as("v"))
+        ssa.select(col("v").as("va")).crossJoin(ssb.select(col("v").as("vb")))
+          .crossJoin(sscell.select(col("v").as("vc2")))
+          .crossJoin(sstot.select(col("v").as("vt")))
+          .select(round(col("va") / 10000, 4).as("ss_a"),
+            round(col("vb") / 10000, 4).as("ss_b"),
+            round((col("vc2") - col("va") - col("vb")) / 10000, 4)
+              .as("ss_interaction"),
+            round((col("vt") - col("vc2")) / 10000, 4).as("ss_error"))
+      },
+      Some("""WITH s AS (SELECT
+                  CAST(floor(value*100+0.5) AS BIGINT) AS yc,
+                  event_type AS a,
+                  CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS b
+                FROM events),
+              cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(yc) AS DOUBLE) AS s1,
+                  CAST(sum(yc*yc) AS DOUBLE) AS s2
+                FROM s GROUP BY 1, 2),
+              gm AS (SELECT sum(n) AS nn, sum(s1) AS t1, sum(s2) AS t2
+                FROM cells),
+              ga AS (SELECT a, sum(n) AS na, sum(s1) AS sa
+                FROM cells GROUP BY 1),
+              gb AS (SELECT b, sum(n) AS nb, sum(s1) AS sb
+                FROM cells GROUP BY 1),
+              ssa AS (SELECT sum(na * pow(sa/na - gm.t1/gm.nn, 2)) AS v
+                FROM ga, gm),
+              ssb AS (SELECT sum(nb * pow(sb/nb - gm.t1/gm.nn, 2)) AS v
+                FROM gb, gm),
+              sscell AS (SELECT sum(n * pow(s1/n - gm.t1/gm.nn, 2)) AS v
+                FROM cells, gm),
+              sstot AS (SELECT t2 - nn * pow(t1/nn, 2) AS v FROM gm)
+              SELECT round(ssa.v / 10000, 4) AS ss_a,
+                round(ssb.v / 10000, 4) AS ss_b,
+                round((sscell.v - ssa.v - ssb.v) / 10000, 4)
+                  AS ss_interaction,
+                round((sstot.v - sscell.v) / 10000, 4) AS ss_error
+              FROM ssa, ssb, sscell, sstot""")),
+
+    // Donchian channel: trailing-14-day high/low band and its
+    // midline — the breakout reference levels. Exact integer extremes,
+    // floor-form round only on the midline division.
+    Q("win_donchian",
+      (s, d) => {
+        val daily = TimeSeries.ohlc(
+          ev(s, d).withColumn("__vc",
+            floor(col("value") * 100 + lit(0.5)).cast("long")),
+          col("event_type"), to_date(col("ts")), col("ts"),
+          col("__vc").cast("double"), col("event_id"))
+        val fr = Window.partitionBy(col("series")).orderBy(col("bucket"))
+          .rowsBetween(-13, Window.currentRow)
+        daily.select(col("series").as("event_type"),
+          col("bucket").as("day"),
+          max(col("high")).over(fr).as("channel_high"),
+          min(col("low")).over(fr).as("channel_low"),
+          (floor((max(col("high")).over(fr) + min(col("low")).over(fr)) /
+            2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("channel_mid"))
+      },
+      Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(floor(value*100+0.5) AS BIGINT) AS vc,
+                  lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+                    20, '0') ||
+                    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events),
+              daily AS (SELECT event_type, day,
+                  CAST(max(vc) AS DOUBLE) AS h,
+                  CAST(min(vc) AS DOUBLE) AS l,
+                  CAST(arg_max(vc, ok) AS DOUBLE) AS c
+                FROM k GROUP BY 1, 2)
+              SELECT event_type, day,
+                max(h) OVER fr AS channel_high,
+                min(l) OVER fr AS channel_low,
+                floor((max(h) OVER fr + min(l) OVER fr) / 2
+                  * 1000000 + 0.5) / 1000000 AS channel_mid
+              FROM daily WINDOW fr AS (PARTITION BY event_type
+                ORDER BY day
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -10487,7 +10646,7 @@ object SparkEntry {
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
       round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++
-      round11f ++ round11g ++ round11h
+      round11f ++ round11g ++ round11h ++ round11i
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
