@@ -10638,6 +10638,45 @@ object SparkEntry {
                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""")),
   )
 
+  // ------------------------------------------ §2.32 round-11 batch 11:
+  // the binary-file ingest path (the real multimodal scan).
+  private val round11j = Seq(
+    // Raw binary ingest through Spark's `binaryFile` source — the
+    // format every image/audio/video pipeline actually starts from
+    // (one row per file: path, length, content bytes). Roundtrip
+    // shape like sink_csv_roundtrip: deterministic ASCII payloads are
+    // written per bucket (text sink appends one \n per row — part of
+    // the byte contract below), read back as whole binary files, and
+    // reduced to (bucket, byte length, md5-of-bytes) — which the
+    // oracle recomputes from the source table alone, so the file
+    // plumbing is what's actually under test. At 100 TB this is the
+    // object-store scan that feeds mm_decode; binaryFile parallelizes
+    // per file and never splits one.
+    Q("scan_binary_files",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_binfiles")
+        Par.widen(Tables.documents(s, d))
+          .groupBy((col("doc_id") % 8).as("b"))
+          .agg(concat_ws("\n", sort_array(collect_list(col("text"))))
+            .as("value"))
+          .repartition(8, col("b"))
+          .write.mode("overwrite").partitionBy("b").text(tmp)
+        s.read.format("binaryFile").load(s"$tmp/b=*")
+          .select(
+            regexp_extract(col("path"), "b=(\\d+)", 1).cast("long")
+              .as("bucket"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""WITH p AS (SELECT doc_id % 8 AS b,
+                  string_agg(text, chr(10) ORDER BY text) AS payload
+                FROM documents GROUP BY 1)
+              SELECT b AS bucket,
+                CAST(length(payload) + 1 AS BIGINT) AS n_bytes,
+                md5(payload || chr(10)) AS content_md5
+              FROM p""")),
+  )
+
   // ----------------------------------------------------------------
   private val all: Seq[Q] =
     scans ++ sources ++ filters ++ joins ++ aggs ++ windows ++ sorts ++
@@ -10646,7 +10685,7 @@ object SparkEntry {
       round9 ++ round10 ++ round10b ++ round10c ++ round10d ++ round10e ++
       round10f ++ round10g ++ round10h ++ round10i ++ round10j ++ round11 ++
       round11b ++ round11b2 ++ round11c ++ round11d ++ round11e ++
-      round11f ++ round11g ++ round11h ++ round11i
+      round11f ++ round11g ++ round11h ++ round11i ++ round11j
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A condensed
     * §3.2 feature-pipeline spine: filter → join → window lag/rolling →
