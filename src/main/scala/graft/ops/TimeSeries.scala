@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GraftSmoothing
 
 /** Time-series analytics — the hyperfunction family of the reference's
   * platform (TimescaleDB ships these as `ohlc`/`candlestick_agg`,
@@ -621,8 +622,10 @@ object TimeSeries {
     * extreme of {h, ha_open, ha_close} / {l, …}. The recursion is the
     * same fold-over-sorted-series shape as [[macd]]: the per-key daily
     * series is collected (bounded by the series length — the
-    * documented contract of the recursive family) and folded with one
-    * `aggregate` lambda; every operation is an IEEE +,/2,/4 on
+    * documented contract of the recursive family) and folded by the
+    * native O(n) loop
+    * ([[org.apache.spark.sql.graftnative.GraftSmoothing]]); every
+    * operation is an IEEE +,/2,/4 on
     * integer-cents doubles, executed in the identical order by the
     * DuckDB recursive-CTE oracle, so the candles are bit-identical
     * cross-engine.
@@ -639,28 +642,18 @@ object TimeSeries {
       .agg(sort_array(collect_list(struct(col("bucket").as("day"),
         col("open").as("o"), col("high").as("h"), col("low").as("l"),
         col("close").as("c")))).as("xs"))
-    val zero = struct(
-      lit(0.0).as("ho"), lit(0.0).as("hc"),
-      expr("CAST(array() AS array<struct<day:date,ha_open:double," +
-        "ha_close:double,ha_high:double,ha_low:double>>)").as("out"))
-    val folded = series.withColumn("__r",
-      aggregate(col("xs"), zero, (acc, x) => {
-        val first = size(acc("out")) === 0
-        val hc = (x("o") + x("h") + x("l") + x("c")) / 4.0
-        val ho = when(first, x("o"))
-          .otherwise((acc("ho") + acc("hc")) / 2.0)
-        struct(ho.as("ho"), hc.as("hc"),
-          concat(acc("out"), array(struct(x("day").as("day"),
-            round(ho, 6).as("ha_open"), round(hc, 6).as("ha_close"),
-            round(greatest(x("h"), ho, hc), 6).as("ha_high"),
-            round(least(x("l"), ho, hc), 6).as("ha_low")))).as("out"))
-      }))
-    folded
-      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+    // native O(n) loop (GraftSmoothing doc: the composable
+    // concat-accumulator fold copies the output array per step —
+    // O(days²)); emits unrounded candles, the cross-engine round(·,6)
+    // convention stays here at the output edge exactly as before
+    series
+      .select(col(keyName),
+        explode(GraftSmoothing.heikinAshiFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        col("__e.ha_open").as("ha_open"),
-        col("__e.ha_close").as("ha_close"),
-        col("__e.ha_high").as("ha_high"), col("__e.ha_low").as("ha_low"))
+        round(col("__e.ha_open"), 6).as("ha_open"),
+        round(col("__e.ha_close"), 6).as("ha_close"),
+        round(col("__e.ha_high"), 6).as("ha_high"),
+        round(col("__e.ha_low"), 6).as("ha_low"))
   }
 
   def macd(
@@ -669,34 +662,20 @@ object TimeSeries {
       ts: Column,
       cents: Column,
       keyName: String = "key"): DataFrame = {
-    val aF = lit(2.0 / 13.0); val bF = lit(11.0 / 13.0)
-    val aS = lit(2.0 / 27.0); val bS = lit(25.0 / 27.0)
-    val aG = lit(2.0 / 10.0); val bG = lit(8.0 / 10.0)
     val daily = df
       .groupBy(key.as(keyName), to_date(ts).as("day"))
       .agg((sum(cents).cast("double") / count(lit(1))).as("c"))
     val series = daily.groupBy(col(keyName))
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
-    val zero = struct(
-      lit(0.0).as("fast"), lit(0.0).as("slow"), lit(0.0).as("sig"),
-      expr("CAST(array() AS " +
-        "array<struct<day:date,macd:double,signal:double>>)").as("out"))
-    val folded = series.withColumn("__r",
-      aggregate(col("xs"), zero, (acc, x) => {
-        val first = size(acc("out")) === 0
-        val f = when(first, x("c")).otherwise(aF * x("c") + bF * acc("fast"))
-        val s = when(first, x("c")).otherwise(aS * x("c") + bS * acc("slow"))
-        val m = f - s
-        val g = when(first, lit(0.0)).otherwise(aG * m + bG * acc("sig"))
-        struct(f.as("fast"), s.as("slow"), g.as("sig"),
-          concat(acc("out"), array(struct(x("day").as("day"),
-            round(m, 6).as("macd"), round(g, 6).as("signal"))))
-            .as("out"))
-      }))
-    folded
-      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+    // native O(n) loop (GraftSmoothing doc) — same recursion, same α/β
+    // literals (2/13, 2/27, 2/10 as single exact-input divisions), same
+    // first-row seeding; round(·,6) stays at the output edge
+    series
+      .select(col(keyName),
+        explode(GraftSmoothing.macdFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        col("__e.macd").as("macd"), col("__e.signal").as("signal"))
+        round(col("__e.macd"), 6).as("macd"),
+        round(col("__e.signal"), 6).as("signal"))
   }
 
   /** Holt linear (double-exponential) smoothing over each key's daily
@@ -708,7 +687,8 @@ object TimeSeries {
     * EWMA lacks.
     *
     * Determinism: like [[macd]], the recursion runs as the LITERAL
-    * ordered fold on both engines (here per-key `aggregate` over the
+    * ordered fold on both engines (here the native O(n) per-key loop of
+    * [[org.apache.spark.sql.graftnative.GraftSmoothing]] over the
     * sorted daily array, in the oracle a recursive CTE) — ½ is exact in
     * IEEE, the feed is an exact integer cents sum, so every intermediate
     * is bit-identical across engines and the 1e-6 edge round can never
@@ -730,28 +710,15 @@ object TimeSeries {
       .agg(sum(cents).cast("double").as("c"))
     val series = daily.groupBy(col(keyName))
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
-    val zero = struct(
-      lit(0.0).as("lvl"), lit(0.0).as("trend"),
-      expr("CAST(array() AS " +
-        "array<struct<day:date,level:double,trend:double," +
-        "forecast_1:double>>)").as("out"))
-    val folded = series.withColumn("__r",
-      aggregate(col("xs"), zero, (acc, x) => {
-        val first = size(acc("out")) === 0
-        val l = when(first, x("c"))
-          .otherwise(lit(0.5) * x("c") + lit(0.5) * (acc("lvl") + acc("trend")))
-        val b = when(first, lit(0.0))
-          .otherwise(lit(0.5) * (l - acc("lvl")) + lit(0.5) * acc("trend"))
-        struct(l.as("lvl"), b.as("trend"),
-          concat(acc("out"), array(struct(x("day").as("day"),
-            round(l, 6).as("level"), round(b, 6).as("trend"),
-            round(l + b, 6).as("forecast_1")))).as("out"))
-      }))
-    folded
-      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+    // native O(n) loop (GraftSmoothing doc) — same ½-coefficient
+    // recursion and l₁=y₁/b₁=0 seeding; round(·,6) at the output edge
+    series
+      .select(col(keyName),
+        explode(GraftSmoothing.holtLinearFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        col("__e.level").as("level"), col("__e.trend").as("trend"),
-        col("__e.forecast_1").as("forecast_1"))
+        round(col("__e.level"), 6).as("level"),
+        round(col("__e.trend"), 6).as("trend"),
+        round(col("__e.forecast_1"), 6).as("forecast_1"))
   }
 
   /** Additive Holt–Winters (level + trend + weekly seasonality) over
@@ -785,35 +752,16 @@ object TimeSeries {
       .agg(sum(cents).cast("double").as("c"))
     val series = daily.groupBy(col(keyName))
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
-    val l0 = (aggregate(slice(col("xs"), 1, period), lit(0.0),
-      (acc, x) => acc + x("c")) / period).as("__l0")
-    val s0 = transform(slice(col("xs"), 1, period),
-      x => x("c") - col("__l0")).as("__s0")
-    val zero = struct(
-      col("__l0").as("lvl"), lit(0.0).as("trend"), col("__s0").as("seas"),
-      expr("CAST(array() AS " +
-        "array<struct<day:date,level:double,trend:double," +
-        "forecast_1:double>>)").as("out"))
-    val folded = series.withColumn("__l0", l0).withColumn("__s0", s0)
-      .withColumn("__r",
-        aggregate(col("xs"), zero, (acc, x) => {
-          val l = lit(0.5) * (x("c") - element_at(acc("seas"), 1)) +
-            lit(0.5) * (acc("lvl") + acc("trend"))
-          val b = lit(0.5) * (l - acc("lvl")) + lit(0.5) * acc("trend")
-          val s = concat(slice(acc("seas"), 2, period - 1),
-            array(lit(0.5) * (x("c") - l) +
-              lit(0.5) * element_at(acc("seas"), 1)))
-          struct(l.as("lvl"), b.as("trend"), s.as("seas"),
-            concat(acc("out"), array(struct(x("day").as("day"),
-              round(l, 6).as("level"), round(b, 6).as("trend"),
-              round(l + b + element_at(s, 1), 6).as("forecast_1"))))
-              .as("out"))
-        }))
-    folded
-      .select(col(keyName), explode(col("__r")("out")).as("__e"))
+    // native O(n) loop (GraftSmoothing doc) — same first-week init
+    // (left-fold Σ / period, deviations), same uniform update rule and
+    // rotate-left season buffer; round(·,6) at the output edge
+    series
+      .select(col(keyName),
+        explode(GraftSmoothing.holtWintersFold(col("xs"), period)).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        col("__e.level").as("level"), col("__e.trend").as("trend"),
-        col("__e.forecast_1").as("forecast_1"))
+        round(col("__e.level"), 6).as("level"),
+        round(col("__e.trend"), 6).as("trend"),
+        round(col("__e.forecast_1"), 6).as("forecast_1"))
   }
 
   /** Trailing-`frameRows` OLS slope (beta) of integer `cents` against
