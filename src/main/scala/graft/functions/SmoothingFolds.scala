@@ -206,7 +206,65 @@ object GraftSmoothing {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Σ arr[i] · (1−α)^(n−1−i) over an array<double> frame — the
+    * weighted-sum core of [[graft.ops.TimeSeries.ewmaTrailing]]. The
+    * composable form (`aggregate(transform(arr, x·pow(1−α, n−1−i)),
+    * 0.0, _+_)`) runs per EVENT row as two interpreted lambda passes
+    * plus an intermediate array; this is one codegen'd loop. Identical
+    * IEEE sequence: ascending-index fold from 0.0, each weight via
+    * `StrictMath.pow` (what Catalyst's `Pow` evaluates — and exact
+    * anyway for the dyadic α the cross-engine contract requires). The
+    * n = 0 → NULL guard and the α/(1−(1−α)^n) normalization stay in
+    * the caller, unchanged. Elements must be non-null (collect_list
+    * output — the caller's frame contract).
+    */
+  case class EwmaWeightedSum(child: Expression, alpha: Double)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_ewma_weighted_sum"
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val base = 1.0 - alpha
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += arr.getDouble(i) * StrictMath.pow(base, (n - 1 - i).toDouble)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val base = 1.0 - alpha
+        s"""
+           |final int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) *
+           |    java.lang.StrictMath.pow($base, (double) ($n - 1 - $i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Column API entry points. */
+  def ewmaWeightedSum(arr: Column, alpha: Double): Column =
+    ExpressionUtils.column(
+      EwmaWeightedSum(ExpressionUtils.expression(arr), alpha))
   def macdFold(xs: Column): Column =
     ExpressionUtils.column(MacdFold(ExpressionUtils.expression(xs)))
   def holtLinearFold(xs: Column): Column =

@@ -532,14 +532,15 @@ object TimeSeries {
       .rowsBetween(1L - frameRows, 0)
     val arr = col("__graft_ewma_arr")
     val n = size(arr)
-    val weighted = transform(arr,
-      (x, i) => x * pow(lit(1.0 - alpha), (n - 1 - i).cast("double")))
+    // weighted sum via the native codegen'd loop (GraftSmoothing doc) —
+    // the composable transform+aggregate pair ran as two interpreted
+    // lambda passes per EVENT row; op order and pow impl are identical
     df.withColumn("__graft_ewma_arr", collect_list(value).over(f))
       .withColumn(outName,
         // n = 0 would be 0/0 = NaN; the contract is NULL ("no reading"),
         // which DuckDB/SQL engines can replicate exactly
         when(n === 0, lit(null).cast("double")).otherwise(
-          round(aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+          round(GraftSmoothing.ewmaWeightedSum(arr, alpha)
             * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6)))
       .drop("__graft_ewma_arr")
   }
