@@ -187,6 +187,43 @@ class PropertySpec extends SparkSpecBase {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("native ewmaWeightedSum equals the composable transform+aggregate " +
+      "form for any alpha, bit for bit") {
+    import org.apache.spark.sql.graftnative.GraftSmoothing
+    // signed, non-dyadic doubles; frame lengths 1..23; spark.range input
+    // → WholeStageCodegen path pins doGenCode (incl. non-dyadic alphas
+    // the production α = 0.5 query never exercises)
+    val ranged = spark.range(300).select(col("id"),
+      transform(sequence(lit(0L), col("id") % 23),
+        i => (pmod(col("id") * 31 + i * 7, lit(100)) - 50) / 3.0).as("a"))
+    for (alpha <- Seq(0.5, 0.25, 0.3, 0.9)) {
+      val n = size(col("a"))
+      val native = ranged.select(col("id"),
+        GraftSmoothing.ewmaWeightedSum(col("a"), alpha).as("s")).collect()
+      val composable = ranged.select(col("id"),
+        aggregate(transform(col("a"), (x, i) =>
+            x * pow(lit(1.0 - alpha), (n - 1 - i).cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("s")).collect()
+      val cm = composable.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      native.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToRawLongBits(cm(r.getLong(0))),
+          s"alpha=$alpha id=${r.getLong(0)}")
+      }
+    }
+    // interpreted-eval parity + edges: empty array → 0.0 (the caller's
+    // n = 0 NULL guard sits outside), single element, null array → null
+    val local = Seq((1L, Seq(2.5, -1.25)), (2L, Seq.empty[Double]),
+      (3L, Seq(-0.75)), (4L, null: Seq[Double])).toDF("id", "a")
+      .select(col("id"), GraftSmoothing.ewmaWeightedSum(col("a"), 0.5).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(local(1L) === Some(2.5 * 0.5 + -1.25))
+    assert(local(2L) === Some(0.0))
+    assert(local(3L) === Some(-0.75))
+    assert(local(4L) === None)
+  }
+
   test("banded range join equals naive non-equi join on random inputs") {
     import graft.ops.RangeJoin
     val facts = samples(Gen.chooseNum(-500.0, 500.0), 120)
