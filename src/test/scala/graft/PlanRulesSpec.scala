@@ -313,6 +313,33 @@ class PlanRulesSpec extends SparkSpecBase {
       s"top-k must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("predicate pushdown and column pruning reach the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // filter_eq_dim: both equality predicates land in the scan's
+    // PushedFilters (row groups whose stats exclude R/F never
+    // decompress), and the scan reads 5 of lineitem's 16 columns
+    val f = SparkEntry.queries("filter_eq_dim")(spark, sf())
+    val fScans = f.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(fScans.nonEmpty, "expected a FileSourceScanExec")
+    val pushed = fScans.head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(l_returnflag,R)") &&
+      pushed.contains("EqualTo(l_linestatus,F)"),
+      s"filter must be pushed to the scan, got: $pushed")
+    assert(fScans.head.output.map(_.name).toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus"),
+      "scan must read only the referenced columns")
+    // project_columns: a 3-column projection reads exactly 3 columns
+    val p = SparkEntry.queries("project_columns")(spark, sf())
+    val pScans = p.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(pScans.nonEmpty, "expected a FileSourceScanExec")
+    assert(pScans.head.output.map(_.name).toSet ===
+      Set("c_custkey", "c_name", "c_acctbal"),
+      "a 3-column projection must prune the scan to those 3 columns")
+  }
+
   test("time_bucket is a pure projection — zero exchanges, pushdown-safe") {
     val df = SparkEntry.queries("f_time_bucket_width")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
