@@ -251,16 +251,22 @@ object Dedup {
       .select(idCol.as("id"), tokens(text).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = base.select(col("id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("s"))
-      .withColumn("h", PortableHash.base28(col("s")))
-    val probe = ex
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("h"), col("s"))))
-      .filter(col("r") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
-      .select(col("id"), col("s"))
-    val index = ex
+    // the prefix is ARRAY-LOCAL: zip each doc's shingles with their
+    // portable hashes (native codegen'd md5 pass), sort the pairs, and
+    // explode only the first n − ⌈τ·n⌉ + 1 — same (h, s) order and so
+    // the identical prefix set as the former explode + per-shingle
+    // interpreted hash + row_number-window formulation, without
+    // shuffling the full exploded corpus by doc id first (measured 2×
+    // the whole query at sf1, byte-identical output)
+    val probe = base
+      .withColumn("hb", org.apache.spark.sql.graftnative.GraftNative
+        .md5Base28Array(col("sh")))
+      .select(col("id"),
+        explode(slice(sort_array(arrays_zip(col("hb"), col("sh"))), lit(1),
+          size(col("sh")) -
+            ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)).as("p"))
+      .select(col("id"), col("p")("sh").as("s"))
+    val index = base.select(col("id"), explode(col("sh")).as("s"))
       .withColumn("__pc", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("__pc") <= maxPosting)
       .select(col("s"), col("id").as("id2"))
