@@ -9938,7 +9938,12 @@ object SparkEntry {
     // whose FIRST corpus occurrence (min doc id) is this doc — the
     // marginal-contribution curve that tells a curation pipeline when
     // additional data stops adding content. First-occurrence is one
-    // keyed min over the exploded shingles.
+    // keyed min over the exploded shingles. Per shingle EXACTLY ONE
+    // doc is novel (the min), so n_novel is a doc-keyed count over the
+    // shingle-type-sized first-occurrence table and n_shingles is just
+    // size(sh) — no corpus-sized join-back of the exploded shingles
+    // (the former ex⋈fo + second corpus shuffle formulation; output
+    // bit-identical, dump-compared).
     Q("text_ngram_novelty",
       (s, d) => {
         val base = Par.widen(Tables.documents(s, d))
@@ -9946,15 +9951,18 @@ object SparkEntry {
             .as("toks"))
           .select(col("id"),
             Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
-        val ex = base.select(col("id"), explode(col("sh")).as("s"))
-        val fo = ex.groupBy(col("s")).agg(min(col("id")).as("first_id"))
-        ex.join(fo, Seq("s"))
-          .groupBy(col("id").as("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("first_id") === col("id"), 1).otherwise(0))
-              .cast("long").as("n_novel"),
-            round(sum(when(col("first_id") === col("id"), 1).otherwise(0))
-              / count(lit(1)).cast("double"), 6).as("novelty"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val novel = base.select(col("id"), explode(col("sh")).as("s"))
+          .groupBy(col("s")).agg(min(col("id")).as("first_id"))
+          .groupBy(col("first_id").as("id"))
+          .agg(count(lit(1)).as("n_novel"))
+        base.filter(size(col("sh")) > 0)
+          .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+          .join(novel, Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            round(coalesce(col("n_novel"), lit(0L))
+              / col("n_shingles").cast("double"), 6).as("novelty"))
       },
       Some("""WITH base AS (SELECT doc_id AS id,
                   list_distinct([array_to_string(toks[i+1:i+3], ' ')
