@@ -544,8 +544,11 @@ object Dedup {
       .select(col("id"), shinglesFromTokens(col("toks"), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
+    // (id, s) pairs are UNIQUE (shinglesFromTokens is array_distinct),
+    // so the doc count per span is a plain count — count_distinct here
+    // would plan the two-phase distinct aggregate for nothing
     val shared = ex.groupBy(col("s"))
-      .agg(count_distinct(col("id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("s"))
     val perDoc = ex.join(shared, Seq("s"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
