@@ -7723,7 +7723,9 @@ object SparkEntry {
     // compared.
     Q("win_mann_kendall",
       (s, d) => {
-        val daily = dailyCents(s, d)
+        val daily = graft.ops.Guards.assertGroupSizeBound(
+          dailyCents(s, d), graft.ops.Guards.MaxPairGrainRows,
+          "win_mann_kendall", col("event_type"))
         val a = daily.select(col("event_type"), col("day").as("day_a"),
           col("s").as("s_a"), col("n").as("n_a"))
         val b = daily.select(col("event_type"), col("day").as("day_b"),
@@ -9258,10 +9260,13 @@ object SparkEntry {
     // exact interpolated percentile.
     Q("agg_hodges_lehmann",
       (s, d) => {
-        val daily = ev(s, d)
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-            .cast("double") / 100.0).as("rev"))
+        val daily = graft.ops.Guards.assertGroupSizeBound(
+          ev(s, d)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .cast("double") / 100.0).as("rev")),
+          graft.ops.Guards.MaxPairGrainRows,
+          "agg_hodges_lehmann", col("event_type"))
         val a = daily.select(col("event_type"), col("day").as("da"),
           col("rev").as("ra"))
         val b = daily.select(col("event_type").as("et2"),

@@ -46,12 +46,19 @@ object RuntimeFilter {
     val conf = dim.sparkSession.conf
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsConf).toLong < expectedItems)
-      conf.set(itemsConf, expectedItems)
-    if (conf.get(bitsConf).toLong < numBits)
-      conf.set(bitsConf, numBits)
-    dim.agg(GraftNative.bloomFilterAgg(key, expectedItems, numBits)
-      .as("bf")).head().getAs[Array[Byte]](0)
+    // raise the ceilings only for the duration of the build: a shared
+    // session must see its original confs afterwards, or one oversized
+    // build permanently widens Catalyst's own InjectRuntimeFilter
+    // sizing decisions for every later query in the session
+    val saved = Seq(itemsConf, bitsConf).map(k => k -> conf.get(k))
+    try {
+      if (saved.head._2.toLong < expectedItems)
+        conf.set(itemsConf, expectedItems)
+      if (saved(1)._2.toLong < numBits)
+        conf.set(bitsConf, numBits)
+      dim.agg(GraftNative.bloomFilterAgg(key, expectedItems, numBits)
+        .as("bf")).head().getAs[Array[Byte]](0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   /** Exact semi join of `fact` against `dim`'s keys, Bloom-prefiltered
