@@ -4139,17 +4139,21 @@ object SparkEntry {
     // trailing 25-row EXACT median per user (robust rolling level of a
     // noisy measure) — the percentile aggregate over a user-partitioned
     // ROWS frame; no global sort, frame buffer bounded at 25 rows
+    // rounding in portable floor form, NOT round(.,6): the interpolated
+    // median can land exactly on a …5e-7 boundary (seeded fuzzing found
+    // flips at maxdiff exactly 1e-6 — Spark BigDecimal HALF_UP vs
+    // DuckDB C round on the same double)
     Q("win_rolling_median",
       (s, d) => ev(s, d).select(col("event_id"), col("user_id"),
         col("value"),
-        round(expr("percentile(value, 0.5D) OVER (PARTITION BY user_id " +
+        (floor(expr("percentile(value, 0.5D) OVER (PARTITION BY user_id " +
           "ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND CURRENT " +
-          "ROW)"), 6).as("roll_median")),
+          "ROW)") * lit(1e6) + lit(0.5)) / lit(1e6)).as("roll_median")),
       Some("""SELECT event_id, user_id, value,
-                round(median(value) OVER (PARTITION BY user_id
+                floor(median(value) OVER (PARTITION BY user_id
                   ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6)
-                  AS roll_median
+                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+                  * 1e6 + 0.5) / 1e6 AS roll_median
               FROM events""")),
   )
 
@@ -8412,17 +8416,33 @@ object SparkEntry {
         ev(s, d).join(broadcast(b), Seq("event_type"))
           .filter(col("value") >= col("lo") && col("value") <= col("hi"))
           .groupBy(col("event_type"))
+          // micro-unit exact summation (the integer-cents convention at
+          // 1e-6 grain): a raw avg(value) is a float sum whose order
+          // differs across engines, and seeded fuzzing found a mean
+          // landing 1 ulp apart at a .5e-6 boundary — the floor form
+          // alone still flipped. Quantizing per row (single IEEE
+          // multiply-add + floor, bit-identical everywhere), summing as
+          // exact longs, then ONE double division makes the result
+          // order-insensitive end-to-end.
           .agg(count(lit(1)).as("n_kept"),
-            round(avg(col("value")), 6).as("trimmed_mean"))
+            sum(floor(col("value") * lit(1e6) + lit(0.5))).as("s_micro"))
+          .select(col("event_type"), col("n_kept"),
+            (floor(col("s_micro").cast("double") / col("n_kept") +
+              lit(0.5)) / lit(1e6)).as("trimmed_mean"))
       },
       Some("""WITH b AS (SELECT event_type,
                   quantile_cont(value, 0.1) AS lo,
                   quantile_cont(value, 0.9) AS hi
                 FROM events GROUP BY 1)
-              SELECT e.event_type, count(*) AS n_kept,
-                round(avg(e.value), 6) AS trimmed_mean
-              FROM events e JOIN b ON e.event_type = b.event_type
-              WHERE e.value >= b.lo AND e.value <= b.hi GROUP BY 1""")),
+              SELECT event_type, n_kept,
+                floor(CAST(s_micro AS DOUBLE) / n_kept + 0.5) / 1e6
+                  AS trimmed_mean
+              FROM (SELECT e.event_type, count(*) AS n_kept,
+                      sum(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT))
+                        AS s_micro
+                    FROM events e JOIN b ON e.event_type = b.event_type
+                    WHERE e.value >= b.lo AND e.value <= b.hi
+                    GROUP BY 1)""")),
 
     // Expanding (inception-to-date) mean and sample std of the daily
     // exact-cents revenue per type — the anomaly baseline that uses

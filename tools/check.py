@@ -17,6 +17,9 @@ import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# optional comma-separated allowlist: check only these queries (the fuzz
+# harness dumps a subset; missing-dump reporting is restricted to match)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,6 +30,8 @@ for t in TABLES:
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY is not None:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)

@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Seeded differential fuzzing of the fp-hash-risk queries vs DuckDB.
+
+All 372 oracle greens run on the driver's FIXED testdata; the engine's
+float-determinism conventions (integer-cents sums, dyadic fold
+coefficients, portable floor-rounding, +0.0 normalization) therefore
+deserve adversarial inputs. This tool regenerates the events and
+documents tables with seeded hash-derived perturbations that stay
+inside the tables' domain contract but attack exactly what fixed data
+cannot:
+
+  - value magnitude spread 1e-6 .. 1e2 in one series (naive float
+    summation becomes order-sensitive; the integer-cents/Kahan-free
+    conventions must still match DuckDB bit-for-bit after round(.,6)).
+    1e2 is the ceiling on purpose: the engine documents an
+    integer-cents exactness envelope (per-event values ≲ 1e6, cents²
+    frame sums < 2^63) and a ×1e6 fate overflows win_rolling_corr's
+    long accumulator — out of contract, not a finding;
+  - exact ties and repeated constants (rank/percentile tie-breaking);
+  - .005-style decimal boundaries (round-half-up vs banker's);
+  - zero values (sign of -0.0 after rounding);
+  - +-12 h timestamp jitter (day re-bucketing, out-of-order arrival,
+    duplicate timestamps);
+  - document token reorder/duplication/case flips (shingle + token
+    statistics under permutation).
+
+Per seed: write the fuzzed tables to /tmp/graft_fuzz/seed<k>/ (other
+tables copied verbatim), run `graft.Verify` on the high-risk query
+subset, then `tools/check.py` compares against DuckDB running the SAME
+oracle SQL over the SAME fuzzed parquet. Driver-side tooling only.
+
+Usage: python3 tools/fuzz.py [n_seeds=5] [first_seed=1]
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.01"
+BASE = "/tmp/graft_fuzz"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The verdict-flagged fp-hash-risk families: native smoothing folds,
+# cyclic trig encoding, logistic scoring, percentile/rank/tie handling,
+# and the pairwise/rolling statistics whose sums cross magnitudes.
+QUERIES = [
+    "win_ewma", "win_macd", "win_rsi", "win_atr", "win_holt_linear",
+    "win_holt_winters", "win_heikin_ashi",
+    "f_cyclic_encode", "ml_logreg_score",
+    "agg_percentiles", "agg_weighted_percentile", "agg_hdr_percentile",
+    "agg_median_impute", "agg_trimmed_mean", "agg_mad",
+    "win_rolling_median", "win_rolling_pct_rank", "f_quantile_normalize",
+    "win_rolling_corr", "agg_autocorr", "agg_welch_ttest", "agg_cohens_d",
+    "agg_theil_sen", "agg_seasonality_strength", "agg_hodges_lehmann",
+    "win_mann_kendall",
+]
+
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "embeddings"]
+
+ADDOPENS = [f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar"]]
+
+
+def gen(seed: int, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for t in PASSTHROUGH:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
+    con = duckdb.connect()
+    # events: hash-derived deterministic perturbation — same row always
+    # gets the same fate for a given seed, independent of scan order
+    con.execute(f"""
+      COPY (
+        SELECT event_id,
+               ts + to_microseconds(
+                 CAST(hash(event_id * 3 + {seed}) % 86400000000
+                   AS BIGINT) - 43200000000) AS ts,
+               user_id, event_type,
+               CASE CAST(hash(event_id * 7919 + {seed}) % 23 AS BIGINT)
+                 WHEN 0 THEN 0.0
+                 WHEN 1 THEN 123.456789
+                 WHEN 2 THEN 0.005
+                 WHEN 3 THEN value * 100.0
+                 WHEN 4 THEN value * 0.000001
+                 WHEN 5 THEN 42.0
+                 WHEN 6 THEN 42.0
+                 ELSE round(value * (0.25 +
+                   CAST(hash(event_id * 31 + {seed}) % 2000 AS BIGINT)
+                     / 1000.0), 6)
+               END AS value,
+               props
+        FROM read_parquet('{SRC}/events.parquet')
+        ORDER BY event_id
+      ) TO '{dest}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT doc_id,
+               txt AS text, lang, source,
+               CAST(length(txt) AS BIGINT) AS n_chars
+        FROM (
+          SELECT *,
+            CASE CAST(hash(doc_id * 13 + {seed}) % 11 AS BIGINT)
+              WHEN 0 THEN text || ' ' || text
+              WHEN 1 THEN upper(text)
+              WHEN 2 THEN array_to_string(
+                list_reverse(string_split(text, ' ')), ' ')
+              WHEN 3 THEN array_to_string(
+                list_sort(string_split(text, ' ')), ' ')
+              ELSE text
+            END AS txt
+          FROM read_parquet('{SRC}/documents.parquet')
+        )
+        ORDER BY doc_id
+      ) TO '{dest}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+
+
+def run_seed(seed: int) -> bool:
+    data = f"{BASE}/seed{seed}"
+    out = f"{BASE}/out{seed}"
+    shutil.rmtree(data, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    gen(seed, data)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["java", *ADDOPENS, "-Dspark.ui.enabled=false",
+         "-Dspark.sql.session.timeZone=UTC", "-Xmx8g",
+         "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+         "graft.Verify", data, out, ",".join(QUERIES)],
+        env=env, cwd=REPO, stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE, text=True)
+    if r.returncode != 0:
+        print(f"[fuzz] seed {seed}: Verify FAILED rc={r.returncode}")
+        print(r.stderr[-3000:])
+        return False
+    c = subprocess.run(
+        [sys.executable, f"{REPO}/tools/check.py", data, out,
+         ",".join(QUERIES)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    tail = [l for l in c.stdout.splitlines()
+            if not l.startswith("PASS")]
+    for line in tail:
+        print(f"[fuzz] seed {seed}: {line}")
+    ok = c.returncode == 0
+    print(f"[fuzz] seed {seed}: {'OK' if ok else 'DIVERGENCE'}")
+    return ok
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    first = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    results = {s: run_seed(s) for s in range(first, first + n)}
+    bad = [s for s, ok in results.items() if not ok]
+    print(f"[fuzz] {len(results) - len(bad)}/{len(results)} seeds clean"
+          + (f"; divergent seeds: {bad}" if bad else ""))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
