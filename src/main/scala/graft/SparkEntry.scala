@@ -9586,14 +9586,17 @@ object SparkEntry {
     // Containment dedup with EXACT recall — the refinement closing
     // dedup_containment's documented gap (MinHash bands key on
     // Jaccard, so a small⊂large pair with skewed sizes can miss every
-    // band). Prefix filtering reasons about containment directly: the
-    // smaller set's canonical prefix of |s|−⌈τ|s|⌉+1 shingles MUST
-    // share a shingle with the partner, so probing prefixes against
-    // the full inverted index is deterministic full recall; exact
-    // verification then scores candidates. See
-    // Dedup.containmentPairsPrefix for the scale contract.
+    // band). Formulation: posting-list intersection counting — group
+    // the inverted index by shingle, expand each (df-capped) posting
+    // list to its id pairs array-locally, count rows per pair = exact
+    // |a∩b|, then one integer division per pair. No per-pair array
+    // payloads anywhere: the round-11 prefix-probe + array-attach
+    // verify moved candidates × ~2 KB of shingle arrays and died on
+    // >75 GB of sort spill at sf10 (29.6M candidates for 25.6k true
+    // pairs); counting moves Σ C(df,2) narrow rows instead. See
+    // Dedup.containmentPairsExact for the scale contract.
     Q("dedup_containment_prefix",
-      (s, d) => Dedup.containmentPairsPrefix(
+      (s, d) => Dedup.containmentPairsExact(
         withPlantedDups(Tables.documents(s, d)),
         col("doc_id"), col("text"), threshold = 0.8),
       Some(s"""WITH $plantedDocsSql,
@@ -9604,26 +9607,20 @@ object SparkEntry {
                 FROM (SELECT id,
                     string_split_regex(lower(trim(text)), '\\s+') AS toks
                   FROM docs)),
-              ex AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM base),
-              hb AS (SELECT id, n, s,
-                  CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
-                FROM ex),
-              rn AS (SELECT id, n, s,
-                  row_number() OVER (PARTITION BY id ORDER BY h, s) AS r
-                FROM hb),
-              probe AS (SELECT id, s FROM rn
-                WHERE r <= n - CAST(ceiling(0.8 * n) AS BIGINT) + 1),
-              cand AS (SELECT DISTINCT least(p.id, x.id) AS id_a,
-                  greatest(p.id, x.id) AS id_b
-                FROM probe p JOIN hb x ON x.s = p.s AND x.id <> p.id),
-              scored AS (SELECT c.id_a, c.id_b,
-                  len(list_intersect(a.sh, b.sh)) * 1.0 /
-                    least(len(a.sh), len(b.sh)) AS containment
-                FROM cand c JOIN base a ON a.id = c.id_a
-                JOIN base b ON b.id = c.id_b
-                WHERE least(len(a.sh), len(b.sh)) > 0)
-              SELECT id_a, id_b, round(containment, 6) AS containment
-              FROM scored WHERE containment >= 0.8""")),
+              sizes AS (SELECT id, len(sh) AS n FROM base),
+              ex AS (SELECT id, unnest(sh) AS s FROM base),
+              pe AS (SELECT id, s FROM ex WHERE s IN
+                (SELECT s FROM ex GROUP BY s
+                 HAVING count(*) BETWEEN 2 AND 1000)),
+              ov AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS ov
+                FROM pe x JOIN pe y ON x.s = y.s AND x.id < y.id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(ov * 1.0 / least(a.n, b.n), 6) AS containment
+              FROM ov JOIN sizes a ON a.id = ov.id_a
+              JOIN sizes b ON b.id = ov.id_b
+              WHERE least(a.n, b.n) > 0
+                AND ov * 1.0 / least(a.n, b.n) >= 0.8""")),
 
     // Lincoln–Petersen capture–recapture: estimate the total user
     // population from the first day's "capture" and the last day's

@@ -217,75 +217,93 @@ object Dedup {
     minhashLshPairsWithCache(df, idCol, text, shingleK, numHashes, bands,
       threshold, maxBucketSize, score = "containment")._1
 
-  /** Containment pairs with EXACT recall via prefix filtering (the
-    * PPJoin family) — the refinement the banded [[containmentPairs]]
-    * documents as its gap: MinHash banding keys on JACCARD, so a
-    * containment-heavy pair with skewed sizes (small ⊂ large) has low
-    * Jaccard and can miss every band. Prefix filtering reasons about
-    * containment directly: if |a∩b| ≥ τ·|small|, then the smaller
-    * set's canonically-ordered prefix of length
-    * |small| − ⌈τ·|small|⌉ + 1 MUST contain a shared shingle (fewer
-    * than the required overlap can sit outside it) — so probing each
-    * doc's prefix against the full inverted index finds every
-    * qualifying pair through its smaller side, deterministically, no
-    * probability involved. The canonical order is the portable md5
-    * base (ties broken by the shingle itself), so the oracle replays
-    * the identical prefix.
+  /** Containment pairs with EXACT recall and exact scores via
+    * posting-list intersection COUNTING — the round-12 replacement for
+    * the prefix-probe + array-attach verification this function
+    * shipped with through round 11. The sf10 scaling run killed that
+    * formulation where sf1 couldn't: verification attached both docs'
+    * full shingle arrays to every candidate pair, and the measured
+    * candidate:result ratio is ~1000:1 (29.6M candidate pairs at sf10
+    * verify down to 25.6k real pairs), so the verify join moved
+    * candidates × ~2 KB of array payload — >75 GB of sort spill on a
+    * corpus whose whole posting table is ~1 GB. The prefix filter
+    * itself wasn't the problem; paying full array freight per
+    * candidate was.
     *
-    * Scale: the probe explodes ~(1−τ) of each doc's shingles; the
-    * index is the full posting table capped at `maxPosting` docs per
-    * shingle (the standard df-cap — recall stays exact while no
-    * qualifying pair depends solely on a capped shingle; the cap is a
-    * knob, default high enough that the verification corpus is
-    * uncapped). Exact verification is confined to candidates, as in
-    * the banded family.
+    * Counting needs no arrays: explode each doc's distinct shingles
+    * once, group postings by shingle, expand each posting list to its
+    * id pairs array-locally, and count rows per pair — that count IS
+    * |a ∩ b|, because a doc posts a shingle at most once
+    * (`array_distinct` upstream). Rows moved = Σ_s C(df_s, 2), which
+    * `maxPosting` bounds: a shingle posted by more than `maxPosting`
+    * docs is excluded from pairing entirely (boilerplate/stop-shingle
+    * noise under near-dup semantics — same rationale as the banded
+    * family's `maxBucketSize`). Note the cap's contract here: it
+    * bounds BOTH recall and scores (a capped shingle contributes to
+    * neither candidate generation nor the overlap count), where the
+    * array formulation's cap affected recall only. On every tested
+    * corpus max df ≪ cap, so results are cap-independent; at a df
+    * distribution where the cap binds, the banded family is the
+    * honest tool.
+    *
+    * containment = overlap / min(|a|, |b|) is then one integer
+    * division per surfaced pair — both engines divide the same two
+    * ints, so `round(.,6)` stays cross-engine stable exactly as it
+    * was for the array formulation (same quotient double).
+    *
+    * Measured (local[32], 64g, REPEAT=2 steady): sf0.1 2.5 s, sf1
+    * 6.6 s, sf10 78.9 s — vs the round-11 formulation's 4.1 / 17.8 /
+    * disk-full DNF, on an intrinsic pair stream measured to grow
+    * exactly 10.0× per step (52.2M → 522.2M rows sf1→sf10). The
+    * sf1→sf10 wall exponent is 1.08 ≈ the intrinsic linear bound;
+    * see SCALE.md's round-12 sf10 table.
     */
-  def containmentPairsPrefix(
+  def containmentPairsExact(
       df: DataFrame,
       idCol: Column,
       text: Column,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxPosting: Int = 100000): DataFrame = {
+      maxPosting: Int = 1000): DataFrame = {
     val base = Par.widen(df)
       .select(idCol.as("id"), tokens(text).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the prefix is ARRAY-LOCAL: zip each doc's shingles with their
-    // portable hashes (native codegen'd md5 pass), sort the pairs, and
-    // explode only the first n − ⌈τ·n⌉ + 1 — same (h, s) order and so
-    // the identical prefix set as the former explode + per-shingle
-    // interpreted hash + row_number-window formulation, without
-    // shuffling the full exploded corpus by doc id first (measured 2×
-    // the whole query at sf1, byte-identical output)
-    val probe = base
-      .withColumn("hb", org.apache.spark.sql.graftnative.GraftNative
-        .md5Base28Array(col("sh")))
-      .select(col("id"),
-        explode(slice(sort_array(arrays_zip(col("hb"), col("sh"))), lit(1),
-          size(col("sh")) -
-            ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)).as("p"))
-      .select(col("id"), col("p")("sh").as("s"))
-    val index = base.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("__pc", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("__pc") <= maxPosting)
-      .select(col("s"), col("id").as("id2"))
-    val cand = probe.join(index, Seq("s"))
-      .filter(col("id") =!= col("id2"))
-      .select(least(col("id"), col("id2")).as("id_a"),
-        greatest(col("id"), col("id2")).as("id_b"))
-      .distinct()
-    cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-      .withColumn("__inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+    // posting lists per shingle, each entry carrying ITS DOC'S SHINGLE
+    // COUNT alongside the id: the pair stream is the pipeline's
+    // dominant volume (Σ C(df,2) ≈ 10× the corpus rows here), and
+    // joining doc sizes back onto it AFTER the pair aggregation means
+    // two more exchanges of that biggest table once the size dim
+    // outgrows the broadcast threshold (measured at sf10: the two
+    // post-agg sort-merge joins were 4× the whole query's CPU). A
+    // 4-byte-wider shuffle row deletes both joins at every scale.
+    // The cap is a plain size filter (df == collected-list length);
+    // collect_list order is nondeterministic across runs — harmless:
+    // pairs are normalized (least, greatest — struct ordering leads
+    // with the distinct id) and counting is order-blind.
+    val postings = base
+      .select(struct(col("id"), size(col("sh")).as("n")).as("d"),
+        explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")).between(2, maxPosting))
+    // expand each list to its C(df,2) unordered id pairs array-locally
+    // (no second exchange of the exploded corpus); per-row fan-out is
+    // bounded by C(maxPosting, 2)
+    val pairs = postings
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2),
+            greatest(size(col("ds")) - i - 1, lit(0))),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b"))))))
+        .as("p"))
+      .select(col("p")("a")("id").as("id_a"), col("p")("a")("n").as("__na"),
+        col("p")("b")("id").as("id_b"), col("p")("b")("n").as("__nb"))
+    pairs
+      .groupBy(col("id_a"), col("__na"), col("id_b"), col("__nb"))
+      .agg(count(lit(1)).as("__ov"))
+      .withColumn("__min", least(col("__na"), col("__nb")))
       .withColumn("containment",
-        col("__inter") / least(size(col("sh_a")), size(col("sh_b"))))
-      .filter(least(size(col("sh_a")), size(col("sh_b"))) > 0 &&
-        col("containment") >= threshold)
+        col("__ov").cast("double") / col("__min"))
+      .filter(col("__min") > 0 && col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
   }
