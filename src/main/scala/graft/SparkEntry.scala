@@ -9969,10 +9969,8 @@ object SparkEntry {
     Q("text_ngram_novelty",
       (s, d) => {
         val base = Par.widen(Tables.documents(s, d))
-          .select(col("doc_id").as("id"), Dedup.tokens(col("text"))
-            .as("toks"))
-          .select(col("id"),
-            Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+          .select(col("doc_id").as("id"),
+            Dedup.shinglesNative(col("text"), 3).as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val novel = base.select(col("id"), explode(col("sh")).as("s"))
           .groupBy(col("s")).agg(min(col("id")).as("first_id"))

@@ -305,6 +305,77 @@ object GraftNative {
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(bases), numHashes))
 
+  private val wsPatternU = UTF8String.fromString("\\s+")
+  private val spaceU = UTF8String.fromString(" ")
+
+  /** Distinct k-shingles of a raw text value in one pass — the fused
+    * form of `array_distinct(transform(sequence(0, greatest(size(toks)
+    * − k, 0)), i => concat_ws(" ", slice(toks, i+1, k))))` over
+    * `toks = split(lower(trim(text)), "\\s+")` (the composable
+    * reference kept as `Dedup.shingles`). Bit-identical by
+    * construction: trim/lower/split call the SAME `UTF8String`
+    * methods the `StringTrim`/`Lower`/`StringSplit` expressions call
+    * (space-only trim, UTF8 lowercase, Java-regex split with
+    * limit −1 so a leading non-space whitespace still yields the
+    * empty first token), the join is `UTF8String.concatWs` (what
+    * `ConcatWs` calls), and dedup preserves first-occurrence order
+    * like `ArrayDistinct`. Public static so generated code can call
+    * it.
+    */
+  def shingleArray(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.trim().toLowerCase().split(wsPatternU, -1)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      val part = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { part(j - i) = toks(j); j += 1 }
+      seen.add(UTF8String.concatWs(spaceU, part: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** [[shingleArray]] as an expression. The composable HOF pipeline it
+    * replaces runs INTERPRETED (lambdas sit outside whole-stage
+    * codegen) and does per-shingle work that dwarfs the payload: a
+    * `sequence` array allocation, a `slice` copy and a distinct pass
+    * of n² UTF8 comparisons per document — measured as the dominant
+    * scan-side cost of every shingle-based dedup/text operator once
+    * the corpus outgrows the cache (≈4,300 of 6,500 CPU-seconds of
+    * the sf10 exact-containment run were tokenize+shingle). This is
+    * one virtual call per row inside WholeStageCodegen, with a
+    * hash-set dedup. Null text → null, matching the composable form's
+    * null propagation.
+    */
+  case class ShingleArray(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_array"
+
+    override protected def nullSafeEval(a: Any): Any =
+      shingleArray(a.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftnative.GraftNative"
+        s"${ev.value} = $cls.shingleArray($a, $k);"
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column API entry point. */
+  def shingleArrayCol(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), k))
+
   // ------------------------------------------------------------------
   // Manual runtime-filter injection: the same BloomFilterAggregate /
   // BloomFilterMightContain pair Catalyst's InjectRuntimeFilter uses,
@@ -381,6 +452,19 @@ object GraftNative {
               s"numHashes must be an integer literal, got $other")
           }
           MinHashSignature(args(0), n)
+        }),
+      (FunctionIdentifier("graft_shingles"),
+        fnInfo("graft_shingles",
+          "graft_shingles(text, k) - distinct lowercased whitespace " +
+            "k-shingles of a text value"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_shingles(text, k)")
+          val k = args(1) match {
+            case CLiteral(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"k must be an integer literal, got $other")
+          }
+          ShingleArray(args(0), k)
         }))
 
   /** Imperative registration on a live session — `sessionState` is

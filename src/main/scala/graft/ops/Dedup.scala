@@ -55,11 +55,22 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
   /** Lowercased whitespace-token k-shingles of a text column, distinct.
-    * Convenience single-expression form — inside operators prefer the
-    * two-step [[tokens]]/[[shinglesFromTokens]] (see the CSE note there).
+    * COMPOSABLE SEMANTIC REFERENCE — operators use the native
+    * codegen'd `GraftNative.shingleArrayCol` (round 12), which is
+    * spec-pinned bit-identical to this form (PropertySpec); the sf10
+    * runs measured the interpreted HOF pipeline here as the dominant
+    * scan-side cost of every shingle-based operator (~4.3k of 6.5k
+    * CPU-seconds on the exact-containment query).
     */
   def shingles(text: Column, k: Int): Column =
     shinglesFromTokens(tokens(text), k)
+
+  /** The shingle pass operators actually run: the fused native
+    * expression — one codegen'd call doing trim/lower/split/k-gram/
+    * dedup per row. See [[shingles]] for the semantic reference.
+    */
+  def shinglesNative(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftnative.GraftNative.shingleArrayCol(text, k)
 
   /** MinHash signature from a PRE-HASHED shingle array (28-bit bases):
     * signature element i is the min over shingles of affine family
@@ -149,8 +160,7 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     Par.widen(df)
-      .select(idCol.as("id"), tokens(text).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .select(idCol.as("id"), shinglesNative(text, shingleK).as("sh"))
       .withColumn("hb", org.apache.spark.sql.graftnative.GraftNative
         .md5Base28Array(col("sh")))
       .select(col("id"),
@@ -251,12 +261,14 @@ object Dedup {
     * ints, so `round(.,6)` stays cross-engine stable exactly as it
     * was for the array formulation (same quotient double).
     *
-    * Measured (local[32], 64g, REPEAT=2 steady): sf0.1 2.5 s, sf1
-    * 6.6 s, sf10 78.9 s — vs the round-11 formulation's 4.1 / 17.8 /
-    * disk-full DNF, on an intrinsic pair stream measured to grow
-    * exactly 10.0× per step (52.2M → 522.2M rows sf1→sf10). The
-    * sf1→sf10 wall exponent is 1.08 ≈ the intrinsic linear bound;
-    * see SCALE.md's round-12 sf10 table.
+    * Measured (local[32], 64g, REPEAT=2, full work per run — no
+    * cached intermediate, native shingle pass): sf0.1 2.9 s, sf1
+    * 9.8 s, sf10 100.5 s / 2717 CPU-s — vs the round-11
+    * formulation's 4.1 / 17.8 / disk-full DNF, on an intrinsic pair
+    * stream measured to grow exactly 10.0× per step (52.2M → 522.2M
+    * rows sf1→sf10). The sf1→sf10 wall exponent is 1.01 = the
+    * intrinsic linear bound; see SCALE.md's round-12 sf10 table and
+    * its shingle-pass addendum.
     */
   def containmentPairsExact(
       df: DataFrame,
@@ -265,10 +277,13 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.8,
       maxPosting: Int = 1000): DataFrame = {
+    // NO persist: unlike every other generator in this file the shingle
+    // base has exactly ONE consumer (the posting aggregation) once the
+    // sizes ride inside the posting entries, so caching it would only
+    // add a full extra materialization — this generator is exempt from
+    // the file's cache contract because it caches nothing.
     val base = Par.widen(df)
-      .select(idCol.as("id"), tokens(text).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(idCol.as("id"), shinglesNative(text, shingleK).as("sh"))
     // posting lists per shingle, each entry carrying ITS DOC'S SHINGLE
     // COUNT alongside the id: the pair stream is the pipeline's
     // dominant volume (Σ C(df,2) ≈ 10× the corpus rows here), and
@@ -326,8 +341,7 @@ object Dedup {
     // members — an InMemoryRelation column can't be inlined past.
     // MEMORY_AND_DISK: spills rather than OOMs at corpus scale.
     val base = Par.widen(df)
-      .select(idCol.as("id"), tokens(text).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .select(idCol.as("id"), shinglesNative(text, shingleK).as("sh"))
       // native codegen'd md5 pass (bit-identical to the composable
       // transform + PortableHash.base28 form — spec-verified): the
       // interpreted HOF lambda and its per-shingle hex/conv strings are
@@ -500,8 +514,7 @@ object Dedup {
       threshold: Double): (DataFrame, DataFrame) = {
     // cached: sizes + both sides of the self-join read it (4 consumers)
     val base = Par.widen(df)
-      .select(idCol.as("id"), blockCol.as("blk"), tokens(text).as("toks"))
-      .select(col("id"), col("blk"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(idCol.as("id"), blockCol.as("blk"), shinglesNative(text, n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = base.select(col("id"), col("blk"), size(col("sh")).as("sz"))
     val ex = base.select(col("id"), col("blk"), explode(col("sh")).as("s"))
@@ -558,8 +571,7 @@ object Dedup {
       k: Int): (DataFrame, DataFrame) = {
     // cached: span sizes + the explode read it (3 consumers)
     val base = Par.widen(df)
-      .select(idCol.as("id"), tokens(text).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      .select(idCol.as("id"), shinglesNative(text, k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
     // (id, s) pairs are UNIQUE (shinglesFromTokens is array_distinct),

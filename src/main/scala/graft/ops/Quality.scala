@@ -104,28 +104,23 @@ object Quality {
       k: Int,
       threshold: Double = 0.5,
       idName: String = "doc_id"): DataFrame = {
-    // two-step tokenize→shingle (the lambda-CSE rule — see
-    // Dedup.shinglesFromTokens: inlined, the split re-runs per shingle)
     val benchShingles = bench
-      .select(Dedup.tokens(benchText).as("__t"))
-      .select(explode_outer(Dedup.shinglesFromTokens(col("__t"), k)).as("__s"))
+      .select(explode_outer(Dedup.shinglesNative(benchText, k)).as("__s"))
       .where(col("__s").isNotNull)
       .distinct()
     // single pass over the corpus: explode shingles carrying the per-doc
     // shingle count, mark broadcast hits with a left join, aggregate per
     // doc. No join back onto the shingle plan — a second reference would
-    // recompute the whole tokenize→shingle pipeline (Spark does not
-    // dedup a subplan across branches). Shingle arrays are never empty
-    // (a short doc yields one whole-doc shingle), so the groupBy is
-    // total — which is why explode_outer: a plain explode makes Catalyst
-    // infer `size(shingles) > 0` and push it below the projections,
-    // re-evaluating the whole tokenize→shingle pipeline (split inlined
-    // into the lambda = re-tokenize per shingle) just for the emptiness
-    // check — measured ~2.5× on the whole query. explode_outer infers
-    // no filter and is identical here since the array is never empty.
+    // recompute the whole shingle pass (Spark does not dedup a subplan
+    // across branches). Shingle arrays are never empty (a short doc
+    // yields one whole-doc shingle), so the groupBy is total — which is
+    // why explode_outer: a plain explode makes Catalyst infer
+    // `size(shingles) > 0` and push it below the projections,
+    // re-evaluating the shingle pass just for the emptiness check;
+    // explode_outer infers no filter and is identical here since the
+    // array is never empty.
     train
-      .select(idCol.as(idName), Dedup.tokens(text).as("__t"))
-      .select(col(idName), Dedup.shinglesFromTokens(col("__t"), k).as("__sh"))
+      .select(idCol.as(idName), Dedup.shinglesNative(text, k).as("__sh"))
       .select(col(idName), size(col("__sh")).as("__n"),
         explode_outer(col("__sh")).as("__s"))
       .join(broadcast(benchShingles.withColumn("__hit", lit(1))),

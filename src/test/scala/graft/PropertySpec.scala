@@ -187,6 +187,62 @@ class PropertySpec extends SparkSpecBase {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("native shingleArray equals the composable trim/lower/split/" +
+      "k-gram/distinct pipeline, bit for bit") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.graftnative.GraftNative
+    // adversarial texts: leading/trailing spaces AND tabs (trim is
+    // space-only, so a leading tab yields an empty first token), mixed
+    // case, unicode, repeated tokens (first-occurrence dedup order),
+    // multi-whitespace runs, docs shorter than k, empty strings
+    val texts = samples(for {
+      n <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(
+        "The", "the", "FOX", "éß", "中文", "a", "b.c", "x"))
+      sep <- Gen.listOfN(math.max(n - 1, 0),
+        Gen.oneOf(" ", "  ", "\t", " \t "))
+      lead <- Gen.oneOf("", " ", "\t", "  ")
+      trail <- Gen.oneOf("", " ", "\t")
+    } yield lead + toks.zipAll(sep, "", "").map(p => p._1 + p._2)
+      .mkString + trail, 200) ++ Seq("", " ", "\t", "one", "a a a a")
+    for (k <- Seq(2, 3, 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val native = df.select(col("id"),
+        GraftNative.shingleArrayCol(col("text"), k).as("sh"))
+      val composable = df.select(col("id"),
+        Dedup.shingles(col("text"), k).as("sh"))
+      // exact row compare including ELEMENT ORDER (first-occurrence
+      // dedup order must match ArrayDistinct), not just set equality
+      val n = native.orderBy("id").collect().map(_.toString).toVector
+      val c = composable.orderBy("id").collect().map(_.toString).toVector
+      assert(n === c, s"k=$k shingle parity")
+    }
+    // null text → null (composable propagates through split)
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .select(GraftNative.shingleArrayCol(col("text"), 3).as("sh"))
+      .collect()
+    assert(nullRow.head.isNullAt(0))
+    // spark.range input → WholeStageCodegen path pins doGenCode; the
+    // local-Seq inputs above constant-fold through interpreted eval
+    val ranged = spark.range(150).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(0L), col("id") % 7),
+        i => concat(lit("T"), ((col("id") * 3 + i) % 5).cast("string"))))
+        .as("text"))
+    val nr = ranged.select(col("id"),
+      GraftNative.shingleArrayCol(col("text"), 3).as("sh"))
+    val cr = ranged.select(col("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    assert(nr.exceptAll(cr).isEmpty && cr.exceptAll(nr).isEmpty)
+    // and on the real corpus: the operators' input distribution
+    val docs = Tables.documents(spark, sf())
+    val nd = docs.select(col("doc_id"),
+      GraftNative.shingleArrayCol(col("text"), 3).as("sh"))
+    val cd = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    assert(nd.exceptAll(cd).isEmpty && cd.exceptAll(nd).isEmpty)
+  }
+
   test("native ewmaWeightedSum equals the composable transform+aggregate " +
       "form for any alpha, bit for bit") {
     import org.apache.spark.sql.graftnative.GraftSmoothing
