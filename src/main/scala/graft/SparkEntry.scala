@@ -88,10 +88,10 @@ object SparkEntry {
         s.read.parquet(tmp)
           .filter(col("day").between("2024-01-10", "2024-01-14"))
           .groupBy(col("day"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)).as("total"))
       },
       Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-                round(sum(value), 6) AS total
+                CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
               FROM events
               WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
                 AND DATE '2024-01-14'
@@ -374,18 +374,24 @@ object SparkEntry {
     Q("join_left_expr",
       (s, d) => {
         val e = ev(s, d)
+        // micro-unit exact hourly mean (fuzz-hardened: raw avg +
+        // round(.,6) flips at .5e-6 boundaries across engines)
         val hourly = e
           .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-          .agg(avg(col("value")).as("__avg_v"))
+          .agg((floor(sum(floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
+            .as("__avg_v"))
         Relational.leftJoinExpr(e, hourly,
             date_trunc("hour", e("ts")) === hourly("hour_ts"))
           .select(col("event_id"), col("value"),
-            round(col("__avg_v"), 6).as("hourly_avg"))
+            col("__avg_v").as("hourly_avg"))
       },
-      Some("""SELECT e.event_id, e.value, round(h.avg_v, 6) AS hourly_avg
+      Some("""SELECT e.event_id, e.value, h.avg_v AS hourly_avg
               FROM events e
               LEFT JOIN (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
-                                avg(value) AS avg_v
+                                floor(CAST(sum(CAST(floor(value * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / count(*) + 0.5)
+                                  / 1e6 AS avg_v
                          FROM events GROUP BY 1) h
                 ON date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = h.hour_ts""")),
 
@@ -976,7 +982,8 @@ object SparkEntry {
                      (SELECT h0 FROM span), (SELECT h1 FROM span),
                      INTERVAL 1 HOUR)) AS h) g),
     hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                 round(avg(value), 6) AS v
+                 floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                   AS DOUBLE) / count(*) + 0.5) / 1e6 AS v
                FROM e GROUP BY 1, 2)"""
 
   /** Shared scaffold of the gap-fill family: hourly calendar grid per
@@ -995,9 +1002,14 @@ object SparkEntry {
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"),
           expr("INTERVAL 1 HOUR"))).as("h"))
+    // hourly mean via the micro-unit exact-sum convention (full-surface
+    // fuzzing found the raw avg+round(.,6) flipping at .5e-6 boundaries
+    // — 6-decimal fuzz values averaged over small hours land exactly on
+    // the boundary, where the engines' rounding modes disagree)
     val hourly = e
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(avg(col("value")), 6).as("v"))
+      .agg((floor(sum(floor(col("value") * lit(1e6) + lit(0.5)))
+        .cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6)).as("v"))
     grid.join(hourly, Seq("event_type", "h"), "left")
   }
 
@@ -1748,15 +1760,18 @@ object SparkEntry {
       (s, d) => ev(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .pivot("event_type", Seq("click", "view", "error"))
-        .agg(round(sum(col("value")), 6))
+        .agg((sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)))
         .select(col("day"), col("click"), col("view"), col("error")),
       Some("""SELECT CAST(ts AS DATE) AS day,
-                round(sum(CASE WHEN event_type = 'click' THEN value END), 6)
-                  AS click,
-                round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
-                  AS view,
-                round(sum(CASE WHEN event_type = 'error' THEN value END), 6)
-                  AS error
+                CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END)
+                  AS DOUBLE) / 1e6 AS click,
+                CAST(sum(CASE WHEN event_type = 'view'
+                    THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END)
+                  AS DOUBLE) / 1e6 AS view,
+                CAST(sum(CASE WHEN event_type = 'error'
+                    THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END)
+                  AS DOUBLE) / 1e6 AS error
               FROM events GROUP BY 1""")),
   )
 
@@ -1919,12 +1934,14 @@ object SparkEntry {
     Q("agg_salted_skew",
       (s, d) => Skew.saltedAggregate(ev(s, d), col("event_type"),
           col("event_id"), saltBuckets = 8)(
-          ("total", sum(col("value")), c => sum(col(c))),
+          ("total", sum(floor(col("value") * lit(1e6) + lit(0.5))),
+            c => sum(col(c))),
           ("n", count(col("value")), c => sum(col(c))),
           ("max_v", max(col("value")), c => max(col(c))))
-        .select(col("key").as("event_type"), round(col("total"), 6).as("total"),
+        .select(col("key").as("event_type"),
+          (col("total").cast("double") / lit(1e6)).as("total"),
           col("n"), col("max_v")),
-      Some("""SELECT event_type, round(sum(value), 6) AS total,
+      Some("""SELECT event_type, CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total,
                 count(value) AS n, max(value) AS max_v
               FROM events GROUP BY 1""")),
 
@@ -2474,14 +2491,14 @@ object SparkEntry {
         RangeJoin.banded(ev(s, d), col("value"), bands,
             col("lo"), col("hi"), bucketWidth = 50.0)
           .groupBy(col("band_id"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)).as("total"))
       },
       Some("""WITH bands(band_id, lo, hi) AS (VALUES
                 (0, 0.0, 60.0), (1, 50.0, 120.0),
                 (2, 120.0, 250.0), (3, 250.0, 1000.0)),
               j AS (SELECT b.band_id, e.value FROM events e
                     JOIN bands b ON e.value >= b.lo AND e.value < b.hi)
-              SELECT band_id, count(*) AS n, round(sum(value), 6) AS total
+              SELECT band_id, count(*) AS n, CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
               FROM j GROUP BY 1""")),
 
     // substring-level duplication signal: fraction of each doc's
@@ -2611,19 +2628,79 @@ object SparkEntry {
     // second-moment aggregates (variance/correlation families): both
     // engines use numerically-stable one-pass forms; round(6) absorbs
     // the summation-order difference
+    // second/cross moments from EXACT integer sums (fuzz-hardened):
+    // the builtin stddev/var/corr/covar accumulate raw doubles whose
+    // partial-aggregation order differs across engines, and
+    // full-surface fuzzing caught `var` one ulp apart at a .5e-6
+    // boundary. Convention: quantize value to exact micros per row,
+    // then n, Σv, Σu as longs and Σv², Σu², Σuv as decimal(38,0)
+    // (micros² outgrows a long at corpus scale; DuckDB's HUGEINT is
+    // the twin) — the moment numerators n·Σxy − Σx·Σy are exact
+    // integers on both engines, converted to double ONCE.
     Q("agg_stats_moments",
-      (s, d) => ev(s, d).groupBy(col("event_type"))
-        .agg(round(stddev_samp(col("value")), 6).as("sd"),
-          round(var_samp(col("value")), 6).as("var"),
-          round(corr(col("value"), col("user_id")), 6).as("c"),
-          round(covar_samp(col("value"), col("user_id")), 6).as("cv")),
-      Some("""SELECT event_type,
-                round(stddev_samp(value), 6) AS sd,
-                round(var_samp(value), 6) AS var,
-                round(corr(value, user_id), 6) AS c,
-                round(covar_samp(value, user_id), 6) AS cv
-              FROM events GROUP BY 1""")),
-
+      (s, d) => {
+        val vm = floor(col("value") * lit(1e6) + lit(0.5))
+        val vmd = vm.cast("decimal(19,0)")
+        val ud = col("user_id").cast("decimal(19,0)")
+        val g = ev(s, d).groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(vm).as("sv"),
+          sum((vmd * vmd).cast("decimal(38,0)")).as("svv"),
+          sum(col("user_id")).as("su"),
+          sum((ud * ud).cast("decimal(38,0)")).as("suu"),
+          sum((ud * vmd).cast("decimal(38,0)")).as("suv"))
+        val nD = col("n").cast("decimal(38,0)")
+        def sq(c: Column, d2: Column): Column =
+          (c.cast("decimal(19,0)") * d2.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        val varnum = (nD * col("svv") - sq(col("sv"), col("sv")))
+          .cast("double")
+        val unum = (nD * col("suu") - sq(col("su"), col("su")))
+          .cast("double")
+        val covnum = (nD * col("suv") - sq(col("su"), col("sv")))
+          .cast("double")
+        val nn1 = (col("n") * (col("n") - lit(1))).cast("double")
+        g.select(col("event_type"),
+          when(col("n") > 1,
+            floor(sqrt(varnum / nn1) + lit(0.5)) / lit(1e6)).as("sd"),
+          when(col("n") > 1,
+            floor(varnum / nn1 / lit(1e6) + lit(0.5)) / lit(1e6)).as("var"),
+          when(varnum > 0 && unum > 0,
+            floor(covnum / sqrt(varnum * unum) * lit(1e6) + lit(0.5)) /
+              lit(1e6)).as("c"),
+          when(col("n") > 1,
+            floor(covnum / nn1 + lit(0.5)) / lit(1e6)).as("cv"))
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sv,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)
+                    * CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS svv,
+                  sum(CAST(user_id AS BIGINT)) AS su,
+                  sum(CAST(user_id AS HUGEINT)
+                    * CAST(user_id AS HUGEINT)) AS suu,
+                  sum(CAST(user_id AS HUGEINT)
+                    * CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS suv
+                FROM events GROUP BY 1),
+              m AS (SELECT event_type, n,
+                  CAST(n * svv - CAST(sv AS HUGEINT) * sv AS DOUBLE)
+                    AS varnum,
+                  CAST(n * suu - CAST(su AS HUGEINT) * su AS DOUBLE)
+                    AS unum,
+                  CAST(n * suv - CAST(su AS HUGEINT) * sv AS DOUBLE)
+                    AS covnum,
+                  CAST(n * (n - 1) AS DOUBLE) AS nn1
+                FROM g)
+              SELECT event_type,
+                CASE WHEN n > 1 THEN
+                  floor(sqrt(varnum / nn1) + 0.5) / 1e6 END AS sd,
+                CASE WHEN n > 1 THEN
+                  floor(varnum / nn1 / 1e6 + 0.5) / 1e6 END AS var,
+                CASE WHEN varnum > 0 AND unum > 0 THEN
+                  floor(covnum / sqrt(varnum * unum) * 1e6 + 0.5) / 1e6
+                  END AS c,
+                CASE WHEN n > 1 THEN
+                  floor(covnum / nn1 + 0.5) / 1e6 END AS cv
+              FROM m""")),
     // explicit left-semi join (EXISTS pushed into the join operator —
     // the probe side streams, no duplicate expansion, build side carries
     // only the key)
@@ -2699,9 +2776,11 @@ object SparkEntry {
     Q("f_gap_fill_interp",
       (s, d) => hourlyGapGrid(s, d)
         .select(col("event_type"), col("h"),
-          round(GapFill.interpolate(Seq(col("event_type")), col("h"),
-              col("v"), c => unix_seconds(c.cast("timestamp"))),
-            6).as("v_interp")),
+          // portable floor rounding: the time-weighted blend of two
+          // 6-decimal hourly means lands exactly on .5e-6 boundaries
+          (floor(GapFill.interpolate(Seq(col("event_type")), col("h"),
+              col("v"), c => unix_seconds(c.cast("timestamp")))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("v_interp")),
       Some(s"""WITH $gapGridCtesSql,
               joined AS (SELECT g.event_type, g.h, hv.v FROM grid g
                          LEFT JOIN hourly hv
@@ -2719,12 +2798,12 @@ object SparkEntry {
                         wf AS (PARTITION BY event_type ORDER BY h
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
               SELECT event_type, h,
-                round(CASE WHEN v IS NOT NULL THEN v
+                floor(CASE WHEN v IS NOT NULL THEN v
                   WHEN pv IS NULL THEN nv
                   WHEN nv IS NULL THEN pv
                   ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
                     / (epoch(nh) - epoch(ph))
-                END, 6) AS v_interp
+                END * 1e6 + 0.5) / 1e6 AS v_interp
               FROM ctx""")),
 
     // native unpivot (wide → long melt) — the inverse of agg_pivot
@@ -2761,14 +2840,14 @@ object SparkEntry {
           .filter(col("day") <= "2024-01-03")
           .createOrReplaceTempView("graft_gs_events")
         s.sql("""SELECT event_type, day, count(*) AS n,
-                   round(sum(value), 6) AS total,
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total,
                    CAST(grouping(event_type) AS INT) AS g_type,
                    CAST(grouping(day) AS INT) AS g_day
                  FROM graft_gs_events
                  GROUP BY GROUPING SETS ((event_type), (day), ())""")
       },
       Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
-                round(sum(value), 6) AS total,
+                CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total,
                 CAST(grouping(event_type) AS INTEGER) AS g_type,
                 CAST(grouping(CAST(ts AS DATE)) AS INTEGER) AS g_day
               FROM events
@@ -2784,16 +2863,20 @@ object SparkEntry {
       Some("""SELECT 'value' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(count(value) AS BIGINT) AS n_nonnull,
                 CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
-                round(CAST(min(value) AS DOUBLE), 6) AS min_v,
-                round(CAST(max(value) AS DOUBLE), 6) AS max_v,
-                round(avg(value), 6) AS mean_v
+                floor(CAST(min(value) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS min_v,
+                floor(CAST(max(value) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS max_v,
+                floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+                    AS DOUBLE) / count(value) + 0.5) / 1e6 AS mean_v
               FROM events
               UNION ALL
               SELECT 'user_id', count(*), count(user_id),
                 count(DISTINCT user_id),
-                round(CAST(min(user_id) AS DOUBLE), 6),
-                round(CAST(max(user_id) AS DOUBLE), 6),
-                round(avg(user_id), 6)
+                floor(CAST(min(user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                floor(CAST(max(user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                floor(CAST(sum(CAST(floor(user_id * 1e6 + 0.5) AS HUGEINT))
+                    AS DOUBLE) / count(user_id) + 0.5) / 1e6
               FROM events""")),
 
     // hash-bucketed storage layout (CLUSTERED BY): the write pays one
@@ -3053,13 +3136,13 @@ object SparkEntry {
         .cube(col("event_type"), col("dow"))
         .agg(grouping(col("event_type")).cast("int").as("g_type"),
           grouping(col("dow")).cast("int").as("g_dow"),
-          count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value")),
+          count(lit(1)).as("n"), (sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)).as("sum_value")),
       Some("""WITH e AS (SELECT event_type, dayofweek(ts) AS dow, value
                      FROM events)
               SELECT event_type, dow,
                 CAST(GROUPING(event_type) AS INTEGER) AS g_type,
                 CAST(GROUPING(dow) AS INTEGER) AS g_dow,
-                count(*) AS n, round(sum(value), 6) AS sum_value
+                count(*) AS n, CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
               FROM e GROUP BY CUBE (event_type, dow)""")),
 
     // cumulative-distribution window family: percent_rank + cume_dist
@@ -3349,12 +3432,19 @@ object SparkEntry {
         val w = Window.partitionBy(col("event_type"))
           .orderBy(unix_micros(col("ts").cast("timestamp")))
           .rangeBetween(-21600000000L, 0)
+        // RANGE-frame mean via exact micro-unit frame sums (the
+        // documented RANGE-frame convention — engines walk the frame
+        // in different orders; fuzz caught the raw-avg form flipping)
         ev(s, d).select(col("event_id"),
-          round(avg(col("value")).over(w), 6).as("avg_6h"),
+          (floor(sum(floor(col("value") * lit(1e6) + lit(0.5))).over(w)
+            .cast("double") / count(lit(1)).over(w) + lit(0.5)) / lit(1e6))
+            .as("avg_6h"),
           count(lit(1)).over(w).as("n_6h"))
       },
       Some("""SELECT event_id,
-                round(avg(value) OVER w, 6) AS avg_6h,
+                floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                    OVER w AS DOUBLE) / (count(*) OVER w) + 0.5) / 1e6
+                  AS avg_6h,
                 CAST(count(*) OVER w AS BIGINT) AS n_6h
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
@@ -3705,26 +3795,36 @@ object SparkEntry {
     // and a broadcast of the per-type overall means
     Q("agg_seasonal_profile",
       (s, d) => {
+        // micro-unit exact sums, ONE division per mean (the order- and
+        // rounding-mode-insensitive convention; full-surface fuzzing
+        // caught the raw-avg form flipping at a .5e-6 boundary)
         val hourly = ev(s, d)
           .groupBy(col("event_type"), hour(col("ts")).as("hod"))
-          .agg(avg(col("value")).as("__m"), count(lit(1)).as("n"))
+          .agg((sum(floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / count(lit(1))).as("__m"),
+            count(lit(1)).as("n"))
         val overall = ev(s, d).groupBy(col("event_type").as("__t"))
-          .agg(avg(col("value")).as("__o"))
+          .agg((sum(floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / count(lit(1))).as("__o"))
         hourly.join(broadcast(overall), col("event_type") === col("__t"))
           .select(col("event_type"), col("hod"),
-            round(col("__m"), 6).as("mean_v"),
-            round(col("__m") - col("__o"), 6).as("dev_from_overall"),
+            (floor(col("__m") + lit(0.5)) / lit(1e6)).as("mean_v"),
+            (floor(col("__m") - col("__o") + lit(0.5)) / lit(1e6))
+              .as("dev_from_overall"),
             col("n"))
       },
       Some("""WITH h AS (SELECT event_type,
                       hour(CAST(ts AS TIMESTAMP)) AS hod,
-                      avg(value) AS m, count(*) AS n
+                      CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) AS m, count(*) AS n
                     FROM events GROUP BY 1, 2),
-              o AS (SELECT event_type, avg(value) AS o FROM events
-                    GROUP BY 1)
+              o AS (SELECT event_type,
+                      CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) AS o
+                    FROM events GROUP BY 1)
               SELECT event_type, CAST(hod AS INTEGER) AS hod,
-                round(m, 6) AS mean_v,
-                round(m - o, 6) AS dev_from_overall,
+                floor(m + 0.5) / 1e6 AS mean_v,
+                floor(m - o + 0.5) / 1e6 AS dev_from_overall,
                 CAST(n AS BIGINT) AS n
               FROM h JOIN o USING (event_type)""")),
 
@@ -4506,7 +4606,9 @@ object SparkEntry {
                       ntile(10) OVER (PARTITION BY event_type
                         ORDER BY value DESC, event_id) AS band
                     FROM events)
-              SELECT event_type, band, round(avg(value), 6) AS avg_value,
+              SELECT event_type, band,
+                floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_value,
                 count(*) AS n
               FROM r GROUP BY 1, 2""")),
 
@@ -4929,7 +5031,7 @@ object SparkEntry {
       (s, d) => Sampling.poissonBootstrap(ev(s, d), col("event_id"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_draws"),
-          round(sum(col("value")), 6).as("total_value")),
+          (sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)).as("total_value")),
       Some("""WITH k AS (SELECT event_type, value,
                       CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
                         WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
@@ -4940,7 +5042,8 @@ object SparkEntry {
                               % 1000 AS u
                           FROM events))
               SELECT event_type, CAST(sum(k) AS BIGINT) AS n_draws,
-                round(sum(k * value), 6) AS total_value
+                CAST(sum(k * CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1e6 AS total_value
               FROM k WHERE k > 0 GROUP BY 1""")),
 
     // corpus-wide duplicate-chunk scrub (line-level dedup): exact copies
@@ -5100,8 +5203,15 @@ object SparkEntry {
       (s, d) => ev(s, d).select(col("event_id"),
         ScalarFns.timeBucket(col("ts"), 90L,
           lit("2024-01-01 00:00:00")).as("bucket")),
+      // oracle uses FLOOR modulo, not truncation: for ts BEFORE the
+      // origin the offset d is negative and `d % w` follows d's sign,
+      // putting the bucket start ABOVE ts — time_bucket semantics
+      // floor toward -inf (the engine's pmod already does; full-surface
+      // fuzzing with ±12 h jitter pushed rows across the origin and
+      // exposed the oracle's truncating form)
       Some("""SELECT event_id,
-                make_timestamp(o + d - (d % 90000000)) AS bucket
+                make_timestamp(o + d - (((d % 90000000) + 90000000)
+                  % 90000000)) AS bucket
               FROM (SELECT event_id,
                       epoch_us(TIMESTAMP '2024-01-01') AS o,
                       epoch_us(CAST(ts AS TIMESTAMP))
@@ -5257,10 +5367,10 @@ object SparkEntry {
           .schema("event_id BIGINT, event_type STRING, value DOUBLE")
           .csv(tmp)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+          .agg(count(lit(1)).as("n"), (sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)).as("total"))
       },
       Some("""SELECT event_type, count(*) AS n,
-                round(sum(value), 6) AS total
+                CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS total
               FROM events GROUP BY 1""")),
 
     // sliding audio windows (256-sample frames, 128 hop) over the PCM
@@ -7477,18 +7587,26 @@ object SparkEntry {
             explode(sequence(lit(0), lit(31))).as("b"))
           .withColumn("k", Sampling.poissonK(
             concat_ws(":", col("event_id"), col("b"))))
+        // m carried in exact micro units: Σ k·vm is an exact long on
+        // both engines (fuzz-hardened — the raw weighted double sum
+        // flips at .5e-6 boundaries), ONE division per replicate
         val means = reps.groupBy(col("b"))
-          .agg((sum(col("k") * col("value")) / sum(col("k"))).as("m"))
+          .agg((sum(col("k") * floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / sum(col("k"))).as("m"))
         val ranked = means
           .withColumn("ra", row_number().over(
             Window.orderBy(col("m"), col("b"))))
           .withColumn("rd", row_number().over(
             Window.orderBy(col("m").desc, col("b").desc)))
         val base = ev(s, d).agg(count(lit(1)).as("n_events"),
-          round(avg(col("value")), 6).as("point_mean"))
+          (floor(sum(floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
+            .as("point_mean"))
         ranked.agg(
-            round(min(when(col("ra") === 2, col("m"))), 6).as("ci_lo"),
-            round(min(when(col("rd") === 2, col("m"))), 6).as("ci_hi"))
+            (floor(min(when(col("ra") === 2, col("m"))) + lit(0.5)) /
+              lit(1e6)).as("ci_lo"),
+            (floor(min(when(col("rd") === 2, col("m"))) + lit(0.5)) /
+              lit(1e6)).as("ci_hi"))
           .crossJoin(broadcast(base))
           .select(col("n_events"), col("point_mean"), col("ci_lo"),
             col("ci_hi"))
@@ -7505,18 +7623,24 @@ object SparkEntry {
                     WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
                     ELSE 4 END AS k
                 FROM reps),
-              m AS (SELECT b, sum(k * value) / sum(k) AS m FROM k
+              m AS (SELECT b,
+                  CAST(sum(k * CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / sum(k) AS m FROM k
                 GROUP BY 1),
               r AS (SELECT m,
                   row_number() OVER (ORDER BY m, b) AS ra,
                   row_number() OVER (ORDER BY m DESC, b DESC) AS rd
                 FROM m),
               base AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
-                  round(avg(value), 6) AS point_mean FROM events)
+                  floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) + 0.5) / 1e6 AS point_mean
+                FROM events)
               SELECT (SELECT n_events FROM base) AS n_events,
                 (SELECT point_mean FROM base) AS point_mean,
-                round(min(CASE WHEN ra = 2 THEN m END), 6) AS ci_lo,
-                round(min(CASE WHEN rd = 2 THEN m END), 6) AS ci_hi
+                floor(min(CASE WHEN ra = 2 THEN m END) + 0.5) / 1e6
+                  AS ci_lo,
+                floor(min(CASE WHEN rd = 2 THEN m END) + 0.5) / 1e6
+                  AS ci_hi
               FROM r""")),
   )
 
@@ -8452,28 +8576,53 @@ object SparkEntry {
     // NULL otherwise).
     Q("win_expanding_stats",
       (s, d) => {
+        // expanding mean/std from EXACT integer frame sums end to end:
+        // the daily totals were already exact cents, but averaging the
+        // cents/100 doubles re-introduced order-sensitive float sums —
+        // full-surface fuzzing caught the mean flipping at a .5e-6
+        // boundary. Σc as long, Σc² as decimal(38,0) (c² outgrows a
+        // long at corpus scale), variance numerator n·Σc²−(Σc)² exact,
+        // ONE double conversion + division + sqrt.
         val daily = ev(s, d)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-            .cast("double") / 100.0).as("rev"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("revc"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = count(lit(1)).over(w)
+        val sc = sum(col("revc")).over(w)
+        val scc = sum((col("revc").cast("decimal(19,0)") *
+          col("revc").cast("decimal(19,0)")).cast("decimal(38,0)")).over(w)
+        val num = n.cast("decimal(38,0)") * scc -
+          (sc.cast("decimal(19,0)") * sc.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
         daily.select(col("event_type"), col("day"),
-          round(avg(col("rev")).over(w), 6).as("exp_mean"),
-          when(count(lit(1)).over(w) === 1, lit(0.0))
-            .otherwise(round(stddev_samp(col("rev")).over(w), 6))
+          (floor(sc.cast("double") / n * lit(1e4) + lit(0.5)) / lit(1e6))
+            .as("exp_mean"),
+          when(n === 1, lit(0.0))
+            .otherwise(floor(
+              sqrt(num.cast("double") / (n * (n - lit(1)))) * lit(1e4) +
+                lit(0.5)) / lit(1e6))
             .as("exp_std"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
-                    / 100.0 AS rev
-                FROM events GROUP BY 1, 2)
+                  sum(CAST(floor(value*100+0.5) AS BIGINT)) AS revc
+                FROM events GROUP BY 1, 2),
+              win AS (SELECT event_type, day,
+                  count(*) OVER w AS n,
+                  sum(revc) OVER w AS sc,
+                  sum(CAST(revc AS HUGEINT) * revc) OVER w AS scc
+                FROM daily WINDOW w AS (PARTITION BY event_type
+                  ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
               SELECT event_type, day,
-                round(avg(rev) OVER w, 6) AS exp_mean,
-                CASE WHEN count(*) OVER w = 1 THEN 0.0
-                  ELSE round(stddev_samp(rev) OVER w, 6) END AS exp_std
-              FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+                floor(CAST(sc AS DOUBLE) / n * 1e4 + 0.5) / 1e6
+                  AS exp_mean,
+                CASE WHEN n = 1 THEN 0.0
+                  ELSE floor(sqrt(
+                    CAST(n * scc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                      / (n * (n - 1))) * 1e4 + 0.5) / 1e6 END AS exp_std
+              FROM win""")),
 
     // Mann–Whitney U (rank-sum) between two samples — the
     // nonparametric A/B test the welch_ttest family can't replace when
@@ -8970,9 +9119,13 @@ object SparkEntry {
           .withColumn("mad", expr(
             "(element_at(sd, CAST((n+1) div 2 AS INT)) + " +
               "element_at(sd, CAST(n div 2 + 1 AS INT))) / 2.0"))
+          // portable floor rounding — the two-element median average
+          // of 6-decimal fuzz values lands exactly on .5e-6 boundaries
           .select(col("event_id"),
-            round(col("med"), 6).as("roll_med"),
-            round(col("mad"), 6).as("roll_mad"),
+            (floor(col("med") * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("roll_med"),
+            (floor(col("mad") * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("roll_mad"),
             when(col("mad") > 0 &&
               abs(col("value") - col("med")) > lit(3) * lit(1.4826) *
                 col("mad"), 1).otherwise(0).as("is_outlier"))
@@ -8993,8 +9146,8 @@ object SparkEntry {
               m4 AS (SELECT event_id, value, med,
                   (sd[CAST((n+1)//2 AS INTEGER)] +
                    sd[CAST(n//2 + 1 AS INTEGER)]) / 2.0 AS mad FROM m3)
-              SELECT event_id, round(med, 6) AS roll_med,
-                round(mad, 6) AS roll_mad,
+              SELECT event_id, floor(med * 1e6 + 0.5) / 1e6 AS roll_med,
+                floor(mad * 1e6 + 0.5) / 1e6 AS roll_mad,
                 CASE WHEN mad > 0 AND abs(value - med) > 3 * 1.4826 * mad
                   THEN 1 ELSE 0 END AS is_outlier
               FROM m4""")),

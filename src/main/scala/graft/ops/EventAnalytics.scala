@@ -196,7 +196,10 @@ object EventAnalytics {
     df.select(series.as(seriesName), value.as("__v"),
         ntile(nBands).over(w).as("band"))
       .groupBy(col(seriesName), col("band"))
-      .agg(round(avg(col("__v")), 6).as("avg_value"),
+      // micro-unit exact mean (fuzz-hardened; see Quality.profile)
+      .agg((floor(sum(floor(col("__v") * lit(1e6) + lit(0.5)))
+          .cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
+          .as("avg_value"),
         count(lit(1)).as("n"))
   }
 

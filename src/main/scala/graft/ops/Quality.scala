@@ -147,12 +147,21 @@ object Quality {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // fuzz-hardened determinism: the mean comes from an exact integer
+    // micro-unit sum (decimal(38,0) — generic columns can be large
+    // integers whose micros outgrow a long at corpus scale) with ONE
+    // double division, and all 6-decimal rounding is the portable
+    // floor form — raw avg + round(.,6) flips between engines when a
+    // mean lands on a .5e-6 boundary
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__nn"),
       count_distinct(col(c)).as(s"${c}__nd"),
-      round(min(col(c)).cast("double"), 6).as(s"${c}__mn"),
-      round(max(col(c)).cast("double"), 6).as(s"${c}__mx"),
-      round(avg(col(c)), 6).as(s"${c}__av")))
+      r6(min(col(c)).cast("double")).as(s"${c}__mn"),
+      r6(max(col(c)).cast("double")).as(s"${c}__mx"),
+      (floor(sum(floor(col(c) * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / count(col(c)) +
+        lit(0.5)) / lit(1e6)).as(s"${c}__av")))
     val wide = df.agg(count(lit(1)).as("__n"),
       aggs: _*)
     val perCol = cols.map(c => struct(

@@ -73,6 +73,26 @@ class ContainmentPrefixSpec extends SparkSpecBase {
       "capped boilerplate must contribute to neither recall nor score")
   }
 
+  test("plan shape: join-free — no join operator anywhere in the " +
+      "physical plan") {
+    // the round-12 formulation carries doc sizes inside the posting
+    // entries precisely so NO join ever touches the pair stream (the
+    // sf10 run measured the two post-agg sort-merge joins of the
+    // join-back variant at 4× the whole query's CPU once the size dim
+    // outgrew the broadcast threshold). Pin it: exchanges and
+    // aggregates only.
+    val docs = Tables.documents(spark, sf())
+    val q = Dedup.containmentPairsExact(
+      docs, col("doc_id"), col("text"), threshold = 0.8)
+    q.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val plan = q.queryExecution.executedPlan.toString
+    for (bad <- Seq("SortMergeJoin", "BroadcastHashJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(bad), s"$bad in:\n$plan")
+    // and the native shingle pass is what the scan runs
+    assert(plan.contains("shingle_array"), s"native shingle missing:\n$plan")
+  }
+
   test("exact recall dominates the banded variant on the planted corpus") {
     val docs = Tables.documents(spark, sf())
     val exact = pairSet(Dedup.containmentPairsExact(

@@ -37,7 +37,15 @@ class FuzzDeterminismSpec extends SparkSpecBase {
     "win_rolling_median", "win_rolling_pct_rank", "f_quantile_normalize",
     "win_rolling_corr", "agg_autocorr", "agg_welch_ttest", "agg_cohens_d",
     "agg_theil_sen", "agg_seasonality_strength", "agg_hodges_lehmann",
-    "win_mann_kendall")
+    "win_mann_kendall",
+    // round-12 full-surface additions: the raw-double mean/sum class
+    // the --all fuzz caught (now exact micro-unit sums / floor-rounded)
+    "agg_seasonal_profile", "agg_stats_moments", "f_gap_fill_interp",
+    "f_gap_fill_locf", "f_time_bucket_width", "join_left_expr",
+    "win_expanding_stats", "win_hampel_outlier", "win_time_range_avg",
+    "agg_cube", "agg_grouping_sets", "agg_pivot", "agg_salted_skew",
+    "dq_profile", "join_range_banded", "sample_poisson_bootstrap",
+    "agg_bootstrap_ci", "agg_load_duration")
 
   private val passthrough = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")

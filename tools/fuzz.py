@@ -29,7 +29,9 @@ tables copied verbatim), run `graft.Verify` on the high-risk query
 subset, then `tools/check.py` compares against DuckDB running the SAME
 oracle SQL over the SAME fuzzed parquet. Driver-side tooling only.
 
-Usage: python3 tools/fuzz.py [n_seeds=5] [first_seed=1]
+Usage: python3 tools/fuzz.py [n_seeds=5] [first_seed=1] [--all]
+(--all: run the FULL query surface on the fuzzed tables instead of
+the high-risk subset — every oracle re-compared per seed)
 """
 import os
 import shutil
@@ -55,6 +57,14 @@ QUERIES = [
     "win_rolling_corr", "agg_autocorr", "agg_welch_ttest", "agg_cohens_d",
     "agg_theil_sen", "agg_seasonality_strength", "agg_hodges_lehmann",
     "win_mann_kendall",
+    # round-12 full-surface additions: the raw-double mean/sum class the
+    # --all sweep caught (now exact micro-unit sums / floor-rounded)
+    "agg_seasonal_profile", "agg_stats_moments", "f_gap_fill_interp",
+    "f_gap_fill_locf", "f_time_bucket_width", "join_left_expr",
+    "win_expanding_stats", "win_hampel_outlier", "win_time_range_avg",
+    "agg_cube", "agg_grouping_sets", "agg_pivot", "agg_salted_skew",
+    "dq_profile", "join_range_banded", "sample_poisson_bootstrap",
+    "agg_bootstrap_ci", "agg_load_duration",
 ]
 
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
@@ -120,18 +130,21 @@ def gen(seed: int, dest: str) -> None:
     con.close()
 
 
-def run_seed(seed: int) -> bool:
+def run_seed(seed: int, full_surface: bool = False) -> bool:
     data = f"{BASE}/seed{seed}"
     out = f"{BASE}/out{seed}"
     shutil.rmtree(data, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     gen(seed, data)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    # full-surface mode: no query subset — every SparkEntry query runs
+    # on the fuzzed tables and every oracle is re-compared
+    subset = [] if full_surface else [",".join(QUERIES)]
     r = subprocess.run(
         ["java", *ADDOPENS, "-Dspark.ui.enabled=false",
          "-Dspark.sql.session.timeZone=UTC", "-Xmx8g",
          "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
-         "graft.Verify", data, out, ",".join(QUERIES)],
+         "graft.Verify", data, out, *subset],
         env=env, cwd=REPO, stdout=subprocess.DEVNULL,
         stderr=subprocess.PIPE, text=True)
     if r.returncode != 0:
@@ -139,8 +152,7 @@ def run_seed(seed: int) -> bool:
         print(r.stderr[-3000:])
         return False
     c = subprocess.run(
-        [sys.executable, f"{REPO}/tools/check.py", data, out,
-         ",".join(QUERIES)],
+        [sys.executable, f"{REPO}/tools/check.py", data, out, *subset],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     tail = [l for l in c.stdout.splitlines()
@@ -153,9 +165,11 @@ def run_seed(seed: int) -> bool:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    first = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    results = {s: run_seed(s) for s in range(first, first + n)}
+    full = "--all" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    n = int(args[0]) if len(args) > 0 else 5
+    first = int(args[1]) if len(args) > 1 else 1
+    results = {s: run_seed(s, full) for s in range(first, first + n)}
     bad = [s for s, ok in results.items() if not ok]
     print(f"[fuzz] {len(results) - len(bad)}/{len(results)} seeds clean"
           + (f"; divergent seeds: {bad}" if bad else ""))
