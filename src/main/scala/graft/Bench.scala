@@ -60,16 +60,39 @@ object Bench {
       case _ => -1.0 // non-HotSpot: attribution unavailable, not an error
     }
 
-  /** One measured execution: wall time plus the GC and process-CPU
-    * deltas that occurred inside it.
+  /** Cumulative spill bytes across all tasks, fed by a listener. The
+    * listener bus is async, so a query's delta can lag its wall window
+    * by the bus drain — spill is ATTRIBUTION (degradation-mode
+    * evidence: did the plan spill to disk instead of OOMing at an
+    * undersized heap), never part of the reported time.
     */
-  private final case class Measure(wall: Double, gc: Double, cpu: Double)
+  private object SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong(0)
+    val disk = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** One measured execution: wall time plus the GC, process-CPU and
+    * spill deltas that occurred inside it.
+    */
+  private final case class Measure(wall: Double, gc: Double, cpu: Double,
+      spillMem: Long, spillDisk: Long)
 
   private def measure(body: => Unit): Measure = {
-    val g0 = gcSeconds(); val c0 = cpuSeconds(); val t0 = System.nanoTime()
+    val g0 = gcSeconds(); val c0 = cpuSeconds()
+    val sm0 = SpillListener.mem.get(); val sd0 = SpillListener.disk.get()
+    val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
-    Measure(wall, gcSeconds() - g0, if (c0 < 0) -1.0 else cpuSeconds() - c0)
+    Measure(wall, gcSeconds() - g0, if (c0 < 0) -1.0 else cpuSeconds() - c0,
+      SpillListener.mem.get() - sm0, SpillListener.disk.get() - sd0)
   }
 
   private def session(cpus: String): SparkSession = {
@@ -79,6 +102,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(SpillListener)
     spark
   }
 
@@ -182,8 +206,10 @@ object Bench {
       // GC/CPU deltas — attribution must describe the reported number
       val best = runs.flatten.minByOption(_.wall)
       best.foreach { m =>
+        val sp = if (m.spillDisk > 0 || m.spillMem > 0)
+          f"  spill ${m.spillMem / 1e9}%.2f/${m.spillDisk / 1e9}%.2f GB" else ""
         System.err.println(
-          f"[bench] ${i + 1}%3d/$n $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)")
+          f"[bench] ${i + 1}%3d/$n $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)$sp")
       }
       // operators may persist() reused intermediates; drop them so one
       // query's cache doesn't pressure the next one's memory (outside
@@ -234,7 +260,9 @@ object Bench {
     val attrib = results.collect { case (k, Some(m)) =>
       val retry = retried.get(k).map(r =>
         s""","retryWall":${fmt(r.wall)},"retryGc":${fmt(r.gc)},"retryCpu":${fmt(r.cpu)}""").getOrElse("")
-      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)}$retry}"""
+      val spill = if (m.spillMem > 0 || m.spillDisk > 0)
+        s""","spillMem":${m.spillMem},"spillDisk":${m.spillDisk}""" else ""
+      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)}$spill$retry}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","attrib":$attrib}"""

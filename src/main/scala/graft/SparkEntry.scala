@@ -20,6 +20,18 @@ import graft.streaming.HourlyRollup
   *    under either encoding.
   *  - every aggregate of doubles is `round(x, 6)` on both sides (the sum
   *    order differs between engines by design — partial aggregation).
+  *  - the micro-unit exact-sum convention (round 12, fuzz-driven): where
+  *    a raw double sum/mean is order-sensitive at the round(6) boundary,
+  *    both engines quantize per row FIRST — `floor(x*1e6 + 0.5)` as an
+  *    integer — sum the integers exactly, and divide by 1e6 once. Two
+  *    deliberate semantic consequences for query authors: (a) rounding
+  *    is half-toward-+infinity, NOT half-away-from-zero — negatives
+  *    differ at exact .5 micro boundaries (-0.0000005 → -0.0, where
+  *    ROUND/HALF_UP gives -0.000001); (b) values are quantized to
+  *    micros BEFORE aggregation, so inputs with >6 decimals contribute
+  *    their quantized value, not their raw value, to the sum. Both are
+  *    the point: a single portable integer convention beats per-engine
+  *    float summation that diverges by partial-aggregation order.
   *  - orderings carry an explicit unique tiebreaker (`event_id`) so
   *    limit/offset/window results are deterministic sets.
   */
@@ -9749,9 +9761,14 @@ object SparkEntry {
     // pairs); counting moves Σ C(df,2) narrow rows instead. See
     // Dedup.containmentPairsExact for the scale contract.
     Q("dedup_containment_prefix",
+      // maxPosting = 1000 is THIS BENCHMARK'S explicit argument (the
+      // oracle's HAVING count(*) BETWEEN 2 AND 1000 mirrors it); the
+      // function default is recall-safe 100000. A binding cap is
+      // surfaced by the query's observe metric — see the cap contract
+      // in Dedup.containmentPairsExact.
       (s, d) => Dedup.containmentPairsExact(
         withPlantedDups(Tables.documents(s, d)),
-        col("doc_id"), col("text"), threshold = 0.8),
+        col("doc_id"), col("text"), threshold = 0.8, maxPosting = 1000),
       Some(s"""WITH $plantedDocsSql,
               base AS (SELECT id,
                   list_distinct([array_to_string(toks[i+1:i+3], ' ')

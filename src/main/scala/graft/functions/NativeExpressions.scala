@@ -409,6 +409,271 @@ object GraftNative {
       new XxHash64(Seq(ExpressionUtils.expression(key)))))
   }
 
+  /** All LSH band keys of a MinHash signature in ONE pass: element b is
+    * the signature slice [b·rowsPerBand, (b+1)·rowsPerBand) joined with
+    * "-" — bit-identical to the composable
+    * `array((0 until bands).map(b => array_join(transform(slice(sig,
+    * b·r+1, r), _.cast("string")), "-")))` (Long→string cast IS
+    * `Long.toString`; ConcatWs-with-"-"-joined). The composable form
+    * runs `bands` interpreted `transform` lambdas per document, each
+    * allocating a slice copy, a string array and the joined string;
+    * this is one codegen'd loop building the band strings directly —
+    * the band-key pass is the next scan-side cost tier of every MinHash
+    * family member after the round-12 native shingle/md5/signature
+    * passes. Null signature → null; slices beyond the signature length
+    * are the caller's bug (bands·rowsPerBand must equal numHashes) and
+    * throw rather than truncate.
+    */
+  case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "minhash_band_keys"
+
+    override protected def nullSafeEval(a: Any): Any =
+      bandKeysOf(a.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = "org.apache.spark.sql.graftnative.GraftNative"
+        s"${ev.value} = $cls.bandKeysOf($a, $bands, $rowsPerBand);"
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Static worker for [[MinHashBandKeys]] (public so generated code can
+    * call it).
+    */
+  def bandKeysOf(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    require(sig.numElements() >= bands * rowsPerBand,
+      s"signature has ${sig.numElements()} elements, " +
+        s"need $bands x $rowsPerBand")
+    val out = new Array[UTF8String](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 12)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < rowsPerBand) {
+        if (i > 0) sb.append('-')
+        sb.append(sig.getLong(b * rowsPerBand + i))
+        i += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Column API entry point. */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandKeys(ExpressionUtils.expression(sig), bands, rowsPerBand))
+
+  /** |a ∩ b| over two string arrays WITHOUT materializing the
+    * intersection — bit-identical to `size(array_intersect(a, b))`
+    * including duplicate semantics (distinct elements of `a` also
+    * present in `b`; each counted once). The builtin builds the
+    * intersection ARRAY (hash set of b + output array of a's matches)
+    * only for `size` to throw it away — per candidate pair, in the
+    * verify stage of every LSH family member, that allocation is the
+    * hot spot once candidates reach corpus scale. Null if either side
+    * is null; null ELEMENTS are outside the shingle contract
+    * (containsNull=false upstream) and are ignored rather than matched.
+    */
+  case class ArrayIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "array_intersect_size"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      intersectSizeOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val cls = "org.apache.spark.sql.graftnative.GraftNative"
+        s"${ev.value} = $cls.intersectSizeOf($a, $b);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Static worker for [[ArrayIntersectSize]]: hash set of the SMALLER
+    * side, membership-remove from the larger — `remove` counts each
+    * distinct common element exactly once (array_intersect's duplicate
+    * semantics) without a second "seen" set.
+    */
+  def intersectSizeOf(a: ArrayData, b: ArrayData): Int = {
+    // build the set from the smaller array: |set| memory, one pass each
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[UTF8String](Math.max(4, ns * 2))
+    var i = 0
+    while (i < ns) {
+      val v = small.getUTF8String(i)
+      if (v != null) set.add(v)
+      i += 1
+    }
+    var count = 0
+    val nl = large.numElements()
+    var j = 0
+    while (j < nl && !set.isEmpty) {
+      val v = large.getUTF8String(j)
+      if (v != null && set.remove(v)) count += 1
+      j += 1
+    }
+    count
+  }
+
+  /** Column API entry point. */
+  def arrayIntersectSize(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayIntersectSize(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  // ------------------------------------------------------------------
+  // Bounded-buffer list aggregation: the posting-list build of the
+  // exact-containment dedup (ops/Dedup.containmentPairsExact).
+
+  /** Mutable aggregation state of [[CollectListCapped]]: the collected
+    * values plus a sticky overflow flag. On overflow the values are
+    * DROPPED immediately — an over-cap group holds ~zero memory from
+    * the moment it crosses the cap, which is the whole point.
+    */
+  final class CappedListBuffer {
+    var overflowed: Boolean = false
+    val values: scala.collection.mutable.ArrayBuffer[Any] =
+      scala.collection.mutable.ArrayBuffer.empty[Any]
+  }
+
+  /** `collect_list` with a hard per-group cap: groups that would exceed
+    * `cap` elements evaluate to NULL (and their partially-collected
+    * buffer is freed the moment the cap is crossed).
+    *
+    * Why not `collect_list` + `filter(size(ds) <= cap)`: the builtin
+    * materializes EVERY group's full list before the filter can see its
+    * size, and a list-typed aggregation buffer cannot spill WITHIN a
+    * group — one boilerplate shingle posted by millions of documents
+    * (exactly what the cap exists to discard) is one executor
+    * aggregation buffer holding millions of entries. This aggregate
+    * bounds every buffer at `cap` elements by construction, on the
+    * update path and on the merge path (partial aggregation: two
+    * under-cap partials whose union exceeds the cap overflow at merge).
+    *
+    * For groups of ≤ `cap` elements the result is element-for-element
+    * what `collect_list` returns under the same evaluation order
+    * (nulls skipped, intra-group order nondeterministic as always) —
+    * parity is spec-pinned. Over-cap groups return NULL rather than a
+    * truncated list, so a caller can both filter them and COUNT them
+    * (e.g. via `observe`) — a bound cap is surfaced, never silent.
+    */
+  case class CollectListCapped(
+      child: Expression,
+      cap: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[CappedListBuffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+
+    override def dataType: DataType =
+      ArrayType(child.dataType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "collect_list_capped"
+
+    override def createAggregationBuffer(): CappedListBuffer =
+      new CappedListBuffer
+
+    override def update(
+        b: CappedListBuffer,
+        input: org.apache.spark.sql.catalyst.InternalRow): CappedListBuffer = {
+      if (!b.overflowed) {
+        val v = child.eval(input)
+        if (v != null) {
+          if (b.values.length >= cap) {
+            b.overflowed = true
+            b.values.clear()
+          } else {
+            // copy: the evaluated value may point into a reused row
+            b.values += org.apache.spark.sql.catalyst.InternalRow.copyValue(v)
+          }
+        }
+      }
+      b
+    }
+
+    override def merge(
+        b: CappedListBuffer, other: CappedListBuffer): CappedListBuffer = {
+      if (b.overflowed || other.overflowed ||
+          b.values.length + other.values.length > cap) {
+        b.overflowed = true
+        b.values.clear()
+      } else {
+        b.values ++= other.values
+      }
+      b
+    }
+
+    override def eval(b: CappedListBuffer): Any =
+      if (b.overflowed) null else new GenericArrayData(b.values.toArray)
+
+    // serialization between partial and final aggregation: the buffer as
+    // one nullable array column (null = overflowed) — the same
+    // UnsafeProjection scheme the builtin Collect uses
+    private lazy val bufProjection =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        Array[DataType](ArrayType(child.dataType, containsNull = false)))
+    private lazy val bufRow =
+      new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+
+    override def serialize(b: CappedListBuffer): Array[Byte] = {
+      val arr =
+        if (b.overflowed) null else new GenericArrayData(b.values.toArray)
+      bufProjection.apply(
+        org.apache.spark.sql.catalyst.InternalRow.apply(arr)).getBytes()
+    }
+
+    override def deserialize(bytes: Array[Byte]): CappedListBuffer = {
+      val b = new CappedListBuffer
+      bufRow.pointTo(bytes, bytes.length)
+      if (bufRow.isNullAt(0)) {
+        b.overflowed = true
+      } else {
+        bufRow.getArray(0).foreach(child.dataType, (_, x: Any) =>
+          b.values += org.apache.spark.sql.catalyst.InternalRow.copyValue(x))
+      }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): CollectListCapped =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): CollectListCapped =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Column API entry point. */
+  def collectListCapped(c: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      CollectListCapped(ExpressionUtils.expression(c), cap)
+        .toAggregateExpression())
+
   // ------------------------------------------------------------------
   // SQL surface: names for the native expressions so a pure-SQL caller
   // (spark.sql, thrift, notebooks) reaches the same codegen'd hot
@@ -465,6 +730,28 @@ object GraftNative {
               s"k must be an integer literal, got $other")
           }
           ShingleArray(args(0), k)
+        }),
+      (FunctionIdentifier("graft_band_keys"),
+        fnInfo("graft_band_keys",
+          "graft_band_keys(sig, bands, rowsPerBand) - LSH band key " +
+            "strings of a minhash signature"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_band_keys(sig, bands, rowsPerBand)")
+          val ints = args.drop(1).map {
+            case CLiteral(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"bands/rowsPerBand must be integer literals, got $other")
+          }
+          MinHashBandKeys(args(0), ints(0), ints(1))
+        }),
+      (FunctionIdentifier("graft_intersect_size"),
+        fnInfo("graft_intersect_size",
+          "graft_intersect_size(a, b) - size(array_intersect(a, b)) " +
+            "without materializing the intersection"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_intersect_size(a, b)")
+          ArrayIntersectSize(args(0), args(1))
         }))
 
   /** Imperative registration on a live session — `sessionState` is

@@ -28,6 +28,11 @@ import graft.functions.PortableHash
   */
 object Dedup {
 
+  /** Plan-unique suffix for [[containmentPairsExact]]'s cap-binding
+    * observation (Spark requires observation names unique per plan).
+    */
+  private val capObsNonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id as representative plus the duplicate count. Equivalent
     * to the reference's upsert identity semantics applied to content
@@ -166,12 +171,22 @@ object Dedup {
       .select(col("id"),
         minhashSignatureFromBases(col("hb"), numHashes).as("sig"))
       .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          array_join(transform(
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            v => v.cast("string")), "-")): _*))
+        posexplode(org.apache.spark.sql.graftnative.GraftNative
+          .minhashBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_key")))
   }
+
+  /** The composable band-key formulation the native
+    * `GraftNative.minhashBandKeys` replaced (round 13) — kept as the
+    * bit-identity reference for the parity spec, exactly like
+    * [[shingles]] vs [[shinglesNative]].
+    */
+  private[graft] def bandKeysComposable(
+      sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      array_join(transform(
+        slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        v => v.cast("string")), "-")): _*)
 
   /** Incremental ingestion dedup — the pattern that makes near-dup
     * filtering affordable at 100 TB: the standing corpus is NEVER
@@ -251,10 +266,32 @@ object Dedup {
     * family's `maxBucketSize`). Note the cap's contract here: it
     * bounds BOTH recall and scores (a capped shingle contributes to
     * neither candidate generation nor the overlap count), where the
-    * array formulation's cap affected recall only. On every tested
-    * corpus max df ≪ cap, so results are cap-independent; at a df
-    * distribution where the cap binds, the banded family is the
-    * honest tool.
+    * array formulation's cap affected recall only. Because the cap is
+    * now hard exclusion, it defends "Exact" in the name three ways:
+    * (1) the DEFAULT is 100000 — high enough that a binding cap means
+    * a df distribution the caller should know about, not a silent
+    * benchmark tune (call sites that want an aggressive cap pass it
+    * explicitly); (2) the posting build is a bounded-buffer native
+    * aggregate ([[org.apache.spark.sql.graftnative.GraftNative
+    * .CollectListCapped]]) that returns NULL for an over-cap shingle
+    * instead of materializing its full posting list first — a
+    * heavy-hitter shingle with df in the millions never holds more
+    * than `maxPosting` entries in any executor aggregation buffer
+    * (the builtin `collect_list` + size filter it replaces cannot
+    * spill within a group and OOMs exactly on the shingles the cap
+    * exists to discard); (3) every run SURFACES whether the cap
+    * bound: the query carries an `observe` metric
+    * (`containment_capped_shingles*`) counting excluded shingles,
+    * visible in `QueryExecution.observedMetrics` / the listener bus.
+    * One caveat on (3), spec-pinned: AQE's empty-relation propagation
+    * replaces executed stages with `EmptyRelationExec` when a
+    * downstream stage materializes empty, and the final plan is what
+    * metric collection traverses — so if the RESULT is empty the
+    * observation can vanish with the collapsed stage. The metric is
+    * therefore best-effort; [[containmentCapAudit]] is the guaranteed
+    * path (a separate cheap aggregate a caller runs when the df
+    * distribution is unknown). At a df distribution where the cap
+    * binds, the banded family is the honest tool.
     *
     * containment = overlap / min(|a|, |b|) is then one integer
     * division per surfaced pair — both engines divide the same two
@@ -276,7 +313,7 @@ object Dedup {
       text: Column,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxPosting: Int = 1000): DataFrame = {
+      maxPosting: Int = 100000): DataFrame = {
     // NO persist: unlike every other generator in this file the shingle
     // base has exactly ONE consumer (the posting aggregation) once the
     // sizes ride inside the posting entries, so caching it would only
@@ -292,15 +329,26 @@ object Dedup {
     // outgrows the broadcast threshold (measured at sf10: the two
     // post-agg sort-merge joins were 4× the whole query's CPU). A
     // 4-byte-wider shuffle row deletes both joins at every scale.
-    // The cap is a plain size filter (df == collected-list length);
-    // collect_list order is nondeterministic across runs — harmless:
-    // pairs are normalized (least, greatest — struct ordering leads
-    // with the distinct id) and counting is order-blind.
+    // The cap is enforced INSIDE the aggregation buffer (bounded-buffer
+    // native aggregate; null = over-cap — see the cap contract in the
+    // doc above), never by sizing a fully-materialized list. Collected
+    // order is nondeterministic across runs — harmless: pairs are
+    // normalized (least, greatest — struct ordering leads with the
+    // distinct id) and counting is order-blind. The observe metric
+    // makes a binding cap visible; its name carries a nonce because
+    // observation names must be plan-unique and one query may invoke
+    // this generator more than once.
     val postings = base
       .select(struct(col("id"), size(col("sh")).as("n")).as("d"),
         explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(collect_list(col("d")).as("ds"))
-      .filter(size(col("ds")).between(2, maxPosting))
+      .groupBy(col("s"))
+      .agg(org.apache.spark.sql.graftnative.GraftNative
+        .collectListCapped(col("d"), maxPosting).as("ds"))
+      .observe(
+        s"containment_capped_shingles_${capObsNonce.incrementAndGet()}",
+        sum(when(col("ds").isNull, 1L).otherwise(0L))
+          .as("capped_shingles"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
     // expand each list to its C(df,2) unordered id pairs array-locally
     // (no second exchange of the exploded corpus); per-row fan-out is
     // bounded by C(maxPosting, 2)
@@ -322,6 +370,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
   }
+
+  /** Cap audit for [[containmentPairsExact]]: one row with
+    * `capped_shingles` (shingles whose document frequency exceeds
+    * `maxPosting` — each contributes to neither candidates nor scores),
+    * `excluded_postings` (their total posting volume) and `max_df`.
+    * This is the GUARANTEED surfacing path for a binding cap (the
+    * inline observe metric is best-effort — see the cap contract in
+    * [[containmentPairsExact]]); run it when the corpus df distribution
+    * is unknown, and read `capped_shingles == 0` as "the result is
+    * exact at this cap". Cost: the shingle scan plus one count-per-key
+    * aggregation (map-side partial combine, no posting lists, no pair
+    * expansion) — a small fraction of the main query.
+    */
+  def containmentCapAudit(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      shingleK: Int = 3,
+      maxPosting: Int = 100000): DataFrame =
+    Par.widen(df)
+      .select(explode(shinglesNative(text, shingleK)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > maxPosting, 1L).otherwise(0L))
+          .as("capped_shingles"),
+        sum(when(col("df") > maxPosting, col("df")).otherwise(0L))
+          .as("excluded_postings"),
+        max(col("df")).as("max_df"))
 
   private def minhashLshPairsWithCache(
       df: DataFrame,
@@ -354,12 +430,14 @@ object Dedup {
     // band key: the band's signature values joined as a string — no extra
     // hash needed, and trivially portable to the oracle. Not cached: both
     // consumers (bucket-count aggregate, prune join) recompute only the
-    // cheap affine signatures on top of the cached md5 bases.
+    // cheap affine signatures on top of the cached md5 bases. Native
+    // single-pass band-key expression (round 13) — bit-identical to the
+    // composable array(array_join(transform(slice(sig,…)))) form kept
+    // as [[bandKeysComposable]] and spec-pinned; posexplode's pos IS
+    // the band index under either form.
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        array_join(transform(
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-          v => v.cast("string")), "-")): _*))
+      posexplode(org.apache.spark.sql.graftnative.GraftNative
+        .minhashBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_key")))
     // bucket-size prune as a count-window over the band key: ONE shuffle
     // of `banded` instead of the groupBy-count + join-back formulation's
@@ -387,12 +465,16 @@ object Dedup {
     // |a ∪ b| = |a| + |b| − |a ∩ b| EXACTLY because shingle arrays are
     // array_distinct'ed at construction — skipping array_union halves
     // the per-candidate set work (one hash-set pass instead of two),
-    // the verify stage's hot spot at corpus scale
+    // the verify stage's hot spot at corpus scale. The count itself is
+    // the native set-membership expression (round 13): bit-identical to
+    // size(array_intersect(a, b)) — spec-pinned — without materializing
+    // the intersection array per candidate pair.
     val scored = pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("__inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        org.apache.spark.sql.graftnative.GraftNative
+          .arrayIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
     val verified = score match {
       case "jaccard" => scored
         .withColumn("jaccard",

@@ -767,4 +767,76 @@ class PropertySpec extends SparkSpecBase {
       assert(got === want, s"gen $gi")
     }
   }
+
+  test("native minhashBandKeys equals the composable " +
+      "array_join(transform(slice)) form") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.graftnative.GraftNative
+    // spark.range input → WholeStageCodegen pins doGenCode; signatures
+    // cover negatives-free affine range plus boundary values
+    for ((bands, rpb) <- Seq((4, 4), (8, 2), (1, 16), (16, 1))) {
+      val ranged = spark.range(300).select(col("id"),
+        transform(sequence(lit(1L), lit((bands * rpb).toLong)),
+          i => pmod(col("id") * 2654435761L + i * 40503L, lit(1L << 28)))
+          .as("sig"))
+      val native = ranged.select(col("id"), GraftNative
+        .minhashBandKeys(col("sig"), bands, rpb).as("bk"))
+      val composable = ranged.select(col("id"),
+        Dedup.bandKeysComposable(col("sig"), bands, rpb).as("bk"))
+      assert(native.exceptAll(composable).isEmpty &&
+        composable.exceptAll(native).isEmpty,
+        s"bands=$bands rowsPerBand=$rpb")
+    }
+    // null signature → null, like the composable form under null input
+    val edge = Seq((1L, null)).toDF("id", "sig")
+      .select(GraftNative.minhashBandKeys(
+        col("sig").cast("array<long>"), 4, 4).as("bk")).collect()
+    assert(edge(0).isNullAt(0))
+  }
+
+  test("native arrayIntersectSize equals size(array_intersect) " +
+      "including duplicate and asymmetric-length semantics") {
+    import org.apache.spark.sql.graftnative.GraftNative
+    // random string arrays WITH duplicates (outside the distinct
+    // contract on purpose — the expression must still match builtin
+    // duplicate semantics: distinct common elements counted once)
+    val arrays = samples(for {
+      n <- Gen.chooseNum(0, 25)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 12).map(i => s"t$i"))
+    } yield xs, 400)
+    val pairs = arrays.grouped(2).collect {
+      case scala.collection.Seq(a, b) => (a, b)
+    }.toSeq.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = pairs.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      GraftNative.arrayIntersectSize(col("a"), col("b")).as("n"))
+    val want = df.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // codegen path: range-driven arrays, both orders (the native impl
+    // builds its set from the smaller side — symmetry must hold)
+    val ranged = spark.range(200).select(col("id"),
+      transform(sequence(lit(0L), col("id") % 9),
+        i => concat(lit("s"), ((col("id") + i) % 13).cast("string")))
+        .as("a"),
+      transform(sequence(lit(0L), col("id") % 5),
+        i => concat(lit("s"), ((col("id") * 3 + i) % 13).cast("string")))
+        .as("b"))
+    for ((l, r) <- Seq(("a", "b"), ("b", "a"))) {
+      val n = ranged.select(col("id"),
+        GraftNative.arrayIntersectSize(col(l), col(r)).as("n"))
+      val w = ranged.select(col("id"),
+        size(array_intersect(col(l), col(r))).as("n"))
+      assert(n.exceptAll(w).isEmpty && w.exceptAll(n).isEmpty, s"$l∩$r")
+    }
+    // null propagation matches the builtin
+    val edge = Seq((1L, null, Seq("x")), (2L, Seq("x"), null),
+      (3L, Seq.empty[String], Seq("x")))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        GraftNative.arrayIntersectSize(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(1L).isEmpty && edge(2L).isEmpty)
+    assert(edge(3L).contains(0))
+  }
 }

@@ -29,10 +29,14 @@ tables copied verbatim), run `graft.Verify` on the high-risk query
 subset, then `tools/check.py` compares against DuckDB running the SAME
 oracle SQL over the SAME fuzzed parquet. Driver-side tooling only.
 
-Usage: python3 tools/fuzz.py [n_seeds=5] [first_seed=1] [--all]
+Usage: python3 tools/fuzz.py [n_seeds=10] [first_seed=1] [--all]
 (--all: run the FULL query surface on the fuzzed tables instead of
 the high-risk subset — every oracle re-compared per seed)
+
+Writes the per-seed pass matrix to fuzz_report.json in the repo root
+(committed as the round's fuzz artifact, so regressions diff).
 """
+import json
 import os
 import shutil
 import subprocess
@@ -130,7 +134,7 @@ def gen(seed: int, dest: str) -> None:
     con.close()
 
 
-def run_seed(seed: int, full_surface: bool = False) -> bool:
+def run_seed(seed: int, full_surface: bool = False) -> dict:
     data = f"{BASE}/seed{seed}"
     out = f"{BASE}/out{seed}"
     shutil.rmtree(data, ignore_errors=True)
@@ -150,29 +154,49 @@ def run_seed(seed: int, full_surface: bool = False) -> bool:
     if r.returncode != 0:
         print(f"[fuzz] seed {seed}: Verify FAILED rc={r.returncode}")
         print(r.stderr[-3000:])
-        return False
+        return {"ok": False, "verify_rc": r.returncode,
+                "pass": [], "fail": ["<verify-crash>"]}
     c = subprocess.run(
         [sys.executable, f"{REPO}/tools/check.py", data, out, *subset],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
-    tail = [l for l in c.stdout.splitlines()
-            if not l.startswith("PASS")]
-    for line in tail:
-        print(f"[fuzz] seed {seed}: {line}")
+    passed, failed = [], []
+    for line in c.stdout.splitlines():
+        if line.startswith(("PASS ", "pass~ ")):
+            passed.append(line.split()[1])
+        elif line.startswith(("FAIL ", "ERROR ")):
+            failed.append(line.split()[1].rstrip(":"))
+        if not line.startswith("PASS"):
+            print(f"[fuzz] seed {seed}: {line}")
     ok = c.returncode == 0
     print(f"[fuzz] seed {seed}: {'OK' if ok else 'DIVERGENCE'}")
-    return ok
+    return {"ok": ok, "verify_rc": 0,
+            "pass": sorted(set(passed)), "fail": sorted(set(failed))}
 
 
 def main() -> None:
     full = "--all" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--all"]
-    n = int(args[0]) if len(args) > 0 else 5
+    n = int(args[0]) if len(args) > 0 else 10
     first = int(args[1]) if len(args) > 1 else 1
     results = {s: run_seed(s, full) for s in range(first, first + n)}
-    bad = [s for s, ok in results.items() if not ok]
+    bad = [s for s, r in results.items() if not r["ok"]]
     print(f"[fuzz] {len(results) - len(bad)}/{len(results)} seeds clean"
           + (f"; divergent seeds: {bad}" if bad else ""))
+    # committed pass-matrix artifact: seed -> ok + per-query verdicts
+    # (query names only in `pass`; a regression shows as a seed/query
+    # moving to `fail` in the diff)
+    report = {
+        "mode": "full-surface" if full else "high-risk-subset",
+        "n_queries": len(next(iter(results.values()))["pass"]) if results
+                     else 0,
+        "seeds": {str(s): r for s, r in sorted(results.items())},
+        "clean": len(results) - len(bad),
+        "total": len(results),
+    }
+    with open(f"{REPO}/fuzz_report.json", "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"[fuzz] report written to {REPO}/fuzz_report.json")
     sys.exit(1 if bad else 0)
 
 
