@@ -422,7 +422,9 @@ object GraftNative {
     * family member after the round-12 native shingle/md5/signature
     * passes. Null signature → null; slices beyond the signature length
     * are the caller's bug (bands·rowsPerBand must equal numHashes) and
-    * throw rather than truncate.
+    * throw rather than truncate, as do null signature ELEMENTS (which
+    * would otherwise silently read as 0 where the composable
+    * array_join form skips them).
     */
   case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -460,6 +462,13 @@ object GraftNative {
       var i = 0
       while (i < rowsPerBand) {
         if (i > 0) sb.append('-')
+        // fail loudly like the length require: getLong on a null slot
+        // would silently read 0 where the composable array_join form
+        // skips the element — reachable via the graft_band_keys SQL
+        // surface with a hand-built ArrayType(LongType) column
+        require(!sig.isNullAt(b * rowsPerBand + i),
+          s"null signature element at ${b * rowsPerBand + i}: band keys " +
+            "require a complete minhash signature (containsNull=false)")
         sb.append(sig.getLong(b * rowsPerBand + i))
         i += 1
       }
@@ -482,8 +491,10 @@ object GraftNative {
     * only for `size` to throw it away — per candidate pair, in the
     * verify stage of every LSH family member, that allocation is the
     * hot spot once candidates reach corpus scale. Null if either side
-    * is null; null ELEMENTS are outside the shingle contract
-    * (containsNull=false upstream) and are ignored rather than matched.
+    * is null; a null ELEMENT present in both arrays counts once,
+    * exactly like the builtin (so the generic `graft_intersect_size`
+    * SQL surface is bit-identical for null-containing arrays too, not
+    * just under the shingle contract's containsNull=false).
     */
   case class ArrayIntersectSize(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
@@ -520,18 +531,24 @@ object GraftNative {
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val ns = small.numElements()
     val set = new java.util.HashSet[UTF8String](Math.max(4, ns * 2))
+    // builtin array_intersect matches a null element present in BOTH
+    // sides (counted once, like any other distinct value) — track it
+    // with a flag instead of poisoning the hash set
+    var smallHasNull = false
     var i = 0
     while (i < ns) {
-      val v = small.getUTF8String(i)
-      if (v != null) set.add(v)
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
       i += 1
     }
     var count = 0
+    var nullPending = smallHasNull
     val nl = large.numElements()
     var j = 0
-    while (j < nl && !set.isEmpty) {
-      val v = large.getUTF8String(j)
-      if (v != null && set.remove(v)) count += 1
+    while (j < nl && (!set.isEmpty || nullPending)) {
+      if (large.isNullAt(j)) {
+        if (nullPending) { count += 1; nullPending = false }
+      } else if (set.remove(large.getUTF8String(j))) count += 1
       j += 1
     }
     count

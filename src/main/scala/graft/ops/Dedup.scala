@@ -293,6 +293,17 @@ object Dedup {
     * distribution is unknown). At a df distribution where the cap
     * binds, the banded family is the honest tool.
     *
+    * The high default is also MEMORY-safe, not just recall-safe: the
+    * pair expansion is incremental (posexplode per posting entry, then
+    * one suffix-slice transform per row), so the largest array any one
+    * row materializes is the ≤-cap posting list itself — never the
+    * C(df,2) pair array, which at df near the default cap would be a
+    * multi-billion-element single row that no heap survives and no
+    * spill can save (rows spill; a row's interior cannot). An under-cap
+    * heavy-hitter shingle therefore costs its fair share of the pair
+    * stream and nothing else (pinned by ContainmentPrefixSpec's planted
+    * df=5000 case at the default cap).
+    *
     * containment = overlap / min(|a|, |b|) is then one integer
     * division per surfaced pair — both engines divide the same two
     * ints, so `round(.,6)` stays cross-engine stable exactly as it
@@ -350,13 +361,26 @@ object Dedup {
           .as("capped_shingles"))
       .filter(col("ds").isNotNull && size(col("ds")) >= 2)
     // expand each list to its C(df,2) unordered id pairs array-locally
-    // (no second exchange of the exploded corpus); per-row fan-out is
-    // bounded by C(maxPosting, 2)
+    // (no second exchange of the exploded corpus), INCREMENTALLY: first
+    // posexplode the posting list to one row per (pos, entry), then pair
+    // each entry with the list's suffix. Two pipelined generators produce
+    // the same Σ C(df,2) pair stream as a single flatten-of-transforms,
+    // but the largest array any ONE row ever materializes is the ≤-cap
+    // posting list itself (suffix slice ≤ df ≤ maxPosting entries) —
+    // never the C(df,2) pair array, which at the recall-safe default cap
+    // of 100000 would be a ~5×10⁹-element single row no executor
+    // survives (a single row cannot spill). Generators pipeline
+    // row-at-a-time inside one whole-stage-codegen span, so the carried
+    // `ds` column is not re-materialized per intermediate row, and
+    // posexplode preserves the keyed partitioning (still no second
+    // exchange).
     val pairs = postings
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2),
-            greatest(size(col("ds")) - i - 1, lit(0))),
-          y => struct(least(x, y).as("a"), greatest(x, y).as("b"))))))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(explode(transform(
+          slice(col("ds"), col("i") + lit(2),
+            greatest(size(col("ds")) - col("i") - 1, lit(0))),
+          y => struct(least(col("x"), y).as("a"),
+            greatest(col("x"), y).as("b"))))
         .as("p"))
       .select(col("p")("a")("id").as("id_a"), col("p")("a")("n").as("__na"),
         col("p")("b")("id").as("id_b"), col("p")("b")("n").as("__nb"))

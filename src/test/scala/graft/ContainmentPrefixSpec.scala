@@ -73,6 +73,30 @@ class ContainmentPrefixSpec extends SparkSpecBase {
       "capped boilerplate must contribute to neither recall nor score")
   }
 
+  test("heavy-hitter under the DEFAULT cap: df≈5k boilerplate shingle " +
+      "completes, pairs stay incremental") {
+    // the round-13 formulation expanded each posting list to its FULL
+    // C(df,2) pair array in one row before explode — at the recall-safe
+    // default cap of 100000 a legal under-cap shingle with df = 5000
+    // demands a single ~12.5M-struct array (and df = 100k a ~5×10⁹ one
+    // no executor survives; a single row cannot spill). The round-14
+    // posexplode-incremental expansion bounds per-row materialization
+    // at ≤ df ≤ cap entries. Pin: a planted df=5000 boilerplate shingle
+    // runs at the DEFAULT cap, in this suite's small forked heap, to
+    // completion — and the only surfaced pair is the real near-dup,
+    // because boilerplate-only overlap (1 of 5 shingles) is under τ.
+    import spark.implicits._
+    val boiler = "common footer line"
+    val planted = (1L to 5000L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d $boiler"))
+    val dup = Seq((9001L, "dup one two three four"),
+      (9002L, "dup one two three four"))
+    val docs = (planted ++ dup).toDF("doc_id", "text")
+    val got = pairSet(Dedup.containmentPairsExact(
+      docs, col("doc_id"), col("text"), threshold = 0.8))
+    assert(got === Set((9001L, 9002L)), s"got ${got.take(5)}…")
+  }
+
   test("plan shape: join-free — no join operator anywhere in the " +
       "physical plan") {
     // the round-12 formulation carries doc sizes inside the posting

@@ -87,4 +87,60 @@ class NativePlanStabilitySpec extends SparkSpecBase {
     assertNative("mm_audio_window", Map(
       "BytesToIntArray" -> (_.isInstanceOf[BytesToIntArray])))
   }
+
+  // every remaining consumer of the LSH-family native tier: the −85%
+  // sf10 CPU cuts ride on ALL of them — a fallback in any one member
+  // would be invisible to correctness (composable forms bit-identical)
+  // and silently pay the interpreted-HOF tax at corpus scale
+
+  private val minhashNatives: Map[String, Expression => Boolean] = Map(
+    "ShingleArray" -> (_.isInstanceOf[ShingleArray]),
+    "Md5Base28Array" -> (_.isInstanceOf[Md5Base28Array]),
+    "MinHashSignature" -> (_.isInstanceOf[MinHashSignature]),
+    "MinHashBandKeys" -> (_.isInstanceOf[MinHashBandKeys]),
+    "ArrayIntersectSize" -> (_.isInstanceOf[ArrayIntersectSize]))
+
+  test("dedup_threshold_sweep carries the full native minhash tier") {
+    try assertNative("dedup_threshold_sweep", minhashNatives)
+    finally spark.catalog.clearCache()
+  }
+
+  test("dedup_cluster_canonical's pair generation carries the full " +
+      "native minhash tier") {
+    // the query's OUTPUT plan cannot carry the natives: connected
+    // components cuts lineage every round (createDataFrame over the
+    // materialized RDD — see Components.cutLineage), so the scan-side
+    // expressions live only in the edge plan fed INTO the loop. Pin
+    // that plan via the same helper call the query makes
+    // (SparkEntry dedup_cluster_canonical → Dedup.withMinhashLshPairs,
+    // threshold 0.5) — a fallback inside the helper trips this.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    try graft.ops.Dedup.withMinhashLshPairs(docs, col("doc_id"),
+      col("text"), threshold = 0.5) { pairs =>
+      val plan = pairs.queryExecution.optimizedPlan
+      for ((name, p) <- minhashNatives)
+        assert(logicalHas(plan, p),
+          s"dedup_cluster_canonical pair generation: native $name " +
+            s"missing from optimized plan:\n$plan")
+    }
+    finally spark.catalog.clearCache()
+  }
+
+  test("dedup_containment carries the native minhash tier incl. the " +
+      "ArrayIntersectSize containment verify") {
+    try assertNative("dedup_containment", minhashNatives)
+    finally spark.catalog.clearCache()
+  }
+
+  test("ann_lsh scores candidates with FloatDotProduct") {
+    try assertNative("ann_lsh", Map(
+      "FloatDotProduct" -> (_.isInstanceOf[FloatDotProduct])))
+    finally spark.catalog.clearCache()
+  }
+
+  test("sql_topk_similarity resolves graft_float_dot to FloatDotProduct") {
+    assertNative("sql_topk_similarity", Map(
+      "FloatDotProduct" -> (_.isInstanceOf[FloatDotProduct])))
+  }
 }

@@ -838,5 +838,38 @@ class PropertySpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(edge(1L).isEmpty && edge(2L).isEmpty)
     assert(edge(3L).contains(0))
+    // null ELEMENTS match the builtin too: array_intersect counts a
+    // null present in both sides once — the generic graft_intersect_size
+    // SQL surface must agree on null-containing arrays, not just under
+    // the shingle contract's containsNull=false
+    val nullElems = Seq(
+      (1L, Seq("x", null, "y"), Seq(null, "y", "z")),
+      (2L, Seq("x", null, null), Seq[String](null, null)),
+      (3L, Seq("x", null), Seq("x", "y")),
+      (4L, Seq[String](null), Seq[String](null)))
+      .toDF("id", "a", "b")
+    val gotN = nullElems.select(col("id"),
+      GraftNative.arrayIntersectSize(col("a"), col("b")).as("n"))
+    val wantN = nullElems.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(gotN.exceptAll(wantN).isEmpty && wantN.exceptAll(gotN).isEmpty,
+      "null-element arrays must match builtin array_intersect semantics")
+  }
+
+  test("native minhashBandKeys fails loudly on a null signature element") {
+    import org.apache.spark.sql.graftnative.GraftNative
+    // getLong on a null slot would silently read 0 where the composable
+    // array_join form skips the element — the contract is
+    // containsNull=false, so a null element must throw, not diverge
+    val df = Seq((1L, Seq[java.lang.Long](1L, null, 3L, 4L)))
+      .toDF("id", "sig")
+    val ex = intercept[Exception] {
+      df.select(GraftNative.minhashBandKeys(col("sig"), 2, 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null signature element")),
+      s"expected the loud null-element failure, got: $ex")
   }
 }

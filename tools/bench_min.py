@@ -21,19 +21,24 @@ def main() -> None:
     names = list(runs[0]["queries"].keys())
     for r in runs[1:]:
         assert list(r["queries"].keys()) == names, "query sets differ"
-    qmin, spread = {}, {}
+    qmin, spread, flaky = {}, {}, []
     for q in names:
         vals = [r["queries"][q] for r in runs]
         ok = [v for v in vals if v >= 0]
         qmin[q] = min(ok) if ok else -1.0
         if ok:
             spread[q] = round(max(ok) - min(ok), 3)
+        # a query that failed in SOME runs but passed in others would
+        # otherwise contribute its best passing time with no trace —
+        # mark it so an intermittent crash can't hide in the min
+        if ok and len(ok) < len(vals):
+            flaky.append(q)
     failed = [q for q, v in qmin.items() if v < 0]
     total = round(sum(v for v in qmin.values() if v >= 0), 3)
     merged = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": {q: round(v, 3) for q, v in qmin.items()},
-        "failed": failed, "sf": runs[0]["sf"],
+        "failed": failed, "flaky": flaky, "sf": runs[0]["sf"],
         "protocol": f"min-of-{len(runs)} independent one-shot runs "
                     "(fresh JVM each, REPEAT=1, warm-all)",
         "run_totals": [r["value"] for r in runs],

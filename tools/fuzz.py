@@ -188,8 +188,11 @@ def main() -> None:
     # moving to `fail` in the diff)
     report = {
         "mode": "full-surface" if full else "high-risk-subset",
-        "n_queries": len(next(iter(results.values()))["pass"]) if results
-                     else 0,
+        # max over seeds of pass+fail: the first seed's pass list alone
+        # undercounts whenever that seed had failures (and reads 0 if
+        # its Verify crashed), misstating coverage in the artifact
+        "n_queries": max((len(r["pass"]) + len(r["fail"])
+                          for r in results.values()), default=0),
         "seeds": {str(s): r for s, r in sorted(results.items())},
         "clean": len(results) - len(bad),
         "total": len(results),
