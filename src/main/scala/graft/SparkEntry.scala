@@ -10526,21 +10526,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("__sup"))
           .filter(col("__sup") >= 2)
           .select(col("a"), col("b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-        val wedges = edges
-          .select(explode(array(col("a"), col("b"))).as("n"))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("w"))
-        val tri = Graph.triangleCount(edges)
-          .agg(sum(col("n_triangles")).as("t"))
-        val out = nEdges.crossJoin(broadcast(wedges))
-          .crossJoin(broadcast(tri))
-          .select(col("n_edges"), col("w").as("n_wedges"),
-            col("t").as("n_triangles"),
-            round(lit(3.0) * col("t") / col("w"), 6)
-              .as("clustering_coeff"))
-        out
+        Graph.clusteringCoefficient(edges)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
                     l_partkey AS pk FROM lineitem),

@@ -83,8 +83,26 @@ object Graph {
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
-    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+    val closed = closedWedges(e, degrees(e))
+    closed
+      .select(least(col("x"), col("y"), col("z")).as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Node degrees of a canonical undirected edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** The (x, y, z) triangle stream behind [[triangleCount]]: edges
+    * re-oriented from the (degree, id)-smaller endpoint, wedges pivoted
+    * over out-neighbor pairs, closed by one equi-join (see the
+    * orientation argument on [[triangleCount]]). Shared so callers that
+    * need OTHER degree-derived statistics (the clustering coefficient's
+    * wedge sum) reuse the same `deg` subtree instead of recomputing it.
+    */
+  private def closedWedges(e: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -99,11 +117,38 @@ object Graph {
           (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("x"), col("e1.v").as("y"),
         col("e2.v").as("z"))
-    val closed = wedges.join(
+    wedges.join(
       o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
-    closed
-      .select(least(col("x"), col("y"), col("z")).as("x"))
-      .groupBy(col("x"))
-      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Global (transitivity) clustering coefficient: 3·triangles /
+    * wedges, with the supporting counts. One row:
+    * (n_edges, n_wedges, n_triangles, clustering_coeff).
+    *
+    * Shape (measured, round 14): NO cache and NO per-node triangle
+    * groupBy — the degree table feeds BOTH the wedge sum Σ C(d,2) and
+    * the triangle orientation, triangles are counted directly off the
+    * closed-wedge stream, and the repeated edge subtrees dedupe via
+    * ReuseExchange. The previous formulation persisted the edge list
+    * and summed [[triangleCount]]'s per-node output; the
+    * InMemoryRelation round-trip plus its extra aggregate measured 3×
+    * the CPU at sf0.1 (52–60 vs 17–21 CPU-s) and +18–30% at sf1 in a
+    * same-JVM interleaved A/B — the cache bought nothing because the
+    * consumers' shared subtrees already reuse exchanges, and an
+    * InMemoryRelation boundary is precisely what ReuseExchange cannot
+    * see through.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = degrees(e)
+    val tri = closedWedges(e, deg).agg(count(lit(1)).as("t"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedgeSum = deg
+      .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("w"))
+    nEdges.crossJoin(broadcast(wedgeSum))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("w").as("n_wedges"),
+        col("t").as("n_triangles"),
+        round(lit(3.0) * col("t") / col("w"), 6).as("clustering_coeff"))
   }
 }

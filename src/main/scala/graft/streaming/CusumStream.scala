@@ -49,16 +49,31 @@ object CusumStream {
       .flatMapGroupsWithState[CusumState, CusumOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, events: Iterator[Ev], state: GroupState[CusumState]) =>
-          // (ts, event_id) — the same tiebreak as the batch window sort
-          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          // (ts, event_id) — the same tiebreak as the batch window sort.
+          // Array + primitive comparator, not toSeq.sortBy: a group can
+          // be a micro-batch's whole slice of a hot series (sf10: ~1M
+          // events), and sortBy allocates a key tuple PER COMPARISON —
+          // measured as the dominant share of this query's GC tax at an
+          // undersized heap (SCALE.md 8 g table). One output array,
+          // written in place, no builder.
+          val arr = events.toArray
+          java.util.Arrays.sort(arr, new java.util.Comparator[Ev] {
+            def compare(a: Ev, b: Ev): Int = {
+              val c = java.lang.Long.compare(a.ts_us, b.ts_us)
+              if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+            }
+          })
           var s = state.getOption.map(_.sPos).getOrElse(0L)
-          val out = Seq.newBuilder[CusumOut]
-          sorted.foreach { e =>
+          val out = new Array[CusumOut](arr.length)
+          var i = 0
+          while (i < arr.length) {
+            val e = arr(i)
             s = math.max(0L, s + (e.cents - e.tgt))
-            out += CusumOut(e.event_id, s)
+            out(i) = CusumOut(e.event_id, s)
+            i += 1
           }
           state.update(CusumState(s))
-          out.result().iterator
+          out.iterator
       }
     EventsStream.runToMemory(spark, cusums.toDF(),
       "graft_stream_cusum", "append")
