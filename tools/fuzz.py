@@ -69,6 +69,15 @@ QUERIES = [
     "agg_cube", "agg_grouping_sets", "agg_pivot", "agg_salted_skew",
     "dq_profile", "join_range_banded", "sample_poisson_bootstrap",
     "agg_bootstrap_ci", "agg_load_duration",
+    # round-14 additions: the shingle/posting dedup family whose native
+    # expressions changed null/expansion semantics this round
+    # (MinHashBandKeys, ArrayIntersectSize, the posexplode-incremental
+    # containment pair stream) — the document fuzz fates (duplication,
+    # case flips, token reorder/sort) attack exactly these pipelines
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_containment", "dedup_containment_prefix",
+    "dedup_substring_frac", "dedup_threshold_sweep",
+    "text_fingerprint", "text_tokens",
 ]
 
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
