@@ -153,6 +153,39 @@ class FetchPolicySpec extends AnyFunSuite with SparkSpecBase {
     assert(log.map(_.id) == Seq(1L, 2L, 3L, 4L)) // per-partition sequence
   }
 
+  test("rate budget property: a caller obeying delayMillis never exceeds " +
+      "maxCalls in any sliding window (500 random schedules)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val schedules = (0 until 500).flatMap { i =>
+      (for {
+        maxCalls <- Gen.choose(1, 5)
+        window <- Gen.choose(10L, 200L)
+        gaps <- Gen.listOfN(30, Gen.choose(0L, 80L))
+      } yield (maxCalls, window, gaps)).apply(
+        Gen.Parameters.default, Seed(i.toLong))
+    }
+    schedules.foreach { case (maxCalls, window, gaps) =>
+      val b = new RateBudget(maxCalls, window)
+      var now = 0L
+      val grants = mutable.Buffer.empty[Long]
+      gaps.foreach { g =>
+        now += g
+        now += b.delayMillis(now) // obey the budget's verdict
+        assert(b.delayMillis(now) == 0L) // waiting that long must suffice
+        b.record(now)
+        grants += now
+      }
+      // invariant: every window-sized span holds at most maxCalls grants
+      grants.foreach { t =>
+        val inWindow = grants.count(g => g > t - window && g <= t)
+        assert(inWindow <= maxCalls,
+          s"window ending $t holds $inWindow > $maxCalls grants " +
+            s"(window=$window)")
+      }
+    }
+  }
+
   test("callLogFrame lands entries in the api_call_log schema") {
     val df = callLogFrame(spark, Seq(
       CallLogEntry(1L, 1700000000000L, "entsoe", 200, false, 42,
