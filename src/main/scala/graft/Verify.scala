@@ -12,12 +12,24 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // config-robustness knobs (SCALE.md round-15): the correctness
+    // contract must not depend on the harness's default session shape,
+    // so the driver-equivalent run can be repeated with AQE off or an
+    // adversarial shuffle-partition count and compared to the same
+    // oracles. Format: SPARK_GRAFT_EXTRA_CONF="k=v;k=v".
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // a failed query must leave a visible record, not a silent hole:

@@ -293,6 +293,25 @@ object Dedup {
     * distribution is unknown). At a df distribution where the cap
     * binds, the banded family is the honest tool.
     *
+    * Pre-flight on an unknown corpus — run the audit first, or let the
+    * query do it for you with `failOnCappedShingles = true`:
+    * {{{
+    * // manual pre-flight: is the result exact at this cap?
+    * val a = Dedup.containmentCapAudit(docs, $"doc_id", $"text").head()
+    * require(a.getAs[Long]("capped_shingles") == 0L,
+    *   s"cap binds (max_df=${a.getAs[Long]("max_df")}): result would " +
+    *     "be approximate — raise maxPosting or use containmentPairs")
+    * // or the guarded form: audits BEFORE pair expansion and throws
+    * // IllegalStateException when the cap would bind
+    * Dedup.containmentPairsExact(docs, $"doc_id", $"text",
+    *   failOnCappedShingles = true)
+    * }}}
+    * The guard runs the audit aggregate eagerly at call time (one
+    * count-per-key pass, a small fraction of the main query — see
+    * [[containmentCapAudit]]) and is the load-bearing form of the
+    * exactness contract: with it on, a returned DataFrame is PROVEN
+    * exact at the cap, with no metric to remember to read.
+    *
     * The high default is also MEMORY-safe, not just recall-safe: the
     * pair expansion is incremental (posexplode per posting entry, then
     * one suffix-slice transform per row), so the largest array any one
@@ -324,7 +343,24 @@ object Dedup {
       text: Column,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxPosting: Int = 100000): DataFrame = {
+      maxPosting: Int = 100000,
+      failOnCappedShingles: Boolean = false): DataFrame = {
+    // opt-in exactness guard: audit the df distribution BEFORE any pair
+    // expansion and refuse to return an approximate result. Eager (one
+    // cheap aggregate at call time) by design — the point is that the
+    // caller cannot forget to check.
+    if (failOnCappedShingles) {
+      val a = containmentCapAudit(df, idCol, text, shingleK, maxPosting)
+        .head()
+      val capped = a.getAs[Long]("capped_shingles")
+      if (capped > 0L) throw new IllegalStateException(
+        s"containmentPairsExact: maxPosting=$maxPosting binds on this " +
+          s"corpus ($capped shingles over cap, max_df=" +
+          s"${a.getAs[Long]("max_df")}, excluded_postings=" +
+          s"${a.getAs[Long]("excluded_postings")}) — the result would " +
+          "be approximate. Raise maxPosting or use the banded " +
+          "containmentPairs family.")
+    }
     // NO persist: unlike every other generator in this file the shingle
     // base has exactly ONE consumer (the posting aggregation) once the
     // sizes ride inside the posting entries, so caching it would only

@@ -23,8 +23,11 @@ import graft.Schemas
   *   - HTTP 429 → wait `Retry-After` seconds (default 60 when the header
   *     is absent), retry, logged with `was_rate_limited = true`;
   *   - HTTP 500/502/503 → exponential backoff `2^attempt`, retry;
-  *   - any other ≥400 → fail immediately (`raise_for_status`);
-  *   - <400 → success (the reference returns 3xx bodies as-is);
+  *   - any other non-2xx → fail immediately. This includes 1xx and 3xx:
+  *     the reference's httpx 0.28 `raise_for_status()` raises on ANY
+  *     non-success status, and `httpx.get` does not follow redirects by
+  *     default — so a 301/302 is a hard failure there, never a body;
+  *   - 2xx → success;
   *   - attempts exhausted → fail with the last outcome.
   *
   * Documented divergences (each an intentional improvement):
@@ -85,13 +88,16 @@ object FetchPolicy {
 
   /** `Retry-After` → millis to wait, relative to `nowMs` for the
     * HTTP-date form; absent/garbage → `defaultSec`. Negative (a date in
-    * the past) clamps to 0.
+    * the past) clamps to 0. Delta-seconds are capped at
+    * `Long.MaxValue / 1000` BEFORE the millis multiply — an absurd
+    * 16+-digit header would otherwise overflow to a negative, clamp to
+    * 0, and retry immediately instead of backing off.
     */
   def retryAfterMillis(
       header: Option[String], nowMs: Long, defaultSec: Int = 60): Long = {
     val ms = header.map(_.trim) match {
       case Some(v) if v.nonEmpty =>
-        Try(v.toLong * 1000L).toOption
+        Try(math.min(v.toLong, Long.MaxValue / 1000L) * 1000L).toOption
           .orElse(Try(
             ZonedDateTime.parse(v, httpDate).toInstant.toEpochMilli - nowMs
           ).toOption)
@@ -115,7 +121,9 @@ object FetchPolicy {
     def decide(outcome: FetchOutcome, attempt: Int, nowMs: Long): Decision = {
       val last = attempt >= maxAttempts - 1
       outcome match {
-        case HttpResponse(s, _, _) if s < 400 => Succeed
+        // 2xx only: httpx's raise_for_status raises on any non-success,
+        // and redirects are not followed — a 3xx is a failure, not data
+        case HttpResponse(s, _, _) if s >= 200 && s < 300 => Succeed
         case HttpResponse(429, _, ra) =>
           if (last) Fail(s"rate limited after $maxAttempts attempts")
           else Backoff(retryAfterMillis(ra, nowMs, retryAfterDefaultSec))
@@ -199,6 +207,19 @@ object FetchPolicy {
     * inside `mapPartitions` over a URL frame; emit the log via
     * [[callLogFrame]] (or a union of per-row structs) to the
     * `api_call_log` sink.
+    *
+    * LAZINESS CONTRACT: the returned iterator is lazy — each request is
+    * fetched only as the iterator advances, and the shared log buffer
+    * fills alongside it. Read the log ONLY after the iterator is fully
+    * drained; reading it earlier observes an empty or partial log. This
+    * is deliberate (inside `mapPartitions` the framework drains the
+    * iterator before the partition's log rows are emitted, and laziness
+    * keeps per-partition memory at one in-flight response), and it is
+    * spec-pinned (FetchPolicySpec "log fills as the iterator drains").
+    *
+    * @param dateFetched per-request data-date for the call-log rows
+    *                    (the reference logs `date_fetched` per request;
+    *                    default: none)
     */
   def fetchPartition[R](
       requests: Iterator[R],
@@ -206,13 +227,14 @@ object FetchPolicy {
       transport: (R, Int) => FetchOutcome,
       source: String,
       budget: Option[RateBudget] = None,
+      dateFetched: R => Option[String] = (_: R) => None,
       nowMs: () => Long = () => System.currentTimeMillis(),
       sleep: Long => Unit = Thread.sleep)
     : (Iterator[(R, Either[FetchFailed, HttpResponse])],
        mutable.Buffer[CallLogEntry]) = {
     val log = mutable.Buffer.empty[CallLogEntry]
     val out = requests.map { r =>
-      r -> run(policy, transport(r, _), source, None, budget, log,
+      r -> run(policy, transport(r, _), source, dateFetched(r), budget, log,
         nowMs, sleep)
     }
     (out, log)

@@ -149,4 +149,39 @@ class CappedCollectSpec extends SparkSpecBase {
     assert(clean.getAs[Long]("capped_shingles") == 0L,
       "audit reads zero when the cap does not bind")
   }
+
+  test("the observe metric and the cap audit AGREE on a planted " +
+      "over-cap corpus (the two surfacing paths count the same thing)") {
+    val q = Dedup.containmentPairsExact(
+      capCorpus, col("doc_id"), col("text"), threshold = 0.9,
+      maxPosting = 10)
+    assert(q.collect().nonEmpty, "non-empty result keeps the observed " +
+      "stage alive under AQE so the comparison is apples-to-apples")
+    val observed = q.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("containment_capped_shingles") =>
+        row.getAs[Long]("capped_shingles")
+    }.get
+    val audited = Dedup.containmentCapAudit(
+      capCorpus, col("doc_id"), col("text"), maxPosting = 10)
+      .head().getAs[Long]("capped_shingles")
+    assert(observed == audited && observed > 0L,
+      s"inline metric ($observed) and guaranteed audit ($audited) must " +
+        "report the same binding-cap count")
+  }
+
+  test("failOnCappedShingles: refuses an approximate result with the " +
+      "audit numbers; passes through when the cap does not bind") {
+    val e = intercept[IllegalStateException] {
+      Dedup.containmentPairsExact(capCorpus, col("doc_id"), col("text"),
+        threshold = 0.9, maxPosting = 10, failOnCappedShingles = true)
+    }
+    assert(e.getMessage.contains("maxPosting=10") &&
+      e.getMessage.contains("max_df=30"),
+      s"guard must carry the audit evidence, got: ${e.getMessage}")
+    val ok = Dedup.containmentPairsExact(capCorpus, col("doc_id"),
+      col("text"), threshold = 0.9, maxPosting = 1000,
+      failOnCappedShingles = true)
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 101L)), "guarded under-cap run returns the exact pairs")
+  }
 }

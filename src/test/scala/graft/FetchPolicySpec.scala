@@ -90,7 +90,25 @@ class FetchPolicySpec extends AnyFunSuite with SparkSpecBase {
     assert(p.decide(HttpResponse(502), attempt = 1, 0L) == Backoff(2000L))
     assert(p.decide(HttpResponse(500), attempt = 2, 0L) == Backoff(4000L))
     assert(p.decide(HttpResponse(404), attempt = 0, 0L) == Fail("status 404"))
-    assert(p.decide(HttpResponse(301), attempt = 0, 0L) == Succeed)
+  }
+
+  test("non-2xx non-retryable fails — 3xx included (httpx raise_for_status " +
+      "raises on any non-success; httpx.get does not follow redirects)") {
+    val p = RetryPolicy()
+    assert(p.decide(HttpResponse(301), attempt = 0, 0L) == Fail("status 301"))
+    assert(p.decide(HttpResponse(302), attempt = 0, 0L) == Fail("status 302"))
+    assert(p.decide(HttpResponse(100), attempt = 0, 0L) == Fail("status 100"))
+    assert(p.decide(HttpResponse(204), attempt = 0, 0L) == Succeed)
+    assert(p.decide(HttpResponse(299), attempt = 0, 0L) == Succeed)
+  }
+
+  test("an absurdly large numeric Retry-After caps instead of overflowing " +
+      "to an immediate retry") {
+    val capped = retryAfterMillis(Some("99999999999999999"), nowMs = 0L)
+    assert(capped == (Long.MaxValue / 1000L) * 1000L,
+      "16-digit delta-seconds must cap, not wrap negative and clamp to 0")
+    assert(retryAfterMillis(Some(Long.MaxValue.toString), 0L) == capped)
+    assert(retryAfterMillis(Some("7"), 0L) == 7000L) // sane values untouched
   }
 
   test("retryable status on the final attempt fails without a burned sleep") {
@@ -151,6 +169,32 @@ class FetchPolicySpec extends AnyFunSuite with SparkSpecBase {
     assert(res(2)._2.isLeft)
     assert(log.map(_.statusCode) == Seq(200, 503, 200, 404))
     assert(log.map(_.id) == Seq(1L, 2L, 3L, 4L)) // per-partition sequence
+  }
+
+  test("fetchPartition threads a per-request dateFetched into the log rows") {
+    val sim = new Sim
+    val (it, log) = fetchPartition[String](Iterator("d1", "d2"),
+      RetryPolicy(), (_, _) => HttpResponse(200), source = "s",
+      dateFetched = r => Some(s"2024-01-0${r.last}"),
+      nowMs = sim.nowMs _, sleep = sim.sleep _)
+    // note: NOT `it.size` — a sized source iterator short-circuits
+    // size via knownSize without evaluating the fetch closure
+    assert(it.toList.size == 2) // drain
+    assert(log.map(_.dateFetched) ==
+      Seq(Some("2024-01-01"), Some("2024-01-02")))
+  }
+
+  test("laziness contract: the log fills as the iterator drains — empty " +
+      "before, complete only after full drain") {
+    val sim = new Sim
+    val (it, log) = fetchPartition[String](Iterator("a", "b", "c"),
+      RetryPolicy(), (_, _) => HttpResponse(200), source = "s",
+      nowMs = sim.nowMs _, sleep = sim.sleep _)
+    assert(log.isEmpty, "nothing fetched before the iterator advances")
+    it.next()
+    assert(log.size == 1, "one advance = one fetch = one log row")
+    while (it.hasNext) it.next()
+    assert(log.size == 3, "full drain completes the log")
   }
 
   test("rate budget property: a caller obeying delayMillis never exceeds " +
