@@ -4078,15 +4078,18 @@ object SparkEntry {
             expr("percentile(value, 0.95D)").as("__hi"))
         ev(s, d).join(broadcast(stats), col("event_type") === col("__t"))
           .select(col("event_id"), col("event_type"), col("value"),
-            round(least(greatest(col("value"), col("__lo")), col("__hi")), 6)
-              .as("winsorized"))
+            // portable floor-form round: the clipped value lands on a
+            // round(·,6) boundary double under fuzzed quantile edges
+            (floor(least(greatest(col("value"), col("__lo")), col("__hi"))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("winsorized"))
       },
       Some("""WITH s AS (SELECT event_type,
                      quantile_cont(value, 0.05) AS lo,
                      quantile_cont(value, 0.95) AS hi
                    FROM events GROUP BY 1)
               SELECT event_id, e.event_type, value,
-                round(least(greatest(value, lo), hi), 6) AS winsorized
+                floor(least(greatest(value, lo), hi) * 1e6 + 0.5) / 1e6
+                  AS winsorized
               FROM events e JOIN s USING (event_type)""")),
 
     // first-order Markov transition counts of each user's event stream —
@@ -5243,10 +5246,13 @@ object SparkEntry {
           .withColumn("vc", round(col("value") * 100, 0)),
         col("user_id"), col("ts"), col("event_id"), col("vc"),
         col("w"), frameRows = 20)
-        .select(col("event_id"), round(col("vwap") / 100, 6).as("vwap")),
+        .select(col("event_id"),
+          (floor(col("vwap") / 100 * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("vwap")),
       Some("""SELECT event_id,
-                round(round(sum(vc * w) OVER fr / sum(w) OVER fr, 6)
-                  / 100, 6) AS vwap
+                floor((floor(sum(vc * w) OVER fr / sum(w) OVER fr
+                    * 1e6 + 0.5) / 1e6)
+                  / 100 * 1e6 + 0.5) / 1e6 AS vwap
               FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2,
                       round(value * 100, 0) AS vc,
                       CAST(event_id % 7 + 1 AS DOUBLE) AS w

@@ -456,9 +456,13 @@ object TimeSeries {
     val f = Window.partitionBy(key).orderBy(ts, tie)
       .rowsBetween(1L - frameRows, 0)
     val sw = sum(weight).over(f)
+    // portable floor-form round: Spark's BigDecimal HALF_UP and
+    // DuckDB's multiply-based C round disagree on boundary doubles
+    // (differential fuzzing caught a 1e-6 flip on the weighted ratio)
     df.withColumn(outName,
       when(sw === 0.0, lit(null).cast("double"))
-        .otherwise(round(sum(value * weight).over(f) / sw, 6)))
+        .otherwise(floor(sum(value * weight).over(f) / sw * lit(1e6)
+          + lit(0.5)) / lit(1e6)))
   }
 
   /** Relative Strength Index over a trailing `frameRows`-row frame

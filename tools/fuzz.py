@@ -33,6 +33,14 @@ Usage: python3 tools/fuzz.py [n_seeds=10] [first_seed=1] [--all]
 (--all: run the FULL query surface on the fuzzed tables instead of
 the high-risk subset — every oracle re-compared per seed)
 
+Round 15 onward the committed artifact is the --all mode: all 372
+oracle queries re-compared per seed, so no family is excluded and the
+QUERIES subset below survives only as the cheap local iteration loop.
+The first full-surface pass at r15 caught two real boundary
+divergences the 54-query subset could not see (f_winsorize, win_vwap —
+both the round(·,6) boundary-double class, fixed to the portable
+floor form on both sides), on top of the two the r12 sweep found.
+
 Writes the per-seed pass matrix to fuzz_report.json in the repo root
 (committed as the round's fuzz artifact, so regressions diff).
 """
