@@ -214,9 +214,13 @@ def main() -> None:
         "clean": len(results) - len(bad),
         "total": len(results),
     }
-    with open(f"{REPO}/fuzz_report.json", "w") as f:
+    # FUZZ_REPORT_OUT lets parallel seed-range invocations write to
+    # scratch paths and be merged (same schema) into the committed
+    # artifact afterwards
+    out = os.environ.get("FUZZ_REPORT_OUT", f"{REPO}/fuzz_report.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    print(f"[fuzz] report written to {REPO}/fuzz_report.json")
+    print(f"[fuzz] report written to {out}")
     sys.exit(1 if bad else 0)
 
 
