@@ -45,7 +45,10 @@ class FuzzDeterminismSpec extends SparkSpecBase {
     "win_expanding_stats", "win_hampel_outlier", "win_time_range_avg",
     "agg_cube", "agg_grouping_sets", "agg_pivot", "agg_salted_skew",
     "dq_profile", "join_range_banded", "sample_poisson_bootstrap",
-    "agg_bootstrap_ci", "agg_load_duration")
+    "agg_bootstrap_ci", "agg_load_duration",
+    // round-15 full-surface additions: the round(·,6) boundary-double
+    // pair the 372-query --all sweep caught (now portable floor form)
+    "f_winsorize", "win_vwap")
 
   private val passthrough = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
