@@ -579,33 +579,44 @@ object SparkEntry {
           weekBucket, evOrder, 167)(
           "roll_24" -> rollAvg(24),
           "roll_168" -> rollAvg(168))
-        .select(col("event_id"), round(col("roll_24"), 6).as("roll_24"),
-          round(col("roll_168"), 6).as("roll_168"))
+        // portable floor-form round: the exact-integer quotient can
+        // land on a round(·,6) boundary double (r15 fuzz finding)
+        .select(col("event_id"),
+          (floor(col("roll_24") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("roll_24"),
+          (floor(col("roll_168") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("roll_168"))
       },
       Some("""SELECT event_id,
-                round(avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
-                  AND CURRENT ROW) / 100, 6) AS roll_24,
-                round(avg(vc) OVER (w ROWS BETWEEN 167 PRECEDING
-                  AND CURRENT ROW) / 100, 6) AS roll_168
+                floor(avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
+                  AND CURRENT ROW) / 100 * 1e6 + 0.5) / 1e6 AS roll_24,
+                floor(avg(vc) OVER (w ROWS BETWEEN 167 PRECEDING
+                  AND CURRENT ROW) / 100 * 1e6 + 0.5) / 1e6 AS roll_168
               FROM (SELECT event_id, ts,
                       floor(value * 100 + 0.5) AS vc FROM events)
               WINDOW w AS (ORDER BY ts, event_id)""")),
 
     Q("win_lag_over_agg",
       (s, d) => {
+        // exact micro-unit integer sums: a raw-double day sum is
+        // accumulation-order-sensitive AND its round(·,6) flips on
+        // boundary doubles (r15 fuzz finding) — integer micro-units
+        // sum exactly in any order and divide to the same double
         val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
-          .agg(sum(col("value")).as("total"))
+          .agg((sum(floor(col("value") * lit(1e6) + lit(0.5)))
+            .cast("double") / lit(1e6)).as("total"))
         // post-aggregation cardinality is tiny (one row per day) — the
         // unpartitioned window is safe at any input scale
         daily.withColumn("prev_total",
             lag(col("total"), 1).over(Window.orderBy(col("day"))))
-          .select(col("day"), round(col("total"), 6).as("total"),
-            round(col("prev_total"), 6).as("prev_total"))
+          .select(col("day"), col("total"), col("prev_total"))
       },
-      Some("""WITH dd AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS total
+      Some("""WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6 AS total
                           FROM events GROUP BY 1)
-              SELECT day, round(total, 6) AS total,
-                round(lag(total, 1) OVER (ORDER BY day), 6) AS prev_total
+              SELECT day, total,
+                lag(total, 1) OVER (ORDER BY day) AS prev_total
               FROM dd""")),
   )
 
@@ -4283,16 +4294,19 @@ object SparkEntry {
         ev(s, d).select(col("event_id"),
           lag(col("value"), 1).over(w).as("__p"), col("value"))
           .select(col("event_id"),
-            round(when(col("__p") =!= 0,
-              (col("value") - col("__p")) / col("__p")), 6).as("pct_change"))
+            // portable floor-form round — the ratio lands on a
+            // round(·,6) boundary double under fuzzed inputs (r15)
+            (floor(when(col("__p") =!= 0,
+              (col("value") - col("__p")) / col("__p")) * lit(1e6)
+              + lit(0.5)) / lit(1e6)).as("pct_change"))
       },
       Some("""WITH t AS (SELECT event_id, value,
                       lag(value) OVER (PARTITION BY user_id
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
                     FROM events)
               SELECT event_id,
-                round(CASE WHEN p <> 0 THEN (value - p) / p END, 6)
-                  AS pct_change
+                floor((CASE WHEN p <> 0 THEN (value - p) / p END)
+                  * 1e6 + 0.5) / 1e6 AS pct_change
               FROM t""")),
 
     // time-in-state accounting (TimescaleDB state_agg): dwell time =
@@ -4816,17 +4830,19 @@ object SparkEntry {
     Q("agg_counter_merge",
       (s, d) => TimeSeries.counterTotalsMerged(ev(s, d), col("user_id"),
         col("ts"), col("event_id"), col("value"), keyName = "user_id"),
-      Some("""WITH t AS (SELECT user_id,
-                      CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
-                        AS week, value,
-                      lag(value) OVER (PARTITION BY user_id,
-                          date_trunc('week', CAST(ts AS TIMESTAMP))
-                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv
-                    FROM events)
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+                      event_id, floor(value * 1e6 + 0.5) AS v
+                    FROM events),
+              t AS (SELECT user_id,
+                      CAST(date_trunc('week', ts2) AS DATE) AS week, v,
+                      lag(v) OVER (PARTITION BY user_id,
+                          date_trunc('week', ts2)
+                        ORDER BY ts2, event_id) AS pv
+                    FROM e)
               SELECT user_id, week,
-                round(sum(CASE WHEN pv IS NULL THEN 0
-                    WHEN value >= pv THEN value - pv
-                    ELSE value END), 6) AS total_increase
+                CAST(sum(CASE WHEN pv IS NULL THEN 0
+                    WHEN v >= pv THEN v - pv
+                    ELSE v END) AS DOUBLE) / 1e6 AS total_increase
               FROM t GROUP BY 1, 2""")),
   )
 

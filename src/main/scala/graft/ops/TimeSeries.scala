@@ -310,8 +310,14 @@ object TimeSeries {
       tie: Column,
       value: Column,
       keyName: String = "key"): DataFrame = {
+    // exact micro-unit quantization at entry: deltas, resets and the
+    // boundary terms below are then integer-valued doubles that sum
+    // exactly in any accumulation order, and the final /1e6 yields the
+    // same double on any engine — a raw-double delta sum flipped a
+    // round(·,6) boundary under fuzzed inputs (r15)
     val base = df.select(key.as(keyName), to_date(ts).as("__day"),
-      value.as("__v"), ts.as("__ts"), tie.as("__tie"))
+      floor(value * lit(1e6) + lit(0.5)).as("__v"),
+      ts.as("__ts"), tie.as("__tie"))
     val dayW = Window.partitionBy(col(keyName), col("__day"))
       .orderBy(col("__ts"), col("__tie"))
     val partials = base
@@ -338,8 +344,8 @@ object TimeSeries {
             col("__first") - col("__prev_last"))
           .otherwise(col("__first")))
       .groupBy(col(keyName), col("week"))
-      .agg(round(sum(col("__inner") + col("__boundary")), 6)
-        .as("total_increase"))
+      .agg((sum(col("__inner") + col("__boundary")).cast("double")
+        / lit(1e6)).as("total_increase"))
   }
 
   /** Per-day ramp extremes: the largest upward and downward step

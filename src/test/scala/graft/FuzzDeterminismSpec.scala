@@ -47,8 +47,10 @@ class FuzzDeterminismSpec extends SparkSpecBase {
     "dq_profile", "join_range_banded", "sample_poisson_bootstrap",
     "agg_bootstrap_ci", "agg_load_duration",
     // round-15 full-surface additions: the round(·,6) boundary-double
-    // pair the 372-query --all sweep caught (now portable floor form)
-    "f_winsorize", "win_vwap")
+    // class the 372-query --all sweep caught across ten seeds (now
+    // portable floor form / exact micro-unit sums)
+    "f_winsorize", "win_vwap", "f_pct_change", "win_lag_over_agg",
+    "agg_counter_merge", "win_rolling_avg")
 
   private val passthrough = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
