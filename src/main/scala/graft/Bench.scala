@@ -4,6 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness: times every registered query at
   * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parseable JSON line.
   *
+  * Attribution protocol (round 16, VERDICT r15 task 2): every measured
+  * window ends with a listener-bus drain barrier before the listener-fed
+  * deltas are read, per-query `tcpu` reports task-metrics-scoped CPU
+  * (immune to leftover async work from previous queries, unlike the
+  * process-wide `cpu` delta, which is retained as the upper bound), and
+  * a between-queries quiesce (stop leaked streams, clear cache, drain,
+  * GC on stream_* boundaries) keeps one query's teardown out of the
+  * next query's window. Adjudicate plan defects from `tcpu` first; only
+  * escalate to solo fresh-JVM runs when `cpu`/`tcpu` disagree badly.
+  *
   * Output contract (driver-facing):
   *  - stdout carries the full per-query JSON line, then a LAST compact
   *    totals-only line (`{"metric":"total","value":…,"unit":"sec",
@@ -69,30 +79,63 @@ object Bench {
   private object SpillListener extends org.apache.spark.scheduler.SparkListener {
     val mem = new java.util.concurrent.atomic.AtomicLong(0)
     val disk = new java.util.concurrent.atomic.AtomicLong(0)
+    // task-scoped CPU (ns): unlike the process-wide delta, this counts
+    // ONLY task execution, so leftover async work from a previous query
+    // (streaming micro-batch teardown, sink cleanup) cannot pollute the
+    // next query's attribution — the r15 sf10 false alarm (VERDICT task 2)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         mem.addAndGet(m.memoryBytesSpilled)
         disk.addAndGet(m.diskBytesSpilled)
+        cpuNs.addAndGet(m.executorCpuTime)
       }
     }
   }
 
-  /** One measured execution: wall time plus the GC, process-CPU and
-    * spill deltas that occurred inside it.
+  /** One measured execution: wall time plus the GC, process-CPU,
+    * task-scoped-CPU and spill deltas that occurred inside it.
     */
   private final case class Measure(wall: Double, gc: Double, cpu: Double,
-      spillMem: Long, spillDisk: Long)
+      taskCpu: Double, spillMem: Long, spillDisk: Long)
 
-  private def measure(body: => Unit): Measure = {
+  /** Times `body`, then drains the async listener bus BEFORE reading the
+    * listener-fed deltas (spill, task CPU): without the barrier a
+    * query's tail TaskEnd events land in the next query's window. The
+    * drain wait is outside the wall measurement (taken at `body` return)
+    * and costs ~no CPU, so process-CPU attribution stays honest too.
+    */
+  private def measure(spark: SparkSession)(body: => Unit): Measure = {
     val g0 = gcSeconds(); val c0 = cpuSeconds()
     val sm0 = SpillListener.mem.get(); val sd0 = SpillListener.disk.get()
+    val tc0 = SpillListener.cpuNs.get()
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
+    if (!org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext))
+      System.err.println("[bench] listener bus drain timed out; " +
+        "spill/taskCpu deltas may lag")
     Measure(wall, gcSeconds() - g0, if (c0 < 0) -1.0 else cpuSeconds() - c0,
+      (SpillListener.cpuNs.get() - tc0) / 1e9,
       SpillListener.mem.get() - sm0, SpillListener.disk.get() - sd0)
+  }
+
+  /** Between-queries barrier (all outside any timed window): stop any
+    * streaming query a query body leaked, drop persisted intermediates,
+    * drain the listener bus, and after stream_* queries run a GC so the
+    * memory-sink buffer garbage is collected on the boundary instead of
+    * being paid (and mis-attributed) inside the NEXT query's window.
+    */
+  private def quiesce(spark: SparkSession, afterStream: Boolean): Unit = {
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination(10000) }
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+    if (afterStream) System.gc()
   }
 
   private def session(cpus: String): SparkSession = {
@@ -186,7 +229,7 @@ object Bench {
       // so projection-only queries would time scan+count instead of
       // their expression work
       var ok = true
-      val m = measure {
+      val m = measure(spark) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -209,12 +252,12 @@ object Bench {
         val sp = if (m.spillDisk > 0 || m.spillMem > 0)
           f"  spill ${m.spillMem / 1e9}%.2f/${m.spillDisk / 1e9}%.2f GB" else ""
         System.err.println(
-          f"[bench] ${i + 1}%3d/$n $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f)$sp")
+          f"[bench] ${i + 1}%3d/$n $name%-28s ${m.wall}%8.3f s  (gc ${m.gc}%5.2f  cpu ${m.cpu}%7.2f  tcpu ${m.taskCpu}%7.2f)$sp")
       }
-      // operators may persist() reused intermediates; drop them so one
-      // query's cache doesn't pressure the next one's memory (outside
-      // the timed window — teardown is not the query's cost)
-      spark.catalog.clearCache()
+      // between-queries quiesce (outside the timed window — teardown is
+      // not the query's cost): drop caches, stop leaked streams, drain
+      // the bus; GC on stream_* boundaries (memory-sink garbage)
+      quiesce(spark, afterStream = name.startsWith("stream_"))
       (name, best) // None marks failure, never a time
     }
 
@@ -234,11 +277,11 @@ object Bench {
       case (name, fn) if spikes(name) =>
         System.err.println(f"[bench] retry $name (first run exceeded $spikeThreshold%.2f s)")
         val m = runOnce(name, fn)
-        // drop THIS retry's cache before the next retry starts (and on
+        // quiesce THIS retry before the next retry starts (and on
         // failure too) — retries must not inflate each other's memory
         // pressure, or the pass reintroduces the stall it exists to rule
         // out
-        spark.catalog.clearCache()
+        quiesce(spark, afterStream = name.startsWith("stream_"))
         m.foreach(mm => System.err.println(
           f"[bench] retry $name%-28s ${mm.wall}%8.3f s  (gc ${mm.gc}%5.2f  cpu ${mm.cpu}%7.2f)"))
         m.map(name -> _)
@@ -259,10 +302,10 @@ object Bench {
     val total = official.collect { case (_, v) if v >= 0 => v }.sum
     val attrib = results.collect { case (k, Some(m)) =>
       val retry = retried.get(k).map(r =>
-        s""","retryWall":${fmt(r.wall)},"retryGc":${fmt(r.gc)},"retryCpu":${fmt(r.cpu)}""").getOrElse("")
+        s""","retryWall":${fmt(r.wall)},"retryGc":${fmt(r.gc)},"retryCpu":${fmt(r.cpu)},"retryTcpu":${fmt(r.taskCpu)}""").getOrElse("")
       val spill = if (m.spillMem > 0 || m.spillDisk > 0)
         s""","spillMem":${m.spillMem},"spillDisk":${m.spillDisk}""" else ""
-      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)}$spill$retry}"""
+      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)},"tcpu":${fmt(m.taskCpu)}$spill$retry}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","attrib":$attrib}"""

@@ -8,6 +8,7 @@ import graft.ops._
 import graft.functions.ScalarFns
 import graft.sources.{CsvMulti, JsonShapes, XmlPoints}
 import graft.streaming.HourlyRollup
+import graft.functions.Portable.r6
 
 /** Driver contract — one named query per implemented operator of
   * SURVEY.md §2 (the key names are the §2 inventory keys), exercised on
@@ -18,8 +19,13 @@ import graft.streaming.HourlyRollup
   *    (ns-INT64 vs timestamp[us]) → Spark adapts on read
   *    (Tables.events); DuckDB oracles `CAST(ts AS TIMESTAMP)`, correct
   *    under either encoding.
-  *  - every aggregate of doubles is `round(x, 6)` on both sides (the sum
-  *    order differs between engines by design — partial aggregation).
+  *  - every aggregate of doubles is rounded to 6 dp on both sides via
+  *    the portable guarded floor form (`Portable.r6` / its SQL twin
+  *    `CASE WHEN abs(x) < 8e9 THEN floor(x*1e6+0.5)/1e6 ELSE x END`) —
+  *    NOT `round(x, 6)`: Spark's BigDecimal HALF_UP and DuckDB's C
+  *    round flip in opposite directions on boundary doubles (six r15
+  *    fuzz catches; the whole class was retired in r16). The sum order
+  *    still differs between engines by design — partial aggregation.
   *  - the micro-unit exact-sum convention (round 12, fuzz-driven): where
   *    a raw double sum/mean is order-sensitive at the round(6) boundary,
   *    both engines quantize per row FIRST — `floor(x*1e6 + 0.5)` as an
@@ -445,11 +451,11 @@ object SparkEntry {
           ev(s, d).withColumn("vc", floor(col("value") * 100 + lit(0.5))),
           col("ts"), "1 hour", Seq(col("event_type")), col("vc"))
         .select(col("bucket"), col("event_type"),
-          round(col("avg_v") / 100, 6).as("avg_v"),
+          r6(col("avg_v") / 100).as("avg_v"),
           (col("min_v") / 100).as("min_v"),
           (col("max_v") / 100).as("max_v"), col("n")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                event_type, CASE WHEN abs(avg(vc) / 100) < 8.0e9 THEN floor((avg(vc) / 100) * 1e6 + 0.5) / 1e6 ELSE (avg(vc) / 100) END AS avg_v,
                 min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
                 count(vc) AS n
               FROM (SELECT ts, event_type,
@@ -498,9 +504,9 @@ object SparkEntry {
     Q("agg_group_transform",
       (s, d) => Aggregates.groupDeviation(ev(s, d), to_date(col("ts")),
           col("value"), "deviation")
-        .select(col("event_id"), round(col("deviation"), 6).as("deviation")),
+        .select(col("event_id"), r6(col("deviation")).as("deviation")),
       Some("""SELECT event_id,
-                round(value - avg(value) OVER (PARTITION BY CAST(ts AS DATE)), 6)
+                CASE WHEN abs(value - avg(value) OVER (PARTITION BY CAST(ts AS DATE))) < 8.0e9 THEN floor((value - avg(value) OVER (PARTITION BY CAST(ts AS DATE))) * 1e6 + 0.5) / 1e6 ELSE (value - avg(value) OVER (PARTITION BY CAST(ts AS DATE))) END
                   AS deviation
               FROM events""")),
 
@@ -509,12 +515,12 @@ object SparkEntry {
         val e = ev(s, d).withColumn("x",
           when(col("value") < 10, lit(null)).otherwise(col("value")))
         Aggregates.medianImpute(e, col("event_type"), col("x"), "imputed")
-          .select(col("event_id"), round(col("imputed"), 6).as("imputed"))
+          .select(col("event_id"), r6(col("imputed")).as("imputed"))
       },
       Some("""WITH e AS (SELECT event_id, event_type,
                 CASE WHEN value < 10 THEN NULL ELSE value END AS x FROM events),
               m AS (SELECT event_type, median(x) AS med FROM e GROUP BY 1)
-              SELECT e.event_id, round(coalesce(e.x, m.med), 6) AS imputed
+              SELECT e.event_id, CASE WHEN abs(coalesce(e.x, m.med)) < 8.0e9 THEN floor((coalesce(e.x, m.med)) * 1e6 + 0.5) / 1e6 ELSE (coalesce(e.x, m.med)) END AS imputed
               FROM e LEFT JOIN m USING (event_type)""")),
 
     Q("agg_metrics",
@@ -522,15 +528,14 @@ object SparkEntry {
         val li = Tables.lineitem(s, d)
         Aggregates.regressionMetrics(li, col("l_extendedprice"),
             col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .select(round(col("mae"), 6).as("mae"),
-            round(col("rmse"), 6).as("rmse"),
-            round(col("mape"), 6).as("mape"))
+          .select(r6(col("mae")).as("mae"),
+            r6(col("rmse")).as("rmse"),
+            r6(col("mape")).as("mape"))
       },
       Some("""SELECT
-                round(avg(abs(err)), 6) AS mae,
-                round(sqrt(avg(err * err)), 6) AS rmse,
-                round(avg(CASE WHEN abs(l_extendedprice) >= 10
-                  THEN abs(err) / abs(l_extendedprice) END) * 100, 6) AS mape
+                CASE WHEN abs(avg(abs(err))) < 8.0e9 THEN floor((avg(abs(err))) * 1e6 + 0.5) / 1e6 ELSE (avg(abs(err))) END AS mae,
+                CASE WHEN abs(sqrt(avg(err * err))) < 8.0e9 THEN floor((sqrt(avg(err * err))) * 1e6 + 0.5) / 1e6 ELSE (sqrt(avg(err * err))) END AS rmse,
+                CASE WHEN abs(avg(CASE WHEN abs(l_extendedprice) >= 10 THEN abs(err) / abs(l_extendedprice) END) * 100) < 8.0e9 THEN floor((avg(CASE WHEN abs(l_extendedprice) >= 10 THEN abs(err) / abs(l_extendedprice) END) * 100) * 1e6 + 0.5) / 1e6 ELSE (avg(CASE WHEN abs(l_extendedprice) >= 10 THEN abs(err) / abs(l_extendedprice) END) * 100) END AS mape
               FROM (SELECT l_extendedprice,
                       l_extendedprice * (1 - l_discount) - l_extendedprice AS err
                     FROM lineitem)""")),
@@ -579,22 +584,25 @@ object SparkEntry {
           weekBucket, evOrder, 167)(
           "roll_24" -> rollAvg(24),
           "roll_168" -> rollAvg(168))
-        // portable floor-form round: the exact-integer quotient can
-        // land on a round(·,6) boundary double (r15 fuzz finding)
+        // portable guarded floor-form round (r6): the exact-integer
+        // quotient can land on a round(·,6) boundary double (r15 fuzz)
         .select(col("event_id"),
-          (floor(col("roll_24") * lit(1e6) + lit(0.5)) / lit(1e6))
-            .as("roll_24"),
-          (floor(col("roll_168") * lit(1e6) + lit(0.5)) / lit(1e6))
-            .as("roll_168"))
+          r6(col("roll_24")).as("roll_24"),
+          r6(col("roll_168")).as("roll_168"))
       },
       Some("""SELECT event_id,
-                floor(avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
-                  AND CURRENT ROW) / 100 * 1e6 + 0.5) / 1e6 AS roll_24,
-                floor(avg(vc) OVER (w ROWS BETWEEN 167 PRECEDING
-                  AND CURRENT ROW) / 100 * 1e6 + 0.5) / 1e6 AS roll_168
-              FROM (SELECT event_id, ts,
-                      floor(value * 100 + 0.5) AS vc FROM events)
-              WINDOW w AS (ORDER BY ts, event_id)""")),
+                CASE WHEN abs(r24) < 8.0e9 THEN
+                  floor((r24) * 1e6 + 0.5) / 1e6 ELSE (r24) END AS roll_24,
+                CASE WHEN abs(r168) < 8.0e9 THEN
+                  floor((r168) * 1e6 + 0.5) / 1e6 ELSE (r168) END AS roll_168
+              FROM (SELECT event_id,
+                      avg(vc) OVER (w ROWS BETWEEN 23 PRECEDING
+                        AND CURRENT ROW) / 100 AS r24,
+                      avg(vc) OVER (w ROWS BETWEEN 167 PRECEDING
+                        AND CURRENT ROW) / 100 AS r168
+                    FROM (SELECT event_id, ts,
+                            floor(value * 100 + 0.5) AS vc FROM events)
+                    WINDOW w AS (ORDER BY ts, event_id))""")),
 
     Q("win_lag_over_agg",
       (s, d) => {
@@ -932,11 +940,11 @@ object SparkEntry {
       (s, d) => HourlyRollup.runToCompletion(s, d,
           measure = floor(col("value") * 100 + lit(0.5)))
         .select(col("bucket"), col("event_type"),
-          round(col("avg_v") / 100, 6).as("avg_v"),
+          r6(col("avg_v") / 100).as("avg_v"),
           (col("min_v") / 100).as("min_v"),
           (col("max_v") / 100).as("max_v"), col("n")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                event_type, CASE WHEN abs(avg(vc) / 100) < 8.0e9 THEN floor((avg(vc) / 100) * 1e6 + 0.5) / 1e6 ELSE (avg(vc) / 100) END AS avg_v,
                 min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
                 count(vc) AS n
               FROM (SELECT ts, event_type,
@@ -1095,7 +1103,7 @@ object SparkEntry {
         col("doc_id"), col("text"), threshold = 0.5),
       Some(s"""WITH $plantedDocsSql,
               $minhashCtesSql
-              SELECT id_a, id_b, round(j, 6) AS jaccard
+              SELECT id_a, id_b, CASE WHEN abs(j) < 8.0e9 THEN floor((j) * 1e6 + 0.5) / 1e6 ELSE (j) END AS jaccard
               FROM verified WHERE j >= 0.5""")),
 
     // dedup GROUPS from the pair list: connected components via
@@ -1179,7 +1187,7 @@ object SparkEntry {
                     FROM inter i
                     JOIN sizes sa ON i.id_a = sa.id
                     JOIN sizes sb ON i.id_b = sb.id)
-              SELECT id_a, id_b, round(j, 6) AS jaccard
+              SELECT id_a, id_b, CASE WHEN abs(j) < 8.0e9 THEN floor((j) * 1e6 + 0.5) / 1e6 ELSE (j) END AS jaccard
               FROM j WHERE j >= 0.5""")),
 
     Q("dedup_embedding_cosine",
@@ -1202,7 +1210,7 @@ object SparkEntry {
                         / (sqrt(list_dot_product(a.vec, a.vec))
                            * sqrt(list_dot_product(b.vec, b.vec))) AS cos
                     FROM e a JOIN e b ON a.id < b.id)
-              SELECT id_a, id_b, round(cos, 6) AS cos
+              SELECT id_a, id_b, CASE WHEN abs(cos) < 8.0e9 THEN floor((cos) * 1e6 + 0.5) / 1e6 ELSE (cos) END AS cos
               FROM p WHERE cos >= 0.999""")),
 
     Q("ann_bruteforce",
@@ -1455,7 +1463,7 @@ object SparkEntry {
         // not (and does not) re-inline.
         val q = when(col("nrm") > 0, transform(col("vec"),
           x => floor(x.cast("double") * lit(127.0) / col("nrm") + lit(0.5))))
-        e.select(col("vec_id"), round(col("nrm"), 6).as("norm"), q.as("q"))
+        e.select(col("vec_id"), r6(col("nrm")).as("norm"), q.as("q"))
           .select(col("vec_id"), col("norm"),
             aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
             array_min(col("q")).as("q_min"),
@@ -1470,7 +1478,7 @@ object SparkEntry {
                     x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT))
                   END AS q
                 FROM n)
-              SELECT vec_id, round(nrm, 6) AS norm,
+              SELECT vec_id, CASE WHEN abs(nrm) < 8.0e9 THEN floor((nrm) * 1e6 + 0.5) / 1e6 ELSE (nrm) END AS norm,
                 CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
                 CAST(list_reduce(q, (a, b) -> least(a, b)) AS BIGINT)
                   AS q_min,
@@ -1698,21 +1706,21 @@ object SparkEntry {
         .agg(percentile(col("value"), lit(0.25)).as("p"),
           percentile(col("value"), lit(0.5)).as("p50x"),
           percentile(col("value"), lit(0.9)).as("p90x"))
-        .select(col("event_type"), round(col("p"), 6).as("p25"),
-          round(col("p50x"), 6).as("p50"), round(col("p90x"), 6).as("p90")),
+        .select(col("event_type"), r6(col("p")).as("p25"),
+          r6(col("p50x")).as("p50"), r6(col("p90x")).as("p90")),
       Some("""SELECT event_type,
-                round(quantile_cont(value, 0.25), 6) AS p25,
-                round(quantile_cont(value, 0.5), 6) AS p50,
-                round(quantile_cont(value, 0.9), 6) AS p90
+                CASE WHEN abs(quantile_cont(value, 0.25)) < 8.0e9 THEN floor((quantile_cont(value, 0.25)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(value, 0.25)) END AS p25,
+                CASE WHEN abs(quantile_cont(value, 0.5)) < 8.0e9 THEN floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(value, 0.5)) END AS p50,
+                CASE WHEN abs(quantile_cont(value, 0.9)) < 8.0e9 THEN floor((quantile_cont(value, 0.9)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(value, 0.9)) END AS p90
               FROM events GROUP BY 1""")),
 
     Q("agg_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 6).as("sum_qty"),
+        .agg(r6(sum(col("l_quantity"))).as("sum_qty"),
           count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+                CASE WHEN abs(sum(l_quantity)) < 8.0e9 THEN floor((sum(l_quantity)) * 1e6 + 0.5) / 1e6 ELSE (sum(l_quantity)) END AS sum_qty, count(*) AS n
               FROM lineitem
               GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
@@ -1890,9 +1898,8 @@ object SparkEntry {
       (s, d) => graft.ml.Baselines.naiveMeanMetrics(Tables.lineitem(s, d),
         col("l_extendedprice")),
       Some("""WITH m AS (SELECT avg(l_extendedprice) AS mean FROM lineitem)
-              SELECT round(avg(abs(l_extendedprice - m.mean)), 6) AS mae,
-                round(sqrt(avg((l_extendedprice - m.mean)
-                  * (l_extendedprice - m.mean))), 6) AS rmse
+              SELECT CASE WHEN abs(avg(abs(l_extendedprice - m.mean))) < 8.0e9 THEN floor((avg(abs(l_extendedprice - m.mean))) * 1e6 + 0.5) / 1e6 ELSE (avg(abs(l_extendedprice - m.mean))) END AS mae,
+                CASE WHEN abs(sqrt(avg((l_extendedprice - m.mean) * (l_extendedprice - m.mean)))) < 8.0e9 THEN floor((sqrt(avg((l_extendedprice - m.mean) * (l_extendedprice - m.mean)))) * 1e6 + 0.5) / 1e6 ELSE (sqrt(avg((l_extendedprice - m.mean) * (l_extendedprice - m.mean)))) END AS rmse
               FROM lineitem, m""")),
 
     Q("stream_dedup_state",
@@ -2043,12 +2050,12 @@ object SparkEntry {
         Rollups.refreshMerge(stale, e, col("ts"), "1 hour",
             Seq(col("event_type")), col("vc"), winStart, winEnd)
           .select(col("bucket"), col("event_type"),
-            round(col("avg_v") / 100, 6).as("avg_v"),
+            r6(col("avg_v") / 100).as("avg_v"),
             (col("min_v") / 100).as("min_v"),
             (col("max_v") / 100).as("max_v"), col("n"))
       },
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-                event_type, round(avg(vc) / 100, 6) AS avg_v,
+                event_type, CASE WHEN abs(avg(vc) / 100) < 8.0e9 THEN floor((avg(vc) / 100) * 1e6 + 0.5) / 1e6 ELSE (avg(vc) / 100) END AS avg_v,
                 min(vc) / 100 AS min_v, max(vc) / 100 AS max_v,
                 count(vc) AS n
               FROM (SELECT ts, event_type,
@@ -2402,8 +2409,8 @@ object SparkEntry {
           .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 2)
         val tokStats = toksed.select(col("doc_id"),
-          round(size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")), 6).as("distinct_tok_ratio"))
+          r6(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("distinct_tok_ratio"))
         val bgAgg = toksed
           .select(col("doc_id"),
             // explode_outer: ≥2-token docs always yield ≥1 bigram, and a
@@ -2414,7 +2421,7 @@ object SparkEntry {
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("doc_id"))
-          .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+          .agg(r6(max(col("cnt")).cast("double") / sum(col("cnt")))
             .as("top_bigram_ratio"))
         tokStats.join(bgAgg, Seq("doc_id"))
       },
@@ -2426,11 +2433,8 @@ object SparkEntry {
                         i -> toks[i] || ' ' || toks[i+1]) AS bg
                     FROM base WHERE len(toks) >= 2)
               SELECT doc_id,
-                round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                  / len(toks), 6) AS distinct_tok_ratio,
-                round(CAST(list_max(list_transform(list_distinct(bg),
-                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-                  / len(bg), 6) AS top_bigram_ratio
+                CASE WHEN abs(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) < 8.0e9 THEN floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 1e6 + 0.5) / 1e6 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) END AS distinct_tok_ratio,
+                CASE WHEN abs(CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)) < 8.0e9 THEN floor((CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)) * 1e6 + 0.5) / 1e6 ELSE (CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)) END AS top_bigram_ratio
               FROM b""")),
 
     // corpus-wide vocabulary heavy hitters: token frequency top-20 with
@@ -2560,8 +2564,7 @@ object SparkEntry {
               per_doc AS (SELECT ex.id AS id, count(*) AS n_shared
                           FROM ex JOIN shared USING (s) GROUP BY 1)
               SELECT b.id AS id, CAST(len(b.sh) AS INTEGER) AS n_spans,
-                round(CAST(coalesce(p.n_shared, 0) AS DOUBLE)
-                  / len(b.sh), 6) AS dup_frac
+                CASE WHEN abs(CAST(coalesce(p.n_shared, 0) AS DOUBLE) / len(b.sh)) < 8.0e9 THEN floor((CAST(coalesce(p.n_shared, 0) AS DOUBLE) / len(b.sh)) * 1e6 + 0.5) / 1e6 ELSE (CAST(coalesce(p.n_shared, 0) AS DOUBLE) / len(b.sh)) END AS dup_frac
               FROM base b LEFT JOIN per_doc p ON b.id = p.id""")),
 
     // watermarked stream-stream interval join (state bounded by
@@ -2572,7 +2575,7 @@ object SparkEntry {
       Some("""WITH e AS (SELECT event_id, user_id, event_type,
                        CAST(ts AS TIMESTAMP) AS ts, value FROM events)
               SELECT c.event_id AS click_id, v.event_id AS view_id,
-                round(v.value, 6) AS view_value
+                CASE WHEN abs(v.value) < 8.0e9 THEN floor((v.value) * 1e6 + 0.5) / 1e6 ELSE (v.value) END AS view_value
               FROM e c JOIN e v ON c.user_id = v.user_id
                 AND c.event_type = 'click' AND v.event_type = 'view'
                 AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts""")),
@@ -2641,10 +2644,10 @@ object SparkEntry {
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 6).as("total"))
+            r6(sum(col("o_totalprice"))).as("total"))
       },
       Some("""SELECT c_nationkey, count(*) AS n,
-                round(sum(o_totalprice), 6) AS total
+                CASE WHEN abs(sum(o_totalprice)) < 8.0e9 THEN floor((sum(o_totalprice)) * 1e6 + 0.5) / 1e6 ELSE (sum(o_totalprice)) END AS total
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1""")),
 
@@ -2758,12 +2761,12 @@ object SparkEntry {
       (s, d) => ev(s, d).groupBy(col("event_type"))
         .agg(percentile(col("value"), lit(0.5)).as("ex"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"))
-        .select(col("event_type"), round(col("ex"), 6).as("p50_exact"),
+        .select(col("event_type"), r6(col("ex")).as("p50_exact"),
           (abs(col("ap") - col("ex")) <=
             greatest(abs(col("ex")) * 0.02, lit(0.5)))
             .cast("int").as("approx_ok")),
       Some("""SELECT event_type,
-                round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                CASE WHEN abs(quantile_cont(value, 0.5)) < 8.0e9 THEN floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(value, 0.5)) END AS p50_exact,
                 CAST(1 AS INTEGER) AS approx_ok
               FROM events GROUP BY 1""")),
 
@@ -2845,9 +2848,9 @@ object SparkEntry {
         // (currently non-null) table
         .filter(col("v").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
-          round(col("v"), 6).as("val")),
+          r6(col("v")).as("val")),
       Some("""SELECT l_orderkey, l_linenumber, measure,
-                round(val, 6) AS val
+                CASE WHEN abs(val) < 8.0e9 THEN floor((val) * 1e6 + 0.5) / 1e6 ELSE (val) END AS val
               FROM (SELECT l_orderkey, l_linenumber, l_quantity,
                       l_extendedprice, l_discount
                     FROM lineitem WHERE l_orderkey < 100)
@@ -2919,10 +2922,10 @@ object SparkEntry {
         s.table("graft_bucketed_orders")
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 6).as("total"))
+            r6(sum(col("o_totalprice"))).as("total"))
       },
       Some("""SELECT o_custkey, count(*) AS n_orders,
-                round(sum(o_totalprice), 6) AS total
+                CASE WHEN abs(sum(o_totalprice)) < 8.0e9 THEN floor((sum(o_totalprice)) * 1e6 + 0.5) / 1e6 ELSE (sum(o_totalprice)) END AS total
               FROM orders GROUP BY 1""")),
 
     // stride-windowed token chunking (the RAG / pretraining chunker):
@@ -3087,7 +3090,7 @@ object SparkEntry {
                          - epoch_us(ts) AS w
                      FROM events)
               SELECT event_type, day,
-                round(sum(value * w) / sum(w), 6) AS twa,
+                CASE WHEN abs(sum(value * w) / sum(w)) < 8.0e9 THEN floor((sum(value * w) / sum(w)) * 1e6 + 0.5) / 1e6 ELSE (sum(value * w) / sum(w)) END AS twa,
                 count(*) AS n_points
               FROM p GROUP BY 1, 2""")),
 
@@ -3103,8 +3106,7 @@ object SparkEntry {
                      FROM events)
               SELECT user_id, count(*) AS n_points,
                 count(*) FILTER (WHERE d < 0) AS n_resets,
-                round(sum(CASE WHEN d IS NULL THEN 0
-                               WHEN d < 0 THEN value ELSE d END), 6)
+                CASE WHEN abs(sum(CASE WHEN d IS NULL THEN 0 WHEN d < 0 THEN value ELSE d END)) < 8.0e9 THEN floor((sum(CASE WHEN d IS NULL THEN 0 WHEN d < 0 THEN value ELSE d END)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN d IS NULL THEN 0 WHEN d < 0 THEN value ELSE d END)) END
                   AS total_increase
               FROM d GROUP BY 1""")),
 
@@ -3143,11 +3145,7 @@ object SparkEntry {
                          ORDER BY ts, event_id) AS nxt
                      FROM events)
               SELECT event_type AS series, day, count(*) AS n_beats,
-                round(sum(CASE WHEN nxt IS NULL
-                    THEN least(600.0,
-                      (epoch_us(day + INTERVAL 1 DAY) - epoch_us(ts)) / 1e6)
-                    ELSE least(600.0, (epoch_us(nxt) - epoch_us(ts)) / 1e6)
-                    END) / 86400.0, 6) AS uptime_frac
+                CASE WHEN abs(sum(CASE WHEN nxt IS NULL THEN least(600.0, (epoch_us(day + INTERVAL 1 DAY) - epoch_us(ts)) / 1e6) ELSE least(600.0, (epoch_us(nxt) - epoch_us(ts)) / 1e6) END) / 86400.0) < 8.0e9 THEN floor((sum(CASE WHEN nxt IS NULL THEN least(600.0, (epoch_us(day + INTERVAL 1 DAY) - epoch_us(ts)) / 1e6) ELSE least(600.0, (epoch_us(nxt) - epoch_us(ts)) / 1e6) END) / 86400.0) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN nxt IS NULL THEN least(600.0, (epoch_us(day + INTERVAL 1 DAY) - epoch_us(ts)) / 1e6) ELSE least(600.0, (epoch_us(nxt) - epoch_us(ts)) / 1e6) END) / 86400.0) END AS uptime_frac
               FROM p GROUP BY 1, 2""")),
 
     // CUBE completes the rollup/grouping-sets family: all four
@@ -3176,12 +3174,12 @@ object SparkEntry {
           .orderBy(col("o_totalprice"))
         Tables.orders(s, d).select(col("o_orderkey"),
           col("o_orderpriority"), col("o_totalprice"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
-                round(percent_rank() OVER w, 6) AS pr,
-                round(cume_dist() OVER w, 6) AS cd
+                CASE WHEN abs(percent_rank() OVER w) < 8.0e9 THEN floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 ELSE (percent_rank() OVER w) END AS pr,
+                CASE WHEN abs(cume_dist() OVER w) < 8.0e9 THEN floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 ELSE (cume_dist() OVER w) END AS cd
               FROM orders
               WINDOW w AS (PARTITION BY o_orderpriority
                 ORDER BY o_totalprice)""")),
@@ -3268,7 +3266,7 @@ object SparkEntry {
                       (e.value - s.sv / s.n)
                         / sqrt(s.sq / s.n - (s.sv / s.n) * (s.sv / s.n)) AS z
                     FROM events e JOIN s USING (event_type))
-              SELECT event_id, event_type, value, round(z, 6) AS z,
+              SELECT event_id, event_type, value, CASE WHEN abs(z) < 8.0e9 THEN floor((z) * 1e6 + 0.5) / 1e6 ELSE (z) END AS z,
                 CAST(abs(z) > 2.5 AS INTEGER) AS is_anomaly
               FROM z""")),
 
@@ -3287,8 +3285,7 @@ object SparkEntry {
               tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
               v AS (SELECT t, c FROM f WHERE c >= 500)
               SELECT doc_id,
-                round(avg(log10(coalesce(v.c, 1)
-                  / (SELECT n FROM tot))), 6) AS avg_logprob,
+                CASE WHEN abs(avg(log10(coalesce(v.c, 1) / (SELECT n FROM tot)))) < 8.0e9 THEN floor((avg(log10(coalesce(v.c, 1) / (SELECT n FROM tot)))) * 1e6 + 0.5) / 1e6 ELSE (avg(log10(coalesce(v.c, 1) / (SELECT n FROM tot)))) END AS avg_logprob,
                 count(*) AS n_tokens,
                 count(*) FILTER (WHERE v.c IS NULL) AS n_oov
               FROM tok LEFT JOIN v USING (t) GROUP BY doc_id""")),
@@ -3336,7 +3333,7 @@ object SparkEntry {
       (s, d) => HourlyRollup.runSlidingToCompletion(s, d,
           measure = floor(col("value") * 100 + lit(0.5)))
         .select(col("bucket"), col("event_type"),
-          round(col("sum_v") / 100, 6).as("sum_v"), col("n")),
+          r6(col("sum_v") / 100).as("sum_v"), col("n")),
       Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
                        floor(value * 100 + 0.5) AS vc FROM events),
               w AS (SELECT event_type, vc,
@@ -3344,7 +3341,7 @@ object SparkEntry {
                         date_trunc('hour', ts) - INTERVAL 5 HOUR,
                         date_trunc('hour', ts), INTERVAL 1 HOUR)) AS bucket
                     FROM e)
-              SELECT bucket, event_type, round(sum(vc) / 100, 6) AS sum_v,
+              SELECT bucket, event_type, CASE WHEN abs(sum(vc) / 100) < 8.0e9 THEN floor((sum(vc) / 100) * 1e6 + 0.5) / 1e6 ELSE (sum(vc) / 100) END AS sum_v,
                 count(*) AS n
               FROM w GROUP BY 1, 2""")),
 
@@ -3511,7 +3508,7 @@ object SparkEntry {
                       s.lo, s.hi
                     FROM events e JOIN s USING (event_type))
               SELECT event_type, bin,
-                round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+                CASE WHEN abs(lo + bin * ((hi - lo) / 20)) < 8.0e9 THEN floor((lo + bin * ((hi - lo) / 20)) * 1e6 + 0.5) / 1e6 ELSE (lo + bin * ((hi - lo) / 20)) END AS bin_lo,
                 count(*) AS n
               FROM b GROUP BY 1, 2, 3""")),
   )
@@ -3603,13 +3600,7 @@ object SparkEntry {
                        sum(CAST(tf1 > 0 AS DOUBLE)) AS df1,
                        sum(CAST(tf2 > 0 AS DOUBLE)) AS df2
                      FROM base),
-              sc AS (SELECT doc_id, round(
-                  ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
-                    / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
-                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
-                    / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
-                + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
-                    / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 6) AS bm25
+              sc AS (SELECT doc_id, CASE WHEN abs(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) < 8.0e9 THEN floor((ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) * 1e6 + 0.5) / 1e6 ELSE (ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) END AS bm25
                 FROM base, st)
               SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
               ORDER BY bm25 DESC, doc_id LIMIT 50""")),
@@ -3626,9 +3617,9 @@ object SparkEntry {
                       AS INTEGER) AS digit, count(*) AS n
                     FROM pos GROUP BY 1),
               t AS (SELECT count(*) AS tot FROM pos)
-              SELECT digit, n, round(n / tot, 6) AS observed_freq,
-                     round(log10(1.0 + 1.0 / digit), 6) AS expected_freq,
-                     round(abs(n / tot - log10(1.0 + 1.0 / digit)), 6)
+              SELECT digit, n, CASE WHEN abs(n / tot) < 8.0e9 THEN floor((n / tot) * 1e6 + 0.5) / 1e6 ELSE (n / tot) END AS observed_freq,
+                     CASE WHEN abs(log10(1.0 + 1.0 / digit)) < 8.0e9 THEN floor((log10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6 ELSE (log10(1.0 + 1.0 / digit)) END AS expected_freq,
+                     CASE WHEN abs(abs(n / tot - log10(1.0 + 1.0 / digit))) < 8.0e9 THEN floor((abs(n / tot - log10(1.0 + 1.0 / digit))) * 1e6 + 0.5) / 1e6 ELSE (abs(n / tot - log10(1.0 + 1.0 / digit))) END
                        AS abs_dev
               FROM c, t""")),
 
@@ -3663,14 +3654,14 @@ object SparkEntry {
           .agg(expr("percentile(value, 0.5D)").as("__m"))
         ev(s, d).join(broadcast(med), col("event_type") === col("__t"))
           .groupBy(col("event_type"))
-          .agg(round(min(col("__m")), 6).as("median"),
-            round(expr("percentile(abs(value - __m), 0.5D)"), 6).as("mad"))
+          .agg(r6(min(col("__m"))).as("median"),
+            r6(expr("percentile(abs(value - __m), 0.5D)")).as("mad"))
       },
       Some("""WITH m AS (SELECT event_type,
                       quantile_cont(value, 0.5) AS med
                     FROM events GROUP BY 1)
-              SELECT e.event_type, round(min(med), 6) AS median,
-                round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+              SELECT e.event_type, CASE WHEN abs(min(med)) < 8.0e9 THEN floor((min(med)) * 1e6 + 0.5) / 1e6 ELSE (min(med)) END AS median,
+                CASE WHEN abs(quantile_cont(abs(value - med), 0.5)) < 8.0e9 THEN floor((quantile_cont(abs(value - med), 0.5)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(abs(value - med), 0.5)) END AS mad
               FROM events e JOIN m USING (event_type)
               GROUP BY e.event_type""")),
 
@@ -3714,7 +3705,7 @@ object SparkEntry {
         val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
         c.select(col("event_id"),
           when(den > 0,
-            round((n * sxy - sx * sy) / sqrt(den), 6)).as("roll_corr"))
+            r6((n * sxy - sx * sy) / sqrt(den))).as("roll_corr"))
       },
       Some("""WITH b AS (SELECT event_id, event_type,
                       round(value * 100, 0) AS x,
@@ -3735,8 +3726,7 @@ object SparkEntry {
                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
               SELECT event_id,
                 CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-                  THEN round((n * sxy - sx * sy) /
-                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                  THEN CASE WHEN abs((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) < 8.0e9 THEN floor(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6 + 0.5) / 1e6 ELSE ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) END
                 END AS roll_corr
               FROM w""")),
 
@@ -3758,8 +3748,8 @@ object SparkEntry {
           .agg(count(lit(1)).cast("int").as("n_users"),
             sum(when(col("t3").isNotNull, 1).otherwise(0)).cast("int")
               .as("n_converted"),
-            round(sum(when(col("t3").isNotNull, 1).otherwise(0)) /
-              count(lit(1)), 6).as("conversion_rate"))
+            r6(sum(when(col("t3").isNotNull, 1).otherwise(0)) /
+              count(lit(1))).as("conversion_rate"))
       },
       Some("""WITH ev0 AS (SELECT user_id, event_type,
                        CAST(events.ts AS TIMESTAMP) AS ts,
@@ -3779,8 +3769,7 @@ object SparkEntry {
                 CAST(count(*) AS INTEGER) AS n_users,
                 CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
                   AS INTEGER) AS n_converted,
-                round(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
-                  / count(*), 6) AS conversion_rate
+                CASE WHEN abs(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) / count(*)) < 8.0e9 THEN floor((sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) / count(*)) END AS conversion_rate
               FROM f LEFT JOIN p USING (user_id)
               GROUP BY cohort_week""")),
 
@@ -3902,7 +3891,7 @@ object SparkEntry {
             col("l_shipdate") >= col("valid_from") &&
             col("l_shipdate") < col("valid_to"))
           .select(col("l_orderkey"), col("l_linenumber"),
-            round(col("rate"), 6).as("rate"))
+            r6(col("rate")).as("rate"))
       },
       Some("""WITH dim AS (SELECT s_suppkey, s_acctbal * f AS rate,
                       CAST(vf AS TIMESTAMP) AS valid_from,
@@ -3912,7 +3901,7 @@ object SparkEntry {
                       ('1997-01-01 00:00:00', '1999-07-01 00:00:00', 1.1),
                       ('1999-07-01 00:00:00', '9999-01-01 00:00:00', 1.2))
                       AS v(vf, vt, f))
-              SELECT l_orderkey, l_linenumber, round(rate, 6) AS rate
+              SELECT l_orderkey, l_linenumber, CASE WHEN abs(rate) < 8.0e9 THEN floor((rate) * 1e6 + 0.5) / 1e6 ELSE (rate) END AS rate
               FROM lineitem JOIN dim ON l_suppkey = s_suppkey
                 AND l_shipdate >= valid_from AND l_shipdate < valid_to""")),
 
@@ -3935,7 +3924,7 @@ object SparkEntry {
               bcw AS (SELECT bg, c2, c1 FROM bc
                     JOIN uc ON string_split(bg, ' ')[1] = w1)
               SELECT doc_id,
-                round(avg(log10(CAST(c2 AS DOUBLE) / c1)), 6)
+                CASE WHEN abs(avg(log10(CAST(c2 AS DOUBLE) / c1))) < 8.0e9 THEN floor((avg(log10(CAST(c2 AS DOUBLE) / c1))) * 1e6 + 0.5) / 1e6 ELSE (avg(log10(CAST(c2 AS DOUBLE) / c1))) END
                   AS avg_logprob,
                 CAST(count(*) AS BIGINT) AS n_bigrams,
                 CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3987,21 +3976,19 @@ object SparkEntry {
           .filter(col("__y").isNotNull)
         p.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round((count(lit(1)) * sum(col("__x") * col("__y")) -
+            r6((count(lit(1)) * sum(col("__x") * col("__y")) -
               sum(col("__x")) * sum(col("__y"))) /
               sqrt((count(lit(1)) * sum(col("__x") * col("__x")) -
                 sum(col("__x")) * sum(col("__x"))) *
                 (count(lit(1)) * sum(col("__y") * col("__y")) -
-                  sum(col("__y")) * sum(col("__y")))), 6).as("autocorr"))
+                  sum(col("__y")) * sum(col("__y"))))).as("autocorr"))
       },
       Some("""WITH p AS (SELECT event_type, value AS x,
                       lag(value) OVER (PARTITION BY event_type
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS y
                     FROM events)
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                round((count(*) * sum(x * y) - sum(x) * sum(y))
-                  / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
-                    * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+                CASE WHEN abs((count(*) * sum(x * y) - sum(x) * sum(y)) / sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) * (count(*) * sum(y * y) - sum(y) * sum(y)))) < 8.0e9 THEN floor(((count(*) * sum(x * y) - sum(x) * sum(y)) / sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) * (count(*) * sum(y * y) - sum(y) * sum(y)))) * 1e6 + 0.5) / 1e6 ELSE ((count(*) * sum(x * y) - sum(x) * sum(y)) / sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) * (count(*) * sum(y * y) - sum(y) * sum(y)))) END
                   AS autocorr
               FROM p WHERE y IS NOT NULL GROUP BY event_type""")),
 
@@ -4044,10 +4031,10 @@ object SparkEntry {
           // division yields NULL while DuckDB yields ±inf/nan, so the
           // degenerate case must be pinned to NULL explicitly on BOTH
           // sides (the win_rolling_corr / f_minmax_scale convention)
-          .agg(round(when(sum(col("value")) =!= 0,
+          .agg(r6(when(sum(col("value")) =!= 0,
             lit(2.0) * sum(col("__i") * col("value")) /
               (col("__n") * sum(col("value"))) -
-              (col("__n") + lit(1.0)) / col("__n")), 6).as("gini"))
+              (col("__n") + lit(1.0)) / col("__n"))).as("gini"))
           .select(col("event_type"), col("gini"), col("__n").as("n"))
       },
       Some("""WITH r AS (SELECT event_type, value,
@@ -4056,9 +4043,7 @@ object SparkEntry {
                       count(*) OVER (PARTITION BY event_type) AS n
                     FROM events)
               SELECT event_type,
-                round(CASE WHEN sum(value) <> 0 THEN
-                    2.0 * sum(i * value) / (n * sum(value))
-                      - (n + 1.0) / n END, 6) AS gini,
+                CASE WHEN abs(CASE WHEN sum(value) <> 0 THEN 2.0 * sum(i * value) / (n * sum(value)) - (n + 1.0) / n END) < 8.0e9 THEN floor((CASE WHEN sum(value) <> 0 THEN 2.0 * sum(i * value) / (n * sum(value)) - (n + 1.0) / n END) * 1e6 + 0.5) / 1e6 ELSE (CASE WHEN sum(value) <> 0 THEN 2.0 * sum(i * value) / (n * sum(value)) - (n + 1.0) / n END) END AS gini,
                 CAST(n AS BIGINT) AS n
               FROM r GROUP BY event_type, n""")),
 
@@ -4089,18 +4074,20 @@ object SparkEntry {
             expr("percentile(value, 0.95D)").as("__hi"))
         ev(s, d).join(broadcast(stats), col("event_type") === col("__t"))
           .select(col("event_id"), col("event_type"), col("value"),
-            // portable floor-form round: the clipped value lands on a
-            // round(·,6) boundary double under fuzzed quantile edges
-            (floor(least(greatest(col("value"), col("__lo")), col("__hi"))
-              * lit(1e6) + lit(0.5)) / lit(1e6)).as("winsorized"))
+            // portable guarded floor-form round (r6): the clipped value
+            // lands on a round(·,6) boundary double under fuzzed edges
+            r6(least(greatest(col("value"), col("__lo")), col("__hi")))
+              .as("winsorized"))
       },
       Some("""WITH s AS (SELECT event_type,
                      quantile_cont(value, 0.05) AS lo,
                      quantile_cont(value, 0.95) AS hi
                    FROM events GROUP BY 1)
               SELECT event_id, e.event_type, value,
-                floor(least(greatest(value, lo), hi) * 1e6 + 0.5) / 1e6
-                  AS winsorized
+                CASE WHEN abs(least(greatest(value, lo), hi)) < 8.0e9
+                  THEN floor((least(greatest(value, lo), hi)) * 1e6 + 0.5)
+                    / 1e6
+                  ELSE (least(greatest(value, lo), hi)) END AS winsorized
               FROM events e JOIN s USING (event_type)""")),
 
     // first-order Markov transition counts of each user's event stream —
@@ -4134,8 +4121,8 @@ object SparkEntry {
           unix_micros(col("t1").cast("timestamp"))) / lit(1e6)
         t.filter(col("t3").isNotNull)
           .agg(count(lit(1)).cast("int").as("n_converted"),
-            round(avg(secs), 6).as("avg_seconds"),
-            round(max(secs), 6).as("max_seconds"))
+            r6(avg(secs)).as("avg_seconds"),
+            r6(max(secs)).as("max_seconds"))
       },
       Some("""WITH ev0 AS (SELECT user_id, event_type,
                        CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -4149,9 +4136,9 @@ object SparkEntry {
                     WHERE e.event_type = 'purchase' AND e.ts > c.t2
                     GROUP BY 1)
               SELECT CAST(count(*) AS INTEGER) AS n_converted,
-                round(avg((epoch_us(t3) - epoch_us(t1)) / 1e6), 6)
+                CASE WHEN abs(avg((epoch_us(t3) - epoch_us(t1)) / 1e6)) < 8.0e9 THEN floor((avg((epoch_us(t3) - epoch_us(t1)) / 1e6)) * 1e6 + 0.5) / 1e6 ELSE (avg((epoch_us(t3) - epoch_us(t1)) / 1e6)) END
                   AS avg_seconds,
-                round(max((epoch_us(t3) - epoch_us(t1)) / 1e6), 6)
+                CASE WHEN abs(max((epoch_us(t3) - epoch_us(t1)) / 1e6)) < 8.0e9 THEN floor((max((epoch_us(t3) - epoch_us(t1)) / 1e6)) * 1e6 + 0.5) / 1e6 ELSE (max((epoch_us(t3) - epoch_us(t1)) / 1e6)) END
                   AS max_seconds
               FROM v JOIN c USING (user_id) JOIN p USING (user_id)""")),
 
@@ -4163,14 +4150,14 @@ object SparkEntry {
         val c = ev(s, d).groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         c.groupBy(col("user_id"))
-          .agg(round(log(sum(col("n"))) -
-            sum(col("n") * log(col("n"))) / sum(col("n")), 6).as("entropy"),
+          .agg(r6(log(sum(col("n"))) -
+            sum(col("n") * log(col("n"))) / sum(col("n"))).as("entropy"),
             sum(col("n")).as("n_events"))
       },
       Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
                      FROM events GROUP BY 1, 2)
               SELECT user_id,
-                round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+                CASE WHEN abs(ln(sum(n)) - sum(n * ln(n)) / sum(n)) < 8.0e9 THEN floor((ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 1e6 + 0.5) / 1e6 ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) END AS entropy,
                 CAST(sum(n) AS BIGINT) AS n_events
               FROM c GROUP BY user_id""")),
 
@@ -4210,14 +4197,14 @@ object SparkEntry {
         ev(s, d).join(broadcast(stats), col("event_type") === col("__t"))
           .select(col("event_id"), col("event_type"), col("value"),
             when(col("__hi") > col("__lo"),
-              round((col("value") - col("__lo")) /
-                (col("__hi") - col("__lo")), 6)).as("scaled"))
+              r6((col("value") - col("__lo")) /
+                (col("__hi") - col("__lo")))).as("scaled"))
       },
       Some("""WITH s AS (SELECT event_type, min(value) AS lo,
                      max(value) AS hi FROM events GROUP BY 1)
               SELECT event_id, e.event_type, value,
                 CASE WHEN hi > lo
-                  THEN round((value - lo) / (hi - lo), 6) END AS scaled
+                  THEN CASE WHEN abs((value - lo) / (hi - lo)) < 8.0e9 THEN floor(((value - lo) / (hi - lo)) * 1e6 + 0.5) / 1e6 ELSE ((value - lo) / (hi - lo)) END END AS scaled
               FROM events e JOIN s USING (event_type)""")),
 
     // deterministic k-means (2 Lloyd rounds, k=8) over integer-quantized
@@ -4259,7 +4246,7 @@ object SparkEntry {
               a2 AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid,
                        dist, row_number() OVER (PARTITION BY vec_id
                          ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
-              SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+              SELECT vec_id, cid AS cluster, CASE WHEN abs(dist) < 8.0e9 THEN floor((dist) * 1e6 + 0.5) / 1e6 ELSE (dist) END AS dist
               FROM a2""")),
 
     // trailing 25-row EXACT median per user (robust rolling level of a
@@ -4294,20 +4281,25 @@ object SparkEntry {
         ev(s, d).select(col("event_id"),
           lag(col("value"), 1).over(w).as("__p"), col("value"))
           .select(col("event_id"),
-            // portable floor-form round — the ratio lands on a
-            // round(·,6) boundary double under fuzzed inputs (r15)
-            (floor(when(col("__p") =!= 0,
-              (col("value") - col("__p")) / col("__p")) * lit(1e6)
-              + lit(0.5)) / lit(1e6)).as("pct_change"))
+            // portable guarded floor-form round — the ratio lands on a
+            // round(·,6) boundary double under fuzzed inputs (r15), and
+            // extreme ratios (tiny __p vs large value) would saturate
+            // Spark's Long floor without r6's magnitude cap (ADVICE r15)
+            r6(when(col("__p") =!= 0,
+              (col("value") - col("__p")) / col("__p"))).as("pct_change"))
       },
       Some("""WITH t AS (SELECT event_id, value,
                       lag(value) OVER (PARTITION BY user_id
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p
-                    FROM events)
+                    FROM events),
+                   r AS (SELECT event_id,
+                      CASE WHEN p <> 0 THEN (value - p) / p END AS x
+                    FROM t)
               SELECT event_id,
-                floor((CASE WHEN p <> 0 THEN (value - p) / p END)
-                  * 1e6 + 0.5) / 1e6 AS pct_change
-              FROM t""")),
+                CASE WHEN abs(x) < 8.0e9
+                  THEN floor((x) * 1e6 + 0.5) / 1e6 ELSE (x) END
+                  AS pct_change
+              FROM r""")),
 
     // time-in-state accounting (TimescaleDB state_agg): dwell time =
     // hold each event's type until the user's next event; exact integer
@@ -4321,7 +4313,7 @@ object SparkEntry {
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
                     FROM events)
               SELECT user_id, state,
-                round(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6, 6)
+                CASE WHEN abs(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) END
                   AS dur_secs
               FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2""")),
 
@@ -4337,7 +4329,7 @@ object SparkEntry {
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
                     FROM events)
               SELECT event_type, ts2 AS gap_start, nxt AS gap_end,
-                round(CAST(epoch_us(nxt - ts2) AS DOUBLE) / 1e6, 6)
+                CASE WHEN abs(CAST(epoch_us(nxt - ts2) AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(epoch_us(nxt - ts2) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(epoch_us(nxt - ts2) AS DOUBLE) / 1e6) END
                   AS gap_secs
               FROM t WHERE nxt IS NOT NULL
                 AND epoch_us(nxt - ts2) > CAST(900 AS BIGINT) * 1000000""")),
@@ -4366,9 +4358,7 @@ object SparkEntry {
                     FROM src)
               SELECT event_id,
                 CASE WHEN len(l) = 0 THEN NULL ELSE
-                  round(list_reduce(list_transform(generate_series(1, len(l)),
-                      i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b)
-                    * 0.5 / (1 - power(0.5, len(l))), 6) END AS ewma
+                  CASE WHEN abs(list_reduce(list_transform(generate_series(1, len(l)), i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b) * 0.5 / (1 - power(0.5, len(l)))) < 8.0e9 THEN floor((list_reduce(list_transform(generate_series(1, len(l)), i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b) * 0.5 / (1 - power(0.5, len(l)))) * 1e6 + 0.5) / 1e6 ELSE (list_reduce(list_transform(generate_series(1, len(l)), i -> l[i] * power(0.5, len(l) - i)), (a, b) -> a + b) * 0.5 / (1 - power(0.5, len(l)))) END END AS ewma
               FROM t""")),
 
     // day-over-day churn over the distinct (user, day) grid; the last
@@ -4401,7 +4391,7 @@ object SparkEntry {
               mau AS (SELECT CAST(date_trunc('month', day) AS DATE) AS m,
                        count(DISTINCT user_id) AS mau FROM d GROUP BY 1)
               SELECT day, dau, mau,
-                round(dau * 1.0 / mau, 6) AS stickiness
+                CASE WHEN abs(dau * 1.0 / mau) < 8.0e9 THEN floor((dau * 1.0 / mau) * 1e6 + 0.5) / 1e6 ELSE (dau * 1.0 / mau) END AS stickiness
               FROM dau JOIN mau
                 ON CAST(date_trunc('month', day) AS DATE) = mau.m""")),
 
@@ -4425,9 +4415,9 @@ object SparkEntry {
                       epoch_us(max(ts2) - min(ts2)) AS dur_us
                     FROM s0 GROUP BY 1, 2)
               SELECT user_id, count(*) AS n_sessions,
-                round(CAST(sum(dur_us) AS DOUBLE) / 1e6 / count(*), 6)
+                CASE WHEN abs(CAST(sum(dur_us) AS DOUBLE) / 1e6 / count(*)) < 8.0e9 THEN floor((CAST(sum(dur_us) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(dur_us) AS DOUBLE) / 1e6 / count(*)) END
                   AS avg_dur_secs,
-                round(sum(n_ev) * 1.0 / count(*), 6) AS avg_events
+                CASE WHEN abs(sum(n_ev) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(n_ev) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(n_ev) * 1.0 / count(*)) END AS avg_events
               FROM s GROUP BY 1""")),
 
     // leakage-safe group split: every doc of a source lands in the same
@@ -4458,7 +4448,7 @@ object SparkEntry {
               df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
               n AS (SELECT count(*) AS n FROM documents),
               sc AS (SELECT tf.doc_id, tf.token,
-                      round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score
+                      CASE WHEN abs(tf.tf * ln(n.n * 1.0 / df.df)) < 8.0e9 THEN floor((tf.tf * ln(n.n * 1.0 / df.df)) * 1e6 + 0.5) / 1e6 ELSE (tf.tf * ln(n.n * 1.0 / df.df)) END AS score
                     FROM tf JOIN df USING (token) CROSS JOIN n),
               r AS (SELECT doc_id, token, score,
                       row_number() OVER (PARTITION BY doc_id
@@ -4509,9 +4499,7 @@ object SparkEntry {
                           ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS dt_us
                     FROM events)
               SELECT event_id,
-                round(CASE WHEN dt_us > 0 THEN
-                    (CASE WHEN value >= pv THEN value - pv ELSE value END)
-                      / (CAST(dt_us AS DOUBLE) / 1e6) END, 6) AS rate
+                CASE WHEN abs(CASE WHEN dt_us > 0 THEN (CASE WHEN value >= pv THEN value - pv ELSE value END) / (CAST(dt_us AS DOUBLE) / 1e6) END) < 8.0e9 THEN floor((CASE WHEN dt_us > 0 THEN (CASE WHEN value >= pv THEN value - pv ELSE value END) / (CAST(dt_us AS DOUBLE) / 1e6) END) * 1e6 + 0.5) / 1e6 ELSE (CASE WHEN dt_us > 0 THEN (CASE WHEN value >= pv THEN value - pv ELSE value END) / (CAST(dt_us AS DOUBLE) / 1e6) END) END AS rate
               FROM t WHERE pv IS NOT NULL""")),
 
     // downtime attributed per calendar day: dq_gap_detect's gaps split
@@ -4535,8 +4523,7 @@ object SparkEntry {
                         INTERVAL 1 DAY)) AS day
                     FROM g)
               SELECT event_type, CAST(day AS DATE) AS day,
-                round(CAST(sum(epoch_us(least(ge, day + INTERVAL 1 DAY) -
-                  greatest(gs, day))) AS DOUBLE) / 1e6, 6) AS down_secs
+                CASE WHEN abs(CAST(sum(epoch_us(least(ge, day + INTERVAL 1 DAY) - greatest(gs, day))) AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(sum(epoch_us(least(ge, day + INTERVAL 1 DAY) - greatest(gs, day))) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(epoch_us(least(ge, day + INTERVAL 1 DAY) - greatest(gs, day))) AS DOUBLE) / 1e6) END AS down_secs
               FROM x GROUP BY 1, 2""")),
 
     // URL canonicalization dedup: scheme/www/query/trailing-slash
@@ -4589,7 +4576,7 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) AS cw,
                       sum(w) OVER (PARTITION BY event_type) AS tw
                     FROM t)
-              SELECT event_type, round(min(value), 6) AS weighted_median
+              SELECT event_type, CASE WHEN abs(min(value)) < 8.0e9 THEN floor((min(value)) * 1e6 + 0.5) / 1e6 ELSE (min(value)) END AS weighted_median
               FROM c WHERE 2 * cw >= tw GROUP BY 1""")),
 
     // exactly-once ingestion audit: natural-key groups delivered more
@@ -4653,8 +4640,8 @@ object SparkEntry {
                       value - lag(value) OVER (PARTITION BY event_type
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS d
                     FROM events)
-              SELECT event_type, day, round(max(d), 6) AS max_ramp_up,
-                round(min(d), 6) AS max_ramp_down
+              SELECT event_type, day, CASE WHEN abs(max(d)) < 8.0e9 THEN floor((max(d)) * 1e6 + 0.5) / 1e6 ELSE (max(d)) END AS max_ramp_up,
+                CASE WHEN abs(min(d)) < 8.0e9 THEN floor((min(d)) * 1e6 + 0.5) / 1e6 ELSE (min(d)) END AS max_ramp_down
               FROM t WHERE d IS NOT NULL GROUP BY 1, 2""")),
 
     // recency feature: seconds since the user's previous purchase at
@@ -4668,8 +4655,8 @@ object SparkEntry {
         val lastPurchaseUs = max(when(col("event_type") === "purchase",
           unix_micros(col("ts").cast("timestamp")))).over(w)
         ev(s, d).select(col("event_id"),
-          round((unix_micros(col("ts").cast("timestamp")) - lastPurchaseUs)
-            .cast("double") / 1e6, 6).as("secs_since_purchase"))
+          r6((unix_micros(col("ts").cast("timestamp")) - lastPurchaseUs)
+            .cast("double") / 1e6).as("secs_since_purchase"))
       },
       Some("""WITH t AS (SELECT event_id, ts,
                       max(CASE WHEN event_type = 'purchase'
@@ -4680,8 +4667,7 @@ object SparkEntry {
                         AS last_us
                     FROM events)
               SELECT event_id,
-                round(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us
-                  AS DOUBLE) / 1e6, 6) AS secs_since_purchase
+                CASE WHEN abs(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(epoch_us(CAST(ts AS TIMESTAMP)) - last_us AS DOUBLE) / 1e6) END AS secs_since_purchase
               FROM t""")),
 
     // join_asof through the CUSTOM physical operator (LogicalPlan +
@@ -4724,7 +4710,7 @@ object SparkEntry {
                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
                     FROM events)
               SELECT user_id, state,
-                round(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6, 6)
+                CASE WHEN abs(CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(epoch_us(nxt - ts2)) AS DOUBLE) / 1e6) END
                   AS dur_secs
               FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2""")),
 
@@ -4755,7 +4741,7 @@ object SparkEntry {
           .groupBy(col("variant"))
           .agg(count(lit(1)).as("n_users"),
             sum(col("__c")).cast("long").as("n_converted"),
-            round(sum(col("__c")).cast("double") / count(lit(1)), 6)
+            r6(sum(col("__c")).cast("double") / count(lit(1)))
               .as("conv_rate"))
       },
       Some("""WITH v AS (SELECT user_id,
@@ -4768,7 +4754,7 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2)
               SELECT variant, count(*) AS n_users,
                 CAST(sum(converted) AS BIGINT) AS n_converted,
-                round(sum(converted) * 1.0 / count(*), 6) AS conv_rate
+                CASE WHEN abs(sum(converted) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(converted) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(converted) * 1.0 / count(*)) END AS conv_rate
               FROM v GROUP BY 1""")),
 
     // classic star-schema rollup: fact ⋈ three broadcast dims (the fact
@@ -4784,9 +4770,9 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 6).as("revenue")),
+          r6(sum(col("o_totalprice"))).as("revenue")),
       Some("""SELECT r.r_name, n.n_name, count(*) AS n_orders,
-                round(sum(o.o_totalprice), 6) AS revenue
+                CASE WHEN abs(sum(o.o_totalprice)) < 8.0e9 THEN floor((sum(o.o_totalprice)) * 1e6 + 0.5) / 1e6 ELSE (sum(o.o_totalprice)) END AS revenue
               FROM orders o
               JOIN customer c ON o.o_custkey = c.c_custkey
               JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -4807,19 +4793,19 @@ object SparkEntry {
           .join(broadcast(Tables.region(s, d)),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"), col("r_name"))
-          .agg(round(sum(col("o_totalprice")), 6).as("revenue"))
+          .agg(r6(sum(col("o_totalprice"))).as("revenue"))
           .withColumn("region_share",
-            round(col("revenue") / sum(col("revenue")).over(w), 6))
+            r6(col("revenue") / sum(col("revenue")).over(w)))
       },
       Some("""WITH rev AS (SELECT n.n_name, r.r_name,
-                      round(sum(o.o_totalprice), 6) AS revenue
+                      CASE WHEN abs(sum(o.o_totalprice)) < 8.0e9 THEN floor((sum(o.o_totalprice)) * 1e6 + 0.5) / 1e6 ELSE (sum(o.o_totalprice)) END AS revenue
                     FROM orders o
                     JOIN customer c ON o.o_custkey = c.c_custkey
                     JOIN nation n ON c.c_nationkey = n.n_nationkey
                     JOIN region r ON n.n_regionkey = r.r_regionkey
                     GROUP BY 1, 2)
               SELECT n_name, r_name, revenue,
-                round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+                CASE WHEN abs(revenue / sum(revenue) OVER (PARTITION BY r_name)) < 8.0e9 THEN floor((revenue / sum(revenue) OVER (PARTITION BY r_name)) * 1e6 + 0.5) / 1e6 ELSE (revenue / sum(revenue) OVER (PARTITION BY r_name)) END
                   AS region_share
               FROM rev""")),
 
@@ -4898,8 +4884,7 @@ object SparkEntry {
               i AS (SELECT user_id, min(s) AS s, max(e) AS e
                     FROM g GROUP BY user_id, island)
               SELECT user_id,
-                round(CAST(sum(epoch_us(e) - epoch_us(s)) AS DOUBLE) / 1e6,
-                  6) AS covered_secs,
+                CASE WHEN abs(CAST(sum(epoch_us(e) - epoch_us(s)) AS DOUBLE) / 1e6) < 8.0e9 THEN floor((CAST(sum(epoch_us(e) - epoch_us(s)) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(epoch_us(e) - epoch_us(s)) AS DOUBLE) / 1e6) END AS covered_secs,
                 count(*) AS n_islands
               FROM i GROUP BY 1""")),
 
@@ -4931,11 +4916,11 @@ object SparkEntry {
                         THEN greatest((sxx - sx * sx / n) / (n - 1), 0)
                         ELSE 0 END) AS sd
                     FROM t)
-              SELECT event_id, round(mean / 100, 6) AS mid,
-                round((mean + 2 * sd) / 100, 6) AS upper,
-                round((mean - 2 * sd) / 100, 6) AS lower,
-                CASE WHEN round(vc / 100, 6) > round((mean + 2 * sd) / 100, 6)
-                    OR round(vc / 100, 6) < round((mean - 2 * sd) / 100, 6)
+              SELECT event_id, CASE WHEN abs(mean / 100) < 8.0e9 THEN floor((mean / 100) * 1e6 + 0.5) / 1e6 ELSE (mean / 100) END AS mid,
+                CASE WHEN abs((mean + 2 * sd) / 100) < 8.0e9 THEN floor(((mean + 2 * sd) / 100) * 1e6 + 0.5) / 1e6 ELSE ((mean + 2 * sd) / 100) END AS upper,
+                CASE WHEN abs((mean - 2 * sd) / 100) < 8.0e9 THEN floor(((mean - 2 * sd) / 100) * 1e6 + 0.5) / 1e6 ELSE ((mean - 2 * sd) / 100) END AS lower,
+                CASE WHEN CASE WHEN abs(vc / 100) < 8.0e9 THEN floor((vc / 100) * 1e6 + 0.5) / 1e6 ELSE (vc / 100) END > CASE WHEN abs((mean + 2 * sd) / 100) < 8.0e9 THEN floor(((mean + 2 * sd) / 100) * 1e6 + 0.5) / 1e6 ELSE ((mean + 2 * sd) / 100) END
+                    OR CASE WHEN abs(vc / 100) < 8.0e9 THEN floor((vc / 100) * 1e6 + 0.5) / 1e6 ELSE (vc / 100) END < CASE WHEN abs((mean - 2 * sd) / 100) < 8.0e9 THEN floor(((mean - 2 * sd) / 100) * 1e6 + 0.5) / 1e6 ELSE ((mean - 2 * sd) / 100) END
                   THEN 1 ELSE 0 END AS breakout
               FROM f""")),
 
@@ -4958,7 +4943,7 @@ object SparkEntry {
                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
               SELECT event_id,
                 CASE WHEN g + l = 0 THEN NULL
-                  ELSE round(100 * g / (g + l), 6) END AS rsi
+                  ELSE CASE WHEN abs(100 * g / (g + l)) < 8.0e9 THEN floor((100 * g / (g + l)) * 1e6 + 0.5) / 1e6 ELSE (100 * g / (g + l)) END END AS rsi
               FROM t""")),
 
     // forward as-of: next view at-or-after each click — the
@@ -5021,10 +5006,9 @@ object SparkEntry {
           .withColumn("__tot", sum(col("__n")).over(
             cw.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)))
-        def edge(q: Double) = round(
-          min(when(col("__cum") >= lit(q) * col("__tot"),
+        def edge(q: Double) = r6(min(when(col("__cum") >= lit(q) * col("__tot"),
             col("__lo") + col("__bin") * (col("__hi") - col("__lo"))
-              / lit(50.0))), 6)
+              / lit(50.0))))
         c.groupBy(col("event_type"), col("week"))
           .agg(edge(0.5).as("p50"), edge(0.9).as("p90"), edge(0.99).as("p99"))
       },
@@ -5047,12 +5031,9 @@ object SparkEntry {
                       sum(n) OVER (PARTITION BY event_type, week) AS tot
                     FROM h)
               SELECT event_type, week,
-                round(min(CASE WHEN cum >= 0.5 * tot
-                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p50,
-                round(min(CASE WHEN cum >= 0.9 * tot
-                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p90,
-                round(min(CASE WHEN cum >= 0.99 * tot
-                  THEN lo + bin * (hi - lo) / 50.0 END), 6) AS p99
+                CASE WHEN abs(min(CASE WHEN cum >= 0.5 * tot THEN lo + bin * (hi - lo) / 50.0 END)) < 8.0e9 THEN floor((min(CASE WHEN cum >= 0.5 * tot THEN lo + bin * (hi - lo) / 50.0 END)) * 1e6 + 0.5) / 1e6 ELSE (min(CASE WHEN cum >= 0.5 * tot THEN lo + bin * (hi - lo) / 50.0 END)) END AS p50,
+                CASE WHEN abs(min(CASE WHEN cum >= 0.9 * tot THEN lo + bin * (hi - lo) / 50.0 END)) < 8.0e9 THEN floor((min(CASE WHEN cum >= 0.9 * tot THEN lo + bin * (hi - lo) / 50.0 END)) * 1e6 + 0.5) / 1e6 ELSE (min(CASE WHEN cum >= 0.9 * tot THEN lo + bin * (hi - lo) / 50.0 END)) END AS p90,
+                CASE WHEN abs(min(CASE WHEN cum >= 0.99 * tot THEN lo + bin * (hi - lo) / 50.0 END)) < 8.0e9 THEN floor((min(CASE WHEN cum >= 0.99 * tot THEN lo + bin * (hi - lo) / 50.0 END)) * 1e6 + 0.5) / 1e6 ELSE (min(CASE WHEN cum >= 0.99 * tot THEN lo + bin * (hi - lo) / 50.0 END)) END AS p99
               FROM c GROUP BY 1, 2""")),
 
     // deterministic Poisson(1) bootstrap: per-row replication counts
@@ -5131,8 +5112,7 @@ object SparkEntry {
               n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
               SELECT a.token AS token_a, b.token AS token_b,
                 count(*) AS n_both,
-                round(ln(count(*) * min(n.n)
-                  / (min(a.n_docs) * min(b.n_docs))), 6) AS pmi
+                CASE WHEN abs(ln(count(*) * min(n.n) / (min(a.n_docs) * min(b.n_docs)))) < 8.0e9 THEN floor((ln(count(*) * min(n.n) / (min(a.n_docs) * min(b.n_docs)))) * 1e6 + 0.5) / 1e6 ELSE (ln(count(*) * min(n.n) / (min(a.n_docs) * min(b.n_docs)))) END AS pmi
               FROM hits a JOIN hits b
                 ON a.doc_id = b.doc_id AND a.token < b.token, n
               GROUP BY 1, 2 HAVING count(*) >= 2""")),
@@ -5174,12 +5154,11 @@ object SparkEntry {
         ev(s, d)
           .withColumn("__vc", round(col("value") * 100, 0))
           .withColumn("residual",
-            round((col("__vc") - avg(col("__vc")).over(w)) / 100, 6))
+            r6((col("__vc") - avg(col("__vc")).over(w)) / 100))
           .select(col("event_id"), col("residual"))
       },
       Some("""SELECT event_id,
-                round((vc - avg(vc) OVER (PARTITION BY event_type, dw, hr))
-                  / 100, 6) AS residual
+                CASE WHEN abs((vc - avg(vc) OVER (PARTITION BY event_type, dw, hr)) / 100) < 8.0e9 THEN floor(((vc - avg(vc) OVER (PARTITION BY event_type, dw, hr)) / 100) * 1e6 + 0.5) / 1e6 ELSE ((vc - avg(vc) OVER (PARTITION BY event_type, dw, hr)) / 100) END AS residual
               FROM (SELECT event_id, event_type,
                       round(value * 100, 0) AS vc,
                       date_part('dow', CAST(ts AS TIMESTAMP)) AS dw,
@@ -5217,10 +5196,7 @@ object SparkEntry {
                     FULL JOIN (SELECT * FROM n WHERE c = 'live') l
                       ON r.g = l.g AND r.bin = l.bin),
               p AS (SELECT f.g,
-                      round(sum((coalesce(nl, 0.5) / tl.t
-                          - coalesce(nr, 0.5) / tr.t)
-                        * ln((coalesce(nl, 0.5) / tl.t)
-                          / (coalesce(nr, 0.5) / tr.t))), 6) AS psi
+                      CASE WHEN abs(sum((coalesce(nl, 0.5) / tl.t - coalesce(nr, 0.5) / tr.t) * ln((coalesce(nl, 0.5) / tl.t) / (coalesce(nr, 0.5) / tr.t)))) < 8.0e9 THEN floor((sum((coalesce(nl, 0.5) / tl.t - coalesce(nr, 0.5) / tr.t) * ln((coalesce(nl, 0.5) / tl.t) / (coalesce(nr, 0.5) / tr.t)))) * 1e6 + 0.5) / 1e6 ELSE (sum((coalesce(nl, 0.5) / tl.t - coalesce(nr, 0.5) / tr.t) * ln((coalesce(nl, 0.5) / tl.t) / (coalesce(nr, 0.5) / tr.t)))) END AS psi
                     FROM f JOIN tr ON f.g = tr.g JOIN tl ON f.g = tl.g
                     GROUP BY 1)
               SELECT g AS "group", psi,
@@ -5262,19 +5238,27 @@ object SparkEntry {
           .withColumn("vc", round(col("value") * 100, 0)),
         col("user_id"), col("ts"), col("event_id"), col("vc"),
         col("w"), frameRows = 20)
-        .select(col("event_id"),
-          (floor(col("vwap") / 100 * lit(1e6) + lit(0.5)) / lit(1e6))
-            .as("vwap")),
-      Some("""SELECT event_id,
-                floor((floor(sum(vc * w) OVER fr / sum(w) OVER fr
-                    * 1e6 + 0.5) / 1e6)
-                  / 100 * 1e6 + 0.5) / 1e6 AS vwap
-              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        .select(col("event_id"), r6(col("vwap") / 100).as("vwap")),
+      Some("""WITH b AS (SELECT event_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts2,
                       round(value * 100, 0) AS vc,
                       CAST(event_id % 7 + 1 AS DOUBLE) AS w
-                    FROM events)
-              WINDOW fr AS (PARTITION BY user_id ORDER BY ts2, event_id
-                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""")),
+                    FROM events),
+                   r AS (SELECT event_id,
+                      sum(vc * w) OVER fr / sum(w) OVER fr AS x
+                    FROM b
+                    WINDOW fr AS (PARTITION BY user_id
+                      ORDER BY ts2, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+                   v AS (SELECT event_id,
+                      CASE WHEN abs(x) < 8.0e9
+                        THEN floor((x) * 1e6 + 0.5) / 1e6
+                        ELSE (x) END / 100 AS y
+                    FROM r)
+              SELECT event_id,
+                CASE WHEN abs(y) < 8.0e9
+                  THEN floor((y) * 1e6 + 0.5) / 1e6 ELSE (y) END AS vwap
+              FROM v""")),
 
     // pairwise correlation matrix across event types on their aligned
     // per-day means — explicit sums formula, upper triangle
@@ -5294,9 +5278,7 @@ object SparkEntry {
                 CASE WHEN sqrt(greatest(n_buckets * sxx - sx * sx, 0))
                     * sqrt(greatest(n_buckets * syy - sy * sy, 0)) = 0
                   THEN NULL
-                  ELSE round((n_buckets * sxy - sx * sy)
-                    / (sqrt(greatest(n_buckets * sxx - sx * sx, 0))
-                      * sqrt(greatest(n_buckets * syy - sy * sy, 0))), 6)
+                  ELSE CASE WHEN abs((n_buckets * sxy - sx * sy) / (sqrt(greatest(n_buckets * sxx - sx * sx, 0)) * sqrt(greatest(n_buckets * syy - sy * sy, 0)))) < 8.0e9 THEN floor(((n_buckets * sxy - sx * sy) / (sqrt(greatest(n_buckets * sxx - sx * sx, 0)) * sqrt(greatest(n_buckets * syy - sy * sy, 0)))) * 1e6 + 0.5) / 1e6 ELSE ((n_buckets * sxy - sx * sy) / (sqrt(greatest(n_buckets * sxx - sx * sx, 0)) * sqrt(greatest(n_buckets * syy - sy * sy, 0)))) END
                 END AS r
               FROM p""")),
 
@@ -5369,8 +5351,8 @@ object SparkEntry {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("signups"),
             sum(col("p_ts").isNotNull.cast("long")).as("converted"),
-            round(sum(col("p_ts").isNotNull.cast("long")).cast("double")
-              / count(lit(1)), 6).as("conv_rate"))
+            r6(sum(col("p_ts").isNotNull.cast("long")).cast("double")
+              / count(lit(1))).as("conv_rate"))
       },
       Some("""WITH su AS (SELECT event_id, user_id,
                       CAST(ts AS TIMESTAMP) AS ts2
@@ -5387,7 +5369,7 @@ object SparkEntry {
                       ON s.user_id = p.user_id AND s.ts2 <= p.ts2)
               SELECT day, count(*) AS signups,
                 CAST(sum(conv) AS BIGINT) AS converted,
-                round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+                CASE WHEN abs(CAST(sum(conv) AS DOUBLE) / count(*)) < 8.0e9 THEN floor((CAST(sum(conv) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(conv) AS DOUBLE) / count(*)) END AS conv_rate
               FROM j GROUP BY 1""")),
 
     // CSV sink roundtrip: header write, schema-pinned read-back,
@@ -5429,8 +5411,7 @@ object SparkEntry {
                     FROM w)
               SELECT media_id, win_idx, win_start,
                 CAST(len(samples) AS INTEGER) AS n_samples,
-                round(sqrt(list_sum(list_transform(samples,
-                  x -> CAST(x * x AS DOUBLE))) / len(samples)), 6) AS rms,
+                CASE WHEN abs(sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / len(samples))) < 8.0e9 THEN floor((sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / len(samples))) * 1e6 + 0.5) / 1e6 ELSE (sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / len(samples))) END AS rms,
                 CAST(list_max(samples) AS INTEGER) AS peak
               FROM f""")),
 
@@ -5461,10 +5442,7 @@ object SparkEntry {
                           END) OVER (ORDER BY tenure ROWS BETWEEN
                             UNBOUNDED PRECEDING AND CURRENT ROW) = 1
                         THEN 0.0
-                        ELSE round(exp(sum(CASE WHEN d_t = at_risk THEN 0
-                            ELSE ln(1.0 - CAST(d_t AS DOUBLE) / at_risk)
-                            END) OVER (ORDER BY tenure ROWS BETWEEN
-                              UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                        ELSE CASE WHEN abs(exp(sum(CASE WHEN d_t = at_risk THEN 0 ELSE ln(1.0 - CAST(d_t AS DOUBLE) / at_risk) END) OVER (ORDER BY tenure ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) < 8.0e9 THEN floor((exp(sum(CASE WHEN d_t = at_risk THEN 0 ELSE ln(1.0 - CAST(d_t AS DOUBLE) / at_risk) END) OVER (ORDER BY tenure ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1e6 + 0.5) / 1e6 ELSE (exp(sum(CASE WHEN d_t = at_risk THEN 0 ELSE ln(1.0 - CAST(d_t AS DOUBLE) / at_risk) END) OVER (ORDER BY tenure ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) END
                         END AS survival
                     FROM k)
               SELECT CAST(tenure AS INTEGER) AS tenure, at_risk, d_t,
@@ -5599,8 +5577,7 @@ object SparkEntry {
               SELECT event_id,
                 CASE WHEN n < 2 OR (ss - s * (s / n)) / (n - 1) <= 0
                   THEN NULL
-                  ELSE round((c - s / n)
-                    / sqrt((ss - s * (s / n)) / (n - 1)), 6)
+                  ELSE CASE WHEN abs((c - s / n) / sqrt((ss - s * (s / n)) / (n - 1))) < 8.0e9 THEN floor(((c - s / n) / sqrt((ss - s * (s / n)) / (n - 1))) * 1e6 + 0.5) / 1e6 ELSE ((c - s / n) / sqrt((ss - s * (s / n)) / (n - 1))) END
                 END AS zscore
               FROM f""")),
 
@@ -5637,7 +5614,7 @@ object SparkEntry {
                       count(*) AS n
                     FROM events GROUP BY 1, 2, 3)
               SELECT event_type, isodow, hr, n,
-                round(n / sum(n) OVER (PARTITION BY event_type), 6)
+                CASE WHEN abs(n / sum(n) OVER (PARTITION BY event_type)) < 8.0e9 THEN floor((n / sum(n) OVER (PARTITION BY event_type)) * 1e6 + 0.5) / 1e6 ELSE (n / sum(n) OVER (PARTITION BY event_type)) END
                   AS share
               FROM c""")),
 
@@ -5752,8 +5729,8 @@ object SparkEntry {
                 FROM d JOIN rec r ON d.event_type = r.event_type
                   AND d.rn = r.rn + 1)
               SELECT event_type, day,
-                round(ema_fast - ema_slow, 6) AS macd,
-                round(sig, 6) AS signal
+                CASE WHEN abs(ema_fast - ema_slow) < 8.0e9 THEN floor((ema_fast - ema_slow) * 1e6 + 0.5) / 1e6 ELSE (ema_fast - ema_slow) END AS macd,
+                CASE WHEN abs(sig) < 8.0e9 THEN floor((sig) * 1e6 + 0.5) / 1e6 ELSE (sig) END AS signal
               FROM rec""")),
 
     // deterministic categorical encoding by frequency rank — the
@@ -5793,7 +5770,7 @@ object SparkEntry {
                     FROM src GROUP BY 1)
               SELECT s.event_id,
                 CASE WHEN st.q3 > st.q1
-                  THEN round((s.c - st.med) / (st.q3 - st.q1), 6) END
+                  THEN CASE WHEN abs((s.c - st.med) / (st.q3 - st.q1)) < 8.0e9 THEN floor(((s.c - st.med) / (st.q3 - st.q1)) * 1e6 + 0.5) / 1e6 ELSE ((s.c - st.med) / (st.q3 - st.q1)) END END
                   AS scaled
               FROM src s JOIN st USING (event_type)""")),
 
@@ -5870,8 +5847,7 @@ object SparkEntry {
               SELECT CAST(start_ts AS DATE) AS day, count(*) AS n_sessions,
                 CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_bounce,
-                round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) / count(*), 6) AS bounce_rate
+                CASE WHEN abs(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*)) < 8.0e9 THEN floor((CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*)) END AS bounce_rate
               FROM s GROUP BY 1""")),
   )
 
@@ -5918,9 +5894,9 @@ object SparkEntry {
                       + 0.5 * r.trend
                 FROM d JOIN rec r ON d.event_type = r.event_type
                   AND d.rn = r.rn + 1)
-              SELECT event_type, day, round(lvl, 6) AS level,
-                round(trend, 6) AS trend,
-                round(lvl + trend, 6) AS forecast_1
+              SELECT event_type, day, CASE WHEN abs(lvl) < 8.0e9 THEN floor((lvl) * 1e6 + 0.5) / 1e6 ELSE (lvl) END AS level,
+                CASE WHEN abs(trend) < 8.0e9 THEN floor((trend) * 1e6 + 0.5) / 1e6 ELSE (trend) END AS trend,
+                CASE WHEN abs(lvl + trend) < 8.0e9 THEN floor((lvl + trend) * 1e6 + 0.5) / 1e6 ELSE (lvl + trend) END AS forecast_1
               FROM rec""")),
 
     // percentile read over the MERGEABLE log2 histogram sketch: at
@@ -5979,7 +5955,7 @@ object SparkEntry {
                         ORDER BY slope) AS rn,
                       count(*) OVER (PARTITION BY event_type) AS n
                     FROM sl)
-              SELECT event_type, round(avg(slope), 6) AS theil_sen_slope,
+              SELECT event_type, CASE WHEN abs(avg(slope)) < 8.0e9 THEN floor((avg(slope)) * 1e6 + 0.5) / 1e6 ELSE (avg(slope)) END AS theil_sen_slope,
                 CAST(max(n) AS BIGINT) AS n_pairs
               FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
               GROUP BY 1""")),
@@ -6039,8 +6015,7 @@ object SparkEntry {
                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
               SELECT event_id,
                 CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
-                  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                  ELSE CASE WHEN abs(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) < 8.0e9 THEN floor((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) END
                 END AS beta
               FROM f""")),
 
@@ -6109,7 +6084,7 @@ object SparkEntry {
                        JOIN base x ON p.id_a = x.id
                        JOIN base y ON p.id_b = y.id
                        WHERE least(len(x.sh), len(y.sh)) > 0)
-              SELECT id_a, id_b, round(c, 6) AS containment
+              SELECT id_a, id_b, CASE WHEN abs(c) < 8.0e9 THEN floor((c) * 1e6 + 0.5) / 1e6 ELSE (c) END AS containment
               FROM cont WHERE c >= 0.8""")),
 
     // streaming top-3 event types per hour: counts maintained by the
@@ -6170,9 +6145,9 @@ object SparkEntry {
                         + 0.5 * (r.lvl + r.trend))) + 0.5 * r.seas[1])
                 FROM d JOIN rec r ON d.event_type = r.event_type
                   AND d.rn = r.rn + 1)
-              SELECT event_type, day, round(lvl, 6) AS level,
-                round(trend, 6) AS trend,
-                round(lvl + trend + seas[1], 6) AS forecast_1
+              SELECT event_type, day, CASE WHEN abs(lvl) < 8.0e9 THEN floor((lvl) * 1e6 + 0.5) / 1e6 ELSE (lvl) END AS level,
+                CASE WHEN abs(trend) < 8.0e9 THEN floor((trend) * 1e6 + 0.5) / 1e6 ELSE (trend) END AS trend,
+                CASE WHEN abs(lvl + trend + seas[1]) < 8.0e9 THEN floor((lvl + trend + seas[1]) * 1e6 + 0.5) / 1e6 ELSE (lvl + trend + seas[1]) END AS forecast_1
               FROM rec""")),
 
     // exact audience-overlap matrix between event types (audience =
@@ -6188,8 +6163,7 @@ object SparkEntry {
                 count(*) AS n_both,
                 CAST(any_value(na.n) AS BIGINT) AS n_a,
                 CAST(any_value(nb.n) AS BIGINT) AS n_b,
-                round(count(*) / (any_value(na.n) + any_value(nb.n)
-                  - count(*)), 6) AS jaccard
+                CASE WHEN abs(count(*) / (any_value(na.n) + any_value(nb.n) - count(*))) < 8.0e9 THEN floor((count(*) / (any_value(na.n) + any_value(nb.n) - count(*))) * 1e6 + 0.5) / 1e6 ELSE (count(*) / (any_value(na.n) + any_value(nb.n) - count(*))) END AS jaccard
               FROM tu a JOIN tu b ON a.user_id = b.user_id
                 AND a.event_type < b.event_type
               JOIN n na ON na.event_type = a.event_type
@@ -6255,7 +6229,7 @@ object SparkEntry {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(late.cast("long")).as("n_late"),
-            round(sum(late.cast("long")) / count(lit(1)), 6)
+            r6(sum(late.cast("long")) / count(lit(1)))
               .as("late_frac"),
             max(when(late,
               unix_micros(col("__hwm").cast("timestamp")) -
@@ -6274,8 +6248,7 @@ object SparkEntry {
               SELECT event_type, count(*) AS n,
                 CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_late,
-                round(CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END)
-                  AS BIGINT) / count(*), 6) AS late_frac,
+                CASE WHEN abs(CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END) AS BIGINT) / count(*)) < 8.0e9 THEN floor((CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END) AS BIGINT) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(CASE WHEN ts2 < hwm THEN 1 ELSE 0 END) AS BIGINT) / count(*)) END AS late_frac,
                 CAST(max(CASE WHEN ts2 < hwm
                   THEN epoch_us(hwm) - epoch_us(ts2) END) AS BIGINT)
                   AS max_late_us
@@ -6494,8 +6467,8 @@ object SparkEntry {
           .agg(sum(col("lab")).as("ks"), count(lit(1)).as("kn"))
           .crossJoin(broadcast(g))
           .select(col("event_type"), col("kn").as("n"),
-            round((col("ks") + lit(10.0) * col("gs") / col("gn")) /
-              (col("kn") + lit(10)), 6).as("enc"))
+            r6((col("ks") + lit(10.0) * col("gs") / col("gn")) /
+              (col("kn") + lit(10))).as("enc"))
       },
       Some("""WITH g AS (SELECT
                   CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
@@ -6506,7 +6479,7 @@ object SparkEntry {
                     AS BIGINT) AS ks,
                   count(*) AS kn FROM events GROUP BY 1)
               SELECT event_type, kn AS n,
-                round((ks + 10.0 * gs / gn) / (kn + 10), 6) AS enc
+                CASE WHEN abs((ks + 10.0 * gs / gn) / (kn + 10)) < 8.0e9 THEN floor(((ks + 10.0 * gs / gn) / (kn + 10)) * 1e6 + 0.5) / 1e6 ELSE ((ks + 10.0 * gs / gn) / (kn + 10)) END AS enc
               FROM k, g""")),
 
     // Model-calibration reliability bins: a portable-hash pseudo-score
@@ -6521,9 +6494,9 @@ object SparkEntry {
           when(col("value") >= 100, 1L).otherwise(0L).as("lab"))
         t.groupBy(expr("(h * 10) div 16777216").cast("long").as("bin"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("lab")) * lit(1.0) / count(lit(1)), 6)
+            r6(sum(col("lab")) * lit(1.0) / count(lit(1)))
               .as("mean_label"),
-            round(sum(col("h")) / lit(16777216.0) / count(lit(1)), 6)
+            r6(sum(col("h")) / lit(16777216.0) / count(lit(1)))
               .as("mean_score"))
       },
       Some("""WITH t AS (SELECT
@@ -6533,9 +6506,9 @@ object SparkEntry {
                 FROM events)
               SELECT CAST((h * 10) // 16777216 AS BIGINT) AS bin,
                 count(*) AS n,
-                round(CAST(sum(lab) AS BIGINT) * 1.0 / count(*), 6)
+                CASE WHEN abs(CAST(sum(lab) AS BIGINT) * 1.0 / count(*)) < 8.0e9 THEN floor((CAST(sum(lab) AS BIGINT) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(lab) AS BIGINT) * 1.0 / count(*)) END
                   AS mean_label,
-                round(CAST(sum(h) AS BIGINT) / 16777216.0 / count(*), 6)
+                CASE WHEN abs(CAST(sum(h) AS BIGINT) / 16777216.0 / count(*)) < 8.0e9 THEN floor((CAST(sum(h) AS BIGINT) / 16777216.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(h) AS BIGINT) / 16777216.0 / count(*)) END
                   AS mean_score
               FROM t GROUP BY 1""")),
 
@@ -6587,10 +6560,10 @@ object SparkEntry {
           .select(col("j"), col("s").as("sb"), col("n").as("nb"))
         a.join(b, Seq("j"))
           .select(col("j"),
-            round(col("sa") * lit(1.0) / col("na"), 6).as("mean_even"),
-            round(col("sb") * lit(1.0) / col("nb"), 6).as("mean_odd"),
-            round(abs(col("sa") * lit(1.0) / col("na") -
-              col("sb") * lit(1.0) / col("nb")), 6).as("drift"))
+            r6(col("sa") * lit(1.0) / col("na")).as("mean_even"),
+            r6(col("sb") * lit(1.0) / col("nb")).as("mean_odd"),
+            r6(abs(col("sa") * lit(1.0) / col("na") -
+              col("sb") * lit(1.0) / col("nb"))).as("drift"))
       },
       Some("""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS j),
               q AS (SELECT e.label % 2 AS cohort, p.j,
@@ -6600,9 +6573,9 @@ object SparkEntry {
               m AS (SELECT cohort, j, CAST(sum(v) AS BIGINT) AS s,
                   count(*) AS n
                 FROM q GROUP BY 1, 2)
-              SELECT a.j, round(a.s * 1.0 / a.n, 6) AS mean_even,
-                round(b.s * 1.0 / b.n, 6) AS mean_odd,
-                round(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n), 6) AS drift
+              SELECT a.j, CASE WHEN abs(a.s * 1.0 / a.n) < 8.0e9 THEN floor((a.s * 1.0 / a.n) * 1e6 + 0.5) / 1e6 ELSE (a.s * 1.0 / a.n) END AS mean_even,
+                CASE WHEN abs(b.s * 1.0 / b.n) < 8.0e9 THEN floor((b.s * 1.0 / b.n) * 1e6 + 0.5) / 1e6 ELSE (b.s * 1.0 / b.n) END AS mean_odd,
+                CASE WHEN abs(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)) < 8.0e9 THEN floor((abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)) * 1e6 + 0.5) / 1e6 ELSE (abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)) END AS drift
               FROM m a JOIN m b ON a.j = b.j
                 AND a.cohort = 0 AND b.cohort = 1""")),
 
@@ -6693,10 +6666,10 @@ object SparkEntry {
             col("p_retailprice")),
           "l_partkey", hotKeys = 64)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          round(col("l_quantity") * col("p_retailprice"), 6)
+          r6(col("l_quantity") * col("p_retailprice"))
             .as("ext_retail")),
       Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
-                round(l.l_quantity * p.p_retailprice, 6) AS ext_retail
+                CASE WHEN abs(l.l_quantity * p.p_retailprice) < 8.0e9 THEN floor((l.l_quantity * p.p_retailprice) * 1e6 + 0.5) / 1e6 ELSE (l.l_quantity * p.p_retailprice) END AS ext_retail
               FROM lineitem l
               LEFT JOIN part p ON l.l_partkey = p.p_partkey""")),
 
@@ -7003,7 +6976,7 @@ object SparkEntry {
           lit(0.0005) * col("n_chars") +
           lit(2.0) * (col("n_distinct").cast("double") / col("n_tokens"))
         f.select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+          r6(lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
           when(lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5, 1).otherwise(0)
             .as("keep"))
       },
@@ -7018,7 +6991,7 @@ object SparkEntry {
                   -2.0 + 0.01 * n_tokens + 0.0005 * n_chars +
                     2.0 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS z
                 FROM f)
-              SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+              SELECT doc_id, CASE WHEN abs(1.0 / (1.0 + exp(-z))) < 8.0e9 THEN floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) / 1e6 ELSE (1.0 / (1.0 + exp(-z))) END AS score,
                 CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
                   AS keep
               FROM z""")),
@@ -7042,10 +7015,10 @@ object SparkEntry {
           13) / lit(4503599627370496.0)
         c.withColumn("__u", u)
           .select(col("event_type"), col("day"), col("n"),
-            round(col("n") +
+            r6(col("n") +
               when(col("__u") >= 0.5,
                 lit(-2.0) * log(lit(2.0) * (lit(1.0) - col("__u"))))
-                .otherwise(lit(2.0) * log(lit(2.0) * col("__u"))), 6)
+                .otherwise(lit(2.0) * log(lit(2.0) * col("__u"))))
               .as("noised"))
       },
       Some("""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -7057,9 +7030,7 @@ object SparkEntry {
                     / 4503599627370496.0 AS u01
                 FROM c)
               SELECT event_type, day, n,
-                round(n + CASE WHEN u01 >= 0.5
-                    THEN -2.0 * ln(2.0 * (1.0 - u01))
-                    ELSE 2.0 * ln(2.0 * u01) END, 6) AS noised
+                CASE WHEN abs(n + CASE WHEN u01 >= 0.5 THEN -2.0 * ln(2.0 * (1.0 - u01)) ELSE 2.0 * ln(2.0 * u01) END) < 8.0e9 THEN floor((n + CASE WHEN u01 >= 0.5 THEN -2.0 * ln(2.0 * (1.0 - u01)) ELSE 2.0 * ln(2.0 * u01) END) * 1e6 + 0.5) / 1e6 ELSE (n + CASE WHEN u01 >= 0.5 THEN -2.0 * ln(2.0 * (1.0 - u01)) ELSE 2.0 * ln(2.0 * u01) END) END AS noised
               FROM u""")),
 
     // Keyframe selection (ops/Multimodal.keyframesTopK): the 3 most
@@ -7195,7 +7166,7 @@ object SparkEntry {
         val se2 = a("v") / a("n") + b("v") / b("n")
         g.agg(
           a("n").cast("long").as("n_a"), b("n").cast("long").as("n_b"),
-          round((a("m") - b("m")) / sqrt(se2), 6).as("t_stat"),
+          r6((a("m") - b("m")) / sqrt(se2)).as("t_stat"),
           round(pow(se2, 2) /
             (pow(a("v") / a("n"), 2) / (a("n") - 1) +
              pow(b("v") / b("n"), 2) / (b("n") - 1)), 2).as("df"))
@@ -7212,12 +7183,7 @@ object SparkEntry {
                   AS n_a,
                 CAST(min(CASE WHEN variant = 'B' THEN n END) AS BIGINT)
                   AS n_b,
-                round((min(CASE WHEN variant = 'A' THEN m END) -
-                       min(CASE WHEN variant = 'B' THEN m END)) /
-                  sqrt(min(CASE WHEN variant = 'A' THEN v END) /
-                         min(CASE WHEN variant = 'A' THEN n END) +
-                       min(CASE WHEN variant = 'B' THEN v END) /
-                         min(CASE WHEN variant = 'B' THEN n END)), 6)
+                CASE WHEN abs((min(CASE WHEN variant = 'A' THEN m END) - min(CASE WHEN variant = 'B' THEN m END)) / sqrt(min(CASE WHEN variant = 'A' THEN v END) / min(CASE WHEN variant = 'A' THEN n END) + min(CASE WHEN variant = 'B' THEN v END) / min(CASE WHEN variant = 'B' THEN n END))) < 8.0e9 THEN floor(((min(CASE WHEN variant = 'A' THEN m END) - min(CASE WHEN variant = 'B' THEN m END)) / sqrt(min(CASE WHEN variant = 'A' THEN v END) / min(CASE WHEN variant = 'A' THEN n END) + min(CASE WHEN variant = 'B' THEN v END) / min(CASE WHEN variant = 'B' THEN n END))) * 1e6 + 0.5) / 1e6 ELSE ((min(CASE WHEN variant = 'A' THEN m END) - min(CASE WHEN variant = 'B' THEN m END)) / sqrt(min(CASE WHEN variant = 'A' THEN v END) / min(CASE WHEN variant = 'A' THEN n END) + min(CASE WHEN variant = 'B' THEN v END) / min(CASE WHEN variant = 'B' THEN n END))) END
                   AS t_stat,
                 round(pow(min(CASE WHEN variant = 'A' THEN v END) /
                             min(CASE WHEN variant = 'A' THEN n END) +
@@ -7247,7 +7213,7 @@ object SparkEntry {
         val n = sum(col("o")).over(Window.partitionBy())
         cells.select(col("event_type"), col("dow"), col("o"),
             (rowT * colT / n).as("e"))
-          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+          .agg(r6(sum(pow(col("o") - col("e"), 2) / col("e")))
               .as("chi2"),
             ((countDistinct(col("event_type")) - 1) *
              (countDistinct(col("dow")) - 1)).as("dof"))
@@ -7261,7 +7227,7 @@ object SparkEntry {
                   sum(o) OVER (PARTITION BY dow) /
                   sum(o) OVER () AS e
                 FROM cells)
-              SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+              SELECT CASE WHEN abs(sum(pow(o - e, 2) / e)) < 8.0e9 THEN floor((sum(pow(o - e, 2) / e)) * 1e6 + 0.5) / 1e6 ELSE (sum(pow(o - e, 2) / e)) END AS chi2,
                 (count(DISTINCT event_type) - 1) *
                 (count(DISTINCT dow) - 1) AS dof
               FROM e""")),
@@ -7280,20 +7246,16 @@ object SparkEntry {
         val dw = ScalarFns.dowPg(col("ts")).cast("double")
         def nz(c: Column): Column = c + lit(0.0)
         ev(s, d).select(col("event_id"),
-          nz(round(sin(hr * (lit(2) * lit(math.Pi) / 24)), 6)).as("hr_sin"),
-          nz(round(cos(hr * (lit(2) * lit(math.Pi) / 24)), 6)).as("hr_cos"),
-          nz(round(sin(dw * (lit(2) * lit(math.Pi) / 7)), 6)).as("dow_sin"),
-          nz(round(cos(dw * (lit(2) * lit(math.Pi) / 7)), 6)).as("dow_cos"))
+          nz(r6(sin(hr * (lit(2) * lit(math.Pi) / 24)))).as("hr_sin"),
+          nz(r6(cos(hr * (lit(2) * lit(math.Pi) / 24)))).as("hr_cos"),
+          nz(r6(sin(dw * (lit(2) * lit(math.Pi) / 7)))).as("dow_sin"),
+          nz(r6(cos(dw * (lit(2) * lit(math.Pi) / 7)))).as("dow_cos"))
       },
       Some("""SELECT event_id,
-                round(sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
-                  6) + 0.0 AS hr_sin,
-                round(cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24)),
-                  6) + 0.0 AS hr_cos,
-                round(sin(dayofweek(CAST(ts AS TIMESTAMP)) *
-                  (2 * pi() / 7)), 6) + 0.0 AS dow_sin,
-                round(cos(dayofweek(CAST(ts AS TIMESTAMP)) *
-                  (2 * pi() / 7)), 6) + 0.0 AS dow_cos
+                CASE WHEN abs(sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) < 8.0e9 THEN floor((sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) * 1e6 + 0.5) / 1e6 ELSE (sin(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) END + 0.0 AS hr_sin,
+                CASE WHEN abs(cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) < 8.0e9 THEN floor((cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) * 1e6 + 0.5) / 1e6 ELSE (cos(hour(CAST(ts AS TIMESTAMP)) * (2 * pi() / 24))) END + 0.0 AS hr_cos,
+                CASE WHEN abs(sin(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) < 8.0e9 THEN floor((sin(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) * 1e6 + 0.5) / 1e6 ELSE (sin(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) END + 0.0 AS dow_sin,
+                CASE WHEN abs(cos(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) < 8.0e9 THEN floor((cos(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) * 1e6 + 0.5) / 1e6 ELSE (cos(dayofweek(CAST(ts AS TIMESTAMP)) * (2 * pi() / 7))) END + 0.0 AS dow_cos
               FROM events""")),
 
     // Stationary distribution of the event-type Markov chain
@@ -7337,7 +7299,7 @@ object SparkEntry {
         pi.crossJoin(broadcast(
             pi.agg(sum(col("raw")).as("tot"))))
           .select(col("event_type"),
-            round(col("raw") / col("tot"), 6).as("pi"))
+            r6(col("raw") / col("tot")).as("pi"))
       },
       Some("""WITH seq AS (SELECT user_id, event_type,
                   lead(event_type) OVER (PARTITION BY user_id
@@ -7361,7 +7323,7 @@ object SparkEntry {
                   sum(pr / (SELECT k FROM k)) AS raw
                 FROM p16 GROUP BY 1)
               SELECT event_type,
-                round(raw / (SELECT sum(raw) FROM raw), 6) AS pi
+                CASE WHEN abs(raw / (SELECT sum(raw) FROM raw)) < 8.0e9 THEN floor((raw / (SELECT sum(raw) FROM raw)) * 1e6 + 0.5) / 1e6 ELSE (raw / (SELECT sum(raw) FROM raw)) END AS pi
               FROM raw""")),
 
     // Deterministic negative sampling for contrastive training: k = 3
@@ -7415,10 +7377,10 @@ object SparkEntry {
         byDec
           .crossJoin(broadcast(byDec.agg(sum(col("r")).as("tot"))))
           .select(col("decile"), col("n_customers"),
-            round(col("r") / col("tot"), 6).as("rev_share"),
-            round(sum(col("r")).over(Window.orderBy(col("decile"))
+            r6(col("r") / col("tot")).as("rev_share"),
+            r6(sum(col("r")).over(Window.orderBy(col("decile"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              / col("tot"), 6).as("cum_share"))
+              / col("tot")).as("cum_share"))
       },
       Some("""WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
                 FROM orders GROUP BY 1),
@@ -7431,10 +7393,8 @@ object SparkEntry {
                 FROM dec GROUP BY 1),
               tot AS (SELECT sum(r) AS tot FROM bydec)
               SELECT decile, n_customers,
-                round(r / (SELECT tot FROM tot), 6) AS rev_share,
-                round(sum(r) OVER (ORDER BY decile
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
-                  (SELECT tot FROM tot), 6) AS cum_share
+                CASE WHEN abs(r / (SELECT tot FROM tot)) < 8.0e9 THEN floor((r / (SELECT tot FROM tot)) * 1e6 + 0.5) / 1e6 ELSE (r / (SELECT tot FROM tot)) END AS rev_share,
+                CASE WHEN abs(sum(r) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / (SELECT tot FROM tot)) < 8.0e9 THEN floor((sum(r) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / (SELECT tot FROM tot)) * 1e6 + 0.5) / 1e6 ELSE (sum(r) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / (SELECT tot FROM tot)) END AS cum_share
               FROM bydec""")),
 
     // Matrix-free top principal component by power iteration (2 fixed
@@ -7514,9 +7474,9 @@ object SparkEntry {
         ranked.filter(col("r") <= 200)
           .select(log(col("r").cast("double")).as("x"),
             log(col("c").cast("double")).as("y"))
-          .agg(round(regr_slope(col("y"), col("x")), 6).as("zipf_slope"),
-            round(regr_intercept(col("y"), col("x")), 6).as("log_c0"),
-            round(regr_r2(col("y"), col("x")), 6).as("r2"),
+          .agg(r6(regr_slope(col("y"), col("x"))).as("zipf_slope"),
+            r6(regr_intercept(col("y"), col("x"))).as("log_c0"),
+            r6(regr_r2(col("y"), col("x"))).as("r2"),
             count(lit(1)).as("n_points"))
       },
       Some("""WITH toks AS (SELECT unnest(string_split_regex(
@@ -7527,9 +7487,9 @@ object SparkEntry {
                   OVER (ORDER BY c DESC, tok) AS r FROM freq),
               top AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked
                 WHERE r <= 200)
-              SELECT round(regr_slope(y, x), 6) AS zipf_slope,
-                round(regr_intercept(y, x), 6) AS log_c0,
-                round(regr_r2(y, x), 6) AS r2,
+              SELECT CASE WHEN abs(regr_slope(y, x)) < 8.0e9 THEN floor((regr_slope(y, x)) * 1e6 + 0.5) / 1e6 ELSE (regr_slope(y, x)) END AS zipf_slope,
+                CASE WHEN abs(regr_intercept(y, x)) < 8.0e9 THEN floor((regr_intercept(y, x)) * 1e6 + 0.5) / 1e6 ELSE (regr_intercept(y, x)) END AS log_c0,
+                CASE WHEN abs(regr_r2(y, x)) < 8.0e9 THEN floor((regr_r2(y, x)) * 1e6 + 0.5) / 1e6 ELSE (regr_r2(y, x)) END AS r2,
                 CAST(count(*) AS BIGINT) AS n_points
               FROM top""")),
 
@@ -7556,8 +7516,8 @@ object SparkEntry {
         val u2 = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
         big.join(u1, "w1").join(u2, "w2").crossJoin(broadcast(n))
           .select(col("w1"), col("w2"), col("c12"),
-            round(log(col("c12").cast("double") * col("n") /
-              (col("c1") * col("c2"))), 6).as("pmi"))
+            r6(log(col("c12").cast("double") * col("n") /
+              (col("c1") * col("c2")))).as("pmi"))
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
           .limit(50)
       },
@@ -7572,7 +7532,7 @@ object SparkEntry {
               u1 AS (SELECT w1 AS w, count(*) AS c1 FROM pairs GROUP BY 1),
               u2 AS (SELECT w2 AS w, count(*) AS c2 FROM pairs GROUP BY 1)
               SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
-                round(ln(b.c12 * (SELECT n FROM n) / (u1.c1 * u2.c2)), 6)
+                CASE WHEN abs(ln(b.c12 * (SELECT n FROM n) / (u1.c1 * u2.c2))) < 8.0e9 THEN floor((ln(b.c12 * (SELECT n FROM n) / (u1.c1 * u2.c2))) * 1e6 + 0.5) / 1e6 ELSE (ln(b.c12 * (SELECT n FROM n) / (u1.c1 * u2.c2))) END
                   AS pmi
               FROM big b JOIN u1 ON u1.w = b.w1 JOIN u2 ON u2.w = b.w2
               ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
@@ -7705,8 +7665,8 @@ object SparkEntry {
             (gType / gTot).as("p_g"))
           .groupBy(col("hod"), col("band"))
           .agg(min(col("n_cell")).cast("long").as("n_rows"),
-            round((sum(abs(col("c") / col("n_cell") - col("p_g"))) +
-              (lit(1.0) - sum(col("p_g")))) / 2, 6).as("t"))
+            r6((sum(abs(col("c") / col("n_cell") - col("p_g"))) +
+              (lit(1.0) - sum(col("p_g")))) / 2).as("t"))
           .filter(col("t") > 0.25)
       },
       Some("""WITH counts AS (SELECT
@@ -7722,11 +7682,9 @@ object SparkEntry {
                 FROM counts)
               SELECT hod, band,
                 CAST(min(n_cell) AS BIGINT) AS n_rows,
-                round((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2,
-                  6) AS t
+                CASE WHEN abs((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) < 8.0e9 THEN floor(((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) * 1e6 + 0.5) / 1e6 ELSE ((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) END AS t
               FROM m GROUP BY 1, 2
-              HAVING round((sum(abs(c / n_cell - p_g)) +
-                (1.0 - sum(p_g))) / 2, 6) > 0.25""")),
+              HAVING CASE WHEN abs((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) < 8.0e9 THEN floor(((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) * 1e6 + 0.5) / 1e6 ELSE ((sum(abs(c / n_cell - p_g)) + (1.0 - sum(p_g))) / 2) END > 0.25""")),
 
     // Streaming A/B monitor (streaming/AbMonitorStream) — the live twin
     // of agg_welch_ttest: two rows of per-arm moment state (n, Σ, Σ²
@@ -7763,8 +7721,8 @@ object SparkEntry {
                     (CAST(nb AS DOUBLE) - 1) AS vb
                 FROM p)
               SELECT na AS n_a, nb AS n_b,
-                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-                round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                CASE WHEN abs(ma) < 8.0e9 THEN floor((ma) * 1e6 + 0.5) / 1e6 ELSE (ma) END AS mean_a, CASE WHEN abs(mb) < 8.0e9 THEN floor((mb) * 1e6 + 0.5) / 1e6 ELSE (mb) END AS mean_b,
+                CASE WHEN abs((ma - mb) / sqrt(va / na + vb / nb)) < 8.0e9 THEN floor(((ma - mb) / sqrt(va / na + vb / nb)) * 1e6 + 0.5) / 1e6 ELSE ((ma - mb) / sqrt(va / na + vb / nb)) END AS t_stat,
                 round(pow(va / na + vb / nb, 2) /
                   (pow(va / na, 2) / (na - 1) +
                    pow(vb / nb, 2) / (nb - 1)), 2) AS df
@@ -7816,16 +7774,13 @@ object SparkEntry {
           log(col("l_extendedprice") / col("l_quantity")).as("lp"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          round(regr_slope(col("lq"), col("lp")), 6).as("elasticity"),
-          round(regr_intercept(col("lq"), col("lp")), 6).as("intercept"),
-          round(regr_r2(col("lq"), col("lp")), 6).as("r2")),
+          r6(regr_slope(col("lq"), col("lp"))).as("elasticity"),
+          r6(regr_intercept(col("lq"), col("lp"))).as("intercept"),
+          r6(regr_r2(col("lq"), col("lp"))).as("r2")),
       Some("""SELECT l_returnflag, count(*) AS n,
-                round(regr_slope(ln(l_quantity),
-                  ln(l_extendedprice / l_quantity)), 6) AS elasticity,
-                round(regr_intercept(ln(l_quantity),
-                  ln(l_extendedprice / l_quantity)), 6) AS intercept,
-                round(regr_r2(ln(l_quantity),
-                  ln(l_extendedprice / l_quantity)), 6) AS r2
+                CASE WHEN abs(regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity))) < 8.0e9 THEN floor((regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity))) * 1e6 + 0.5) / 1e6 ELSE (regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity))) END AS elasticity,
+                CASE WHEN abs(regr_intercept(ln(l_quantity), ln(l_extendedprice / l_quantity))) < 8.0e9 THEN floor((regr_intercept(ln(l_quantity), ln(l_extendedprice / l_quantity))) * 1e6 + 0.5) / 1e6 ELSE (regr_intercept(ln(l_quantity), ln(l_extendedprice / l_quantity))) END AS intercept,
+                CASE WHEN abs(regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity))) < 8.0e9 THEN floor((regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity))) * 1e6 + 0.5) / 1e6 ELSE (regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity))) END AS r2
               FROM lineitem GROUP BY 1""")),
 
     // Near-dup threshold operating curve: the pair-similarity histogram
@@ -7848,7 +7803,7 @@ object SparkEntry {
       },
       Some(s"""WITH $plantedDocsSql,
               $minhashCtesSql,
-              b AS (SELECT CAST(floor(round(j, 6) * 10) AS INTEGER)
+              b AS (SELECT CAST(floor(CASE WHEN abs(j) < 8.0e9 THEN floor((j) * 1e6 + 0.5) / 1e6 ELSE (j) END * 10) AS INTEGER)
                       AS bucket, count(*) AS n_pairs
                     FROM verified WHERE j >= 0.3 GROUP BY 1)
               SELECT bucket, n_pairs,
@@ -7898,7 +7853,7 @@ object SparkEntry {
               .cast("long")).as("s_stat"),
             count(lit(1)).as("n_pairs"))
           .select(col("event_type"), col("s_stat"), col("n_pairs"),
-            round(col("s_stat").cast("double") / col("n_pairs"), 6)
+            r6(col("s_stat").cast("double") / col("n_pairs"))
               .as("tau"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -7912,7 +7867,7 @@ object SparkEntry {
               SELECT event_type,
                 CAST(sum(sgn) AS BIGINT) AS s_stat,
                 count(*) AS n_pairs,
-                round(CAST(sum(sgn) AS DOUBLE) / count(*), 6) AS tau
+                CASE WHEN abs(CAST(sum(sgn) AS DOUBLE) / count(*)) < 8.0e9 THEN floor((CAST(sum(sgn) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(sgn) AS DOUBLE) / count(*)) END AS tau
               FROM p GROUP BY 1""")),
 
     // Single change-point detection per series: the day t maximizing
@@ -7938,8 +7893,8 @@ object SparkEntry {
           .filter(col("rk") === 1)
           .select(col("event_type"), col("day").as("change_day"),
             col("dev").as("max_dev"),
-            round(col("dev").cast("double") /
-              (col("bigt").cast("double") * col("s_tot")), 6)
+            r6(col("dev").cast("double") /
+              (col("bigt").cast("double") * col("s_tot")))
               .as("dev_norm"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -7962,8 +7917,7 @@ object SparkEntry {
                 FROM dev)
               SELECT event_type, day AS change_day,
                 CAST(dev AS BIGINT) AS max_dev,
-                round(CAST(dev AS DOUBLE) /
-                  (CAST(bigt AS DOUBLE) * s_tot), 6) AS dev_norm
+                CASE WHEN abs(CAST(dev AS DOUBLE) / (CAST(bigt AS DOUBLE) * s_tot)) < 8.0e9 THEN floor((CAST(dev AS DOUBLE) / (CAST(bigt AS DOUBLE) * s_tot)) * 1e6 + 0.5) / 1e6 ELSE (CAST(dev AS DOUBLE) / (CAST(bigt AS DOUBLE) * s_tot)) END AS dev_norm
               FROM r WHERE rk = 1""")),
 
     // Cramér's V — the effect size chi2 alone doesn't give (χ² grows
@@ -7981,11 +7935,11 @@ object SparkEntry {
         val n = sum(col("o")).over(Window.partitionBy())
         cells.select(col("event_type"), col("dow"), col("o"),
             (rowT * colT / n).as("e"), n.as("bign"))
-          .agg(round(sqrt(
+          .agg(r6(sqrt(
               sum(pow(col("o") - col("e"), 2) / col("e")) /
               (min(col("bign")) *
                 least(countDistinct(col("event_type")) - 1,
-                  countDistinct(col("dow")) - 1))), 6).as("v"),
+                  countDistinct(col("dow")) - 1)))).as("v"),
             min(col("bign")).cast("long").as("n"))
       },
       Some("""WITH cells AS (SELECT event_type,
@@ -7998,10 +7952,7 @@ object SparkEntry {
                   sum(o) OVER () AS e,
                   sum(o) OVER () AS bign
                 FROM cells)
-              SELECT round(sqrt(
-                  sum(pow(o - e, 2) / e) /
-                  (min(bign) * least(count(DISTINCT event_type) - 1,
-                    count(DISTINCT dow) - 1))), 6) AS v,
+              SELECT CASE WHEN abs(sqrt( sum(pow(o - e, 2) / e) / (min(bign) * least(count(DISTINCT event_type) - 1, count(DISTINCT dow) - 1)))) < 8.0e9 THEN floor((sqrt( sum(pow(o - e, 2) / e) / (min(bign) * least(count(DISTINCT event_type) - 1, count(DISTINCT dow) - 1)))) * 1e6 + 0.5) / 1e6 ELSE (sqrt( sum(pow(o - e, 2) / e) / (min(bign) * least(count(DISTINCT event_type) - 1, count(DISTINCT dow) - 1)))) END AS v,
                 CAST(min(bign) AS BIGINT) AS n
               FROM e""")),
 
@@ -8082,8 +8033,8 @@ object SparkEntry {
           .select(col("pr").as("p0"))
         pc.filter(col("rm") =!= "none").crossJoin(broadcast(basep))
           .select(col("rm").as("channel"),
-            round(col("pr"), 6).as("p_conv_without"),
-            round((col("p0") - col("pr")) / col("p0"), 6)
+            r6(col("pr")).as("p_conv_without"),
+            r6((col("p0") - col("pr")) / col("p0"))
               .as("removal_effect"))
       },
       Some("""WITH seq AS (SELECT user_id, event_type,
@@ -8138,9 +8089,8 @@ object SparkEntry {
                    WHERE i = '__start' AND j = '__conv') s
                   ON s.rm = v.rm),
               basep AS (SELECT pr FROM pc WHERE rm = 'none')
-              SELECT rm AS channel, round(pr, 6) AS p_conv_without,
-                round(((SELECT pr FROM basep) - pr) /
-                  (SELECT pr FROM basep), 6) AS removal_effect
+              SELECT rm AS channel, CASE WHEN abs(pr) < 8.0e9 THEN floor((pr) * 1e6 + 0.5) / 1e6 ELSE (pr) END AS p_conv_without,
+                CASE WHEN abs(((SELECT pr FROM basep) - pr) / (SELECT pr FROM basep)) < 8.0e9 THEN floor((((SELECT pr FROM basep) - pr) / (SELECT pr FROM basep)) * 1e6 + 0.5) / 1e6 ELSE (((SELECT pr FROM basep) - pr) / (SELECT pr FROM basep)) END AS removal_effect
               FROM pc WHERE rm <> 'none'""")),
 
     // Causal-impact-lite: linear counterfactual per series. Fit
@@ -8167,8 +8117,8 @@ object SparkEntry {
             sum(col("s")).as("actual_cents"),
             round(sum(col("a") + col("b") * col("t")), 2)
               .as("pred_cents"),
-            round((sum(col("s")) - sum(col("a") + col("b") * col("t"))) /
-              sum(col("a") + col("b") * col("t")), 6).as("rel_lift"))
+            r6((sum(col("s")) - sum(col("a") + col("b") * col("t"))) /
+              sum(col("a") + col("b") * col("t"))).as("rel_lift"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   sum(CAST(round(value * 100, 0) AS BIGINT)) AS s
@@ -8184,8 +8134,7 @@ object SparkEntry {
               SELECT d.event_type, count(*) AS n_post_days,
                 CAST(sum(d.s) AS BIGINT) AS actual_cents,
                 round(sum(f.a + f.b * d.t), 2) AS pred_cents,
-                round((sum(d.s) - sum(f.a + f.b * d.t)) /
-                  sum(f.a + f.b * d.t), 6) AS rel_lift
+                CASE WHEN abs((sum(d.s) - sum(f.a + f.b * d.t)) / sum(f.a + f.b * d.t)) < 8.0e9 THEN floor(((sum(d.s) - sum(f.a + f.b * d.t)) / sum(f.a + f.b * d.t)) * 1e6 + 0.5) / 1e6 ELSE ((sum(d.s) - sum(f.a + f.b * d.t)) / sum(f.a + f.b * d.t)) END AS rel_lift
               FROM dt d JOIN fit f USING (event_type)
               WHERE d.day >= DATE '2024-01-16' GROUP BY 1""")),
 
@@ -8266,8 +8215,8 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_tokens"),
             sum(coalesce(col("in_v"), lit(0))).cast("long")
               .as("n_covered"),
-            round(sum(coalesce(col("in_v"), lit(0))) /
-              count(lit(1)).cast("double"), 6).as("coverage"))
+            r6(sum(coalesce(col("in_v"), lit(0))) /
+              count(lit(1)).cast("double")).as("coverage"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
                     lower(trim(text)), '\s+')) AS tok FROM documents),
@@ -8279,8 +8228,7 @@ object SparkEntry {
               SELECT doc_id, count(*) AS n_tokens,
                 CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-                round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
-                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS coverage
+                CASE WHEN abs(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) * 1.0 / count(*)) END AS coverage
               FROM t GROUP BY 1""")),
 
     // Pure-SQL surface, end-to-end: the same engine driven entirely
@@ -8373,7 +8321,7 @@ object SparkEntry {
               .cast("long")).as("s_stat"),
             count(lit(1)).as("n_pairs"))
           .select(col("event_type"), col("s_stat"), col("n_pairs"),
-            round(col("s_stat").cast("double") / col("n_pairs"), 6)
+            r6(col("s_stat").cast("double") / col("n_pairs"))
               .as("tau"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -8389,7 +8337,7 @@ object SparkEntry {
               SELECT event_type,
                 CAST(sum(sgn) AS BIGINT) AS s_stat,
                 count(*) AS n_pairs,
-                round(CAST(sum(sgn) AS DOUBLE) / count(*), 6) AS tau
+                CASE WHEN abs(CAST(sum(sgn) AS DOUBLE) / count(*)) < 8.0e9 THEN floor((CAST(sum(sgn) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(sgn) AS DOUBLE) / count(*)) END AS tau
               FROM p GROUP BY 1""")),
 
     // Herfindahl–Hirschman concentration index per day: Σ share² over
@@ -8405,7 +8353,7 @@ object SparkEntry {
         cells.select(col("day"), col("c"), tot.as("t"))
           .groupBy(col("day"))
           .agg(count(lit(1)).as("n_types"),
-            round(sum(pow(col("c") / col("t"), 2)), 6).as("hhi"))
+            r6(sum(pow(col("c") / col("t"), 2))).as("hhi"))
       },
       Some("""WITH cells AS (SELECT CAST(ts AS DATE) AS day, event_type,
                   CAST(count(*) AS DOUBLE) AS c
@@ -8413,7 +8361,7 @@ object SparkEntry {
               t AS (SELECT day, c,
                   sum(c) OVER (PARTITION BY day) AS t FROM cells)
               SELECT day, count(*) AS n_types,
-                round(sum(pow(c / t, 2)), 6) AS hhi
+                CASE WHEN abs(sum(pow(c / t, 2))) < 8.0e9 THEN floor((sum(pow(c / t, 2))) * 1e6 + 0.5) / 1e6 ELSE (sum(pow(c / t, 2))) END AS hhi
               FROM t GROUP BY 1""")),
   )
 
@@ -8440,7 +8388,7 @@ object SparkEntry {
             avgRank(col("n")).as("rn"), avgRank(col("cents")).as("rv"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_days"),
-            round(corr(col("rn"), col("rv")), 6).as("spearman"))
+            r6(corr(col("rn"), col("rv"))).as("spearman"))
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   count(*) AS n,
@@ -8456,7 +8404,7 @@ object SparkEntry {
                       / 2.0 AS rv
                 FROM daily)
               SELECT event_type, count(*) AS n_days,
-                round(corr(rn, rv), 6) AS spearman
+                CASE WHEN abs(corr(rn, rv)) < 8.0e9 THEN floor((corr(rn, rv)) * 1e6 + 0.5) / 1e6 ELSE (corr(rn, rv)) END AS spearman
               FROM r GROUP BY 1""")),
 
     // Two-sample Kolmogorov–Smirnov distance between the value
@@ -8482,8 +8430,8 @@ object SparkEntry {
           (count(lit(1)) - sum(col("i1"))).as("n2"))
         cum.crossJoin(broadcast(n))
           .groupBy(col("n1"), col("n2"))
-          .agg(round(max(abs(col("cum1") / col("n1") -
-            col("cum2") / col("n2"))), 6).as("ks_d"))
+          .agg(r6(max(abs(col("cum1") / col("n1") -
+            col("cum2") / col("n2")))).as("ks_d"))
           .select(col("ks_d"), col("n1"), col("n2"))
       },
       Some("""WITH s AS (SELECT value,
@@ -8495,8 +8443,7 @@ object SparkEntry {
               c AS (SELECT value,
                   sum(c1) OVER (ORDER BY value) AS cum1,
                   sum(c2) OVER (ORDER BY value) AS cum2 FROM g)
-              SELECT round(max(abs(cum1 * 1.0 / n.n1 - cum2 * 1.0 / n.n2)),
-                  6) AS ks_d,
+              SELECT CASE WHEN abs(max(abs(cum1 * 1.0 / n.n1 - cum2 * 1.0 / n.n2))) < 8.0e9 THEN floor((max(abs(cum1 * 1.0 / n.n1 - cum2 * 1.0 / n.n2))) * 1e6 + 0.5) / 1e6 ELSE (max(abs(cum1 * 1.0 / n.n1 - cum2 * 1.0 / n.n2))) END AS ks_d,
                 CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
               FROM c, n GROUP BY n.n1, n.n2""")),
 
@@ -8521,10 +8468,10 @@ object SparkEntry {
             col("cnt").as("cnt_c"))), Seq("cons"))
           .crossJoin(broadcast(tot))
           .select(col("ante"), col("cons"), col("n_both"),
-            round(col("n_both") / col("total"), 6).as("support"),
-            round(col("n_both") / col("cnt_a"), 6).as("confidence"),
-            round((col("n_both") / col("cnt_a")) /
-              (col("cnt_c") / col("total")), 6).as("lift"))
+            r6(col("n_both") / col("total")).as("support"),
+            r6(col("n_both") / col("cnt_a")).as("confidence"),
+            r6((col("n_both") / col("cnt_a")) /
+              (col("cnt_c") / col("total"))).as("lift"))
       },
       Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
               n AS (SELECT count(DISTINCT user_id) AS total FROM events),
@@ -8535,9 +8482,9 @@ object SparkEntry {
                   AND a.event_type < b.event_type
                 GROUP BY 1, 2)
               SELECT p.ante, p.cons, p.n_both,
-                round(p.n_both * 1.0 / n.total, 6) AS support,
-                round(p.n_both * 1.0 / x.cnt, 6) AS confidence,
-                round((p.n_both * 1.0 / x.cnt) / (y.cnt * 1.0 / n.total), 6)
+                CASE WHEN abs(p.n_both * 1.0 / n.total) < 8.0e9 THEN floor((p.n_both * 1.0 / n.total) * 1e6 + 0.5) / 1e6 ELSE (p.n_both * 1.0 / n.total) END AS support,
+                CASE WHEN abs(p.n_both * 1.0 / x.cnt) < 8.0e9 THEN floor((p.n_both * 1.0 / x.cnt) * 1e6 + 0.5) / 1e6 ELSE (p.n_both * 1.0 / x.cnt) END AS confidence,
+                CASE WHEN abs((p.n_both * 1.0 / x.cnt) / (y.cnt * 1.0 / n.total)) < 8.0e9 THEN floor(((p.n_both * 1.0 / x.cnt) / (y.cnt * 1.0 / n.total)) * 1e6 + 0.5) / 1e6 ELSE ((p.n_both * 1.0 / x.cnt) / (y.cnt * 1.0 / n.total)) END
                   AS lift
               FROM pairs p JOIN na x ON x.event_type = p.ante
               JOIN na y ON y.event_type = p.cons, n""")),
@@ -8682,11 +8629,10 @@ object SparkEntry {
             (sum(col("ct")) - sum(col("c1"))).cast("double").as("n2"))
         agg.select(col("n1").cast("long").as("n1"),
           col("n2").cast("long").as("n2"),
-          round(col("r1") - col("n1") * (col("n1") + 1) / 2, 6).as("u1"),
-          round((col("r1") - col("n1") * (col("n1") + 1) / 2 -
+          r6(col("r1") - col("n1") * (col("n1") + 1) / 2).as("u1"),
+          r6((col("r1") - col("n1") * (col("n1") + 1) / 2 -
             col("n1") * col("n2") / 2) /
-            sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / 12),
-            6).as("z"))
+            sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / 12)).as("z"))
       },
       Some("""WITH s AS (SELECT value,
                   CASE WHEN event_type='click' THEN 1 ELSE 0 END AS i1
@@ -8699,9 +8645,8 @@ object SparkEntry {
                   CAST(sum(i1) AS DOUBLE) AS n1,
                   CAST(count(*) - sum(i1) AS DOUBLE) AS n2 FROM r)
               SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-                round(r1 - n1*(n1+1)/2, 6) AS u1,
-                round((r1 - n1*(n1+1)/2 - n1*n2/2) /
-                  sqrt(n1*n2*(n1+n2+1)/12), 6) AS z
+                CASE WHEN abs(r1 - n1*(n1+1)/2) < 8.0e9 THEN floor((r1 - n1*(n1+1)/2) * 1e6 + 0.5) / 1e6 ELSE (r1 - n1*(n1+1)/2) END AS u1,
+                CASE WHEN abs((r1 - n1*(n1+1)/2 - n1*n2/2) / sqrt(n1*n2*(n1+n2+1)/12)) < 8.0e9 THEN floor(((r1 - n1*(n1+1)/2 - n1*n2/2) / sqrt(n1*n2*(n1+n2+1)/12)) * 1e6 + 0.5) / 1e6 ELSE ((r1 - n1*(n1+1)/2 - n1*n2/2) / sqrt(n1*n2*(n1+n2+1)/12)) END AS z
               FROM agg""")),
 
     // Two-feature ridge regression in closed form: the regularized
@@ -8726,8 +8671,8 @@ object SparkEntry {
           col("c2y") * col("c12")) / det
         val b2 = (col("c2y") * (col("v1") + lit(1.0) / col("n")) -
           col("c1y") * col("c12")) / det
-        m.select(round(b1, 6).as("b1"), round(b2, 6).as("b2"),
-          round(col("my") - b1 * col("m1") - b2 * col("m2"), 6).as("b0"),
+        m.select(r6(b1).as("b1"), r6(b2).as("b2"),
+          r6(col("my") - b1 * col("m1") - b2 * col("m2")).as("b0"),
           col("n"))
       },
       Some("""WITH s AS (SELECT value AS y,
@@ -8739,14 +8684,9 @@ object SparkEntry {
                   var_pop(x2) AS v2, avg(x1) AS m1, avg(x2) AS m2,
                   avg(y) AS my, count(*) AS n FROM s)
               SELECT
-                round(((c1y*(v2 + 1.0/n) - c2y*c12) /
-                  ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)), 6) AS b1,
-                round(((c2y*(v1 + 1.0/n) - c1y*c12) /
-                  ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)), 6) AS b2,
-                round(my - ((c1y*(v2 + 1.0/n) - c2y*c12) /
-                    ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m1
-                  - ((c2y*(v1 + 1.0/n) - c1y*c12) /
-                    ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m2, 6) AS b0,
+                CASE WHEN abs(((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) < 8.0e9 THEN floor((((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) * 1e6 + 0.5) / 1e6 ELSE (((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) END AS b1,
+                CASE WHEN abs(((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) < 8.0e9 THEN floor((((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) * 1e6 + 0.5) / 1e6 ELSE (((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12))) END AS b2,
+                CASE WHEN abs(my - ((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m1 - ((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m2) < 8.0e9 THEN floor((my - ((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m1 - ((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m2) * 1e6 + 0.5) / 1e6 ELSE (my - ((c1y*(v2 + 1.0/n) - c2y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m1 - ((c2y*(v1 + 1.0/n) - c1y*c12) / ((v1 + 1.0/n)*(v2 + 1.0/n) - c12*c12)) * m2) END AS b0,
                 CAST(n AS BIGINT) AS n
               FROM m""")),
 
@@ -8764,16 +8704,14 @@ object SparkEntry {
           .join(broadcast(hm), Seq("event_type", "h"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(greatest(lit(0.0), lit(1.0) -
-              var_pop(col("value") - col("hmean")) / var_pop(col("value"))),
-              6).as("strength"))
+            r6(greatest(lit(0.0), lit(1.0) -
+              var_pop(col("value") - col("hmean")) / var_pop(col("value")))).as("strength"))
       },
       Some("""WITH hm AS (SELECT event_type,
                   hour(CAST(ts AS TIMESTAMP)) AS h, avg(value) AS hmean
                 FROM events GROUP BY 1, 2)
               SELECT e.event_type, count(*) AS n,
-                round(greatest(0.0, 1.0 - var_pop(e.value - hm.hmean) /
-                  var_pop(e.value)), 6) AS strength
+                CASE WHEN abs(greatest(0.0, 1.0 - var_pop(e.value - hm.hmean) / var_pop(e.value))) < 8.0e9 THEN floor((greatest(0.0, 1.0 - var_pop(e.value - hm.hmean) / var_pop(e.value))) * 1e6 + 0.5) / 1e6 ELSE (greatest(0.0, 1.0 - var_pop(e.value - hm.hmean) / var_pop(e.value))) END AS strength
               FROM events e JOIN hm ON hm.event_type = e.event_type
                 AND hm.h = hour(CAST(e.ts AS TIMESTAMP))
               GROUP BY 1""")),
@@ -8794,8 +8732,8 @@ object SparkEntry {
         f.select(col("doc_id"), col("cnt"), n.as("n"))
           .groupBy(col("doc_id"))
           .agg(max(col("n")).as("n_chars_nospace"),
-            round(-sum((col("cnt") / col("n")) *
-              log2(col("cnt") / col("n"))), 6).as("entropy_bits"))
+            r6(-sum((col("cnt") / col("n")) *
+              log2(col("cnt") / col("n")))).as("entropy_bits"))
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(
                     lower(text), '\S')) AS c
@@ -8804,7 +8742,7 @@ object SparkEntry {
               t AS (SELECT doc_id, c, cnt,
                   sum(cnt) OVER (PARTITION BY doc_id) AS n FROM f)
               SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_nospace,
-                round(-sum((cnt*1.0/n) * log2(cnt*1.0/n)), 6)
+                CASE WHEN abs(-sum((cnt*1.0/n) * log2(cnt*1.0/n))) < 8.0e9 THEN floor((-sum((cnt*1.0/n) * log2(cnt*1.0/n))) * 1e6 + 0.5) / 1e6 ELSE (-sum((cnt*1.0/n) * log2(cnt*1.0/n))) END
                   AS entropy_bits
               FROM t GROUP BY 1""")),
 
@@ -8824,9 +8762,9 @@ object SparkEntry {
           .filter(col("pred").isNotNull)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(avg(abs(col("y") - col("pred"))), 6).as("mae"),
-            round(avg(when(abs(col("y")) >= 10,
-              abs(col("y") - col("pred")) / abs(col("y")))) * 100, 6)
+            r6(avg(abs(col("y") - col("pred")))).as("mae"),
+            r6(avg(when(abs(col("y")) >= 10,
+              abs(col("y") - col("pred")) / abs(col("y")))) * 100)
               .as("mape"))
       },
       Some("""WITH h AS (SELECT event_type,
@@ -8837,9 +8775,8 @@ object SparkEntry {
               p AS (SELECT event_type, y, lag(y, 24) OVER
                   (PARTITION BY event_type ORDER BY hr) AS pred FROM h)
               SELECT event_type, count(*) AS n,
-                round(avg(abs(y - pred)), 6) AS mae,
-                round(avg(CASE WHEN abs(y) >= 10
-                  THEN abs(y - pred)/abs(y) END) * 100, 6) AS mape
+                CASE WHEN abs(avg(abs(y - pred))) < 8.0e9 THEN floor((avg(abs(y - pred))) * 1e6 + 0.5) / 1e6 ELSE (avg(abs(y - pred))) END AS mae,
+                CASE WHEN abs(avg(CASE WHEN abs(y) >= 10 THEN abs(y - pred)/abs(y) END) * 100) < 8.0e9 THEN floor((avg(CASE WHEN abs(y) >= 10 THEN abs(y - pred)/abs(y) END) * 100) * 1e6 + 0.5) / 1e6 ELSE (avg(CASE WHEN abs(y) >= 10 THEN abs(y - pred)/abs(y) END) * 100) END AS mape
               FROM p WHERE pred IS NOT NULL GROUP BY 1""")),
 
     // OCR/markup-noise heuristics per document: longest consonant run
@@ -8857,7 +8794,7 @@ object SparkEntry {
             greatest(length(col("text")), lit(1)).cast("double"))
             .as("sym_ratio"))
         .select(col("doc_id"), col("max_consonant_run"),
-          round(col("sym_ratio"), 6).as("symbol_ratio"),
+          r6(col("sym_ratio")).as("symbol_ratio"),
           when(col("max_consonant_run") >= 5 || col("sym_ratio") > 0.3, 1)
             .otherwise(0).as("is_gibberish")),
       Some("""WITH m AS (SELECT doc_id,
@@ -8870,7 +8807,7 @@ object SparkEntry {
                 FROM documents)
               SELECT doc_id,
                 CAST(max_consonant_run AS BIGINT) AS max_consonant_run,
-                round(sym_ratio, 6) AS symbol_ratio,
+                CASE WHEN abs(sym_ratio) < 8.0e9 THEN floor((sym_ratio) * 1e6 + 0.5) / 1e6 ELSE (sym_ratio) END AS symbol_ratio,
                 CASE WHEN max_consonant_run >= 5 OR sym_ratio > 0.3
                   THEN 1 ELSE 0 END AS is_gibberish
               FROM m""")),
@@ -8896,9 +8833,9 @@ object SparkEntry {
         val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
           .rowsBetween(-23, Window.currentRow)
         h.select(col("event_type"), col("hr"),
-          round(size(filter(collect_list(col("y")).over(w),
+          r6(size(filter(collect_list(col("y")).over(w),
               x => x <= col("y"))) /
-            size(collect_list(col("y")).over(w)).cast("double"), 6)
+            size(collect_list(col("y")).over(w)).cast("double"))
             .as("pct_rank"))
       },
       Some("""WITH h AS (SELECT event_type,
@@ -8911,7 +8848,7 @@ object SparkEntry {
                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS w
                 FROM h)
               SELECT event_type, hr,
-                round(len(list_filter(w, x -> x <= y)) * 1.0 / len(w), 6)
+                CASE WHEN abs(len(list_filter(w, x -> x <= y)) * 1.0 / len(w)) < 8.0e9 THEN floor((len(list_filter(w, x -> x <= y)) * 1.0 / len(w)) * 1e6 + 0.5) / 1e6 ELSE (len(list_filter(w, x -> x <= y)) * 1.0 / len(w)) END
                   AS pct_rank
               FROM l""")),
 
@@ -8957,9 +8894,9 @@ object SparkEntry {
               .cast("long").as("n_at_min"),
             sum(when(col("value") === col("hi"), 1).otherwise(0))
               .cast("long").as("n_at_max"),
-            round(sum(when(col("value") === col("lo") ||
+            r6(sum(when(col("value") === col("lo") ||
                 col("value") === col("hi"), 1).otherwise(0)) /
-              count(lit(1)).cast("double"), 6).as("saturation_share"))
+              count(lit(1)).cast("double")).as("saturation_share"))
       },
       Some("""WITH b AS (SELECT event_type, min(value) AS lo,
                   max(value) AS hi
@@ -8969,8 +8906,7 @@ object SparkEntry {
                   AS BIGINT) AS n_at_min,
                 CAST(sum(CASE WHEN e.value = b.hi THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_at_max,
-                round(sum(CASE WHEN e.value = b.lo OR e.value = b.hi
-                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                CASE WHEN abs(sum(CASE WHEN e.value = b.lo OR e.value = b.hi THEN 1 ELSE 0 END) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(CASE WHEN e.value = b.lo OR e.value = b.hi THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN e.value = b.lo OR e.value = b.hi THEN 1 ELSE 0 END) * 1.0 / count(*)) END
                   AS saturation_share
               FROM events e JOIN b ON b.event_type = e.event_type
               GROUP BY 1""")),
@@ -8985,8 +8921,8 @@ object SparkEntry {
             + 1).cast("long").as("lifespan_days"),
           countDistinct(to_date(col("ts"))).as("active_days"),
           count(lit(1)).as("n_events"),
-          round(count(lit(1)) /
-            countDistinct(to_date(col("ts"))).cast("double"), 6)
+          r6(count(lit(1)) /
+            countDistinct(to_date(col("ts"))).cast("double"))
             .as("events_per_active_day")),
       Some("""SELECT user_id,
                 CAST(date_diff('day', min(CAST(ts AS DATE)),
@@ -8994,7 +8930,7 @@ object SparkEntry {
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
                   AS active_days,
                 count(*) AS n_events,
-                round(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE)), 6)
+                CASE WHEN abs(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE))) < 8.0e9 THEN floor((count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE))) * 1e6 + 0.5) / 1e6 ELSE (count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE))) END
                   AS events_per_active_day
               FROM events GROUP BY 1""")),
 
@@ -9017,9 +8953,9 @@ object SparkEntry {
         m.select(col("event_type"),
           col("n1").cast("long").as("n_weekday"),
           col("n2").cast("long").as("n_weekend"),
-          round((col("m1") - col("m2")) /
+          r6((col("m1") - col("m2")) /
             sqrt(((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2"))
-              / (col("n1") + col("n2") - 2)), 6).as("cohens_d"))
+              / (col("n1") + col("n2") - 2))).as("cohens_d"))
       },
       Some("""WITH s AS (SELECT event_type, value,
                   CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
@@ -9035,8 +8971,7 @@ object SparkEntry {
                 FROM s GROUP BY 1)
               SELECT event_type, CAST(n1 AS BIGINT) AS n_weekday,
                 CAST(n2 AS BIGINT) AS n_weekend,
-                round((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) /
-                  (n1 + n2 - 2)), 6) AS cohens_d
+                CASE WHEN abs((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1 + n2 - 2))) < 8.0e9 THEN floor(((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1 + n2 - 2))) * 1e6 + 0.5) / 1e6 ELSE ((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1 + n2 - 2))) END AS cohens_d
               FROM m""")),
 
     // Poisson rate estimation per series: events/day with the
@@ -9054,12 +8989,12 @@ object SparkEntry {
           .select(col("event_type"),
             col("total").cast("long").as("n_events"),
             col("days").cast("long").as("n_days"),
-            round(col("total") / col("days"), 6).as("rate_per_day"),
-            round(col("total") / col("days") -
-              lit(1.959964) * sqrt(col("total")) / col("days"), 6)
+            r6(col("total") / col("days")).as("rate_per_day"),
+            r6(col("total") / col("days") -
+              lit(1.959964) * sqrt(col("total")) / col("days"))
               .as("ci_lo"),
-            round(col("total") / col("days") +
-              lit(1.959964) * sqrt(col("total")) / col("days"), 6)
+            r6(col("total") / col("days") +
+              lit(1.959964) * sqrt(col("total")) / col("days"))
               .as("ci_hi"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -9069,10 +9004,10 @@ object SparkEntry {
                   CAST(count(*) AS DOUBLE) AS days FROM d GROUP BY 1)
               SELECT event_type, CAST(total AS BIGINT) AS n_events,
                 CAST(days AS BIGINT) AS n_days,
-                round(total / days, 6) AS rate_per_day,
-                round(total / days - 1.959964 * sqrt(total) / days, 6)
+                CASE WHEN abs(total / days) < 8.0e9 THEN floor((total / days) * 1e6 + 0.5) / 1e6 ELSE (total / days) END AS rate_per_day,
+                CASE WHEN abs(total / days - 1.959964 * sqrt(total) / days) < 8.0e9 THEN floor((total / days - 1.959964 * sqrt(total) / days) * 1e6 + 0.5) / 1e6 ELSE (total / days - 1.959964 * sqrt(total) / days) END
                   AS ci_lo,
-                round(total / days + 1.959964 * sqrt(total) / days, 6)
+                CASE WHEN abs(total / days + 1.959964 * sqrt(total) / days) < 8.0e9 THEN floor((total / days + 1.959964 * sqrt(total) / days) * 1e6 + 0.5) / 1e6 ELSE (total / days + 1.959964 * sqrt(total) / days) END
                   AS ci_hi
               FROM m""")),
 
@@ -9091,12 +9026,12 @@ object SparkEntry {
         f.groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_tokens"),
             count(lit(1)).as("n_types"),
-            round(count(lit(1)) / sum(col("c")).cast("double"), 6)
+            r6(count(lit(1)) / sum(col("c")).cast("double"))
               .as("ttr"),
             sum(when(col("c") === 1, 1).otherwise(0)).cast("long")
               .as("n_hapax"),
-            round(sum(when(col("c") === 1, 1).otherwise(0)) /
-              count(lit(1)).cast("double"), 6).as("hapax_share"))
+            r6(sum(when(col("c") === 1, 1).otherwise(0)) /
+              count(lit(1)).cast("double")).as("hapax_share"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(
                     lower(trim(text)), '\s+')) AS tok FROM documents),
@@ -9105,11 +9040,10 @@ object SparkEntry {
                 FROM t GROUP BY 1, 2)
               SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                 count(*) AS n_types,
-                round(count(*) * 1.0 / sum(c), 6) AS ttr,
+                CASE WHEN abs(count(*) * 1.0 / sum(c)) < 8.0e9 THEN floor((count(*) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6 ELSE (count(*) * 1.0 / sum(c)) END AS ttr,
                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_hapax,
-                round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
-                  / count(*), 6) AS hapax_share
+                CASE WHEN abs(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)) END AS hapax_share
               FROM f GROUP BY 1""")),
 
     // Streaming twin of the activity bitmap's per-user stage: ONE long
@@ -9212,12 +9146,12 @@ object SparkEntry {
         agg.select(col("n1").cast("long").as("n_above"),
           col("n2").cast("long").as("n_below"),
           col("runs").cast("long").as("n_runs"),
-          round((col("runs") - (lit(2) * col("n1") * col("n2") /
+          r6((col("runs") - (lit(2) * col("n1") * col("n2") /
               (col("n1") + col("n2")) + 1)) /
             sqrt(lit(2) * col("n1") * col("n2") *
               (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")) /
               ((col("n1") + col("n2")) * (col("n1") + col("n2")) *
-                (col("n1") + col("n2") - 1))), 6).as("z"))
+                (col("n1") + col("n2") - 1)))).as("z"))
       },
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
                   CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
@@ -9237,9 +9171,7 @@ object SparkEntry {
               SELECT CAST(n1 AS BIGINT) AS n_above,
                 CAST(n2 AS BIGINT) AS n_below,
                 CAST(runs AS BIGINT) AS n_runs,
-                round((runs - (2*n1*n2/(n1+n2) + 1)) /
-                  sqrt(2*n1*n2*(2*n1*n2 - n1 - n2) /
-                    ((n1+n2)*(n1+n2)*(n1+n2-1))), 6) AS z
+                CASE WHEN abs((runs - (2*n1*n2/(n1+n2) + 1)) / sqrt(2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)*(n1+n2)*(n1+n2-1)))) < 8.0e9 THEN floor(((runs - (2*n1*n2/(n1+n2) + 1)) / sqrt(2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)*(n1+n2)*(n1+n2-1)))) * 1e6 + 0.5) / 1e6 ELSE ((runs - (2*n1*n2/(n1+n2) + 1)) / sqrt(2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)*(n1+n2)*(n1+n2-1)))) END AS z
               FROM agg""")),
 
     // Rolling-origin (expanding-window) CV folds over the day dim —
@@ -9294,10 +9226,10 @@ object SparkEntry {
             words.cast("long").as("n_words"),
             sentences.cast("long").as("n_sentences"),
             syllables.cast("long").as("n_syllables"),
-            round(lit(206.835) -
+            r6(lit(206.835) -
               lit(1.015) * (words / sentences.cast("double")) -
               lit(84.6) * (syllables / greatest(words, lit(1))
-                .cast("double")), 6).as("flesch"))
+                .cast("double"))).as("flesch"))
       },
       Some("""SELECT doc_id,
                 CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
@@ -9306,14 +9238,7 @@ object SparkEntry {
                   AS BIGINT) AS n_sentences,
                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
                   AS BIGINT) AS n_syllables,
-                round(206.835
-                  - 1.015 * (len(regexp_extract_all(lower(trim(text)),
-                      '\S+')) * 1.0
-                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
-                  - 84.6 * (len(regexp_extract_all(lower(text),
-                      '[aeiouy]+')) * 1.0
-                    / greatest(len(regexp_extract_all(lower(trim(text)),
-                      '\S+')), 1)), 6) AS flesch
+                CASE WHEN abs(206.835 - 1.015 * (len(regexp_extract_all(lower(trim(text)), '\S+')) * 1.0 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0 / greatest(len(regexp_extract_all(lower(trim(text)), '\S+')), 1))) < 8.0e9 THEN floor((206.835 - 1.015 * (len(regexp_extract_all(lower(trim(text)), '\S+')) * 1.0 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0 / greatest(len(regexp_extract_all(lower(trim(text)), '\S+')), 1))) * 1e6 + 0.5) / 1e6 ELSE (206.835 - 1.015 * (len(regexp_extract_all(lower(trim(text)), '\S+')) * 1.0 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0 / greatest(len(regexp_extract_all(lower(trim(text)), '\S+')), 1))) END AS flesch
               FROM documents""")),
 
     // Quantile normalization: map every value to its mid-rank uniform
@@ -9338,8 +9263,8 @@ object SparkEntry {
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         val table = cum.join(broadcast(totals), Seq("event_type"))
           .select(col("event_type"), col("value"),
-            round((col("gbefore") - col("offset") +
-              (col("ct") + 1) / lit(2.0)) / col("ntype"), 6).as("q"))
+            r6((col("gbefore") - col("offset") +
+              (col("ct") + 1) / lit(2.0)) / col("ntype")).as("q"))
         ev(s, d).select(col("event_id"), col("event_type"), col("value"))
           .join(table, Seq("event_type", "value"))
           .select(col("event_id"), col("q"))
@@ -9350,7 +9275,7 @@ object SparkEntry {
                       / 2.0 AS ar,
                   count(*) OVER (PARTITION BY event_type) AS n
                 FROM events)
-              SELECT event_id, round(ar / n, 6) AS q
+              SELECT event_id, CASE WHEN abs(ar / n) < 8.0e9 THEN floor((ar / n) * 1e6 + 0.5) / 1e6 ELSE (ar / n) END AS q
               FROM r""")),
 
     // Per-day softmax share across series of the exact-cents revenue
@@ -9366,8 +9291,8 @@ object SparkEntry {
         val wd = Window.partitionBy(col("day"))
         daily.withColumn("mx", max(col("x")).over(wd))
           .select(col("day"), col("event_type"),
-            round(exp(col("x") - col("mx")) /
-              sum(exp(col("x") - col("mx"))).over(wd), 6).as("share"))
+            r6(exp(col("x") - col("mx")) /
+              sum(exp(col("x") - col("mx"))).over(wd)).as("share"))
       },
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
                   sum(CAST(floor(value*100+0.5) AS BIGINT)) / 10000.0 AS x
@@ -9375,8 +9300,7 @@ object SparkEntry {
               m AS (SELECT day, event_type, x,
                   max(x) OVER (PARTITION BY day) AS mx FROM d)
               SELECT day, event_type,
-                round(exp(x - mx) / sum(exp(x - mx))
-                  OVER (PARTITION BY day), 6) AS share
+                CASE WHEN abs(exp(x - mx) / sum(exp(x - mx)) OVER (PARTITION BY day)) < 8.0e9 THEN floor((exp(x - mx) / sum(exp(x - mx)) OVER (PARTITION BY day)) * 1e6 + 0.5) / 1e6 ELSE (exp(x - mx) / sum(exp(x - mx)) OVER (PARTITION BY day)) END AS share
               FROM m""")),
   )
 
@@ -9454,10 +9378,10 @@ object SparkEntry {
                     (r.ho + r.hc) / 2.0 AS ho
                 FROM d JOIN rec r ON d.event_type = r.event_type
                   AND d.rn = r.rn + 1)
-              SELECT event_type, day, round(ho, 6) AS ha_open,
-                round(hc, 6) AS ha_close,
-                round(greatest(h, ho, hc), 6) AS ha_high,
-                round(least(l, ho, hc), 6) AS ha_low
+              SELECT event_type, day, CASE WHEN abs(ho) < 8.0e9 THEN floor((ho) * 1e6 + 0.5) / 1e6 ELSE (ho) END AS ha_open,
+                CASE WHEN abs(hc) < 8.0e9 THEN floor((hc) * 1e6 + 0.5) / 1e6 ELSE (hc) END AS ha_close,
+                CASE WHEN abs(greatest(h, ho, hc)) < 8.0e9 THEN floor((greatest(h, ho, hc)) * 1e6 + 0.5) / 1e6 ELSE (greatest(h, ho, hc)) END AS ha_high,
+                CASE WHEN abs(least(l, ho, hc)) < 8.0e9 THEN floor((least(l, ho, hc)) * 1e6 + 0.5) / 1e6 ELSE (least(l, ho, hc)) END AS ha_low
               FROM rec""")),
 
     // Hodges–Lehmann location estimate per series: the median of all
@@ -9482,7 +9406,7 @@ object SparkEntry {
           .select(col("event_type"), ((col("ra") + col("rb")) / 2).as("w"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_pairs"),
-            round(percentile(col("w"), lit(0.5)), 6).as("hl_estimate"))
+            r6(percentile(col("w"), lit(0.5))).as("hl_estimate"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
@@ -9492,7 +9416,7 @@ object SparkEntry {
                 FROM d a JOIN d b ON a.event_type = b.event_type
                   AND a.day <= b.day)
               SELECT event_type, count(*) AS n_pairs,
-                round(quantile_cont(w, 0.5), 6) AS hl_estimate
+                CASE WHEN abs(quantile_cont(w, 0.5)) < 8.0e9 THEN floor((quantile_cont(w, 0.5)) * 1e6 + 0.5) / 1e6 ELSE (quantile_cont(w, 0.5)) END AS hl_estimate
               FROM p GROUP BY 1""")),
 
     // Wilcoxon signed-rank test of day-vs-same-day-last-week revenue:
@@ -9520,10 +9444,9 @@ object SparkEntry {
             sum(when(col("diff") > 0, col("ar")).otherwise(0.0))
               .as("wplus"))
           .select(col("event_type"), col("n").cast("long").as("n_pairs"),
-            round(col("wplus"), 6).as("w_plus"),
-            round((col("wplus") - col("n") * (col("n") + 1) / 4) /
-              sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24),
-              6).as("z"))
+            r6(col("wplus")).as("w_plus"),
+            r6((col("wplus") - col("n") * (col("n") + 1) / 4) /
+              sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24)).as("z"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
@@ -9543,8 +9466,8 @@ object SparkEntry {
                   sum(CASE WHEN diff > 0 THEN ar ELSE 0 END) AS wplus
                 FROM r GROUP BY 1)
               SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-                round(wplus, 6) AS w_plus,
-                round((wplus - n*(n+1)/4) / sqrt(n*(n+1)*(2*n+1)/24), 6)
+                CASE WHEN abs(wplus) < 8.0e9 THEN floor((wplus) * 1e6 + 0.5) / 1e6 ELSE (wplus) END AS w_plus,
+                CASE WHEN abs((wplus - n*(n+1)/4) / sqrt(n*(n+1)*(2*n+1)/24)) < 8.0e9 THEN floor(((wplus - n*(n+1)/4) / sqrt(n*(n+1)*(2*n+1)/24)) * 1e6 + 0.5) / 1e6 ELSE ((wplus - n*(n+1)/4) / sqrt(n*(n+1)*(2*n+1)/24)) END
                   AS z
               FROM agg""")),
 
@@ -9570,7 +9493,7 @@ object SparkEntry {
         st.crossJoin(broadcast(nd))
           .select(col("tok"), col("df").as("doc_freq"),
             col("total").as("n_occurrences"),
-            round((col("sumsq") / col("nd") - m * m) / m, 6)
+            r6((col("sumsq") / col("nd") - m * m) / m)
               .as("burstiness"))
           .orderBy(col("burstiness").desc, col("tok"))
           .limit(20)
@@ -9590,7 +9513,7 @@ object SparkEntry {
                     AS burstiness
                 FROM st, ndocs WHERE df >= 5)
               SELECT tok, CAST(df AS BIGINT) AS doc_freq,
-                total AS n_occurrences, round(burstiness, 6) AS burstiness
+                total AS n_occurrences, CASE WHEN abs(burstiness) < 8.0e9 THEN floor((burstiness) * 1e6 + 0.5) / 1e6 ELSE (burstiness) END AS burstiness
               FROM b ORDER BY burstiness DESC, tok LIMIT 20""")),
 
     // Expected + maximum calibration error: the scalar rollup of the
@@ -9611,9 +9534,9 @@ object SparkEntry {
         val tot = b.agg(sum(col("n")).as("total"))
         b.crossJoin(broadcast(tot))
           .groupBy(col("total"))
-          .agg(round(sum((col("n") / col("total").cast("double")) *
-              abs(col("acc") - col("conf"))), 6).as("ece"),
-            round(max(abs(col("acc") - col("conf"))), 6).as("mce"))
+          .agg(r6(sum((col("n") / col("total").cast("double")) *
+              abs(col("acc") - col("conf")))).as("ece"),
+            r6(max(abs(col("acc") - col("conf")))).as("mce"))
           .select(col("total").as("n"), col("ece"), col("mce"))
       },
       Some("""WITH t AS (SELECT
@@ -9628,9 +9551,8 @@ object SparkEntry {
                 FROM t GROUP BY 1),
               tot AS (SELECT sum(n) AS total FROM b)
               SELECT CAST(tot.total AS BIGINT) AS n,
-                round(sum((b.n * 1.0 / tot.total) * abs(b.acc - b.conf)),
-                  6) AS ece,
-                round(max(abs(b.acc - b.conf)), 6) AS mce
+                CASE WHEN abs(sum((b.n * 1.0 / tot.total) * abs(b.acc - b.conf))) < 8.0e9 THEN floor((sum((b.n * 1.0 / tot.total) * abs(b.acc - b.conf))) * 1e6 + 0.5) / 1e6 ELSE (sum((b.n * 1.0 / tot.total) * abs(b.acc - b.conf))) END AS ece,
+                CASE WHEN abs(max(abs(b.acc - b.conf))) < 8.0e9 THEN floor((max(abs(b.acc - b.conf))) * 1e6 + 0.5) / 1e6 ELSE (max(abs(b.acc - b.conf))) END AS mce
               FROM b, tot GROUP BY tot.total""")),
   )
 
@@ -9694,8 +9616,8 @@ object SparkEntry {
           .filter(col("l") > 0)
         daily.groupBy(col("event_type"), col("wk").cast("date").as("week"))
           .agg(count(lit(1)).as("n_days"),
-            round(sqrt(avg(pow(log(col("h") / col("l")), 2)) /
-              (lit(4) * log(lit(2.0)))), 6).as("parkinson_vol"))
+            r6(sqrt(avg(pow(log(col("h") / col("l")), 2)) /
+              (lit(4) * log(lit(2.0))))).as("parkinson_vol"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
@@ -9706,7 +9628,7 @@ object SparkEntry {
                 FROM events GROUP BY 1, 2, 3)
               SELECT event_type, CAST(wk AS DATE) AS week,
                 count(*) AS n_days,
-                round(sqrt(avg(pow(ln(h / l), 2)) / (4 * ln(2))), 6)
+                CASE WHEN abs(sqrt(avg(pow(ln(h / l), 2)) / (4 * ln(2)))) < 8.0e9 THEN floor((sqrt(avg(pow(ln(h / l), 2)) / (4 * ln(2)))) * 1e6 + 0.5) / 1e6 ELSE (sqrt(avg(pow(ln(h / l), 2)) / (4 * ln(2)))) END
                   AS parkinson_vol
               FROM d WHERE l > 0 GROUP BY 1, 2""")),
 
@@ -9742,8 +9664,8 @@ object SparkEntry {
             (col("sk") / col("s0")).as("r"))
           .groupBy(col("event_type"))
           .agg(max(col("n")).cast("long").as("n_days"),
-            round(max(col("n")) * (max(col("n")) + 2) *
-              sum(col("r") * col("r") / (col("n") - col("k"))), 6)
+            r6(max(col("n")) * (max(col("n")) + 2) *
+              sum(col("r") * col("r") / (col("n") - col("k"))))
               .as("q_stat"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -9766,7 +9688,7 @@ object SparkEntry {
               rho AS (SELECT l.event_type, l.k, l.sk / den.s0 AS r, den.n
                 FROM lags l JOIN den ON den.event_type = l.event_type)
               SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-                round(max(n) * (max(n) + 2) * sum(r * r / (n - k)), 6)
+                CASE WHEN abs(max(n) * (max(n) + 2) * sum(r * r / (n - k))) < 8.0e9 THEN floor((max(n) * (max(n) + 2) * sum(r * r / (n - k))) * 1e6 + 0.5) / 1e6 ELSE (max(n) * (max(n) + 2) * sum(r * r / (n - k))) END
                   AS q_stat
               FROM rho GROUP BY 1""")),
 
@@ -9785,12 +9707,17 @@ object SparkEntry {
     Q("dedup_containment_prefix",
       // maxPosting = 1000 is THIS BENCHMARK'S explicit argument (the
       // oracle's HAVING count(*) BETWEEN 2 AND 1000 mirrors it); the
-      // function default is recall-safe 100000. A binding cap is
-      // surfaced by the query's observe metric — see the cap contract
-      // in Dedup.containmentPairsExact.
+      // function default is recall-safe 100000. The registered query
+      // runs with failOnCappedShingles = true (VERDICT r15 task 7): the
+      // green correctness row is therefore a PROVEN-exact row — if the
+      // cap ever binds on the driver corpus the query throws with the
+      // audit diagnostics instead of silently passing an approximate
+      // result, and the exactness contract is exercised on the harness
+      // path every round, not only in CappedCollectSpec.
       (s, d) => Dedup.containmentPairsExact(
         withPlantedDups(Tables.documents(s, d)),
-        col("doc_id"), col("text"), threshold = 0.8, maxPosting = 1000),
+        col("doc_id"), col("text"), threshold = 0.8, maxPosting = 1000,
+        failOnCappedShingles = true),
       Some(s"""WITH $plantedDocsSql,
               base AS (SELECT id,
                   list_distinct([array_to_string(toks[i+1:i+3], ' ')
@@ -9808,7 +9735,7 @@ object SparkEntry {
                 FROM pe x JOIN pe y ON x.s = y.s AND x.id < y.id
                 GROUP BY 1, 2)
               SELECT id_a, id_b,
-                round(ov * 1.0 / least(a.n, b.n), 6) AS containment
+                CASE WHEN abs(ov * 1.0 / least(a.n, b.n)) < 8.0e9 THEN floor((ov * 1.0 / least(a.n, b.n)) * 1e6 + 0.5) / 1e6 ELSE (ov * 1.0 / least(a.n, b.n)) END AS containment
               FROM ov JOIN sizes a ON a.id = ov.id_a
               JOIN sizes b ON b.id = ov.id_b
               WHERE least(a.n, b.n) > 0
@@ -9837,7 +9764,7 @@ object SparkEntry {
         val tru = ev(s, d).agg(countDistinct(col("user_id")).as("true_distinct"))
         n1.crossJoin(n2).crossJoin(m).crossJoin(tru)
           .select(col("n1"), col("n2"), col("n_both"),
-            round(col("n1") * lit(1.0) * col("n2") / col("n_both"), 6)
+            r6(col("n1") * lit(1.0) * col("n2") / col("n_both"))
               .as("lincoln_petersen"),
             col("true_distinct"))
       },
@@ -9854,7 +9781,7 @@ object SparkEntry {
               SELECT CAST(co.n1 AS BIGINT) AS n1,
                 CAST(co.n2 AS BIGINT) AS n2,
                 CAST(co.m AS BIGINT) AS n_both,
-                round(co.n1 * 1.0 * co.n2 / co.m, 6) AS lincoln_petersen,
+                CASE WHEN abs(co.n1 * 1.0 * co.n2 / co.m) < 8.0e9 THEN floor((co.n1 * 1.0 * co.n2 / co.m) * 1e6 + 0.5) / 1e6 ELSE (co.n1 * 1.0 * co.n2 / co.m) END AS lincoln_petersen,
                 CAST(tru.total AS BIGINT) AS true_distinct
               FROM co, tru""")),
   )
@@ -9879,8 +9806,8 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("x"))).as("nx"),
           sum(col("n")).over(Window.partitionBy(col("y"))).as("ny"))
         t.groupBy(col("tot"))
-          .agg(round(sum((col("n") / col("tot")) *
-            log2((col("n") * col("tot")) / (col("nx") * col("ny")))), 6)
+          .agg(r6(sum((col("n") / col("tot")) *
+            log2((col("n") * col("tot")) / (col("nx") * col("ny")))))
             .as("mi_bits"))
           .select(col("tot").cast("long").as("n"), col("mi_bits"))
       },
@@ -9893,7 +9820,7 @@ object SparkEntry {
                   sum(n) OVER (PARTITION BY y) AS ny
                 FROM c)
               SELECT CAST(sum(n) AS BIGINT) AS n,
-                round(sum((n / tot) * log2((n * tot) / (nx * ny))), 6)
+                CASE WHEN abs(sum((n / tot) * log2((n * tot) / (nx * ny)))) < 8.0e9 THEN floor((sum((n / tot) * log2((n * tot) / (nx * ny)))) * 1e6 + 0.5) / 1e6 ELSE (sum((n / tot) * log2((n * tot) / (nx * ny)))) END
                   AS mi_bits
               FROM t GROUP BY tot""")),
 
@@ -9918,12 +9845,12 @@ object SparkEntry {
           .select((col("ca") / col("na")).as("pa"),
             (col("cb") / col("nb")).as("pb"))
           .withColumn("m", (col("pa") + col("pb")) / 2)
-        dd.agg(round(lit(0.5) *
+        dd.agg(r6(lit(0.5) *
             sum(when(col("pa") > 0,
               col("pa") * log2(col("pa") / col("m"))).otherwise(0.0)) +
             lit(0.5) *
             sum(when(col("pb") > 0,
-              col("pb") * log2(col("pb") / col("m"))).otherwise(0.0)), 6)
+              col("pb") * log2(col("pb") / col("m"))).otherwise(0.0)))
             .as("js_divergence_bits"),
           count(lit(1)).as("n_vocab"))
       },
@@ -9942,10 +9869,7 @@ object SparkEntry {
               n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM p),
               d AS (SELECT p.tok, p.ca / n.na AS pa, p.cb / n.nb AS pb,
                   (p.ca / n.na + p.cb / n.nb) / 2 AS m FROM p, n)
-              SELECT round(0.5 * sum(CASE WHEN pa > 0
-                  THEN pa * log2(pa / m) ELSE 0 END)
-                + 0.5 * sum(CASE WHEN pb > 0
-                  THEN pb * log2(pb / m) ELSE 0 END), 6)
+              SELECT CASE WHEN abs(0.5 * sum(CASE WHEN pa > 0 THEN pa * log2(pa / m) ELSE 0 END) + 0.5 * sum(CASE WHEN pb > 0 THEN pb * log2(pb / m) ELSE 0 END)) < 8.0e9 THEN floor((0.5 * sum(CASE WHEN pa > 0 THEN pa * log2(pa / m) ELSE 0 END) + 0.5 * sum(CASE WHEN pb > 0 THEN pb * log2(pb / m) ELSE 0 END)) * 1e6 + 0.5) / 1e6 ELSE (0.5 * sum(CASE WHEN pa > 0 THEN pa * log2(pa / m) ELSE 0 END) + 0.5 * sum(CASE WHEN pb > 0 THEN pb * log2(pb / m) ELSE 0 END)) END
                   AS js_divergence_bits,
                 CAST(count(*) AS BIGINT) AS n_vocab
               FROM d""")),
@@ -9963,18 +9887,17 @@ object SparkEntry {
         val beta = stddev_samp(col("mx")) * sqrt(lit(6.0)) / lit(math.Pi)
         daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_days"),
-            round(avg(col("mx")) - lit(0.5772156649015329) * beta, 6)
+            r6(avg(col("mx")) - lit(0.5772156649015329) * beta)
               .as("gumbel_mu"),
-            round(beta, 6).as("gumbel_beta"))
+            r6(beta).as("gumbel_beta"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(max(CAST(floor(value*100+0.5) AS BIGINT)) AS DOUBLE)
                     / 100.0 AS mx
                 FROM events GROUP BY 1, 2)
               SELECT event_type, count(*) AS n_days,
-                round(avg(mx) - 0.5772156649015329 *
-                  (stddev_samp(mx) * sqrt(6) / pi()), 6) AS gumbel_mu,
-                round(stddev_samp(mx) * sqrt(6) / pi(), 6) AS gumbel_beta
+                CASE WHEN abs(avg(mx) - 0.5772156649015329 * (stddev_samp(mx) * sqrt(6) / pi())) < 8.0e9 THEN floor((avg(mx) - 0.5772156649015329 * (stddev_samp(mx) * sqrt(6) / pi())) * 1e6 + 0.5) / 1e6 ELSE (avg(mx) - 0.5772156649015329 * (stddev_samp(mx) * sqrt(6) / pi())) END AS gumbel_mu,
+                CASE WHEN abs(stddev_samp(mx) * sqrt(6) / pi()) < 8.0e9 THEN floor((stddev_samp(mx) * sqrt(6) / pi()) * 1e6 + 0.5) / 1e6 ELSE (stddev_samp(mx) * sqrt(6) / pi()) END AS gumbel_beta
               FROM d GROUP BY 1""")),
 
     // Last-digit uniformity audit: χ² of the final cent digit against
@@ -9992,7 +9915,7 @@ object SparkEntry {
         t.groupBy(col("e"))
           .agg(sum(col("n")).cast("long").as("n"),
             count(lit(1)).as("n_digits"),
-            round(sum(pow(col("n") - col("e"), 2) / col("e")), 6)
+            r6(sum(pow(col("n") - col("e"), 2) / col("e")))
               .as("chi2"))
           .select(col("n"), col("n_digits"), col("chi2"))
       },
@@ -10003,7 +9926,7 @@ object SparkEntry {
                   sum(n) OVER () / 10.0 AS e FROM d)
               SELECT CAST(sum(n) AS BIGINT) AS n,
                 count(*) AS n_digits,
-                round(sum(pow(n - e, 2) / e), 6) AS chi2
+                CASE WHEN abs(sum(pow(n - e, 2) / e)) < 8.0e9 THEN floor((sum(pow(n - e, 2) / e)) * 1e6 + 0.5) / 1e6 ELSE (sum(pow(n - e, 2) / e)) END AS chi2
               FROM t GROUP BY e""")),
 
     // Gains table: cumulative capture and lift by score decile,
@@ -10024,13 +9947,13 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.partitionBy()
         b.select(col("decile"), col("n"), col("pos"),
-          round(sum(col("pos")).over(wDesc) /
-            sum(col("pos")).over(wAll).cast("double"), 6)
+          r6(sum(col("pos")).over(wDesc) /
+            sum(col("pos")).over(wAll).cast("double"))
             .as("cum_capture"),
-          round((sum(col("pos")).over(wDesc) /
+          r6((sum(col("pos")).over(wDesc) /
               sum(col("n")).over(wDesc).cast("double")) /
             (sum(col("pos")).over(wAll) /
-              sum(col("n")).over(wAll).cast("double")), 6).as("cum_lift"))
+              sum(col("n")).over(wAll).cast("double"))).as("cum_lift"))
       },
       Some("""WITH t AS (SELECT
                   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
@@ -10046,9 +9969,8 @@ object SparkEntry {
                   sum(pos) OVER () AS tot_pos, sum(n) OVER () AS tot_n
                 FROM b)
               SELECT decile, n, pos,
-                round(cum_pos * 1.0 / tot_pos, 6) AS cum_capture,
-                round((cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n),
-                  6) AS cum_lift
+                CASE WHEN abs(cum_pos * 1.0 / tot_pos) < 8.0e9 THEN floor((cum_pos * 1.0 / tot_pos) * 1e6 + 0.5) / 1e6 ELSE (cum_pos * 1.0 / tot_pos) END AS cum_capture,
+                CASE WHEN abs((cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n)) < 8.0e9 THEN floor(((cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n)) * 1e6 + 0.5) / 1e6 ELSE ((cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n)) END AS cum_lift
               FROM c""")),
   )
 
@@ -10081,9 +10003,9 @@ object SparkEntry {
         perType.crossJoin(broadcast(t))
           .groupBy(col("n"))
           .agg(count(lit(1)).as("k"),
-            round(lit(12.0) / (col("n") * (col("n") + 1)) *
+            r6(lit(12.0) / (col("n") * (col("n") + 1)) *
               sum(col("rj") * col("rj") / col("nj")) -
-              lit(3) * (col("n") + 1), 6).as("h_stat"))
+              lit(3) * (col("n") + 1)).as("h_stat"))
           .select(col("n").cast("long").as("n"), col("k"), col("h_stat"))
       },
       Some("""WITH r AS (SELECT event_type,
@@ -10095,8 +10017,7 @@ object SparkEntry {
                 FROM r GROUP BY 1),
               t AS (SELECT sum(nj) AS n FROM g)
               SELECT CAST(t.n AS BIGINT) AS n, count(*) AS k,
-                round(12.0 / (t.n * (t.n + 1)) * sum(rj * rj / nj)
-                  - 3 * (t.n + 1), 6) AS h_stat
+                CASE WHEN abs(12.0 / (t.n * (t.n + 1)) * sum(rj * rj / nj) - 3 * (t.n + 1)) < 8.0e9 THEN floor((12.0 / (t.n * (t.n + 1)) * sum(rj * rj / nj) - 3 * (t.n + 1)) * 1e6 + 0.5) / 1e6 ELSE (12.0 / (t.n * (t.n + 1)) * sum(rj * rj / nj) - 3 * (t.n + 1)) END AS h_stat
               FROM g, t GROUP BY t.n""")),
 
     // Friedman test: rank the k series WITHIN each day block, then ask
@@ -10121,10 +10042,10 @@ object SparkEntry {
           count(lit(1)).cast("double").as("k"))
         g.crossJoin(broadcast(dims))
           .groupBy(col("n"), col("k"))
-          .agg(round(lit(12.0) /
+          .agg(r6(lit(12.0) /
               (col("n") * col("k") * (col("k") + 1)) *
               sum(col("rj") * col("rj")) -
-              lit(3) * col("n") * (col("k") + 1), 6).as("chi2_f"))
+              lit(3) * col("n") * (col("k") + 1)).as("chi2_f"))
           .select(col("n").cast("long").as("n_blocks"),
             col("k").cast("long").as("k"), col("chi2_f"))
       },
@@ -10144,8 +10065,7 @@ object SparkEntry {
                   CAST(count(*) AS DOUBLE) AS k FROM g)
               SELECT CAST(dims.n AS BIGINT) AS n_blocks,
                 CAST(dims.k AS BIGINT) AS k,
-                round(12.0 / (dims.n * dims.k * (dims.k + 1)) *
-                  sum(rj * rj) - 3 * dims.n * (dims.k + 1), 6) AS chi2_f
+                CASE WHEN abs(12.0 / (dims.n * dims.k * (dims.k + 1)) * sum(rj * rj) - 3 * dims.n * (dims.k + 1)) < 8.0e9 THEN floor((12.0 / (dims.n * dims.k * (dims.k + 1)) * sum(rj * rj) - 3 * dims.n * (dims.k + 1)) * 1e6 + 0.5) / 1e6 ELSE (12.0 / (dims.n * dims.k * (dims.k + 1)) * sum(rj * rj) - 3 * dims.n * (dims.k + 1)) END AS chi2_f
               FROM g, dims GROUP BY dims.n, dims.k""")),
 
     // Shingle novelty per document: the share of a doc's 3-shingles
@@ -10173,8 +10093,8 @@ object SparkEntry {
           .join(novel, Seq("id"), "left")
           .select(col("id").as("doc_id"), col("n_shingles"),
             coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-            round(coalesce(col("n_novel"), lit(0L))
-              / col("n_shingles").cast("double"), 6).as("novelty"))
+            r6(coalesce(col("n_novel"), lit(0L))
+              / col("n_shingles").cast("double")).as("novelty"))
       },
       Some("""WITH base AS (SELECT doc_id AS id,
                   list_distinct([array_to_string(toks[i+1:i+3], ' ')
@@ -10188,8 +10108,7 @@ object SparkEntry {
               SELECT ex.id AS doc_id, count(*) AS n_shingles,
                 CAST(sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_novel,
-                round(sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END)
-                  * 1.0 / count(*), 6) AS novelty
+                CASE WHEN abs(sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END) * 1.0 / count(*)) < 8.0e9 THEN floor((sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 ELSE (sum(CASE WHEN fo.first_id = ex.id THEN 1 ELSE 0 END) * 1.0 / count(*)) END AS novelty
               FROM ex JOIN fo ON fo.s = ex.s GROUP BY 1""")),
 
     // Reciprocal-rank fusion of two orderings (value-rank and
@@ -10210,7 +10129,7 @@ object SparkEntry {
               .orderBy(col("rrf").desc, col("event_id"))))
           .filter(col("rnk") <= 10)
           .select(col("event_type"), col("event_id"),
-            round(col("rrf"), 6).as("rrf_score"),
+            r6(col("rrf")).as("rrf_score"),
             col("rnk").cast("long").as("rnk"))
       },
       Some("""WITH r AS (SELECT event_id, event_type,
@@ -10225,7 +10144,7 @@ object SparkEntry {
                   rank() OVER (PARTITION BY event_type
                     ORDER BY rrf DESC, event_id) AS rk
                 FROM f)
-              SELECT event_type, event_id, round(rrf, 6) AS rrf_score,
+              SELECT event_type, event_id, CASE WHEN abs(rrf) < 8.0e9 THEN floor((rrf) * 1e6 + 0.5) / 1e6 ELSE (rrf) END AS rrf_score,
                 CAST(rk AS BIGINT) AS rnk
               FROM k WHERE rk <= 10""")),
 
@@ -10244,8 +10163,8 @@ object SparkEntry {
         u.join(broadcast(m), Seq("event_type"))
           .filter(col("x") > 0)
           .groupBy(col("event_type"), col("n"))
-          .agg(round(sum((col("x") / (col("mu") * col("n"))) *
-            log(col("x") / col("mu"))), 6).as("theil_t"))
+          .agg(r6(sum((col("x") / (col("mu") * col("n"))) *
+            log(col("x") / col("mu")))).as("theil_t"))
           .select(col("event_type"), col("n").cast("long").as("n_users"),
             col("theil_t"))
       },
@@ -10257,7 +10176,7 @@ object SparkEntry {
                   CAST(count(*) AS DOUBLE) AS n
                 FROM u GROUP BY 1)
               SELECT u.event_type, CAST(m.n AS BIGINT) AS n_users,
-                round(sum((u.x / (m.mu * m.n)) * ln(u.x / m.mu)), 6)
+                CASE WHEN abs(sum((u.x / (m.mu * m.n)) * ln(u.x / m.mu))) < 8.0e9 THEN floor((sum((u.x / (m.mu * m.n)) * ln(u.x / m.mu))) * 1e6 + 0.5) / 1e6 ELSE (sum((u.x / (m.mu * m.n)) * ln(u.x / m.mu))) END
                   AS theil_t
               FROM u JOIN m ON m.event_type = u.event_type
               WHERE u.x > 0 GROUP BY 1, 2""")),
@@ -10276,7 +10195,7 @@ object SparkEntry {
         st.crossJoin(broadcast(t))
           .select(col("event_type"),
             col("nh").cast("long").as("stratum_size"),
-            round(col("sh"), 6).as("stratum_std"),
+            r6(col("sh")).as("stratum_std"),
             floor(lit(1000) * col("nh") * col("sh") / col("tot"))
               .cast("long").as("neyman_n"))
       },
@@ -10285,7 +10204,7 @@ object SparkEntry {
                   stddev_samp(value) AS sh FROM events GROUP BY 1),
               t AS (SELECT sum(nh * sh) AS tot FROM s)
               SELECT event_type, CAST(nh AS BIGINT) AS stratum_size,
-                round(sh, 6) AS stratum_std,
+                CASE WHEN abs(sh) < 8.0e9 THEN floor((sh) * 1e6 + 0.5) / 1e6 ELSE (sh) END AS stratum_std,
                 CAST(floor(1000 * nh * sh / t.tot) AS BIGINT) AS neyman_n
               FROM s, t""")),
   )
@@ -10417,8 +10336,8 @@ object SparkEntry {
           .join(kmin, Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("k"),
-            round(lit(1.0) /
-              (sum(log(col("x") / col("xk"))) / count(lit(1))), 6)
+            r6(lit(1.0) /
+              (sum(log(col("x") / col("xk"))) / count(lit(1))))
               .as("hill_alpha"))
       },
       Some("""WITH u AS (SELECT event_type, user_id,
@@ -10431,7 +10350,7 @@ object SparkEntry {
                 FROM u WHERE x > 0),
               kmin AS (SELECT event_type, x AS xk FROM r WHERE rk = 51)
               SELECT r.event_type, count(*) AS k,
-                round(1.0 / (sum(ln(r.x / kmin.xk)) / count(*)), 6)
+                CASE WHEN abs(1.0 / (sum(ln(r.x / kmin.xk)) / count(*))) < 8.0e9 THEN floor((1.0 / (sum(ln(r.x / kmin.xk)) / count(*))) * 1e6 + 0.5) / 1e6 ELSE (1.0 / (sum(ln(r.x / kmin.xk)) / count(*))) END
                   AS hill_alpha
               FROM r JOIN kmin ON kmin.event_type = r.event_type
               WHERE r.rk <= 50 GROUP BY 1""")),
@@ -10456,9 +10375,9 @@ object SparkEntry {
           (col("n") - col("na")) * (col("n") - col("nb"))) /
           (col("n") * col("n"))
         c.select(col("n").cast("long").as("n"),
-          round(col("agree") / col("n"), 6).as("p_observed"),
-          round(pe, 6).as("p_expected"),
-          round((col("agree") / col("n") - pe) / (lit(1) - pe), 6)
+          r6(col("agree") / col("n")).as("p_observed"),
+          r6(pe).as("p_expected"),
+          r6((col("agree") / col("n") - pe) / (lit(1) - pe))
             .as("kappa"))
       },
       Some("""WITH t AS (SELECT
@@ -10473,10 +10392,9 @@ object SparkEntry {
                   CAST(sum(b) AS DOUBLE) AS nb
                 FROM t)
               SELECT CAST(n AS BIGINT) AS n,
-                round(agree / n, 6) AS p_observed,
-                round((na*nb + (n-na)*(n-nb)) / (n*n), 6) AS p_expected,
-                round((agree/n - (na*nb + (n-na)*(n-nb))/(n*n)) /
-                  (1 - (na*nb + (n-na)*(n-nb))/(n*n)), 6) AS kappa
+                CASE WHEN abs(agree / n) < 8.0e9 THEN floor((agree / n) * 1e6 + 0.5) / 1e6 ELSE (agree / n) END AS p_observed,
+                CASE WHEN abs((na*nb + (n-na)*(n-nb)) / (n*n)) < 8.0e9 THEN floor(((na*nb + (n-na)*(n-nb)) / (n*n)) * 1e6 + 0.5) / 1e6 ELSE ((na*nb + (n-na)*(n-nb)) / (n*n)) END AS p_expected,
+                CASE WHEN abs((agree/n - (na*nb + (n-na)*(n-nb))/(n*n)) / (1 - (na*nb + (n-na)*(n-nb))/(n*n))) < 8.0e9 THEN floor(((agree/n - (na*nb + (n-na)*(n-nb))/(n*n)) / (1 - (na*nb + (n-na)*(n-nb))/(n*n))) * 1e6 + 0.5) / 1e6 ELSE ((agree/n - (na*nb + (n-na)*(n-nb))/(n*n)) / (1 - (na*nb + (n-na)*(n-nb))/(n*n))) END AS kappa
               FROM c""")),
 
     // Copeland tournament score: each day "votes" by daily revenue,
@@ -10505,7 +10423,7 @@ object SparkEntry {
             when(col("net") < 0, 1.0).when(col("net") === 0, 0.5)
               .otherwise(0.0).as("w")))
         scores.groupBy(col("t").as("event_type"))
-          .agg(round(sum(col("w")), 6).as("copeland_score"),
+          .agg(r6(sum(col("w"))).as("copeland_score"),
             count(lit(1)).as("n_opponents"))
       },
       Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -10523,7 +10441,7 @@ object SparkEntry {
                 SELECT y, CASE WHEN net < 0 THEN 1.0
                   WHEN net = 0 THEN 0.5 ELSE 0 END FROM p)
               SELECT t AS event_type,
-                round(CAST(sum(w) AS DOUBLE), 6) AS copeland_score,
+                CASE WHEN abs(CAST(sum(w) AS DOUBLE)) < 8.0e9 THEN floor((CAST(sum(w) AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(w) AS DOUBLE)) END AS copeland_score,
                 count(*) AS n_opponents
               FROM s GROUP BY 1""")),
   )
@@ -10566,7 +10484,7 @@ object SparkEntry {
               SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                 CAST(wedges.w AS BIGINT) AS n_wedges,
                 CAST(tri.t AS BIGINT) AS n_triangles,
-                round(3.0 * tri.t / wedges.w, 6) AS clustering_coeff
+                CASE WHEN abs(3.0 * tri.t / wedges.w) < 8.0e9 THEN floor((3.0 * tri.t / wedges.w) * 1e6 + 0.5) / 1e6 ELSE (3.0 * tri.t / wedges.w) END AS clustering_coeff
               FROM wedges, tri""")),
 
     // Degree histogram of the same graph — the first thing anyone
@@ -10617,7 +10535,7 @@ object SparkEntry {
             avg(col("gap")).as("mu"), stddev_samp(col("gap")).as("s"))
           .filter(col("n_gaps") >= 2)
           .select(col("user_id"), col("n_gaps"),
-            round((col("s") - col("mu")) / (col("s") + col("mu")), 6)
+            r6((col("s") - col("mu")) / (col("s") + col("mu")))
               .as("burstiness"))
       },
       Some("""WITH g AS (SELECT user_id,
@@ -10631,7 +10549,7 @@ object SparkEntry {
                 FROM g WHERE gap IS NOT NULL GROUP BY 1
                 HAVING count(*) >= 2)
               SELECT user_id, n_gaps,
-                round((s - mu) / (s + mu), 6) AS burstiness
+                CASE WHEN abs((s - mu) / (s + mu)) < 8.0e9 THEN floor(((s - mu) / (s + mu)) * 1e6 + 0.5) / 1e6 ELSE ((s - mu) / (s + mu)) END AS burstiness
               FROM m""")),
 
     // Floor-trader pivot points from the PREVIOUS day's candle
@@ -10654,11 +10572,11 @@ object SparkEntry {
           .filter(col("ph").isNotNull)
         val piv = (col("ph") + col("pl") + col("pc")) / 3
         p.select(col("event_type"), col("day"),
-          round(piv, 6).as("pivot"),
-          round(lit(2) * piv - col("pl"), 6).as("r1"),
-          round(lit(2) * piv - col("ph"), 6).as("s1"),
-          round(piv + (col("ph") - col("pl")), 6).as("r2"),
-          round(piv - (col("ph") - col("pl")), 6).as("s2"))
+          r6(piv).as("pivot"),
+          r6(lit(2) * piv - col("pl")).as("r1"),
+          r6(lit(2) * piv - col("ph")).as("s1"),
+          r6(piv + (col("ph") - col("pl"))).as("r2"),
+          r6(piv - (col("ph") - col("pl"))).as("s2"))
       },
       Some("""WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(floor(value*100+0.5) AS BIGINT) AS vc,
@@ -10677,11 +10595,11 @@ object SparkEntry {
                 FROM daily WINDOW w AS (PARTITION BY event_type
                   ORDER BY day))
               SELECT event_type, day,
-                round((ph + pl + pc) / 3, 6) AS pivot,
-                round(2 * (ph + pl + pc) / 3 - pl, 6) AS r1,
-                round(2 * (ph + pl + pc) / 3 - ph, 6) AS s1,
-                round((ph + pl + pc) / 3 + (ph - pl), 6) AS r2,
-                round((ph + pl + pc) / 3 - (ph - pl), 6) AS s2
+                CASE WHEN abs((ph + pl + pc) / 3) < 8.0e9 THEN floor(((ph + pl + pc) / 3) * 1e6 + 0.5) / 1e6 ELSE ((ph + pl + pc) / 3) END AS pivot,
+                CASE WHEN abs(2 * (ph + pl + pc) / 3 - pl) < 8.0e9 THEN floor((2 * (ph + pl + pc) / 3 - pl) * 1e6 + 0.5) / 1e6 ELSE (2 * (ph + pl + pc) / 3 - pl) END AS r1,
+                CASE WHEN abs(2 * (ph + pl + pc) / 3 - ph) < 8.0e9 THEN floor((2 * (ph + pl + pc) / 3 - ph) * 1e6 + 0.5) / 1e6 ELSE (2 * (ph + pl + pc) / 3 - ph) END AS s1,
+                CASE WHEN abs((ph + pl + pc) / 3 + (ph - pl)) < 8.0e9 THEN floor(((ph + pl + pc) / 3 + (ph - pl)) * 1e6 + 0.5) / 1e6 ELSE ((ph + pl + pc) / 3 + (ph - pl)) END AS r2,
+                CASE WHEN abs((ph + pl + pc) / 3 - (ph - pl)) < 8.0e9 THEN floor(((ph + pl + pc) / 3 - (ph - pl)) * 1e6 + 0.5) / 1e6 ELSE ((ph + pl + pc) / 3 - (ph - pl)) END AS s2
               FROM prev WHERE ph IS NOT NULL""")),
   )
 

@@ -57,20 +57,23 @@ object StreamCusumExperiment {
     if (new java.io.File(s"$warmDir/events.parquet").exists())
       run(spark, warmDir, variant)
 
-    val g0 = gcSeconds(); val t0 = System.nanoTime()
-    val rows = run(spark, dir, variant)
-    val wall = (System.nanoTime() - t0) / 1e9
-    val gc = gcSeconds() - g0
+    val (rows, wall, gc) = run(spark, dir, variant)
     println(f"""{"variant":"$variant","wall_sec":$wall%.1f,""" +
       f""""gc_sec":$gc%.1f,"rows":$rows}""")
     spark.stop()
   }
 
-  /** Runs the stream_cusum pipeline once; returns the result row count
-    * (counted from the sink so every variant fully materializes).
+  /** Runs the stream_cusum pipeline once; returns (rows, wall s, gc s).
+    * The timed region covers exactly the streaming work — start through
+    * `processAllAvailable()`/`stop()` — on every variant: the filesink
+    * read-back count and the temp-dir cleanup run OUTSIDE the clock
+    * (ADVICE r15: timing them inflated filesink wall/gc relative to
+    * control/rocksdb in the attribution comparison; the count exists
+    * only to prove full materialization, which the sink already did
+    * before `stop()` returned).
     */
   private def run(spark: SparkSession, dir: String,
-      variant: String): Long =
+      variant: String): (Long, Double, Double) =
     if (variant == "filesink") {
       val out = java.nio.file.Files
         .createTempDirectory("graft_cusum_filesink").toString
@@ -78,6 +81,7 @@ object StreamCusumExperiment {
         val df = graft.streaming.CusumStream.cusumStream(spark, dir)
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val g0 = gcSeconds(); val t0 = System.nanoTime()
         val q =
           try df.writeStream
             .outputMode("append")
@@ -88,12 +92,18 @@ object StreamCusumExperiment {
           finally spark.conf.set("spark.sql.shuffle.partitions", prev)
         try q.processAllAvailable()
         finally q.stop()
-        spark.read.parquet(s"$out/data").count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gc = gcSeconds() - g0
+        (spark.read.parquet(s"$out/data").count(), wall, gc)
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(out)).deleteRecursively()
       }
     } else {
-      graft.streaming.CusumStream.runToCompletion(spark, dir).count()
+      val g0 = gcSeconds(); val t0 = System.nanoTime()
+      val res = graft.streaming.CusumStream.runToCompletion(spark, dir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gc = gcSeconds() - g0
+      (res.count(), wall, gc)
     }
 }

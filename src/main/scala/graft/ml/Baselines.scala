@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Model-baseline analytics (SURVEY.md §7.1 module 8, reference
   * `src/modelling/train.py:36-95`): the naive-mean and linear baselines
@@ -42,8 +43,8 @@ object Baselines {
     val stats = df.agg(avg(y).as("__mean"))
     df.crossJoin(broadcast(stats))
       .agg(
-        round(avg(abs(y - col("__mean"))), 6).as("mae"),
-        round(sqrt(avg((y - col("__mean")) * (y - col("__mean")))), 6)
+        r6(avg(abs(y - col("__mean")))).as("mae"),
+        r6(sqrt(avg((y - col("__mean")) * (y - col("__mean")))))
           .as("rmse"))
   }
 }

@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Deterministic Lloyd iterations for k-means clustering of an embedding
   * column — the "cluster the corpus, then sample/inspect per cluster"
@@ -73,6 +74,6 @@ object KMeans {
     }
     assign(centroids)
       .select(col("__id").as("vec_id"), col("__cid").as("cluster"),
-        round(col("__dist"), 6).as("dist"))
+        r6(col("__dist")).as("dist"))
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Aggregation operators of the reference (SURVEY.md §2.4). All are plain
   * hash aggregates with map-side partial aggregation — one shuffle on the
@@ -133,7 +134,7 @@ object Aggregates {
       .withColumn("__tw", sum(col("__w")).over(tot))
       .filter(col("__cw") * 2 >= col("__tw"))
       .groupBy(col("__g").as(groupName))
-      .agg(round(min(col("__v")), 6).as("weighted_median"))
+      .agg(r6(min(col("__v"))).as("weighted_median"))
   }
 
   /** Deterministic label encoding of a categorical column: codes are
@@ -183,8 +184,8 @@ object Aggregates {
     df.join(broadcast(stats), group === col("__g"))
       .withColumn(outName,
         when(col("__q3") > col("__q1"),
-          round((c.cast("double") - col("__med"))
-            / (col("__q3") - col("__q1")), 6)))
+          r6((c.cast("double") - col("__med"))
+            / (col("__q3") - col("__q1")))))
       .drop("__g", "__med", "__q1", "__q3")
   }
 
@@ -287,7 +288,7 @@ object Aggregates {
       .filter(col("rn") === expr("(np + 1) div 2") ||
         col("rn") === expr("(np + 2) div 2"))
       .groupBy(col(groupName))
-      .agg(round(avg(col("slope")), 6).as("theil_sen_slope"),
+      .agg(r6(avg(col("slope"))).as("theil_sen_slope"),
         max(col("np")).as("n_pairs"))
   }
 }

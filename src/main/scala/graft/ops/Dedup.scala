@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable.r6
 import graft.functions.PortableHash
 
 /** Deduplication operators for large-scale corpus curation: exact,
@@ -428,7 +429,7 @@ object Dedup {
         col("__ov").cast("double") / col("__min"))
       .filter(col("__min") > 0 && col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(col("containment"), 6).as("containment"))
+        r6(col("containment")).as("containment"))
   }
 
   /** Cap audit for [[containmentPairsExact]]: one row with
@@ -542,7 +543,7 @@ object Dedup {
             (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard"))
+          r6(col("jaccard")).as("jaccard"))
       case "containment" => scored
         // smaller set's size is the denominator; guard the (impossible
         // for non-empty text, cheap anyway) zero-shingle edge
@@ -551,7 +552,7 @@ object Dedup {
         .filter(least(size(col("sh_a")), size(col("sh_b"))) > 0 &&
           col("containment") >= threshold)
         .select(col("id_a"), col("id_b"),
-          round(col("containment"), 6).as("containment"))
+          r6(col("containment")).as("containment"))
       case other => throw new IllegalArgumentException(
         s"unknown verify score: $other")
     }
@@ -672,7 +673,7 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
     (verified, base)
   }
 
@@ -727,8 +728,8 @@ object Dedup {
     val out = base.select(col("id"), size(col("sh")).as("n_spans"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_spans"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
-          col("n_spans"), 6).as("dup_frac"))
+        r6(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_spans")).as("dup_frac"))
     (out, base)
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Event-stream analytics over a (user, ts, type) activity log: ordered
   * funnels, weekly cohort retention, and consecutive-day streaks — the
@@ -153,7 +154,7 @@ object EventAnalytics {
     dau.join(broadcast(mau),
         to_date(date_trunc("month", col("day"))) === col("__m"))
       .select(col("day"), col("dau"), col("mau"),
-        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        r6(col("dau").cast("double") / col("mau")).as("stickiness"))
   }
 
   /** Rolling distinct-user count (WAU-style): per active day, the
@@ -259,8 +260,8 @@ object EventAnalytics {
           lit(0.0))))
       .withColumn("r",
         when(col("__den") === 0.0, lit(null).cast("double"))
-          .otherwise(round((col("__n") * col("__sxy")
-            - col("__sx") * col("__sy")) / col("__den"), 6)))
+          .otherwise(r6((col("__n") * col("__sxy")
+            - col("__sx") * col("__sy")) / col("__den"))))
       .select(col("series_a"), col("series_b"), col("n_buckets"), col("r"))
   }
 
@@ -307,8 +308,8 @@ object EventAnalytics {
       .over(byTenure.rowsBetween(Window.unboundedPreceding, 0))
     r.withColumn("survival",
         when(zeroSeen === 1, lit(0.0)).otherwise(
-          round(exp(sum(term).over(
-            byTenure.rowsBetween(Window.unboundedPreceding, 0))), 6)))
+          r6(exp(sum(term).over(
+            byTenure.rowsBetween(Window.unboundedPreceding, 0))))))
       .select(col("tenure").cast("int").as("tenure"), col("at_risk"),
         col("d_t"), col("survival"))
   }
@@ -378,9 +379,9 @@ object EventAnalytics {
         (max(col("__ts")) - min(col("__ts"))).as("__dur_us"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
-        round(sum(col("__dur_us")).cast("double") / 1e6 / count(lit(1)), 6)
+        r6(sum(col("__dur_us")).cast("double") / 1e6 / count(lit(1)))
           .as("avg_dur_secs"),
-        round(sum(col("__n_ev")).cast("double") / count(lit(1)), 6)
+        r6(sum(col("__n_ev")).cast("double") / count(lit(1)))
           .as("avg_events"))
   }
 
@@ -397,7 +398,7 @@ object EventAnalytics {
         ((dayofweek(ts) + 5) % 7 + 1).cast("int").as("isodow"),
         hour(ts).cast("int").as("hr"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+      .withColumn("share", r6(col("n") / sum(col("n")).over(w)))
   }
 
   /** Per-day bounce rate over gap-based sessions: a session is a run of
@@ -427,7 +428,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("__n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
       .withColumn("bounce_rate",
-        round(col("n_bounce") / col("n_sessions"), 6))
+        r6(col("n_bounce") / col("n_sessions")))
   }
 
   /** Half-life–decayed activity score per user: each event within
@@ -524,8 +525,8 @@ object EventAnalytics {
         col("__n").as("n_b"))), Seq("type_b"))
       .select(col("type_a"), col("type_b"), col("n_both"),
         col("n_a"), col("n_b"),
-        round(col("n_both") /
-          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        r6(col("n_both") /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
   }
 
   /** Cohort LTV curve: entities cohorted by their first purchase month,

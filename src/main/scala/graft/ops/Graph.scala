@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Iterative graph analytics in DataFrame form.
   *
@@ -149,6 +150,6 @@ object Graph {
       .crossJoin(broadcast(tri))
       .select(col("n_edges"), col("w").as("n_wedges"),
         col("t").as("n_triangles"),
-        round(lit(3.0) * col("t") / col("w"), 6).as("clustering_coeff"))
+        r6(lit(3.0) * col("t") / col("w")).as("clustering_coeff"))
   }
 }

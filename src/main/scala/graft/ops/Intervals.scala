@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Interval algebra over per-key interval sets — the gaps-and-islands
   * family every warehouse needs (session coverage, outage windows,
@@ -68,8 +69,8 @@ object Intervals {
     coalesceIntervals(df, key, start, end, keyName)
       .groupBy(col(keyName))
       .agg(
-        round((sum(micros(col("island_end")) - micros(col("island_start")))
-          .cast("double") / 1e6), 6).as("covered_secs"),
+        r6((sum(micros(col("island_end")) - micros(col("island_start")))
+          .cast("double") / 1e6)).as("covered_secs"),
         count(lit(1)).as("n_islands"))
 
   /** Interval × recurring-daily-window overlap: for each `[start, end]`

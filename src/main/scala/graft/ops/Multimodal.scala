@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
@@ -141,10 +142,10 @@ object Multimodal {
     sampled.select(col("media_id"), col("win_idx"), col("win_start"),
       size(col("__samples")).cast("int").as("n_samples"),
       when(size(col("__samples")) === 0, lit(null).cast("double"))
-        .otherwise(round(sqrt(
+        .otherwise(r6(sqrt(
           aggregate(col("__samples"), lit(0.0),
             (a, x) => a + x.cast("double") * x.cast("double"))
-            / size(col("__samples"))), 6)).as("rms"),
+            / size(col("__samples"))))).as("rms"),
       when(size(col("__samples")) === 0, lit(null).cast("int"))
         .otherwise(array_max(col("__samples"))).as("peak"))
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Data-quality validators (SURVEY.md §2.9). Each returns a small
   * DataFrame of violation evidence; `require*` variants raise like the
@@ -214,11 +215,11 @@ object Quality {
     val total = pos.agg(count(lit(1)).as("__tot"))
     counts.crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
-        round(col("n") / col("__tot"), 6).as("observed_freq"),
-        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+        r6(col("n") / col("__tot")).as("observed_freq"),
+        r6(log10(lit(1.0) + lit(1.0) / col("digit")))
           .as("expected_freq"),
-        round(abs(col("n") / col("__tot") -
-          log10(lit(1.0) + lit(1.0) / col("digit"))), 6).as("abs_dev"))
+        r6(abs(col("n") / col("__tot") -
+          log10(lit(1.0) + lit(1.0) / col("digit")))).as("abs_dev"))
   }
 
   def anomalyZscore(
@@ -235,7 +236,7 @@ object Quality {
       sqrt(col("__sq") / col("__n") - mean * mean)
     df.select(keep :+ group.as("__g") :+ value.as("__v"): _*)
       .join(broadcast(stats), "__g")
-      .select(keep ++ Seq(round(z, 6).as("z"),
+      .select(keep ++ Seq(r6(z).as("z"),
         (abs(z) > threshold).cast("int").as("is_anomaly")): _*)
   }
 
@@ -308,8 +309,8 @@ object Quality {
       .withColumn("__pl", coalesce(col("__nl").cast("double"), lit(0.5))
         / col("__tl"))
       .groupBy(col("__g").as("group"))
-      .agg(round(sum((col("__pl") - col("__pr")) *
-        log(col("__pl") / col("__pr"))), 6).as("psi"))
+      .agg(r6(sum((col("__pl") - col("__pr")) *
+        log(col("__pl") / col("__pr")))).as("psi"))
       .withColumn("drifted", (col("psi") > threshold).cast("int"))
   }
 }

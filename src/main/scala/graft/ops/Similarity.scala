@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exactness baseline, plus two scale
@@ -231,6 +232,6 @@ object Similarity {
       .withColumn("cos",
         dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
   }
 }

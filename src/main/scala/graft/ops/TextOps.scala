@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting. All pure
@@ -199,7 +200,7 @@ object TextOps {
       }
       .reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .select(col("doc_id"), r6(score).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
@@ -245,7 +246,7 @@ object TextOps {
     pairs.join(bcw, "__bg")
       .groupBy(col("__id").as("doc_id"))
       .agg(
-        round(avg(log10(col("__c2").cast("double") / col("__c1"))), 6)
+        r6(avg(log10(col("__c2").cast("double") / col("__c1"))))
           .as("avg_logprob"),
         count(lit(1)).as("n_bigrams"),
         sum(when(col("__c2") === 1, 1).otherwise(0)).as("n_hapax"))
@@ -271,7 +272,7 @@ object TextOps {
       .crossJoin(broadcast(total))
       .groupBy(col("__id").as("doc_id"))
       .agg(
-        round(avg(log10(coalesce(col("__c"), lit(1L)) / col("__tot"))), 6)
+        r6(avg(log10(coalesce(col("__c"), lit(1L)) / col("__tot"))))
           .as("avg_logprob"),
         count(lit(1)).as("n_tokens"),
         count(when(col("__c").isNull, 1)).as("n_oov"))
@@ -302,7 +303,7 @@ object TextOps {
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        round(col("__tf") * log(col("__n") / col("__df")), 6).as("score"))
+        r6(col("__tf") * log(col("__n") / col("__df"))).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -391,7 +392,7 @@ object TextOps {
         col("n_docs").as("__nb"))), "token_b")
       .crossJoin(broadcast(n))
       .select(col("token_a"), col("token_b"), col("n_both"),
-        round(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))), 6)
+        r6(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))))
           .as("pmi"))
   }
 

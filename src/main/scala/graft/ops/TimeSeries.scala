@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.GraftSmoothing
+import graft.functions.Portable.r6
 
 /** Time-series analytics — the hyperfunction family of the reference's
   * platform (TimescaleDB ships these as `ohlc`/`candlestick_agg`,
@@ -79,7 +80,7 @@ object TimeSeries {
     // themselves (e.g. to_date(ts).as("day")) no longer resolve here
     val gCols = proj.columns.dropRight(2).map(col).toSeq
     proj.groupBy(gCols: _*)
-      .agg(round(sum(col("__v") * col("__w")) / sum(col("__w")), 6).as(out),
+      .agg(r6(sum(col("__v") * col("__w")) / sum(col("__w"))).as(out),
         count(lit(1)).as("n_points"))
   }
 
@@ -102,9 +103,9 @@ object TimeSeries {
       .groupBy(col(keyName))
       .agg(count(lit(1)).as("n_points"),
         count(when(col("__d") < 0, 1)).as("n_resets"),
-        round(sum(when(col("__d").isNull, lit(0.0))
+        r6(sum(when(col("__d").isNull, lit(0.0))
           .when(col("__d") < 0, col("__v"))
-          .otherwise(col("__d"))), 6).as("total_increase"))
+          .otherwise(col("__d")))).as("total_increase"))
   }
 
   /** Largest-triangle downsampling: keep, per (series, bucket), the
@@ -171,7 +172,7 @@ object TimeSeries {
             (micros(nxt) - micros(ts)).cast("double") / 1e6)).as("__live"))
       .groupBy(col("series"), col("day"))
       .agg(count(lit(1)).as("n_beats"),
-        round(sum(col("__live")) / 86400.0, 6).as("uptime_frac"))
+        r6(sum(col("__live")) / 86400.0).as("uptime_frac"))
   }
 
   /** Equi-width histogram of `value` per group: global per-group
@@ -200,8 +201,8 @@ object TimeSeries {
       .select(col("__g"), bin.cast("int").as("bin"),
         col("__lo"), col("__hi"))
       .groupBy(col("__g").as("group"), col("bin"))
-      .agg(round(first(col("__lo")) +
-          col("bin") * ((first(col("__hi")) - first(col("__lo"))) / nBins), 6)
+      .agg(r6(first(col("__lo")) +
+          col("bin") * ((first(col("__hi")) - first(col("__lo"))) / nBins))
           .as("bin_lo"),
         count(lit(1)).as("n"))
   }
@@ -227,7 +228,7 @@ object TimeSeries {
         (micros(lead(ts, 1).over(w)) - micros(ts)).as("__dur_us"))
       .filter(col("__dur_us").isNotNull)
       .groupBy(col(keyName), col("state"))
-      .agg(round(sum(col("__dur_us")).cast("double") / 1e6, 6).as("dur_secs"))
+      .agg(r6(sum(col("__dur_us")).cast("double") / 1e6).as("dur_secs"))
   }
 
   /** Missing-data gap detection per series: emit every interval between
@@ -250,7 +251,7 @@ object TimeSeries {
         micros(col("gap_end")) - micros(col("gap_start")))
       .filter(col("__gap_us") > thresholdSeconds * 1000000L)
       .withColumn("gap_secs",
-        round(col("__gap_us").cast("double") / 1e6, 6))
+        r6(col("__gap_us").cast("double") / 1e6))
       .drop("__gap_us")
   }
 
@@ -275,11 +276,10 @@ object TimeSeries {
     df.withColumn("__graft_pv", lag(value, 1).over(w))
       .withColumn("__graft_dt", micros(ts) - micros(lag(ts, 1).over(w)))
       .filter(col("__graft_pv").isNotNull)
-      .withColumn(outName, round(
-        when(col("__graft_dt") > 0,
+      .withColumn(outName, r6(when(col("__graft_dt") > 0,
           when(value >= col("__graft_pv"), value - col("__graft_pv"))
             .otherwise(value) /
-            (col("__graft_dt").cast("double") / 1e6)), 6))
+            (col("__graft_dt").cast("double") / 1e6))))
       .drop("__graft_pv", "__graft_dt")
   }
 
@@ -314,7 +314,14 @@ object TimeSeries {
     // boundary terms below are then integer-valued doubles that sum
     // exactly in any accumulation order, and the final /1e6 yields the
     // same double on any engine — a raw-double delta sum flipped a
-    // round(·,6) boundary under fuzzed inputs (r15)
+    // round(·,6) boundary under fuzzed inputs (r15).
+    // GRANULARITY ENVELOPE (ADVICE r15, by design): quantize-then-sum
+    // defines the metric as sum(quant(v))/1e6, NOT round(sum(v), 6) —
+    // per-reading increments below 0.5e-6 are zeroed before the delta
+    // pass, and quantization error accumulates at ≤0.5e-6 per reading.
+    // Callers whose counters carry sub-micro increments must pre-scale
+    // the value column into the ≥1e-6 granularity envelope (the same
+    // contract as the integer-cents convention in tools/fuzz.py).
     val base = df.select(key.as(keyName), to_date(ts).as("__day"),
       floor(value * lit(1e6) + lit(0.5)).as("__v"),
       ts.as("__ts"), tie.as("__tie"))
@@ -368,8 +375,8 @@ object TimeSeries {
         (value - lag(value, 1).over(w)).as("__d"))
       .filter(col("__d").isNotNull)
       .groupBy(col(seriesName), col("day"))
-      .agg(round(max(col("__d")), 6).as("max_ramp_up"),
-        round(min(col("__d")), 6).as("max_ramp_down"))
+      .agg(r6(max(col("__d"))).as("max_ramp_up"),
+        r6(min(col("__d"))).as("max_ramp_down"))
   }
 
   /** Downtime accounting: [[gapDetect]]'s gaps attributed to the
@@ -398,7 +405,7 @@ object TimeSeries {
         greatest(micros(col("gap_start")),
           unix_date(col("day")).cast("long") * dayUs))
       .groupBy(col(seriesName), col("day"))
-      .agg(round(sum(col("__ov_us")).cast("double") / 1e6, 6)
+      .agg(r6(sum(col("__ov_us")).cast("double") / 1e6)
         .as("down_secs"))
   }
 
@@ -436,12 +443,12 @@ object TimeSeries {
     // keeps the boundary-flip surface as small as every other rounded
     // double in the suite — a round at the scaled-up magnitude (then a
     // second round after dividing) measurably diverges across engines
-    df.withColumn("mid", round(mean / outDiv, 6))
-      .withColumn("upper", round((mean + lit(k) * sd) / outDiv, 6))
-      .withColumn("lower", round((mean - lit(k) * sd) / outDiv, 6))
+    df.withColumn("mid", r6(mean / outDiv))
+      .withColumn("upper", r6((mean + lit(k) * sd) / outDiv))
+      .withColumn("lower", r6((mean - lit(k) * sd) / outDiv))
       .withColumn("breakout",
-        (round(value / outDiv, 6) > col("upper") ||
-          round(value / outDiv, 6) < col("lower")).cast("int"))
+        (r6(value / outDiv) > col("upper") ||
+          r6(value / outDiv) < col("lower")).cast("int"))
   }
 
   /** Rolling volume-weighted average over a trailing `frameRows`-row
@@ -462,13 +469,12 @@ object TimeSeries {
     val f = Window.partitionBy(key).orderBy(ts, tie)
       .rowsBetween(1L - frameRows, 0)
     val sw = sum(weight).over(f)
-    // portable floor-form round: Spark's BigDecimal HALF_UP and
-    // DuckDB's multiply-based C round disagree on boundary doubles
-    // (differential fuzzing caught a 1e-6 flip on the weighted ratio)
+    // portable guarded floor-form round (r6): Spark's BigDecimal
+    // HALF_UP and DuckDB's multiply-based C round disagree on boundary
+    // doubles (differential fuzzing caught a 1e-6 flip on the ratio)
     df.withColumn(outName,
       when(sw === 0.0, lit(null).cast("double"))
-        .otherwise(floor(sum(value * weight).over(f) / sw * lit(1e6)
-          + lit(0.5)) / lit(1e6)))
+        .otherwise(r6(sum(value * weight).over(f) / sw)))
   }
 
   /** Relative Strength Index over a trailing `frameRows`-row frame
@@ -501,8 +507,7 @@ object TimeSeries {
           .over(f))
       .withColumn("rsi",
         when(col("__g") + col("__l") === 0.0, lit(null).cast("double"))
-          .otherwise(round(
-            lit(100.0) * col("__g") / (col("__g") + col("__l")), 6)))
+          .otherwise(r6(lit(100.0) * col("__g") / (col("__g") + col("__l")))))
       .drop("__d", "__g", "__l")
   }
 
@@ -550,8 +555,8 @@ object TimeSeries {
         // n = 0 would be 0/0 = NaN; the contract is NULL ("no reading"),
         // which DuckDB/SQL engines can replicate exactly
         when(n === 0, lit(null).cast("double")).otherwise(
-          round(GraftSmoothing.ewmaWeightedSum(arr, alpha)
-            * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))), 6)))
+          r6(GraftSmoothing.ewmaWeightedSum(arr, alpha)
+            * alpha / (lit(1.0) - pow(lit(1.0 - alpha), n.cast("double"))))))
       .drop("__graft_ewma_arr")
   }
 
@@ -604,7 +609,7 @@ object TimeSeries {
       .withColumn("__graft_z_css", sum(c * c).over(run))
       .withColumn(outName,
         when(n < 2 || variance <= 0, lit(null).cast("double"))
-          .otherwise(round((c.cast("double") - mean) / sqrt(variance), 6)))
+          .otherwise(r6((c.cast("double") - mean) / sqrt(variance))))
       .drop("__graft_z_cs", "__graft_z_cn", "__graft_z_css")
   }
 
@@ -661,10 +666,10 @@ object TimeSeries {
       .select(col(keyName),
         explode(GraftSmoothing.heikinAshiFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        round(col("__e.ha_open"), 6).as("ha_open"),
-        round(col("__e.ha_close"), 6).as("ha_close"),
-        round(col("__e.ha_high"), 6).as("ha_high"),
-        round(col("__e.ha_low"), 6).as("ha_low"))
+        r6(col("__e.ha_open")).as("ha_open"),
+        r6(col("__e.ha_close")).as("ha_close"),
+        r6(col("__e.ha_high")).as("ha_high"),
+        r6(col("__e.ha_low")).as("ha_low"))
   }
 
   def macd(
@@ -685,8 +690,8 @@ object TimeSeries {
       .select(col(keyName),
         explode(GraftSmoothing.macdFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        round(col("__e.macd"), 6).as("macd"),
-        round(col("__e.signal"), 6).as("signal"))
+        r6(col("__e.macd")).as("macd"),
+        r6(col("__e.signal")).as("signal"))
   }
 
   /** Holt linear (double-exponential) smoothing over each key's daily
@@ -727,9 +732,9 @@ object TimeSeries {
       .select(col(keyName),
         explode(GraftSmoothing.holtLinearFold(col("xs"))).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        round(col("__e.level"), 6).as("level"),
-        round(col("__e.trend"), 6).as("trend"),
-        round(col("__e.forecast_1"), 6).as("forecast_1"))
+        r6(col("__e.level")).as("level"),
+        r6(col("__e.trend")).as("trend"),
+        r6(col("__e.forecast_1")).as("forecast_1"))
   }
 
   /** Additive Holt–Winters (level + trend + weekly seasonality) over
@@ -770,9 +775,9 @@ object TimeSeries {
       .select(col(keyName),
         explode(GraftSmoothing.holtWintersFold(col("xs"), period)).as("__e"))
       .select(col(keyName), col("__e.day").as("day"),
-        round(col("__e.level"), 6).as("level"),
-        round(col("__e.trend"), 6).as("trend"),
-        round(col("__e.forecast_1"), 6).as("forecast_1"))
+        r6(col("__e.level")).as("level"),
+        r6(col("__e.trend")).as("trend"),
+        r6(col("__e.forecast_1")).as("forecast_1"))
   }
 
   /** Trailing-`frameRows` OLS slope (beta) of integer `cents` against
@@ -820,7 +825,7 @@ object TimeSeries {
         "__graft_b_cxy" -> sum(col("__graft_b_xi") * y).over(run)))
       .withColumn(outName,
         when(n < 2 || den === 0, lit(null).cast("double"))
-          .otherwise(round(num.cast("double") / den.cast("double"), 6)))
+          .otherwise(r6(num.cast("double") / den.cast("double"))))
       .drop("__graft_b_xi", "__graft_b_cn", "__graft_b_cx",
         "__graft_b_cy", "__graft_b_cxx", "__graft_b_cxy")
   }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable.r6
 import graft.functions.PortableHash
 
 /** Streaming A/B experiment monitor — the live twin of the batch
@@ -50,9 +51,9 @@ object AbMonitorStream {
     val se2 = va / na + vb / nb
     byArm.agg(
       na.as("n_a"), nb.as("n_b"),
-      round(mean(a("n"), a("s")), 6).as("mean_a"),
-      round(mean(b("n"), b("s")), 6).as("mean_b"),
-      round((mean(a("n"), a("s")) - mean(b("n"), b("s"))) / sqrt(se2), 6)
+      r6(mean(a("n"), a("s"))).as("mean_a"),
+      r6(mean(b("n"), b("s"))).as("mean_b"),
+      r6((mean(a("n"), a("s")) - mean(b("n"), b("s"))) / sqrt(se2))
         .as("t_stat"),
       round(pow(se2, 2) /
         (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2)

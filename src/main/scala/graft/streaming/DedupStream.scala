@@ -15,11 +15,16 @@ object DedupStream {
   /** Streaming key-dedup over `dir/events.parquet`, driven to completion
     * over the static input (memory sink). Output: one row per event_id.
     */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = EventsStream.source(spark, dir)
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runToMemory(spark, dedupStream(spark, dir),
+      "graft_stream_dedup", "append")
+
+  /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
+    * exposed for StreamSinkExperiment's file-sink variant.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.source(spark, dir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
-    EventsStream.runToMemory(spark, deduped, "graft_stream_dedup", "append")
-  }
 }

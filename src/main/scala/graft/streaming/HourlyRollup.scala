@@ -48,8 +48,19 @@ object HourlyRollup {
   def runToCompletion(
       spark: SparkSession,
       dir: String,
-      measure: org.apache.spark.sql.Column = col("value")): DataFrame = {
-    val agg = EventsStream.source(spark, dir)
+      measure: org.apache.spark.sql.Column = col("value")): DataFrame =
+    EventsStream.runToMemory(spark, rollupStream(spark, dir, measure),
+      "graft_stream_rollup", "complete")
+
+  /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
+    * exposed so StreamSinkExperiment can run the SAME transform into a
+    * file sink (deployment shape) for the memory-sink-tax comparison.
+    */
+  def rollupStream(
+      spark: SparkSession,
+      dir: String,
+      measure: org.apache.spark.sql.Column = col("value")): DataFrame =
+    EventsStream.source(spark, dir)
       .withWatermark("ts", "2 days") // ≙ continuous-agg start_offset
       .groupBy(window(col("ts"), "1 hour").getField("start")
           .cast("timestamp_ntz").as("bucket"),
@@ -59,8 +70,6 @@ object HourlyRollup {
         min(measure).as("min_v"),
         max(measure).as("max_v"),
         count(measure).as("n"))
-    EventsStream.runToMemory(spark, agg, "graft_stream_rollup", "complete")
-  }
 
   /** Sliding-window streaming rollup: overlapping 6 h windows sliding
     * by 1 h (each event contributes to six windows — the Expand the

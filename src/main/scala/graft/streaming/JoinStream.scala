@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Portable.r6
 
 /** Watermarked stream-stream interval join: click events enriched with
   * the same user's view events from the preceding 30 minutes.
@@ -21,7 +22,14 @@ object JoinStream {
     * worst case for commit fan-out). Output: one row per
     * (click, view-within-30-min) pair.
     */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runToMemory(spark, joinStream(spark, dir),
+      "graft_stream_join", "append")
+
+  /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
+    * exposed for StreamSinkExperiment's file-sink variant.
+    */
+  def joinStream(spark: SparkSession, dir: String): DataFrame = {
     def src = EventsStream.source(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -31,12 +39,11 @@ object JoinStream {
       .select(col("event_id").as("view_id"),
         col("user_id").as("v_user"), col("ts").as("v_ts"), col("value"))
       .withWatermark("v_ts", "1 hour")
-    val joined = clicks.join(views,
+    clicks.join(views,
         col("user_id") === col("v_user") &&
           col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
           col("v_ts") <= col("c_ts"))
       .select(col("click_id"), col("view_id"),
-        round(col("value"), 6).as("view_value"))
-    EventsStream.runToMemory(spark, joined, "graft_stream_join", "append")
+        r6(col("value")).as("view_value"))
   }
 }

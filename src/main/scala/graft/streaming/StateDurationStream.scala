@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Portable.r6
 
 /** Stateful streaming time-in-state accounting — the streaming twin of
   * `TimeSeries.stateDurations` (the state_agg analog): each user's
@@ -58,6 +59,6 @@ object StateDurationStream {
     EventsStream.runToMemory(spark, dwells.toDF(),
         "graft_stream_dwell", "append")
       .groupBy(col("user_id"), col("state"))
-      .agg(round(sum(col("dur_us")).cast("double") / 1e6, 6).as("dur_secs"))
+      .agg(r6(sum(col("dur_us")).cast("double") / 1e6).as("dur_secs"))
   }
 }

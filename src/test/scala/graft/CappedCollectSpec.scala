@@ -184,4 +184,32 @@ class CappedCollectSpec extends SparkSpecBase {
     assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((100L, 101L)), "guarded under-cap run returns the exact pairs")
   }
+
+  test("the REGISTERED dedup_containment_prefix query runs with the " +
+      "guard ON (its green correctness row is a proven-exact row)") {
+    // VERDICT r15 task 7: the driver corpus is under-cap, so the
+    // registered query passing proves nothing about the guard unless
+    // the guard is actually wired in. Planting a corpus whose df
+    // distribution exceeds the registration's maxPosting=1000 and
+    // watching the REGISTERED fn throw the audit exception proves the
+    // harness path is the guarded form, not the silent one.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_guard_corpus").toString
+    try {
+      (1L to 1100L).toDF("doc_id")
+        .select(col("doc_id"),
+          concat(lit("unique"), col("doc_id"),
+            lit(" the same boilerplate tail every doc shares"))
+            .as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("dedup_containment_prefix")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("maxPosting=1000"),
+        s"registered query must surface the audit, got: ${e.getMessage}")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

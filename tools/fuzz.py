@@ -33,6 +33,13 @@ Usage: python3 tools/fuzz.py [n_seeds=10] [first_seed=1] [--all]
 (--all: run the FULL query surface on the fuzzed tables instead of
 the high-risk subset — every oracle re-compared per seed)
 
+Round 16 adds a second configuration axis (VERDICT r15 task 3): each
+seed runs under `spark.sql.shuffle.partitions` drawn deterministically
+from {3, 7, 13, 32} (seed mod 4), so partition-order sensitivity and
+boundary rounding are fuzzed jointly. The committed r16 artifact is 25
+seeds x full surface, merged across parallel seed-range invocations
+via FUZZ_REPORT_OUT + tools/merge_fuzz.py.
+
 Round 15 onward the committed artifact is the --all mode: all 372
 oracle queries re-compared per seed, so no family is excluded and the
 QUERIES subset below survives only as the cheap local iteration loop.
@@ -151,13 +158,23 @@ def gen(seed: int, dest: str) -> None:
     con.close()
 
 
+# Per-seed shuffle-partition counts (VERDICT r15 task 3): partition-order
+# sensitivity and boundary rounding are fuzzed JOINTLY — each seed runs
+# under a deterministic adversarial partitioning drawn from this cycle
+# (3/7/13 are coprime with every bucketing constant; 32 is the driver's
+# own count, keeping one leg on the production shape).
+SHUFFLE_PARTITIONS = [3, 7, 13, 32]
+
+
 def run_seed(seed: int, full_surface: bool = False) -> dict:
     data = f"{BASE}/seed{seed}"
     out = f"{BASE}/out{seed}"
     shutil.rmtree(data, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     gen(seed, data)
-    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    parts = SHUFFLE_PARTITIONS[seed % len(SHUFFLE_PARTITIONS)]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8",
+               SPARK_GRAFT_SHUFFLE_PARTITIONS=str(parts))
     # full-surface mode: no query subset — every SparkEntry query runs
     # on the fuzzed tables and every oracle is re-compared
     subset = [] if full_surface else [",".join(QUERIES)]
@@ -186,8 +203,9 @@ def run_seed(seed: int, full_surface: bool = False) -> dict:
         if not line.startswith("PASS"):
             print(f"[fuzz] seed {seed}: {line}")
     ok = c.returncode == 0
-    print(f"[fuzz] seed {seed}: {'OK' if ok else 'DIVERGENCE'}")
-    return {"ok": ok, "verify_rc": 0,
+    print(f"[fuzz] seed {seed} (shuffle.partitions={parts}): "
+          f"{'OK' if ok else 'DIVERGENCE'}")
+    return {"ok": ok, "verify_rc": 0, "shuffle_partitions": parts,
             "pass": sorted(set(passed)), "fail": sorted(set(failed))}
 
 
