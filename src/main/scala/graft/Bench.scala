@@ -219,7 +219,12 @@ object Bench {
           System.err.println(s"[bench] warmup $k skipped: ${e.getMessage}")
         }
       }
-      spark.catalog.clearCache()
+      // full quiesce, not just clearCache: the warm pass drives ~17
+      // streaming queries whose async teardown otherwise drains into the
+      // FIRST timed query's window — the actual source of the r15 sf10
+      // false alarm (dedup_ngram_jaccard is declared earliest in that
+      // suite subset, so it ran first and absorbed the warm pass's tail)
+      quiesce(spark, afterStream = true)
       System.err.println(
         f"[bench] warmup pass at $warmDir: ${(System.nanoTime() - tw) / 1e9}%.1f s")
     }

@@ -204,6 +204,30 @@ object Similarity {
     * threshold. Identical vectors always share every signature, so exact
     * duplicates are found with recall 1; near-duplicate recall grows with
     * `tables`. Output: (id_a, id_b, cos) rounded to 6.
+    *
+    * PLAN SHAPE (rewritten round 16 after an sf10 GC death): the
+    * original form materialized the DISTINCT candidate-pair stream and
+    * then joined both vectors back onto it — at sf10 the driver's
+    * correlated embeddings collapse into sig=0/255 mega-buckets (8.5k
+    * ids each; Σ C(n_b,2) = 297M candidate rows), and two joins
+    * attaching 2×256-byte arrays to a hundred-million-row pair stream
+    * buffered tens of GB and GC-killed a 64 g heap (the r11 containment
+    * lesson again: never attach array payloads to a pair stream). Now
+    * each signature row carries its vector and norm INTO the bucket
+    * self-join, the exact cosine is computed in the join's projection,
+    * and the threshold filter runs BEFORE distinct — join output rows
+    * (the only place both arrays coexist) live pipelined inside one
+    * stage, never in a shuffle or buffer, and the distinct dedups only
+    * the tiny surviving near-dup set. Same result set by construction;
+    * a cross-table duplicate pair costs up to `tables` redundant dot
+    * products (native codegen'd — cheap) instead of a 100 M-row
+    * distinct shuffle. The shuffle volume is `tables`× the corpus
+    * (linear), the candidate count stays Σ C(n_b,2) — quadratic per
+    * bucket, CPU-only now. 100 TB note: with nBits fixed the bucket
+    * count does not grow with the corpus, so raise nBits (or
+    * mean-center the vectors before hashing — the skew here is a
+    * shared mean component driving every projection to one side) to
+    * keep per-bucket occupancy bounded.
     */
   def cosineNearDupPairs(
       corpus: DataFrame /* id, vec */,
@@ -212,26 +236,20 @@ object Similarity {
       tables: Int = 4): DataFrame = {
     val dim = probeDim(corpus, "vec").getOrElse(1) // empty → empty result
     val sigs = Par.widen(corpus).select(col("id"), col("vec"),
+      norm(col("vec")).as("__n"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col("vec"), nBits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")))
-    val ids = sigs.select(col("table_idx"), col("sig"), col("id"))
-    val pairs = ids.select(col("table_idx"), col("sig"), col("id").as("id_a"))
-      .join(ids.select(col("table_idx"), col("sig"), col("id").as("id_b")),
-        Seq("table_idx", "sig"))
+    val a = sigs.select(col("table_idx"), col("sig"),
+      col("id").as("id_a"), col("vec").as("vec_a"), col("__n").as("__na"))
+    val b = sigs.select(col("table_idx"), col("sig"),
+      col("id").as("id_b"), col("vec").as("vec_b"), col("__n").as("__nb"))
+    a.join(b, Seq("table_idx", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val withNorm = corpus.select(col("id"), col("vec"),
-      norm(col("vec")).as("__n"))
-    pairs
-      .join(withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"),
-        col("__n").as("__na")), Seq("id_a"))
-      .join(withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"),
-        col("__n").as("__nb")), Seq("id_b"))
       .withColumn("cos",
         dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+      .distinct()
   }
 }

@@ -36,6 +36,8 @@ object FileSinkStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // same cloned-session listener-bus leak as runToMemory (r16 soak)
+    org.apache.spark.graft.ListenerBusDrain.pruneClonedStreamingBuses(spark)
   }
 
   /** The verified file-sink query: streaming first-sight dedup of

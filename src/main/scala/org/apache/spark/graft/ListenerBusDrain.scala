@@ -32,4 +32,48 @@ object ListenerBusDrain {
     */
   def listenerCount(sc: SparkContext): Int =
     sc.listenerBus.listeners.size()
+
+  /** Remove `StreamingQueryListenerBus` registrations leaked by
+    * completed streaming queries.
+    *
+    * Every `StreamExecution` runs on a CLONED SparkSession; touching
+    * the clone's `StreamingQueryManager` registers a fresh
+    * `StreamingQueryListenerBus` on the shared context bus that nothing
+    * ever removes (the clone is never closed) — the r16 soak harness
+    * measured exactly +1 listener per driven-to-completion stream query
+    * (+17 per full-suite pass). Each leaked bus filters every streaming
+    * event and pins its clone's session state, so a long session
+    * running hundreds of short memory-sink streams ages linearly.
+    *
+    * This prunes every `StreamingQueryListenerBus` EXCEPT the one owned
+    * by `spark`'s own StreamingQueryManager (identified reflectively —
+    * the field is class-private), which carries any user-registered
+    * StreamingQueryListeners. Call it only when `spark.streams.active`
+    * is empty and only from code that owns the session: a concurrently
+    * RUNNING clone's bus would be removed too (harmless for event
+    * delivery our harness relies on, but not this method's contract).
+    * Returns the number pruned.
+    */
+  def pruneClonedStreamingBuses(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val sc = spark.sparkContext
+    val keeper: AnyRef = {
+      val sqm = spark.streams
+      val f = sqm.getClass.getDeclaredFields
+        .find(_.getName.endsWith("listenerBus"))
+        .getOrElse(return 0) // field renamed upstream: prune nothing
+      f.setAccessible(true)
+      f.get(sqm)
+    }
+    import scala.jdk.CollectionConverters._
+    val clones = sc.listenerBus.listeners.asScala.toList.filter { l =>
+      l.getClass.getName.endsWith("StreamingQueryListenerBus") &&
+        (l.asInstanceOf[AnyRef] ne keeper)
+    }
+    clones.foreach { l =>
+      sc.listenerBus.removeListener(
+        l.asInstanceOf[org.apache.spark.scheduler.SparkListenerInterface])
+    }
+    clones.size
+  }
 }
