@@ -257,28 +257,38 @@ object Multimodal {
     * the same banding discipline as every other dedup family here, never
     * an all-pairs scan. Verification is exact: popcount of the XOR per
     * chunk, summed. Output (a, b, hamming), a < b.
+    *
+    * PLAN SHAPE (round 16, same rewrite as Similarity
+    * .cosineNearDupPairs): template-generated corpora collide whole
+    * 16-bit chunks across thousands of assets (sf10: 500k docs →
+    * Σ C(n_b,2) = 140M candidate rows, max bucket 2363), and the
+    * original distinct-pairs-then-attach-chunks form shuffled that
+    * stream twice and joined payload arrays onto it. Each banded row
+    * now carries its full chunk array into the band self-join, the
+    * exact Hamming verify runs in the join projection, and the ≤
+    * maxHamming filter precedes the distinct — candidate rows exist
+    * only pipelined, the distinct sees only true near-dups. Result set
+    * unchanged; a cross-band duplicate pair recomputes one 4-chunk
+    * popcount (codegen'd) instead of shipping through a 100M-row
+    * distinct.
     */
   def phashNearDupPairs(df: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "pigeonhole over 4 chunks covers Hamming distance <= 3")
     val h = dHash64(df)
-    val banded = h.select(col("media_id"),
+    val banded = h.select(col("media_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("band", "v")))
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
-          col("l.media_id") < col("r.media_id"))
-      .select(col("l.media_id").as("a"), col("r.media_id").as("b"))
-      .distinct()
-    cand
-      .join(h.select(col("media_id").as("a"), col("chunks").as("__ca")),
-        Seq("a"))
-      .join(h.select(col("media_id").as("b"), col("chunks").as("__cb")),
-        Seq("b"))
+    val l = banded.select(col("band"), col("v"),
+      col("media_id").as("a"), col("chunks").as("__ca"))
+    val r = banded.select(col("band"), col("v"),
+      col("media_id").as("b"), col("chunks").as("__cb"))
+    l.join(r, Seq("band", "v"))
+      .filter(col("a") < col("b"))
       .withColumn("hamming", expr(
         """aggregate(sequence(0, 3), 0L,
              (acc, j) -> acc + bit_count(__ca[j] ^ __cb[j]))"""))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+      .distinct()
   }
 }

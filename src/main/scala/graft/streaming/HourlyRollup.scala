@@ -55,6 +55,14 @@ object HourlyRollup {
   /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
     * exposed so StreamSinkExperiment can run the SAME transform into a
     * file sink (deployment shape) for the memory-sink-tax comparison.
+    *
+    * The grouping key is the `window(ts)` STRUCT, projected to its
+    * start only AFTER the aggregate: casting the start out of the
+    * struct inside the groupBy strips the event-time/watermark tag
+    * from the key, which the complete-mode memory sink tolerates but
+    * append mode (the file-sink deployment shape) rejects
+    * ([STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION]). Same groups,
+    * same rows either way.
     */
   def rollupStream(
       spark: SparkSession,
@@ -62,14 +70,16 @@ object HourlyRollup {
       measure: org.apache.spark.sql.Column = col("value")): DataFrame =
     EventsStream.source(spark, dir)
       .withWatermark("ts", "2 days") // ≙ continuous-agg start_offset
-      .groupBy(window(col("ts"), "1 hour").getField("start")
-          .cast("timestamp_ntz").as("bucket"),
-        col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("__w"), col("event_type"))
       .agg(
         avg(measure).as("avg_v"),
         min(measure).as("min_v"),
         max(measure).as("max_v"),
         count(measure).as("n"))
+      .select(col("__w").getField("start").cast("timestamp_ntz")
+          .as("bucket"),
+        col("event_type"), col("avg_v"), col("min_v"), col("max_v"),
+        col("n"))
 
   /** Sliding-window streaming rollup: overlapping 6 h windows sliding
     * by 1 h (each event contributes to six windows — the Expand the
