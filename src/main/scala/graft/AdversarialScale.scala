@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, Similarity, Skew}
+
+/** Adversarial-shape scale lane (VERDICT r16 task 5): both r16 scale
+  * defects came from CORRELATED data — shared-mean embeddings and
+  * template documents — that the driver's uniform testdata structurally
+  * cannot expose; the sf10 anchors caught them only because the
+  * driver's generator happens to correlate. This harness PLANTS the
+  * worst-case shapes at sf1-and-beyond row counts and asserts the
+  * occupancy/candidate bounds that clear the r16 `weak` grades, so the
+  * defect class is tested per-round instead of discovered at sf10.
+  *
+  * Lanes (all deterministic — hash/expression-generated, no RNG state):
+  *
+  *  - `embeddings`: every vector is a dominant shared mean plus an
+  *    id-hash residual (the r16 sf10 killer). Asserts the uncentered
+  *    counterfactual mega-bucket EXISTS (the corpus is genuinely
+  *    adversarial), that the production geometry (mean-centered,
+  *    corpus-scaled bits) bounds max occupancy and the Σ C(n_b,2)
+  *    candidate stream to near-linear, and that all planted exact
+  *    duplicates surface (recall 1 by construction).
+  *  - `phash`: 90% of 200k docs are byte-identical template bodies
+  *    (three templates — 12 (band, chunk) buckets of ~60k each; the
+  *    UNCAPPED candidate stream would be ~2×10^10 pairs) plus planted
+  *    identical unique-doc pairs. Asserts the audit sees the
+  *    mega-buckets, the capped run completes with its candidate stream
+  *    bounded by Σ C(min(n_b, cap), 2), and every planted under-cap
+  *    pair still surfaces.
+  *  - `hotjoin`: 5M fact rows with 50% on ONE key joining a 100k-row
+  *    dim. Asserts the hot/cold routed join returns every fact row.
+  *
+  * Usage: runMain graft.AdversarialScale [embeddings|phash|hotjoin|all]
+  * Writes one JSON line (default `adversarial_scale.json`, override
+  * `ADV_OUT`) with per-lane wall/occupancy evidence plus the host
+  * load/steal block, and exits non-zero on any violated bound.
+  */
+object AdversarialScale {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Shared-mean corpus: μ = 10 per coordinate; residual per coordinate
+    * is an id-keyed hash uniform in [-2, 2] — big enough that no two
+    * distinct ids reach cosine 0.999 (|r_i − r_j|² concentrates at
+    * ~170 against a ≤12.8 near-dup budget), small enough that the mean
+    * dominates every uncentered projection.
+    */
+  private def sharedMeanEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (lit(10.0) +
+          (pmod(hash(col("id"), i), lit(2001)) / lit(500.0) - lit(2.0)))
+          .cast("float")).as("vec"))
+
+  private def laneEmbeddings(spark: SparkSession): String = {
+    val n = sys.env.getOrElse("ADV_EMB_N", "100000").toLong
+    val base = sharedMeanEmbeddings(spark, n)
+    val planted = base.unionByName(
+      base.withColumn("id", col("id") + 100000000L))
+    val total = 2 * n
+
+    // counterfactual at the r16 geometry (fixed 8 bits, no centering):
+    // occupancy only — the pair join at this shape is the death this
+    // lane exists to prevent
+    val uncenteredMax = Similarity
+      .cosineLshOccupancy(planted, nBits = 8, tables = 1,
+        center = false, autoBits = false)
+      .agg(max(col("n"))).head().getLong(0)
+    require(uncenteredMax >= total / 8,
+      s"fixture drift: uncentered max occupancy $uncenteredMax is not a " +
+        s"mega-bucket at corpus $total — the lane no longer plants the " +
+        "r16 failure shape")
+
+    // production geometry: defaults (center = true, autoBits = true)
+    val occ = Similarity.cosineLshOccupancy(planted)
+    val stats = occ.agg(
+      max(col("n")).as("max_occ"),
+      expr("approx_percentile(n, 0.99)").as("p99_occ"),
+      sum(expr("n * (n - 1) DIV 2")).as("candidates")).head()
+    val maxOcc = stats.getLong(0)
+    val p99 = stats.getLong(1)
+    val candidates = stats.getLong(2)
+    require(maxOcc <= 16L * 128,
+      s"centered+scaled max occupancy $maxOcc exceeds 16x the target — " +
+        "the occupancy bound regressed")
+    require(candidates <= 400L * total,
+      s"candidate stream $candidates exceeds 400x corpus rows " +
+        s"($total) — no longer near-linear")
+
+    val (rows, wall) = timed(
+      Similarity.cosineNearDupPairs(planted, threshold = 0.999).count())
+    require(rows == n,
+      s"expected exactly the $n planted exact-duplicate pairs, got " +
+        s"$rows — centered recall on identical vectors must be 1 and " +
+        "the residual amplitude admits no natural 0.999 pair")
+
+    f"""{"corpus_rows":$total,"uncentered_max_occ":$uncenteredMax,""" +
+      f""""max_occ":$maxOcc,"p99_occ":$p99,"candidates":$candidates,""" +
+      f""""pairs":$rows,"wall_sec":$wall%.1f}"""
+  }
+
+  /** Template corpus: ids ≡ 0–8 (mod 10) carry one of three
+    * byte-identical template bodies; ids ≡ 9 carry a unique body. The
+    * first `plantedPairs` unique docs are cloned under shifted ids.
+    */
+  private def templateDocs(
+      spark: SparkSession, n: Long, plantedPairs: Int): DataFrame = {
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 9,
+        concat(lit("lorem ipsum dolor sit amet consectetur adipiscing " +
+          "elit template body number "), pmod(col("id"), lit(3))))
+        .otherwise(concat(lit("unique document "), col("id"),
+          lit(" body "), md5(col("id").cast("string"))))
+        .as("text"))
+    val clones = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .orderBy(col("doc_id")).limit(plantedPairs)
+      .withColumn("doc_id", col("doc_id") + 100000000L)
+    docs.unionByName(clones)
+  }
+
+  private def lanePhash(spark: SparkSession): String = {
+    val n = sys.env.getOrElse("ADV_PHASH_N", "200000").toLong
+    val plantedPairs = 1000
+    val cap = 1000
+    val payload = Multimodal.asPayload(
+      templateDocs(spark, n, plantedPairs), col("doc_id"), col("text"))
+
+    val audit = Multimodal.phashCapAudit(payload, maxBucketSize = cap)
+      .head()
+    val cappedBuckets = audit.getAs[Long]("capped_buckets")
+    val maxOcc = audit.getAs[Long]("max_occupancy")
+    require(maxOcc >= n / 4,
+      s"fixture drift: max bucket $maxOcc is not a mega-bucket at " +
+        s"corpus $n — the lane no longer plants the template shape")
+    // ≥ 4: every band must carry at least one template mega-bucket
+    // (templates sharing early chunks merge some buckets — the digit
+    // that distinguishes them sits late in the byte stream)
+    require(cappedBuckets >= 4,
+      s"expected a template mega-bucket in every band, got " +
+        s"$cappedBuckets capped buckets")
+
+    // candidate stream the capped join actually faces vs the uncapped
+    // counterfactual — both from the occupancy table, no pair join
+    val occ = Multimodal.phashOccupancy(payload)
+    val cs = occ.agg(
+      sum(expr(s"IF(n <= $cap, n * (n - 1) DIV 2, 0L)"))
+        .as("capped_cands"),
+      sum(expr("n * (n - 1) DIV 2")).as("uncapped_cands")).head()
+    val cappedCands = cs.getLong(0)
+    val uncappedCands = cs.getLong(1)
+    require(cappedCands <= 2L * cap * (n + plantedPairs),
+      s"capped candidate stream $cappedCands exceeds the 2·n·cap bound")
+
+    val (planted, wall) = timed {
+      val pairs = Multimodal.phashNearDupPairs(payload, maxHamming = 3,
+        maxBucketSize = cap)
+      pairs.filter(col("b") - col("a") === 100000000L).count()
+    }
+    require(planted == plantedPairs,
+      s"expected all $plantedPairs planted under-cap pairs, got $planted")
+
+    f"""{"corpus_rows":${n + plantedPairs},"max_occ":$maxOcc,""" +
+      f""""capped_buckets":$cappedBuckets,""" +
+      f""""capped_candidates":$cappedCands,""" +
+      f""""uncapped_candidates":$uncappedCands,""" +
+      f""""planted_found":$planted,"wall_sec":$wall%.1f}"""
+  }
+
+  private def laneHotJoin(spark: SparkSession): String = {
+    val nf = sys.env.getOrElse("ADV_JOIN_N", "5000000").toLong
+    val fact = spark.range(nf).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(100000)).cast("long"))
+        .as("k"),
+      col("id").as("fid"))
+    val dim = spark.range(100000).select(col("id").as("k"),
+      (col("id") * 7).as("payload"))
+    val (rows, wall) = timed(
+      Skew.hotColdJoin(fact, dim, "k", hotKeys = 8).count())
+    require(rows == nf,
+      s"hot/cold join must preserve every fact row: $rows vs $nf")
+    f"""{"fact_rows":$nf,"joined_rows":$rows,"wall_sec":$wall%.1f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val lane = args.headOption.getOrElse("all")
+    val out = sys.env.getOrElse("ADV_OUT", "adversarial_scale.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val load1Before = HostLoad.load1()
+    val stealBefore = HostLoad.stealSeconds()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lanes = scala.collection.mutable.LinkedHashMap[String, String]()
+    var failure: Option[String] = None
+    def run(name: String)(body: => String): Unit =
+      if (failure.isEmpty && (lane == "all" || lane == name)) {
+        try {
+          lanes(name) = body
+          System.err.println(s"[adversarial] $name: ${lanes(name)}")
+        } catch { case e: Throwable =>
+          failure = Some(s"$name: ${e.getMessage}")
+          System.err.println(s"[adversarial] $name FAILED: ${e.getMessage}")
+        }
+      }
+    run("embeddings")(laneEmbeddings(spark))
+    run("phash")(lanePhash(spark))
+    run("hotjoin")(laneHotJoin(spark))
+
+    val json =
+      s"""{"lanes":{${lanes.map { case (k, v) => s""""$k":$v""" }
+        .mkString(",")}},""" +
+        s""""host":${HostLoad.json(load1Before, stealBefore)},""" +
+        s""""ok":${failure.isEmpty}${failure.map(f =>
+          s""","failure":"${f.replace("\"", "'").take(400)}"""")
+          .getOrElse("")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+    if (failure.nonEmpty) sys.exit(1)
+  }
+}

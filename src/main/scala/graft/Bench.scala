@@ -96,16 +96,20 @@ object Bench {
   }
 
   /** One measured execution: wall time plus the GC, process-CPU,
-    * task-scoped-CPU and spill deltas that occurred inside it.
+    * task-scoped-CPU and spill deltas that occurred inside it, and the
+    * host 1-min loadavg sampled at the window's end (contention
+    * evidence — VERDICT r16 task 4).
     */
   private final case class Measure(wall: Double, gc: Double, cpu: Double,
-      taskCpu: Double, spillMem: Long, spillDisk: Long)
+      taskCpu: Double, spillMem: Long, spillDisk: Long, load1: Double)
 
   /** Times `body`, then drains the async listener bus BEFORE reading the
     * listener-fed deltas (spill, task CPU): without the barrier a
     * query's tail TaskEnd events land in the next query's window. The
-    * drain wait is outside the wall measurement (taken at `body` return)
-    * and costs ~no CPU, so process-CPU attribution stays honest too.
+    * drain wait is outside the wall measurement, and the GC/CPU deltas
+    * are sampled AT `body` return (ADVICE r16) — GC or CPU burned
+    * during the drain wait is charged to neither wall nor gc/cpu; only
+    * the listener-FED counters (spill, taskCpu) read after the barrier.
     */
   private def measure(spark: SparkSession)(body: => Unit): Measure = {
     val g0 = gcSeconds(); val c0 = cpuSeconds()
@@ -114,12 +118,15 @@ object Bench {
     val t0 = System.nanoTime()
     body
     val wall = (System.nanoTime() - t0) / 1e9
+    val gc = gcSeconds() - g0
+    val cpu = if (c0 < 0) -1.0 else cpuSeconds() - c0
+    val load1 = HostLoad.load1()
     if (!org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext))
       System.err.println("[bench] listener bus drain timed out; " +
         "spill/taskCpu deltas may lag")
-    Measure(wall, gcSeconds() - g0, if (c0 < 0) -1.0 else cpuSeconds() - c0,
+    Measure(wall, gc, cpu,
       (SpillListener.cpuNs.get() - tc0) / 1e9,
-      SpillListener.mem.get() - sm0, SpillListener.disk.get() - sd0)
+      SpillListener.mem.get() - sm0, SpillListener.disk.get() - sd0, load1)
   }
 
   /** Between-queries barrier (all outside any timed window): stop any
@@ -157,6 +164,11 @@ object Bench {
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // host snapshot BEFORE any project work: load1 here is the prior
+    // minute's (external) load — the artifact's contention gate
+    val load1Before = HostLoad.load1()
+    val stealBefore = HostLoad.stealSeconds()
 
     var spark = session(cpus)
     // JVM/codegen/parquet-writer warmup outside the timed loop — first-
@@ -310,10 +322,10 @@ object Bench {
         s""","retryWall":${fmt(r.wall)},"retryGc":${fmt(r.gc)},"retryCpu":${fmt(r.cpu)},"retryTcpu":${fmt(r.taskCpu)}""").getOrElse("")
       val spill = if (m.spillMem > 0 || m.spillDisk > 0)
         s""","spillMem":${m.spillMem},"spillDisk":${m.spillDisk}""" else ""
-      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)},"tcpu":${fmt(m.taskCpu)}$spill$retry}"""
+      s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)},"tcpu":${fmt(m.taskCpu)},"load1":${fmt(m.load1)}$spill$retry}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","attrib":$attrib}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","host":${HostLoad.json(load1Before, stealBefore)},"attrib":$attrib}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

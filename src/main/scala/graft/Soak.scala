@@ -33,6 +33,10 @@ object Soak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val maxRatio = sys.env.getOrElse("SOAK_MAX_RATIO", "1.25").toDouble
+    // host snapshot before any work (contention evidence in the
+    // artifact — same protocol as Bench, VERDICT r16 task 4)
+    val load1Before = HostLoad.load1()
+    val stealBefore = HostLoad.stealSeconds()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,6 +98,7 @@ object Soak {
       s""""views":[$views1,$views2],""" +
       s""""listeners":[$listeners1,$listeners2],""" +
       s""""violations":[${violations.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""host":${HostLoad.json(load1Before, stealBefore)},""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -6677,12 +6677,21 @@ object SparkEntry {
     // phashNearDupPairs): 64-bit difference hash from 65 evenly-spaced
     // payload probes, 4×16-bit chunk pigeonhole banding, exact popcount
     // verify at Hamming ≤ 3 — image near-dup dedup on the stub-decode
-    // contract, banded like every other dedup family.
+    // contract, banded like every other dedup family. Runs the guarded
+    // cap form (r17): the eager audit proves the bucket cap does not
+    // bind at this corpus, so the green row is proven complete — the
+    // containment_prefix precedent (the oracle bands WITHOUT a cap).
+    // Cap 4096 is the call site's documented df statement: the driver
+    // corpus's max (band, chunk) occupancy is 2,363 at sf10, so the
+    // guard holds exact through every anchor scale; a corpus that
+    // trips it (template/boilerplate media at 100×) must choose
+    // between a binding cap (bounded work, reduced recall — the
+    // adversarial lane's configuration) and a higher exact cap.
     Q("mm_phash_dedup",
       (s, d) => Multimodal.phashNearDupPairs(
         Multimodal.asPayload(Tables.documents(s, d), col("doc_id"),
           col("text")),
-        maxHamming = 3),
+        maxHamming = 3, maxBucketSize = 4096, failOnCappedBuckets = true),
       Some("""WITH d AS (SELECT doc_id AS media_id, text,
                     length(text) AS n
                   FROM documents WHERE length(text) >= 2),

@@ -74,9 +74,12 @@ object StreamSinkExperiment {
     if (new java.io.File(s"$warmDir/events.parquet").exists())
       run(spark, warmDir, family, variant)
 
+    val load1Before = HostLoad.load1()
+    val stealBefore = HostLoad.stealSeconds()
     val (rows, wall, gc) = run(spark, dir, family, variant)
     println(f"""{"family":"$family","variant":"$variant",""" +
-      f""""wall_sec":$wall%.1f,"gc_sec":$gc%.1f,"rows":$rows}""")
+      f""""wall_sec":$wall%.1f,"gc_sec":$gc%.1f,"rows":$rows,""" +
+      s""""host":${HostLoad.json(load1Before, stealBefore)}}""")
     spark.stop()
   }
 
@@ -98,10 +101,19 @@ object StreamSinkExperiment {
         finally spark.conf.set("spark.sql.shuffle.partitions", prev)
         val wall = (System.nanoTime() - t0) / 1e9
         val gc = gcSeconds() - g0
-        // read-back count (materialization proof) and cleanup: off-clock
-        val rows =
-          try spark.read.parquet(s"$out/data").count()
-          catch { case _: Throwable => 0L } // append emitted nothing
+        // read-back count (materialization proof) and cleanup: off-clock.
+        // Only the no-files case reads as 0 (an append-mode run that
+        // emitted nothing is legitimate); any OTHER failure — corrupt
+        // sink, schema error — propagates, so the materialization proof
+        // cannot silently pass on a broken sink (ADVICE r16)
+        val rows = {
+          val hasData = {
+            val d = new java.io.File(s"$out/data")
+            d.isDirectory && d.listFiles() != null &&
+              d.listFiles().exists(_.getName.endsWith(".parquet"))
+          }
+          if (hasData) spark.read.parquet(s"$out/data").count() else 0L
+        }
         (rows, wall, gc)
       } finally {
         import scala.reflect.io.Directory

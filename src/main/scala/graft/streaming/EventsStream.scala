@@ -70,12 +70,16 @@ object EventsStream {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    // every StreamExecution leaks one StreamingQueryListenerBus via its
-    // cloned session (r16 soak: +1 listener per driven stream, +17 per
-    // full-suite pass) — prune it here so a long session running the
-    // whole surface repeatedly stays at a constant listener count
-    org.apache.spark.graft.ListenerBusDrain.pruneClonedStreamingBuses(spark)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // every StreamExecution leaks one StreamingQueryListenerBus via
+      // its cloned session (r16 soak: +1 listener per driven stream,
+      // +17 per full-suite pass) — prune it here so a long session
+      // running the whole surface repeatedly stays at a constant
+      // listener count. In the finally (ADVICE r16): a stream that
+      // throws in processAllAvailable leaks its bus all the same.
+      org.apache.spark.graft.ListenerBusDrain.pruneClonedStreamingBuses(spark)
+    }
     spark.table(name)
   }
 

@@ -35,9 +35,12 @@ object FileSinkStream {
       .outputMode("append")
       .start()
     try q.processAllAvailable()
-    finally q.stop()
-    // same cloned-session listener-bus leak as runToMemory (r16 soak)
-    org.apache.spark.graft.ListenerBusDrain.pruneClonedStreamingBuses(spark)
+    finally {
+      q.stop()
+      // same cloned-session listener-bus leak as runToMemory (r16
+      // soak); inside the finally so a throwing stream cannot skip it
+      org.apache.spark.graft.ListenerBusDrain.pruneClonedStreamingBuses(spark)
+    }
   }
 
   /** The verified file-sink query: streaming first-sight dedup of

@@ -48,11 +48,15 @@ object ListenerBusDrain {
     * This prunes every `StreamingQueryListenerBus` EXCEPT the one owned
     * by `spark`'s own StreamingQueryManager (identified reflectively —
     * the field is class-private), which carries any user-registered
-    * StreamingQueryListeners. Call it only when `spark.streams.active`
-    * is empty and only from code that owns the session: a concurrently
-    * RUNNING clone's bus would be removed too (harmless for event
-    * delivery our harness relies on, but not this method's contract).
-    * Returns the number pruned.
+    * StreamingQueryListeners, and except any bus with RUNNING queries:
+    * each bus tracks its own active run ids (`activeQueryRunIds`), and a
+    * non-empty set means another live session's stream is mid-flight —
+    * stripping it would drop that query's progress events (ADVICE r16:
+    * the multi-SparkSession contract is now enforced, not doc-only). A
+    * bus whose run-id set cannot be read (field renamed upstream) is
+    * kept too — conservative, and the hygiene spec pins the leak fix so
+    * an upstream rename fails loudly there instead of silently
+    * un-fixing the leak. Returns the number pruned.
     */
   def pruneClonedStreamingBuses(
       spark: org.apache.spark.sql.SparkSession): Int = {
@@ -65,10 +69,30 @@ object ListenerBusDrain {
       f.setAccessible(true)
       f.get(sqm)
     }
+    // a bus is provably idle when its own activeQueryRunIds set is
+    // readable and empty; anything else (running queries, or the field
+    // gone) is kept
+    def provablyIdle(bus: AnyRef): Boolean = {
+      val cls = bus.getClass
+      val f = Iterator.iterate[Class[_]](cls)(_.getSuperclass)
+        .takeWhile(_ != null)
+        .flatMap(_.getDeclaredFields)
+        .find(_.getName.endsWith("activeQueryRunIds"))
+      f.exists { fld =>
+        fld.setAccessible(true)
+        fld.get(bus) match {
+          case s: scala.collection.mutable.HashSet[_] =>
+            s.synchronized(s.isEmpty)
+          case s: java.util.Set[_] => s.isEmpty
+          case _ => false
+        }
+      }
+    }
     import scala.jdk.CollectionConverters._
     val clones = sc.listenerBus.listeners.asScala.toList.filter { l =>
       l.getClass.getName.endsWith("StreamingQueryListenerBus") &&
-        (l.asInstanceOf[AnyRef] ne keeper)
+        (l.asInstanceOf[AnyRef] ne keeper) &&
+        provablyIdle(l.asInstanceOf[AnyRef])
     }
     clones.foreach { l =>
       sc.listenerBus.removeListener(

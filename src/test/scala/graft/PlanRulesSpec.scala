@@ -517,6 +517,76 @@ class PlanRulesSpec extends SparkSpecBase {
       s"top-k must be TakeOrderedAndProject:\n$plan")
   }
 
+  // ---- pipelined pair-verify convention (r16 rewrite, pinned r17) ----
+  // The r11 lesson — never attach array payloads to a materialized pair
+  // stream — was violated by the one operator predating it and silently
+  // copied into phash. These pins make the shape unregressable: the
+  // verify expression must run inside the band self-join's stage (so no
+  // Exchange anywhere carries TWO payload-array columns — the only
+  // place both sides' arrays coexist is pipelined join output), and the
+  // distinct must see only threshold-surviving rows.
+
+  /** Static physical plan with AQE off: the shape rule is about the
+    * compile-time plan, and AdaptiveSparkPlanExec hides its tree from
+    * collect() until execution. */
+  private def staticPlan(mk: => org.apache.spark.sql.DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def assertPairVerifyShape(
+      plan: org.apache.spark.sql.execution.SparkPlan,
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      thresholdMarks: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.ArrayType
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.nonEmpty, "expected a shuffling plan")
+    exchanges.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.size <= 1,
+        s"an Exchange carries ${arrays.size} array payload columns " +
+          s"(${arrays.map(_.name).mkString(", ")}) — the pair stream " +
+          "with both payloads must stay pipelined inside the join stage")
+    }
+    // distinct (an Aggregate grouping on the output columns) must sit
+    // ABOVE the threshold verify: below the aggregate the threshold
+    // appears either as a pushed Filter or — the strongest form, what
+    // the optimizer actually produces — as a conjunct of the band
+    // self-join's own condition, so the distinct shuffle sees only
+    // surviving near-dups
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    val aggs = optimized.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"expected the distinct Aggregate:\n$optimized")
+    assert(aggs.exists(_.child.exists {
+      case f: Filter => thresholdMarks.exists( // alias may be substituted
+        f.condition.toString.contains)         // when the filter pushes
+      case j: Join => j.condition.exists(c =>
+        thresholdMarks.exists(c.toString.contains))
+      case _ => false
+    }), s"threshold verify (${thresholdMarks.mkString("|")}) must sit " +
+      s"BELOW the distinct, not above it:\n$optimized")
+  }
+
+  test("cosine near-dup pairs keep the pipelined pair-verify shape") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.unionByName(e.withColumn("id", col("id") + 1000000L))
+    def df = graft.ops.Similarity.cosineNearDupPairs(planted, 0.999)
+    assertPairVerifyShape(staticPlan(df), df.queryExecution.optimizedPlan,
+      thresholdMarks = Seq("0.999"))
+  }
+
+  test("phash near-dup pairs keep the pipelined pair-verify shape") {
+    val payload = graft.ops.Multimodal.asPayload(
+      Tables.documents(spark, sf()), col("doc_id"), col("text"))
+    def df = graft.ops.Multimodal.phashNearDupPairs(payload, maxHamming = 3)
+    assertPairVerifyShape(staticPlan(df), df.queryExecution.optimizedPlan,
+      thresholdMarks = Seq("hamming", "bit_count"))
+  }
+
   test("SQL names reach the native expressions (pure-SQL surface)") {
     org.apache.spark.sql.graftnative.GraftNative
       .registerSqlFunctions(spark)
