@@ -8,6 +8,7 @@ import graft.ops._
 import graft.functions.ScalarFns
 import graft.sources.{CsvMulti, JsonShapes, XmlPoints}
 import graft.streaming.HourlyRollup
+import graft.functions.Portable
 import graft.functions.Portable.r6
 
 /** Driver contract — one named query per implemented operator of
@@ -1887,9 +1888,11 @@ object SparkEntry {
     Q("ml_linreg",
       (s, d) => graft.ml.Baselines.linearFit(Tables.lineitem(s, d),
         Seq(col("l_returnflag")), col("l_quantity"), col("l_extendedprice")),
-      Some("""SELECT l_returnflag,
-                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-                round(regr_intercept(l_extendedprice, l_quantity), 4)
+      Some(s"""SELECT l_returnflag,
+                ${Portable.r4Sql("regr_slope(l_extendedprice, l_quantity)")}
+                  AS slope,
+                ${Portable.r4Sql(
+                  "regr_intercept(l_extendedprice, l_quantity)")}
                   AS intercept,
                 count(*) AS n
               FROM lineitem GROUP BY 1""")),
@@ -7435,9 +7438,9 @@ object SparkEntry {
         val proj = aggregate(
           zip_with(col("emb"), lit(v), (x, c) => x * c),
           lit(0.0), (acc, x) => acc + x)
-        emb.select(col("vec_id"), round(proj, 4).as("proj"))
+        emb.select(col("vec_id"), Portable.r4(proj).as("proj"))
       },
-      Some("""WITH e AS (SELECT vec_id,
+      Some(s"""WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                 FROM embeddings),
               v0 AS (SELECT list_transform(range(64),
@@ -7459,7 +7462,8 @@ object SparkEntry {
               v2 AS (SELECT list(w / (SELECT nrm FROM n2) ORDER BY j)
                   AS v FROM w2)
               SELECT vec_id,
-                round(list_dot_product(emb, (SELECT v FROM v2)), 4)
+                ${Portable.r4Sql(
+                  "list_dot_product(emb, (SELECT v FROM v2))")}
                   AS proj
               FROM e""")),
   )
@@ -8291,20 +8295,23 @@ object SparkEntry {
       (s, d) => {
         org.apache.spark.sql.graftnative.GraftNative.registerSqlFunctions(s)
         Tables.embeddings(s, d).createOrReplaceTempView("emb_v")
-        s.sql("""
+        // the CASE form is Portable.r4's expansion — valid (and
+        // identical) Spark SQL, keeping this the pure-SQL surface
+        s.sql(s"""
           WITH q AS (SELECT embedding AS qe FROM emb_v WHERE vec_id = 0)
           SELECT e.vec_id,
-            round(graft_float_dot(e.embedding, q.qe), 4) AS score
+            ${Portable.r4Sql("graft_float_dot(e.embedding, q.qe)")}
+              AS score
           FROM emb_v e CROSS JOIN q
           WHERE e.vec_id <> 0
           ORDER BY score DESC, e.vec_id LIMIT 20""")
       },
-      Some("""WITH e AS (SELECT vec_id,
+      Some(s"""WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                 FROM embeddings),
               q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
               SELECT e.vec_id,
-                round(list_dot_product(e.emb, q.qe), 4) AS score
+                ${Portable.r4Sql("list_dot_product(e.emb, q.qe)")} AS score
               FROM e CROSS JOIN q
               WHERE e.vec_id <> 0
               ORDER BY score DESC, e.vec_id LIMIT 20""")),
@@ -10663,11 +10670,17 @@ object SparkEntry {
 
     // Two-way ANOVA sum-of-squares decomposition for
     // value ~ series × weekend: SS_A, SS_B, SS_interaction, SS_error —
-    // which factor actually carries the variance. Every SS derives
-    // from the exact-integer (n, Σcents, Σcents²) CELL table (one
-    // corpus-sized keyed aggregate), so the decomposition is
-    // bit-deterministic under any partial-aggregation order; all
-    // downstream arithmetic runs on the |A|×2-row dim.
+    // which factor actually carries the variance. Every total derives
+    // from the exact-integer (n, Σcents, Σcents²) CELL table and stays
+    // LONG through every roll-up (Σcents² < 2^63 inside the fuzz
+    // envelope), so n/s1/s2 totals are order-free on both engines; the
+    // SS sums themselves are genuinely fractional doubles at ~1e16
+    // under fuzzed magnitudes, so their ≤|A|×2-term summation order is
+    // PINNED (sorted fold here, ordered aggregate in the oracle —
+    // fuzz seed 28 caught the unpinned form drifting one 4-dp step),
+    // squares are explicit multiplication (pow(x, 2) is not contracted
+    // identically by both engines), and the 4-dp output rounding uses
+    // the portable guarded floor (Portable.r4) like every 6-dp site.
     Q("agg_two_way_anova",
       (s, d) => {
         val src = ev(s, d).select(
@@ -10675,60 +10688,95 @@ object SparkEntry {
           col("event_type").as("a"),
           ScalarFns.isWeekend(col("ts")).as("b"))
         val cells = src.groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).cast("double").as("n"),
-            sum(col("yc")).cast("double").as("s1"),
-            sum(col("yc") * col("yc")).cast("double").as("s2"))
+          .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+            sum(col("yc") * col("yc")).as("s2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val gm = cells.agg(sum(col("n")).as("nn"), sum(col("s1")).as("t1"),
           sum(col("s2")).as("t2"))
-        val m = col("t1") / col("nn")
-        def ssOver(grouped: DataFrame): DataFrame = grouped
-          .crossJoin(broadcast(gm))
-          .agg(sum(col("ng") * pow(col("sg") / col("ng") - m, 2)).as("v"))
+        val m = col("t1").cast("double") / col("nn").cast("double")
+        def term(ng: Column, sg: Column): Column = {
+          val dev = sg.cast("double") / ng.cast("double") - m
+          ng.cast("double") * (dev * dev)
+        }
+        // order-pinned SS sum: sort the (key, term) pairs, fold left —
+        // the oracle's `sum(term ORDER BY key)` accumulates identically
+        def ssOver(grouped: DataFrame, keys: Seq[Column]): DataFrame =
+          grouped
+            .crossJoin(broadcast(gm))
+            .select(struct(keys: _*).as("k"),
+              term(col("ng"), col("sg")).as("t"))
+            .agg(aggregate(
+              array_sort(collect_list(struct(col("k"), col("t")))),
+              lit(0.0), (acc, x) => acc + x.getField("t")).as("v"))
         val ssa = ssOver(cells.groupBy(col("a"))
-          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")))
+          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")),
+          Seq(col("a")))
         val ssb = ssOver(cells.groupBy(col("b"))
-          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")))
+          .agg(sum(col("n")).as("ng"), sum(col("s1")).as("sg")),
+          Seq(col("b")))
         val sscell = ssOver(cells
-          .select(col("n").as("ng"), col("s1").as("sg")))
-        val sstot = gm.select((col("t2") - col("nn") * pow(m, 2)).as("v"))
+          .select(col("a"), col("b"), col("n").as("ng"),
+            col("s1").as("sg")), Seq(col("a"), col("b")))
+        val sstot = gm.select((col("t2").cast("double") -
+          col("nn").cast("double") * (m * m)).as("v"))
         ssa.select(col("v").as("va")).crossJoin(ssb.select(col("v").as("vb")))
           .crossJoin(sscell.select(col("v").as("vc2")))
           .crossJoin(sstot.select(col("v").as("vt")))
-          .select(round(col("va") / 10000, 4).as("ss_a"),
-            round(col("vb") / 10000, 4).as("ss_b"),
-            round((col("vc2") - col("va") - col("vb")) / 10000, 4)
+          .select(Portable.r4(col("va") / 10000).as("ss_a"),
+            Portable.r4(col("vb") / 10000).as("ss_b"),
+            Portable.r4((col("vc2") - col("va") - col("vb")) / 10000)
               .as("ss_interaction"),
-            round((col("vt") - col("vc2")) / 10000, 4).as("ss_error"))
+            Portable.r4((col("vt") - col("vc2")) / 10000).as("ss_error"))
       },
-      Some("""WITH s AS (SELECT
+      Some(s"""WITH s AS (SELECT
                   CAST(floor(value*100+0.5) AS BIGINT) AS yc,
                   event_type AS a,
                   CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
                     THEN 1 ELSE 0 END AS b
                 FROM events),
-              cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n,
-                  CAST(sum(yc) AS DOUBLE) AS s1,
-                  CAST(sum(yc*yc) AS DOUBLE) AS s2
+              cells AS (SELECT a, b, count(*) AS n,
+                  CAST(sum(yc) AS BIGINT) AS s1,
+                  CAST(sum(yc*yc) AS BIGINT) AS s2
                 FROM s GROUP BY 1, 2),
-              gm AS (SELECT sum(n) AS nn, sum(s1) AS t1, sum(s2) AS t2
+              gm AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                  CAST(sum(s1) AS BIGINT) AS t1,
+                  CAST(sum(s2) AS BIGINT) AS t2
                 FROM cells),
-              ga AS (SELECT a, sum(n) AS na, sum(s1) AS sa
-                FROM cells GROUP BY 1),
-              gb AS (SELECT b, sum(n) AS nb, sum(s1) AS sb
-                FROM cells GROUP BY 1),
-              ssa AS (SELECT sum(na * pow(sa/na - gm.t1/gm.nn, 2)) AS v
+              ga AS (SELECT a, CAST(sum(n) AS BIGINT) AS ng,
+                  CAST(sum(s1) AS BIGINT) AS sg FROM cells GROUP BY 1),
+              gb AS (SELECT b, CAST(sum(n) AS BIGINT) AS ng,
+                  CAST(sum(s1) AS BIGINT) AS sg FROM cells GROUP BY 1),
+              ssa AS (SELECT sum(CAST(ng AS DOUBLE) *
+                    ((CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+                     * (CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE)))
+                    ORDER BY a) AS v
                 FROM ga, gm),
-              ssb AS (SELECT sum(nb * pow(sb/nb - gm.t1/gm.nn, 2)) AS v
+              ssb AS (SELECT sum(CAST(ng AS DOUBLE) *
+                    ((CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+                     * (CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE)))
+                    ORDER BY b) AS v
                 FROM gb, gm),
-              sscell AS (SELECT sum(n * pow(s1/n - gm.t1/gm.nn, 2)) AS v
+              sscell AS (SELECT sum(CAST(n AS DOUBLE) *
+                    ((CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)
+                        - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE)))
+                    ORDER BY a, b) AS v
                 FROM cells, gm),
-              sstot AS (SELECT t2 - nn * pow(t1/nn, 2) AS v FROM gm)
-              SELECT round(ssa.v / 10000, 4) AS ss_a,
-                round(ssb.v / 10000, 4) AS ss_b,
-                round((sscell.v - ssa.v - ssb.v) / 10000, 4)
+              sstot AS (SELECT CAST(t2 AS DOUBLE)
+                  - CAST(nn AS DOUBLE)
+                    * ((CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+                       * (CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))) AS v
+                FROM gm)
+              SELECT ${Portable.r4Sql("ssa.v / 10000")} AS ss_a,
+                ${Portable.r4Sql("ssb.v / 10000")} AS ss_b,
+                ${Portable.r4Sql("(sscell.v - ssa.v - ssb.v) / 10000")}
                   AS ss_interaction,
-                round((sstot.v - sscell.v) / 10000, 4) AS ss_error
+                ${Portable.r4Sql("(sstot.v - sscell.v) / 10000")} AS ss_error
               FROM ssa, ssb, sscell, sstot""")),
 
     // Donchian channel: trailing-14-day high/low band and its

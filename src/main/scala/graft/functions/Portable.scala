@@ -53,4 +53,23 @@ object Portable {
   def r6Sql(expr: String): String =
     s"CASE WHEN abs($expr) < 8.0e9 " +
       s"THEN floor(($expr) * 1e6 + 0.5) / 1e6 ELSE ($expr) END"
+
+  /** 4-dp sibling of [[r6]] for outputs quantized at 1e-4 (round 17,
+    * after fuzz seed 28 flipped a `round(·,4)` site): same guarded
+    * floor form, cap 8e11 by the same rule that set R6Cap (ULP(8e11)
+    * ≈ 1.2e-4 — above it a 1e-4 grid is sub-ULP and both engines pass
+    * the value through).
+    */
+  final val R4Cap = 8.0e11
+
+  def r4(c: Column): Column = {
+    val d = c.cast("double")
+    when(abs(d) < lit(R4Cap),
+      floor(d * lit(1e4) + lit(0.5)) / lit(1e4)).otherwise(d)
+  }
+
+  /** The DuckDB-side twin of [[r4]], as SQL text. */
+  def r4Sql(expr: String): String =
+    s"CASE WHEN abs($expr) < 8.0e11 " +
+      s"THEN floor(($expr) * 1e4 + 0.5) / 1e4 ELSE ($expr) END"
 }

@@ -18,7 +18,9 @@ object Baselines {
   /** Per-group simple linear regression y = intercept + slope·x via the
     * closed form slope = covar_pop(x,y)/var_pop(x) — identical to SQL
     * `regr_slope`/`regr_intercept`. Rounded to 4 decimals for stable
-    * cross-engine compare (partial-aggregation order differs).
+    * cross-engine compare (partial-aggregation order differs) with the
+    * portable guarded floor (r17: `round(·,4)` is the same
+    * HALF_UP-vs-C-round boundary class the 6-dp sites retired in r16).
     */
   def linearFit(
       df: DataFrame,
@@ -28,8 +30,9 @@ object Baselines {
     val slope = covar_pop(x, y) / var_pop(x)
     df.groupBy(groupKeys: _*)
       .agg(
-        round(slope, 4).as("slope"),
-        round(avg(y) - slope * avg(x), 4).as("intercept"),
+        graft.functions.Portable.r4(slope).as("slope"),
+        graft.functions.Portable.r4(avg(y) - slope * avg(x))
+          .as("intercept"),
         count(lit(1)).as("n"))
   }
 

@@ -216,28 +216,35 @@ object Multimodal {
     * [[decodePartitions]] batch and everything downstream is unchanged.
     * Payloads shorter than 2 bytes carry no gradient and are dropped.
     *
-    * Shape note: probes are EXPLODED (65 rows per asset), each decoding
-    * its single byte via substring+hex — never a whole-payload decode
-    * inside nested array lambdas, where projection collapse would
-    * re-evaluate the decode per lambda element (measured: minutes for
-    * 500 rows). Every step here is codegen'd scalar arithmetic; the
-    * per-asset window and packing groups are 65-row bounded.
+    * Shape note: bit positions are EXPLODED (64 rows per asset), each
+    * decoding its TWO probe bytes via substring+hex — never a
+    * whole-payload decode inside nested array lambdas, where projection
+    * collapse would re-evaluate the decode per lambda element
+    * (measured: minutes for 500 rows). Every step is codegen'd scalar
+    * arithmetic, and — since round 17 — there is NO per-asset window:
+    * the original form computed probe i per row and took lead(p) over
+    * a (media_id, i) window, which shuffled AND sorted the full
+    * 65·n-row probe stream (at sf10: 32.5M rows, ~6 GB of sort spill —
+    * the whole operator family's only data-sized sort). Extracting
+    * probe i AND probe i+1 in the same row doubles a cheap map-side
+    * byte decode and deletes that exchange: the first shuffle any row
+    * takes is the (media_id, band) partial-aggregated bit sum — 4 rows
+    * per asset. Values are bit-identical (lead(p) over i WAS p_{i+1};
+    * the replay spec pins it).
     */
   def dHash64(df: DataFrame): DataFrame = {
-    val probes = df.filter(col("meta.n_bytes") >= 2)
+    df.filter(col("meta.n_bytes") >= 2)
       .select(col("media_id"), col("payload"),
         col("meta.n_bytes").as("__n"),
-        explode(sequence(lit(0), lit(64))).as("i"))
+        explode(sequence(lit(0), lit(63))).as("i"))
       // probe i sits at byte offset ⌊i·(n−1)/64⌋ (substring is 1-based)
       .select(col("media_id"), col("i"),
         conv(hex(expr(
           "substring(payload, cast(i * (__n - 1) div 64 as int) + 1, 1)")),
-          16, 10).cast("long").as("p"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("media_id")).orderBy(col("i"))
-    probes
-      .withColumn("__next", lead(col("p"), 1).over(w))
-      .filter(col("i") < 64)
+          16, 10).cast("long").as("p"),
+        conv(hex(expr(
+          "substring(payload, cast((i + 1) * (__n - 1) div 64 as int) + 1, 1)")),
+          16, 10).cast("long").as("__next"))
       .select(col("media_id"), expr("cast(i div 16 as int)").as("band"),
         expr("if(p > __next, shiftleft(1L, 15 - cast(i % 16 as int)), 0L)")
           .as("__bit"))

@@ -579,6 +579,19 @@ class PlanRulesSpec extends SparkSpecBase {
       thresholdMarks = Seq("0.999"))
   }
 
+  test("dHash64 is window-free — probe pairs decode in-row") {
+    val payload = graft.ops.Multimodal.asPayload(
+      Tables.documents(spark, sf()), col("doc_id"), col("text"))
+    val df = graft.ops.Multimodal.dHash64(payload)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r17 rewrite decodes probe i and i+1 in the same row: a Window
+    // node here means the lead(p)-over-(media_id, i) form crept back,
+    // re-introducing the 65·n-row shuffle+sort (6 GB of spill at sf10)
+    assert(!plan.contains("Window"),
+      s"dHash64 must not window over the probe stream:\n$plan")
+  }
+
   test("phash near-dup pairs keep the pipelined pair-verify shape") {
     val payload = graft.ops.Multimodal.asPayload(
       Tables.documents(spark, sf()), col("doc_id"), col("text"))
