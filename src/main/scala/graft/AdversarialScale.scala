@@ -173,6 +173,67 @@ object AdversarialScale {
       f""""planted_found":$planted,"wall_sec":$wall%.1f}"""
   }
 
+  /** Simhash on the template corpus: identical bodies collide all four
+    * 15-bit chunks — quadratic without the r17 cap. The capped run must
+    * bound candidates and keep the under-cap planted pairs; minhash (cap
+    * since r12) runs the same corpus as the family control.
+    */
+  private def laneSimhash(spark: SparkSession): String = {
+    import graft.ops.Dedup
+    val n = sys.env.getOrElse("ADV_SIMHASH_N", "200000").toLong
+    val plantedPairs = 1000
+    val cap = 1000
+    val docs = templateDocs(spark, n, plantedPairs)
+    val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .persist() // one hash pass across audit + occupancy + pair run
+    try {
+      val audit = Dedup.simhashCapAudit(sims, maxBucketSize = cap).head()
+      val maxOcc = audit.getAs[Long]("max_occupancy")
+      require(maxOcc >= n / 4,
+        s"fixture drift: simhash max bucket $maxOcc is not a " +
+          s"mega-bucket at corpus $n")
+      val cs = Dedup.simhashOccupancy(sims).agg(
+        sum(expr(s"IF(n <= $cap, n * (n - 1) DIV 2, 0L)")),
+        sum(expr("n * (n - 1) DIV 2"))).head()
+      val (cappedCands, uncappedCands) = (cs.getLong(0), cs.getLong(1))
+      require(cappedCands <= 2L * cap * (n + plantedPairs),
+        s"capped simhash candidate stream $cappedCands exceeds the " +
+          "2·n·cap bound")
+      val (planted, wall) = timed {
+        Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = cap)
+          .filter(col("id_b") - col("id_a") === 100000000L).count()
+      }
+      require(planted == plantedPairs,
+        s"expected all $plantedPairs planted under-cap simhash pairs, " +
+          s"got $planted")
+      f"""{"corpus_rows":${n + plantedPairs},"max_occ":$maxOcc,""" +
+        f""""capped_candidates":$cappedCands,""" +
+        f""""uncapped_candidates":$uncappedCands,""" +
+        f""""planted_found":$planted,"wall_sec":$wall%.1f}"""
+    } finally sims.unpersist()
+  }
+
+  /** Minhash-LSH (capped since r12) on the same template corpus — the
+    * family control: its existing bucket cap must keep the banded join
+    * linear and the planted exact duplicates recalled.
+    */
+  private def laneMinhash(spark: SparkSession): String = {
+    import graft.ops.Dedup
+    val n = sys.env.getOrElse("ADV_MINHASH_N", "200000").toLong
+    val plantedPairs = 1000
+    val docs = templateDocs(spark, n, plantedPairs)
+    val (planted, wall) = timed {
+      Dedup.withMinhashLshPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.9)(
+        _.filter(col("id_b") - col("id_a") === 100000000L).count())
+    }
+    require(planted == plantedPairs,
+      s"expected all $plantedPairs planted under-cap minhash pairs, " +
+        s"got $planted")
+    f"""{"corpus_rows":${n + plantedPairs},"planted_found":$planted,""" +
+      f""""wall_sec":$wall%.1f}"""
+  }
+
   private def laneHotJoin(spark: SparkSession): String = {
     val nf = sys.env.getOrElse("ADV_JOIN_N", "5000000").toLong
     val fact = spark.range(nf).select(
@@ -217,6 +278,8 @@ object AdversarialScale {
       }
     run("embeddings")(laneEmbeddings(spark))
     run("phash")(lanePhash(spark))
+    run("simhash")(laneSimhash(spark))
+    run("minhash")(laneMinhash(spark))
     run("hotjoin")(laneHotJoin(spark))
 
     val json =

@@ -1136,11 +1136,18 @@ object SparkEntry {
               SELECT src AS id, least(src, min(dst)) AS component
               FROM reach GROUP BY src""")),
 
+    // Guarded cap form (r17, the phash/containment precedent): the
+    // eager audit proves blocking stays LOSSLESS at the cap, so the
+    // green row equals the brute-force oracle by construction. Cap
+    // 4096 documents the driver corpus's df: max (chunk_idx, chunk)
+    // occupancy is 3,084 at sf10 (257M candidates — which the r17
+    // pipelined verify keeps out of the distinct shuffle).
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(
         Dedup.simhash(withPlantedDups(Tables.documents(s, d)),
           col("doc_id"), col("text")),
-        maxHamming = 3),
+        maxHamming = 3, maxBucketSize = 4096,
+        failOnCappedBuckets = true),
       Some(s"""WITH $plantedDocsSql,
               th AS (SELECT id,
                        CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

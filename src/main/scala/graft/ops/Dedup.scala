@@ -590,28 +590,94 @@ object Dedup {
     * the 60-bit hash splits into 4 15-bit chunks; by pigeonhole any pair
     * within distance 3 shares at least one exact chunk, so candidates
     * come from 4 chunk-equality joins, then exact popcount verification.
-    * Lossless blocking: the result equals the full O(n²) scan.
+    * Lossless blocking below the cap: the result equals the full O(n²)
+    * scan whenever no (chunk_idx, chunk) bucket exceeds `maxBucketSize`.
+    *
+    * Round 17 brought this operator up to the family's two structural
+    * conventions, both of which it predated: (1) the pipelined
+    * pair-verify shape — the popcount verify and threshold now run
+    * BEFORE the distinct, so the distinct shuffle sees only true
+    * near-dups instead of the full Σ C(n_b,2) candidate stream (the
+    * old form distinct-ed candidates first — scalar payloads, so no
+    * memory cliff, but a template corpus shuffles ~4× every quadratic
+    * bucket's pairs for nothing); (2) the occupancy cap with the
+    * containment-style defenses — an `observe` metric
+    * (`simhash_capped_buckets*`, best-effort under AQE), the eager
+    * [[simhashCapAudit]], and `failOnCappedBuckets = true` (the
+    * REGISTERED query's form: its brute-force oracle makes a green row
+    * proven-lossless at the cap).
     */
   def simhashPairs(
       sims: DataFrame /* columns: id, simhash */,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      failOnCappedBuckets: Boolean = false): DataFrame = {
     require(maxHamming < 4, "pigeonhole blocking uses 4 chunks")
-    val chunked = sims.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
+    require(maxBucketSize >= 2, "a bucket needs 2 entries to form a pair")
+    // guarded form persists the (expensive — 60 token-stream
+    // aggregates) simhash input so the eager audit and the pair plan
+    // share one hash pass — the phash precedent, same open-ended cache
+    // contract (session / harness clearCache releases it)
+    val hashed = if (!failOnCappedBuckets) sims else {
+      val cached = sims.persist()
+      val a = simhashCapAudit(cached, maxBucketSize).head()
+      val capped = a.getAs[Long]("capped_buckets")
+      if (capped > 0L) {
+        cached.unpersist()
+        throw new IllegalStateException(
+          s"simhashPairs: maxBucketSize=$maxBucketSize binds on this " +
+            s"corpus ($capped buckets over cap, max_occupancy=" +
+            s"${a.getAs[Long]("max_occupancy")}, excluded_postings=" +
+            s"${a.getAs[Long]("excluded_postings")}) — blocking would " +
+            "no longer be lossless. Raise maxBucketSize or accept " +
+            "reduced recall with failOnCappedBuckets = false.")
+      }
+      cached
+    }
+    val chunked = simhashChunks(hashed)
+    val over = chunked.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("__bn"))
+      .observe(s"simhash_capped_buckets_${capObsNonce.incrementAndGet()}",
+        sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"))
+      .filter(col("__bn") > maxBucketSize)
+      .select(col("chunk_idx"), col("chunk"))
+    val kept = chunked.join(over, Seq("chunk_idx", "chunk"), "left_anti")
+    val a = kept.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
+    val b = kept.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
+
+  private def simhashChunks(sims: DataFrame): DataFrame =
+    sims.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+
+  /** (chunk_idx, chunk) bucket occupancy of the simhash banding. */
+  def simhashOccupancy(sims: DataFrame): DataFrame =
+    simhashChunks(sims)
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Eager losslessness audit for [[simhashPairs]]'s bucket cap — one
+    * row: (capped_buckets, max_occupancy, excluded_postings). Same
+    * contract as `Multimodal.phashCapAudit`. */
+  def simhashCapAudit(
+      sims: DataFrame, maxBucketSize: Int = 1000): DataFrame =
+    simhashOccupancy(sims).agg(
+      coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)),
+        lit(0L)).as("capped_buckets"),
+      coalesce(max(col("n")), lit(0L)).as("max_occupancy"),
+      coalesce(sum(when(col("n") > maxBucketSize, col("n"))), lit(0L))
+        .as("excluded_postings"))
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key
     * (e.g. language or source) — the verification-grade dedup metric.

@@ -600,6 +600,14 @@ class PlanRulesSpec extends SparkSpecBase {
       thresholdMarks = Seq("hamming", "bit_count"))
   }
 
+  test("simhash near-dup pairs keep the pipelined pair-verify shape") {
+    val sims = graft.ops.Dedup.simhash(
+      Tables.documents(spark, sf()), col("doc_id"), col("text"))
+    def df = graft.ops.Dedup.simhashPairs(sims, maxHamming = 3)
+    assertPairVerifyShape(staticPlan(df), df.queryExecution.optimizedPlan,
+      thresholdMarks = Seq("hamming", "bit_count"))
+  }
+
   test("SQL names reach the native expressions (pure-SQL surface)") {
     org.apache.spark.sql.graftnative.GraftNative
       .registerSqlFunctions(spark)

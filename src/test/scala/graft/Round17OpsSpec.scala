@@ -132,6 +132,38 @@ class Round17OpsSpec extends SparkSpecBase {
       maxBucketSize = 1000, failOnCappedBuckets = true).count() == 191L)
   }
 
+  // ---- simhash bucket cap (same contract, r17) ---------------------
+
+  test("simhash bucket cap excludes the template mega-bucket, keeps the " +
+      "small-bucket pair; audit + guard behave like phash's") {
+    import graft.ops.Dedup
+    val template = (1 to 20).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val pairText = "a completely different document body with its own words"
+    val docs = (template :+ (100L, pairText) :+ (101L, pairText))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val capped = Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"expected only the under-cap pair, got $capped")
+    val uncapped = Dedup.simhashPairs(sims, maxHamming = 3).count()
+    assert(uncapped == 20L * 19 / 2 + 1)
+    val a = Dedup.simhashCapAudit(sims, maxBucketSize = 5).head()
+    assert(a.getAs[Long]("capped_buckets") >= 4L,
+      "every chunk band must carry a capped template bucket")
+    assert(a.getAs[Long]("max_occupancy") == 20L)
+    val ex = intercept[IllegalStateException] {
+      Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = 5,
+        failOnCappedBuckets = true)
+    }
+    assert(ex.getMessage.contains("maxBucketSize=5"))
+    // a non-binding cap passes the guard and returns the lossless result
+    assert(Dedup.simhashPairs(sims, maxHamming = 3,
+      failOnCappedBuckets = true).count() == uncapped)
+    spark.catalog.clearCache() // release the guarded form's hash cache
+  }
+
   test("phash audit is all-zero on an empty corpus") {
     val empty = Multimodal.asPayload(
       Seq.empty[(Long, String)].toDF("doc_id", "text"),
