@@ -165,6 +165,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // bounded quiet-window retry (VERDICT r17 task 1), THEN the host
+    // snapshot — load1_before in the artifact reflects the window the
+    // wait actually achieved. SPARK_GRAFT_QUIET_ATTEMPTS=0 degrades to
+    // a single recorded probe (~3 s) for runs that must start now.
+    val quietAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_ATTEMPTS", "6").toInt
+    val quietSleep =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_SLEEP_SEC", "20").toInt
+    val gateWait = HostLoad.awaitQuiet(quietAttempts, quietSleep)
     // host snapshot BEFORE any project work: load1 here is the prior
     // minute's (external) load — the artifact's contention gate
     val load1Before = HostLoad.load1()
@@ -325,7 +334,7 @@ object Bench {
       s""""$k":{"wall":${fmt(m.wall)},"gc":${fmt(m.gc)},"cpu":${fmt(m.cpu)},"tcpu":${fmt(m.taskCpu)},"load1":${fmt(m.load1)}$spill$retry}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","host":${HostLoad.json(load1Before, stealBefore)},"attrib":$attrib}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","host":${HostLoad.json(load1Before, stealBefore)},"gate_wait":$gateWait,"attrib":$attrib}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -45,6 +45,49 @@ object HostLoad {
       } finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Bounded quiet-window wait (VERDICT r17 task 1: the gate DETECTS
+    * contention, but nothing FOUND a quiet window — every r17 perf
+    * artifact shipped as an upper bound). Probes load1 and the steal
+    * RATE (a `probeSec`-second /proc/stat delta) and, while either
+    * exceeds its threshold, sleeps `sleepSec` and re-probes, up to
+    * `maxAttempts` times. Returns a JSON fragment recording the
+    * attempts and the final probe, for embedding in the artifact as
+    * `"gate_wait":{...}` — a CLEAN verdict should be adjudicable from
+    * the artifact alone, and so should "no clean window existed after
+    * N attempts" (the tcpu-adjudication fallback path).
+    *
+    * Thresholds mirror tools/loadgate.py: load1 ≤ 2.0 (external load
+    * the run has not yet produced) and steal rate ≤ 0.02 s/s (the 2%
+    * window fraction the gate flags). `maxAttempts = 0` just probes
+    * and records — the driver's one-shot pays at most one probe.
+    */
+  def awaitQuiet(maxAttempts: Int, sleepSec: Int,
+      maxLoad1: Double = 2.0, maxStealRate: Double = 0.02,
+      probeSec: Int = 3): String = {
+    var l = -1.0; var rate = -1.0
+    def probe(): Boolean = {
+      l = load1()
+      val s0 = stealSeconds()
+      rate = if (s0 < 0) -1.0 else {
+        Thread.sleep(probeSec * 1000L)
+        (stealSeconds() - s0) / probeSec
+      }
+      // -1 = evidence unavailable on this platform, never a block
+      (l < 0 || l <= maxLoad1) && (rate < 0 || rate <= maxStealRate)
+    }
+    var quiet = probe()
+    var attempt = 0
+    while (!quiet && attempt < maxAttempts) {
+      attempt += 1
+      System.err.println(f"[quiet-gate] attempt $attempt/$maxAttempts: " +
+        f"load1=$l%.2f steal_rate=$rate%.3f — sleeping ${sleepSec}s")
+      Thread.sleep(sleepSec * 1000L)
+      quiet = probe()
+    }
+    f"""{"attempts":$attempt,"quiet":$quiet,"load1":$l%.2f,""" +
+      f""""steal_rate_probe":$rate%.3f}"""
+  }
+
   /** JSON fragment with before/after snapshots — splice into an
     * artifact as `"host":{...}`. `ncpu` is the JVM-visible processor
     * count the load numbers should be read against.

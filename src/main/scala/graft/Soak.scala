@@ -33,6 +33,11 @@ object Soak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val maxRatio = sys.env.getOrElse("SOAK_MAX_RATIO", "1.25").toDouble
+    // bounded quiet-window retry, then the host snapshot (same
+    // protocol as Bench — VERDICT r17 task 1)
+    val gateWait = HostLoad.awaitQuiet(
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_ATTEMPTS", "6").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_SLEEP_SEC", "20").toInt)
     // host snapshot before any work (contention evidence in the
     // artifact — same protocol as Bench, VERDICT r16 task 4)
     val load1Before = HostLoad.load1()
@@ -99,6 +104,7 @@ object Soak {
       s""""listeners":[$listeners1,$listeners2],""" +
       s""""violations":[${violations.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""host":${HostLoad.json(load1Before, stealBefore)},""" +
+      s""""gate_wait":$gateWait,""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

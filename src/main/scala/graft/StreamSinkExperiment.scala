@@ -107,12 +107,20 @@ object StreamSinkExperiment {
         // sink, schema error — propagates, so the materialization proof
         // cannot silently pass on a broken sink (ADVICE r16)
         val rows = {
-          val hasData = {
-            val d = new java.io.File(s"$out/data")
-            d.isDirectory && d.listFiles() != null &&
-              d.listFiles().exists(_.getName.endsWith(".parquet"))
+          // recurse: a partitioned sink writes part files under nested
+          // key=value dirs, which a top-level-only listing would read
+          // as "no data" and silently pass rows=0 (ADVICE r17 — the
+          // exact silent-pass class this proof exists to close)
+          def hasParquet(d: java.io.File): Boolean = {
+            val fs = d.listFiles()
+            fs != null && fs.exists(f =>
+              (f.isFile && f.getName.endsWith(".parquet")) ||
+                (f.isDirectory && hasParquet(f)))
           }
-          if (hasData) spark.read.parquet(s"$out/data").count() else 0L
+          val d = new java.io.File(s"$out/data")
+          if (d.isDirectory && hasParquet(d))
+            spark.read.parquet(s"$out/data").count()
+          else 0L
         }
         (rows, wall, gc)
       } finally {

@@ -58,6 +58,12 @@ def main() -> None:
         "mean_query_spread_sec": (round(sum(spread.values()) /
                                         len(spread), 4) if spread else 0.0),
     }
+    # carry every run's host block (VERDICT r17 task 1: the merged
+    # steady artifact was the only perf artifact class without gateable
+    # host evidence) — loadgate gates worst-of over `hosts`
+    hosts = [r.get("host") for r in runs if r.get("host") is not None]
+    if hosts:
+        merged["hosts"] = hosts
     if attrib:
         merged["attrib"] = attrib
     with open(out, "w") as f:
