@@ -23,6 +23,11 @@ import graft.ops.{Multimodal, Similarity, Skew}
   *    corpus-scaled bits) bounds max occupancy and the Σ C(n_b,2)
   *    candidate stream to near-linear, and that all planted exact
   *    duplicates surface (recall 1 by construction).
+  *  - `neardup` (r18): NON-identical planted pairs at cos ∈
+  *    [0.999, 0.9995] in the shared-mean corpus; measures the recall
+  *    curve across the autoBits range at fixed 4 tables (it must
+  *    decay — that is the guarded defect) and asserts the autoTables
+  *    geometry holds the 0.95 design recall.
   *  - `phash`: 90% of 200k docs are byte-identical template bodies
   *    (three templates — 12 (band, chunk) buckets of ~60k each; the
   *    UNCAPPED candidate stream would be ~2×10^10 pairs) plus planted
@@ -30,6 +35,10 @@ import graft.ops.{Multimodal, Similarity, Skew}
   *    mega-buckets, the capped run completes with its candidate stream
   *    bounded by Σ C(min(n_b, cap), 2), and every planted under-cap
   *    pair still surfaces.
+  *  - `capfail` (r18): the REGISTERED guarded forms (cap 4096,
+  *    failOnCappedBuckets = true) must throw their actionable
+  *    IllegalStateException end-to-end on template corpora — the
+  *    fail-fast UX itself, not just the capped library forms.
   *  - `hotjoin`: 5M fact rows with 50% on ONE key joining a 100k-row
   *    dim. Asserts the hot/cold routed join returns every fact row.
   *
@@ -106,6 +115,101 @@ object AdversarialScale {
       f""""pairs":$rows,"wall_sec":$wall%.1f}"""
   }
 
+  /** Near-dup recall operating curve (VERDICT r17 task 2): the r17
+    * evidence proved EXACT-duplicate recall (identical vectors share
+    * every centered signature); this lane plants NON-identical pairs
+    * at cos ∈ [0.999, 0.9995] — amp=0.66 per-coord uniform
+    * perturbation gives ‖δ‖² concentrated at 9.3 against ‖v‖² ≈ 6485,
+    * so 1−cos lands in [6.1, 8.2]×10⁻⁴ for every pair — and measures
+    * recall across the autoBits range (8→20 bits, fixed 4 tables) plus
+    * the autoTables geometry, which must hold the ≥0.95 design target.
+    * Natural pairs cannot intrude: distinct residuals differ by
+    * ‖r_i−r_j‖² ≈ 171 → 1−cos ≈ 1.3×10⁻², twenty times the budget.
+    */
+  private def laneNeardup(spark: SparkSession): String = {
+    val n = sys.env.getOrElse("ADV_NEARDUP_N", "200000").toLong
+    val nPlant = 2000L
+    val base = sharedMeanEmbeddings(spark, n)
+    // clone of base row `id` under id+10^8: the ORIGINAL vector plus an
+    // amp-scaled perturbation keyed to the clone id — deterministic,
+    // non-identical by construction. Built by perturbing base's own
+    // vec (index-aware transform), NOT by re-deriving the formula under
+    // an `id`-aliased select: Spark's lateral column alias resolution
+    // binds `col("id")` in later select-list expressions to the
+    // freshly aliased id+10^8, silently re-keying the residual (found
+    // the hard way — pairs landed at cos ≈ 0.98, the independent-
+    // residual angle, instead of 0.999).
+    val clones = base.filter(col("id") < nPlant)
+      .withColumn("cid", col("id") + 100000000L)
+      .select(col("cid").as("id"),
+        transform(col("vec"), (x, i) =>
+          (x + lit(0.66) * (pmod(hash(col("cid"), i, lit(7)),
+            lit(2001)) / lit(1000.5) - lit(1.0))).cast("float")).as("vec"))
+    val corpus = base.unionByName(clones).persist()
+    try {
+      // exact per-pair cosine: the recall denominator is the pairs that
+      // GENUINELY clear the threshold, so the assertion cannot drift
+      // with the perturbation's tails
+      val exact = base.filter(col("id") < nPlant)
+        .select(col("id"), col("vec").as("va"))
+        .join(clones.select((col("id") - 100000000L).as("id"),
+          col("vec").as("vb")), Seq("id"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      val es = exact.agg(
+        sum(when(col("cos") >= 0.999, 1L).otherwise(0L)).as("eligible"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"),
+        sum(when(col("cos") >= 0.99999, 1L).otherwise(0L)).as("near_ident"))
+        .head()
+      val eligible = es.getLong(0)
+      require(eligible >= (nPlant * 9) / 10,
+        s"fixture drift: only $eligible/$nPlant planted pairs reach " +
+          s"cos>=0.999 (min=${es.getDouble(1)}, max=${es.getDouble(2)})")
+      require(es.getLong(3) == 0,
+        "fixture drift: planted pairs must be NON-identical " +
+          s"(${es.getLong(3)} at cos>=0.99999)")
+
+      def foundAt(bits: Int): Long =
+        Similarity.cosineNearDupPairs(corpus, threshold = 0.999,
+          nBits = bits, tables = 4, autoBits = false)
+          .filter(col("id_b") - col("id_a") === 100000000L).count()
+
+      val curve = Seq(8, 11, 14, 17, 20).map { b =>
+        val f = foundAt(b)
+        System.err.println(f"[neardup] bits=$b tables=4 recall=" +
+          f"${f.toDouble / eligible}%.3f")
+        b -> f
+      }
+      // fixture sanity: the curve must actually DECAY (that is the
+      // defect being guarded) …
+      require(curve.head._2 > curve.last._2,
+        s"expected recall decay across bits, got $curve")
+      // … and the production autoBits width (11 bits at this corpus)
+      // with fixed 4 tables must be visibly below the design target —
+      // the gap autoTables exists to close
+      val bitsEff = Similarity.effectiveBits(corpus, 8,
+        autoBits = true, targetOccupancy = 128)
+      val (fixedFound, wallFixed) = timed(foundAt(bitsEff))
+
+      val (autoFound, wallAuto) = timed {
+        Similarity.cosineNearDupPairs(corpus, threshold = 0.999,
+          autoBits = true, autoTables = true, targetRecall = 0.95)
+          .filter(col("id_b") - col("id_a") === 100000000L).count()
+      }
+      val recallAuto = autoFound.toDouble / eligible
+      require(recallAuto >= 0.93,
+        f"autoTables recall $recallAuto%.3f below the 0.95 design " +
+          f"target's 0.93 floor (eligible=$eligible, found=$autoFound)")
+
+      f"""{"corpus_rows":${n + nPlant},"eligible_pairs":$eligible,""" +
+        f""""cos_min":${es.getDouble(1)}%.6f,"cos_max":${es.getDouble(2)}%.6f,""" +
+        s""""recall_curve_4tables":{${curve.map { case (b, f) =>
+          f""""$b":${f.toDouble / eligible}%.4f""" }.mkString(",")}},""" +
+        f""""bits_eff":$bitsEff,"recall_fixed":${fixedFound.toDouble / eligible}%.4f,""" +
+        f""""recall_auto":$recallAuto%.4f,"wall_fixed_sec":$wallFixed%.1f,""" +
+        f""""wall_auto_sec":$wallAuto%.1f}"""
+    } finally corpus.unpersist()
+  }
+
   /** Template corpus: ids ≡ 0–8 (mod 10) carry one of three
     * byte-identical template bodies; ids ≡ 9 carry a unique body. The
     * first `plantedPairs` unique docs are cloned under shifted ids.
@@ -160,7 +264,7 @@ object AdversarialScale {
 
     val (planted, wall) = timed {
       val pairs = Multimodal.phashNearDupPairs(payload, maxHamming = 3,
-        maxBucketSize = cap)
+        maxBucketSize = cap, failOnCappedBuckets = false)
       pairs.filter(col("b") - col("a") === 100000000L).count()
     }
     require(planted == plantedPairs,
@@ -200,7 +304,8 @@ object AdversarialScale {
         s"capped simhash candidate stream $cappedCands exceeds the " +
           "2·n·cap bound")
       val (planted, wall) = timed {
-        Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = cap)
+        Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = cap,
+            failOnCappedBuckets = false)
           .filter(col("id_b") - col("id_a") === 100000000L).count()
       }
       require(planted == plantedPairs,
@@ -211,6 +316,58 @@ object AdversarialScale {
         f""""uncapped_candidates":$uncappedCands,""" +
         f""""planted_found":$planted,"wall_sec":$wall%.1f}"""
     } finally sims.unpersist()
+  }
+
+  /** Fail-fast UX of the REGISTERED guarded forms (VERDICT r17 task 5):
+    * the adversarial lanes prove the capped *library* forms complete;
+    * the registered queries run `failOnCappedBuckets = true` at cap
+    * 4096 and must THROW — with the actionable audit message, before
+    * any pair work — when a template corpus makes the cap bind. This
+    * lane drives that exact path end-to-end for phash AND simhash on a
+    * corpus whose template buckets (~90% of 30k rows across 3
+    * templates) exceed the registered cap several times over.
+    */
+  private def laneCapfail(spark: SparkSession): String = {
+    import graft.ops.Dedup
+    val n = sys.env.getOrElse("ADV_CAPFAIL_N", "30000").toLong
+    val cap = 4096 // the registered queries' cap
+    val docs = templateDocs(spark, n, plantedPairs = 0)
+
+    def expectThrow(what: String)(body: => Long): String = {
+      try {
+        val rows = body
+        throw new IllegalStateException(
+          s"$what: guarded form returned $rows rows instead of failing " +
+            "fast on the template corpus")
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains(s"maxBucketSize=$cap") =>
+          require(e.getMessage.contains("Raise maxBucketSize"),
+            s"$what: guard message lost its actionable advice: " +
+              e.getMessage)
+          e.getMessage.replace("\"", "'").take(160)
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null &&
+              e.getMessage.contains(s"maxBucketSize=$cap") =>
+          e.getMessage.replace("\"", "'").take(160)
+      }
+    }
+
+    val phashMsg = expectThrow("phash") {
+      Multimodal.phashNearDupPairs(
+        Multimodal.asPayload(docs, col("doc_id"), col("text")),
+        maxHamming = 3, maxBucketSize = cap,
+        failOnCappedBuckets = true).count()
+    }
+    val simhashMsg = expectThrow("simhash") {
+      Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text")),
+        maxHamming = 3, maxBucketSize = cap,
+        failOnCappedBuckets = true).count()
+    }
+    s"""{"corpus_rows":$n,"cap":$cap,""" +
+      s""""phash_threw":true,"phash_msg":"$phashMsg",""" +
+      s""""simhash_threw":true,"simhash_msg":"$simhashMsg"}"""
   }
 
   /** Minhash-LSH (capped since r12) on the same template corpus — the
@@ -250,8 +407,20 @@ object AdversarialScale {
     f"""{"fact_rows":$nf,"joined_rows":$rows,"wall_sec":$wall%.1f}"""
   }
 
+  /** Known lane names, declaration order. A misspelled lane argument
+    * must fail loudly (ADVICE r17): silently matching nothing would
+    * write `{"lanes":{},"ok":true}` — a passing artifact with zero
+    * lanes executed.
+    */
+  private val knownLanes = Seq(
+    "embeddings", "neardup", "phash", "simhash", "capfail", "minhash",
+    "hotjoin")
+
   def main(args: Array[String]): Unit = {
     val lane = args.headOption.getOrElse("all")
+    require(lane == "all" || knownLanes.contains(lane),
+      s"unknown lane '$lane' — expected one of: all, " +
+        knownLanes.mkString(", "))
     val out = sys.env.getOrElse("ADV_OUT", "adversarial_scale.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val load1Before = HostLoad.load1()
@@ -277,11 +446,18 @@ object AdversarialScale {
         }
       }
     run("embeddings")(laneEmbeddings(spark))
+    run("neardup")(laneNeardup(spark))
     run("phash")(lanePhash(spark))
     run("simhash")(laneSimhash(spark))
+    run("capfail")(laneCapfail(spark))
     run("minhash")(laneMinhash(spark))
     run("hotjoin")(laneHotJoin(spark))
 
+    // zero lanes executed can never read as a pass (ADVICE r17) — an
+    // earlier-lane failure aborting the rest is already ok=false; this
+    // covers any future way of selecting nothing
+    if (lanes.isEmpty && failure.isEmpty)
+      failure = Some(s"lane selection '$lane' executed zero lanes")
     val json =
       s"""{"lanes":{${lanes.map { case (k, v) => s""""$k":$v""" }
         .mkString(",")}},""" +

@@ -32,16 +32,26 @@ object OccupancyReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def stats(occ: org.apache.spark.sql.DataFrame): String = {
+    // `cap`: when given, the registered query's maxBucketSize is
+    // recorded alongside how many buckets EXCEED it — VERDICT r17
+    // task 7: the phash block's natural (pre-cap) occupancy read cold
+    // as if the cap binds at sf10; `"cap":4096,"capped_buckets":0`
+    // states explicitly that the guarded registered form clears it.
+    def stats(occ: org.apache.spark.sql.DataFrame,
+        cap: Option[Int] = None): String = {
       val r = occ.agg(
         count(lit(1)).as("buckets"),
         max(col("n")).as("max_occ"),
         expr("approx_percentile(n, 0.99)").as("p99_occ"),
         avg(col("n")).as("mean_occ"),
-        sum(expr("n * (n - 1) DIV 2")).as("candidates")).head()
+        sum(expr("n * (n - 1) DIV 2")).as("candidates"),
+        sum(when(col("n") > cap.getOrElse(Int.MaxValue), 1L)
+          .otherwise(0L)).as("capped_buckets")).head()
+      val capField = cap.map(c =>
+        s""","cap":$c,"capped_buckets":${r.getLong(5)}""").getOrElse("")
       f"""{"buckets":${r.getLong(0)},"max_occ":${r.getLong(1)},""" +
         f""""p99_occ":${r.getLong(2)},"mean_occ":${r.getDouble(3)}%.1f,""" +
-        f""""candidates":${r.getLong(4)}}"""
+        f""""candidates":${r.getLong(4)}$capField}"""
     }
 
     // the registered dedup_embedding_cosine input: embeddings plus
@@ -56,7 +66,8 @@ object OccupancyReport {
     // the registered mm_phash_dedup input
     val payload = Multimodal.asPayload(
       Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-    val phash = stats(Multimodal.phashOccupancy(payload))
+    val phash = stats(Multimodal.phashOccupancy(payload),
+      cap = Some(4096)) // the registered mm_phash_dedup maxBucketSize
 
     val json = s"""{"sf":"$sfDir","cosine":{"now":$cosineNow,""" +
       s""""r16_geometry":$cosineR16},"phash":$phash,""" +

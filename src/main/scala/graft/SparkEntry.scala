@@ -1198,6 +1198,16 @@ object SparkEntry {
               SELECT id_a, id_b, CASE WHEN abs(j) < 8.0e9 THEN floor((j) * 1e6 + 0.5) / 1e6 ELSE (j) END AS jaccard
               FROM j WHERE j >= 0.5""")),
 
+    // CORPUS PRECONDITION (ADVICE r17): the brute-force oracle below
+    // matches the approximate LSH result only because every >=0.999
+    // pair in this corpus is a planted EXACT duplicate (recall 1 at
+    // any geometry); a natural non-identical near-dup pair would have
+    // a small per-run miss probability under autoBits growth and make
+    // this row flaky-red. EmbeddingFixtureSpec asserts the testdata
+    // invariant (no non-identical pair at cos >= 0.998) so a data
+    // change fails loudly in the suite, not as an opaque oracle
+    // mismatch. For corpora WITH natural near-dups, opt into
+    // autoTables = true (Similarity.tablesForRecall operating curve).
     Q("dedup_embedding_cosine",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -1266,23 +1276,35 @@ object SparkEntry {
         Similarity.lshTopK(e, q, k = 10)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
       },
-      // full pipeline replicated: 4 tables × 8 hyperplane sign bits →
-      // signature equi-join candidates → exact cosine re-rank. The
-      // embedding dim is 64 in the testdata contract (the Spark side
-      // probes it; the literal planes here are generated for 64).
+      // full pipeline replicated: 4 tables × nBits_eff hyperplane sign
+      // bits → signature equi-join candidates → exact cosine re-rank.
+      // The embedding dim is 64 in the testdata contract (the Spark
+      // side probes it; the literal planes here are generated for 64).
+      // r18: lshTopK scales the signature width with the corpus —
+      // nBits_eff = max(8, ⌈log2(n/128)⌉) capped at 20
+      // (Similarity.effectiveBits; length(bin(m)) = the same bit-length
+      // integer math, no float log). The plane family is prefix-stable
+      // in nBits (PlanePrefixSpec pins it), so the oracle embeds the
+      // full 20-bit family once and masks to bit_idx < nBits_eff.
       Some(s"""WITH $annBaseSql,
+              nb AS (SELECT CASE WHEN n <= 128 THEN 8
+                       ELSE GREATEST(8, LEAST(20,
+                         length(bin((n - 1) // 128)))) END AS bits
+                     FROM (SELECT count(*) AS n FROM e)),
               planes(table_idx, bit_idx, p) AS (VALUES
-                ${planesValuesSql(nBits = 8, tables = 4, dim = 64)}),
+                ${planesValuesSql(nBits = 20, tables = 4, dim = 64)}),
+              pl AS (SELECT * FROM planes
+                     WHERE bit_idx < (SELECT bits FROM nb)),
               csig AS (SELECT id, table_idx,
                   CAST(sum(CASE WHEN list_dot_product(vec, p) > 0
                     THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END)
                     AS BIGINT) AS sig
-                FROM e, planes GROUP BY 1, 2),
+                FROM e, pl GROUP BY 1, 2),
               qsig AS (SELECT query_id, table_idx,
                   CAST(sum(CASE WHEN list_dot_product(qvec, p) > 0
                     THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END)
                     AS BIGINT) AS sig
-                FROM q, planes GROUP BY 1, 2),
+                FROM q, pl GROUP BY 1, 2),
               cand AS (SELECT DISTINCT qs.query_id, cs.id
                 FROM csig cs JOIN qsig qs
                   ON cs.table_idx = qs.table_idx AND cs.sig = qs.sig

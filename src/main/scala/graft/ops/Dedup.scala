@@ -564,13 +564,34 @@ object Dedup {
   val SimhashBits: Int = 60
 
   /** 60-bit SimHash per doc: bit b is set when the sum over tokens of ±1
-    * (sign of bit b of the token hash) is positive. One md5 per token,
-    * then 60 conditional-sum aggregates over the exploded token stream —
-    * primitive aggregation buffers, no per-token array allocation; one
-    * shuffle on the doc id with map-side partial aggregation.
-    * Output: (id, simhash).
+    * (sign of bit b of the token hash) is positive. Output: (id, simhash).
+    *
+    * FUSED (round 18, VERDICT r17 task 6): one native codegen'd pass
+    * over the token array per document (`GraftNative.simhash60`) — the
+    * previous formulation exploded the token stream and ran 60
+    * conditional-sum aggregates through a doc-id shuffle, and that hash
+    * pass dominated the sf10 solo anchor (tcpu 330 s); the fused form
+    * is map-only (the hash never leaves the scan stage) and
+    * bit-identical on unique ids ([[simhashComposable]] is the
+    * semantic reference, parity pinned in Round18OpsSpec). Null text
+    * hashes to 0 on both paths (the aggregate form's single null token
+    * summed every bit to −1). Ids are assumed unique per row — the old
+    * groupBy's silent merge of duplicate-id token streams was an
+    * artifact of the aggregate formulation, not a contract.
     */
-  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    Par.widen(df).select(idCol.as("id"),
+      coalesce(org.apache.spark.sql.graftnative.GraftNative
+        .simhash60Col(split(lower(trim(text)), "\\s+")), lit(0L))
+        .as("simhash"))
+
+  /** The pure-builtin aggregate formulation — 60 conditional sums over
+    * the exploded token stream through a doc-id shuffle. Kept as the
+    * semantic reference for [[simhash]]'s fused native expression (and
+    * for corpora that DO carry duplicate ids and want the merge
+    * semantics).
+    */
+  def simhashComposable(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     // explode_outer: a plain explode would infer size>0 and re-split
     // below the projection; split arrays are never empty, so identical
     val toks = Par.widen(df).select(idCol.as("id"),
@@ -606,12 +627,32 @@ object Dedup {
     * [[simhashCapAudit]], and `failOnCappedBuckets = true` (the
     * REGISTERED query's form: its brute-force oracle makes a green row
     * proven-lossless at the cap).
+    *
+    * DEFAULT IS LOSSLESS-OR-THROW (round 18, ADVICE r17): with
+    * `failOnCappedBuckets = true` as the default, the bare call either
+    * returns the exact pigeonhole-complete pair set or throws with the
+    * audit numbers — silent recall loss now requires the explicit
+    * `failOnCappedBuckets = false` opt-in (bounded-work mode for
+    * corpora whose mega-buckets are known template noise).
+    *
+    * CHOOSING THE CAP: the cap bounds the candidate stream at
+    * Σ C(min(n_b, cap), 2) ≈ 2·n·cap — linear in both the corpus and
+    * the cap. Start from the corpus's audited occupancy
+    * ([[simhashCapAudit]]): if `max_occupancy` fits the shuffle budget,
+    * set the cap ABOVE it and the guarded run is proven lossless (the
+    * registered query's convention — cap 4096 clears the sf10 corpus's
+    * 3,084 max). If the audit shows mega-buckets far beyond budget,
+    * they are template/boilerplate mass under near-dup semantics: opt
+    * in to `failOnCappedBuckets = false` and treat the audit's
+    * `excluded_postings` as the documented recall loss — raising the
+    * cap to swallow a quadratic mega-bucket is never the answer at
+    * scale.
     */
   def simhashPairs(
       sims: DataFrame /* columns: id, simhash */,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      failOnCappedBuckets: Boolean = false): DataFrame = {
+      failOnCappedBuckets: Boolean = true): DataFrame = {
     require(maxHamming < 4, "pigeonhole blocking uses 4 chunks")
     require(maxBucketSize >= 2, "a bucket needs 2 entries to form a pair")
     // guarded form persists the (expensive — 60 token-stream

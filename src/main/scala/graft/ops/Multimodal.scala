@@ -298,10 +298,22 @@ object Multimodal {
     *    under AQE empty-relation collapse — see containment's caveat);
     *  - [[phashCapAudit]] is the guaranteed audit path (one cheap
     *    count-per-bucket aggregate over the hash, no pair expansion);
-    *  - `failOnCappedBuckets = true` runs that audit eagerly at call
-    *    time and throws instead of returning a reduced-recall result —
-    *    the registered query runs this form, so its green correctness
-    *    row is PROVEN complete at the cap.
+    *  - `failOnCappedBuckets = true` (the DEFAULT since round 18,
+    *    ADVICE r17) runs that audit eagerly at call time and throws
+    *    instead of returning a reduced-recall result — the bare call
+    *    is lossless-or-throw; silent recall loss requires the explicit
+    *    `failOnCappedBuckets = false` opt-in. The registered query
+    *    runs the guarded form, so its green correctness row is PROVEN
+    *    complete at the cap.
+    * CHOOSING THE CAP: candidates are bounded at ≈ 2·n·cap (linear in
+    * both), so start from [[phashCapAudit]]'s `max_occupancy` — if it
+    * fits the shuffle budget, set the cap above it and the guarded run
+    * is proven lossless (the registered convention: cap 4096 clears
+    * sf10's 2,363 max). If the audit shows mega-buckets far beyond
+    * budget, that mass is template noise under near-dup semantics: opt
+    * in to `failOnCappedBuckets = false` and treat `excluded_postings`
+    * as the documented recall loss — never raise the cap to swallow a
+    * quadratic mega-bucket at scale.
     * The over-cap bucket list rides a left-anti join on (band, v); its
     * shuffle carries each banded row's single chunk array (the r16
     * pair-verify convention: no exchange ever carries TWO payload
@@ -310,7 +322,7 @@ object Multimodal {
     */
   def phashNearDupPairs(df: DataFrame, maxHamming: Int,
       maxBucketSize: Int = 1000,
-      failOnCappedBuckets: Boolean = false): DataFrame = {
+      failOnCappedBuckets: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "pigeonhole over 4 chunks covers Hamming distance <= 3")
     require(maxBucketSize >= 2, "a bucket needs 2 entries to form a pair")

@@ -187,23 +187,51 @@ object Similarity {
     }
 
   /** LSH-bucketed approximate cosine top-k: corpus and queries hash to
-    * nBits-bit hyperplane signatures; candidates are corpus rows whose
-    * signature matches the query's in any of the `tables` independent
-    * hash tables; exact cosine re-ranks candidates. Recall < 1 by
-    * design — measured against bruteForceTopK in the spec.
+    * hyperplane signatures; candidates are corpus rows whose signature
+    * matches the query's in any of the `tables` independent hash
+    * tables; exact cosine re-ranks candidates. Recall < 1 by design —
+    * measured against bruteForceTopK in the spec.
+    *
+    * SIGNATURE WIDTH SCALES WITH THE CORPUS (round 18, VERDICT r17
+    * task 3 — the fixed-geometry smell r17 cleared in
+    * [[cosineNearDupPairs]]): with `autoBits = true` (default) the
+    * effective width is nBits_eff = max(nBits,
+    * ⌈log2(n / targetOccupancy)⌉) capped at 20, so EXPECTED bucket
+    * occupancy — and with it candidates/query ≈ tables·n/2^bits — stays
+    * ≈ targetOccupancy·tables at any corpus size instead of growing
+    * linearly under fixed 2^nBits buckets (a linear scan fraction at
+    * 100× corpus). The per-table near-dup collision probability falls
+    * as bits grow (the standard LSH trade — raise `tables` to
+    * compensate; see cosineNearDupPairs' operating-curve notes); the
+    * top-k re-rank is exact over whatever candidates surface. The
+    * plane family is prefix-stable in nBits (Gram–Schmidt runs
+    * sequentially), so scaled widths reuse the same leading planes —
+    * the oracle embeds the 20-bit family once and masks to nBits_eff.
+    *
+    * NOT mean-centered, deliberately: the registered oracle replicates
+    * this pipeline bit-for-bit in SQL, and a centered hash would hang
+    * the signature on a floating-point corpus mean whose Spark/DuckDB
+    * accumulation orders differ — a near-threshold projection could
+    * flip a bit and desync the candidate sets. Occupancy under
+    * correlated corpora is instead bounded by the width scaling; for
+    * the pair-dedup use case (where the oracle is brute-force and FP
+    * drift is harmless) centering IS on — see [[cosineNearDupPairs]].
     */
   def lshTopK(
       corpus: DataFrame /* id, vec */,
       queries: DataFrame /* query_id, qvec */,
       k: Int,
       nBits: Int = 8,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4,
+      autoBits: Boolean = true,
+      targetOccupancy: Int = 128): DataFrame = {
     // empty corpus → dim 1 dummy planes; every stage below is then a
     // plan over zero rows, yielding an empty result of the right schema
     val dim = probeDim(corpus, "vec").getOrElse(1)
+    val bits = effectiveBits(corpus, nBits, autoBits, targetOccupancy)
     def withSigs(df: DataFrame, vecCol: String, idCols: Seq[Column]): DataFrame =
       df.select(idCols :+ col(vecCol) :+ posexplode(array((0 until tables).map(t =>
-        lshSignature(col(vecCol), nBits, dim, seed = t)): _*))
+        lshSignature(col(vecCol), bits, dim, seed = t)): _*))
         .as(Seq("table_idx", "sig")): _*)
     val c = withSigs(Par.widen(corpus), "vec", Seq(col("id")))
       .select("table_idx", "sig", "id")
@@ -326,9 +354,27 @@ object Similarity {
     *     (capped at 20), so EXPECTED occupancy stays ≈ targetOccupancy
     *     at any corpus size instead of growing linearly with n under a
     *     fixed-geometry 2^8 bucket space. Near-dup recall per table
-    *     falls as bits grow (the standard LSH trade — compensate with
-    *     `tables` if needed); exact-duplicate recall is bit-count
-    *     independent.
+    *     falls as bits grow (the standard LSH trade); exact-duplicate
+    *     recall is bit-count independent.
+    *
+    * NEAR-DUP OPERATING CURVE (round 18, VERDICT r17 task 2): for
+    * NON-identical pairs at raw cos ≥ t the per-table collision
+    * probability is q ≈ (1 − θ* / π)^bits with θ* = √(2(1−t))·v̄/r̄
+    * (centering amplifies the pair angle by the mean-to-residual norm
+    * ratio v̄/r̄ — the price of the occupancy bound), so fixed 4-table
+    * recall DECAYS as autoBits grows: on the adversarial corpus
+    * (v̄/r̄ ≈ 8.7, t = 0.999) measured recall falls from ≈1 at 8 bits
+    * toward ~0.5 at 20 (adversarial_scale.json `neardup` lane records
+    * the measured curve per-round). `autoTables = true` opts into
+    * T(bits) = ⌈ln(1−R)/ln(1−q)⌉ tables (clamped to [tables,
+    * maxTables]) from one extra corpus aggregate, holding recall ≈
+    * targetRecall across the autoBits range — see [[tablesForRecall]]
+    * for the derivation and the degenerate-corpus clamps. The
+    * registered query keeps the fixed default: its brute-force oracle
+    * corpus carries no non-identical pair above threshold
+    * (EmbeddingFixtureSpec asserts this testdata precondition, so a
+    * data change fails loudly there instead of as an opaque oracle
+    * mismatch — ADVICE r17).
     *
     * Measured (sf10 driver corpus, 160k planted rows, local[32], 64 g,
     * solo REPEAT=2): candidates 200M → 25.3M, max bucket 762 → 140
@@ -345,14 +391,30 @@ object Similarity {
       tables: Int = 4,
       center: Boolean = true,
       autoBits: Boolean = true,
-      targetOccupancy: Int = 128): DataFrame = {
+      targetOccupancy: Int = 128,
+      autoTables: Boolean = false,
+      targetRecall: Double = 0.95,
+      maxTables: Int = 32): DataFrame = {
     val dim = probeDim(corpus, "vec").getOrElse(1) // empty → empty result
     val bits = effectiveBits(corpus, nBits, autoBits, targetOccupancy)
     val mean =
       if (center) meanVector(corpus, "vec", dim) else Array.emptyDoubleArray
+    // autoTables (opt-in): hold the near-dup operating curve as
+    // autoBits grows — T(bits) per [[tablesForRecall]]. Costs one
+    // extra corpus aggregate and scales the signature/shuffle volume
+    // by T/tables; the default leaves the registered query's fixed
+    // 4-table geometry (its oracle-proven corpus has no non-identical
+    // pair above threshold — see the registration's precondition note
+    // and EmbeddingFixtureSpec).
+    val nTables = if (!autoTables) tables else {
+      val msq = meanNormSq(corpus, "vec")
+      val musq = mean.map(x => x * x).sum
+      tablesForRecall(bits, threshold, msq, msq - musq, tables,
+        targetRecall, maxTables)
+    }
     val sigs = Par.widen(corpus).select(col("id"), col("vec"),
       norm(col("vec")).as("__n"),
-      posexplode(array((0 until tables).map(t =>
+      posexplode(array((0 until nTables).map(t =>
         lshSignature(col("vec"), bits, dim, seed = t,
           offsets = if (center) centerOffsets(mean, bits, dim, t)
             else Array.emptyDoubleArray)): _*))
@@ -384,6 +446,59 @@ object Similarity {
       else 64 - java.lang.Long.numberOfLeadingZeros(
         (n - 1) / targetOccupancy) // ⌈log2(n/target)⌉ for n > target
     math.min(20, math.max(nBits, needed))
+  }
+
+  /** Mean squared raw norm E‖v‖² of the corpus — with the mean vector
+    * this gives the residual spread E‖v−μ‖² = E‖v‖² − ‖μ‖² (the exact
+    * variance identity), the quantity the recall operating curve needs.
+    * One plan-build-time aggregate, same class as [[probeDim]].
+    */
+  private[graft] def meanNormSq(df: DataFrame, vecCol: String): Double =
+    df.agg(avg(dot(col(vecCol), col(vecCol)))).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+
+  /** OPERATING CURVE of the centered hyperplane LSH (round 18, VERDICT
+    * r17 task 2) and the table count that holds a target near-dup
+    * recall on it. For a NON-identical pair at raw cosine ≥ t the
+    * centered angle is bounded by
+    *
+    *   θ* ≈ ‖u−v‖ / r̄ = √(2(1−t)) · v̄ / r̄
+    *
+    * (centering subtracts the same μ from both sides, so the pair's
+    * difference vector is unchanged while the vectors themselves shrink
+    * to their residuals — on shared-mean corpora centering AMPLIFIES
+    * the pair angle by v̄/r̄, which is exactly why fixed `tables` loses
+    * near-dup recall as autoBits grows). With per-plane sign-agreement
+    * probability p* = 1 − θ* / π over orthonormalized planes, a b-bit
+    * table collides with probability q = p*^b, and T independent
+    * tables reach recall R when (1−q)^T ≤ 1−R:
+    *
+    *   T(b) = ⌈ln(1−R) / ln(1−p*^b)⌉
+    *
+    * v̄² = E‖v‖² and r̄² = E‖v‖² − ‖μ‖² come from one corpus aggregate
+    * ([[meanNormSq]]); the returned T is clamped to [tables, maxTables]
+    * — never fewer tables than asked for, and a hard ceiling because T
+    * multiplies the signature-job and shuffle volume linearly.
+    * Degenerate corpora: r̄ ≈ 0 (all vectors identical up to exact
+    * duplicates) drives θ* past π and q to 0 — recall for
+    * non-identical pairs is then unpromisable at any T, so the clamp
+    * returns maxTables and exact-duplicate recall (always 1, bit-count
+    * independent) is what remains; q ≈ 1 (θ* ≈ 0) returns `tables`.
+    */
+  private[graft] def tablesForRecall(bits: Int, threshold: Double,
+      meanSqNorm: Double, residualSqNorm: Double, tables: Int,
+      targetRecall: Double, maxTables: Int): Int = {
+    if (residualSqNorm <= 0 || meanSqNorm <= 0) return maxTables
+    val theta = math.sqrt(2.0 * math.max(0.0, 1.0 - threshold)) *
+      math.sqrt(meanSqNorm / residualSqNorm)
+    val p = 1.0 - theta / math.Pi
+    if (p <= 0) return maxTables
+    val q = math.pow(p, bits)
+    if (q >= 1.0) return tables
+    val t = math.ceil(math.log(1.0 - targetRecall) / math.log1p(-q))
+    math.min(maxTables, math.max(tables, t.toInt))
   }
 
   /** Per-bucket occupancy of the near-dup hash — (table_idx, sig, n),

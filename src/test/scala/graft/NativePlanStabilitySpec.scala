@@ -83,6 +83,13 @@ class NativePlanStabilitySpec extends SparkSpecBase {
     finally spark.catalog.clearCache()
   }
 
+  test("dedup_simhash hashes with the fused Simhash60 (inside the " +
+      "guarded form's cached subtree)") {
+    try assertNative("dedup_simhash", Map(
+      "Simhash60" -> (_.isInstanceOf[Simhash60])))
+    finally spark.catalog.clearCache()
+  }
+
   test("mm_audio_window extracts samples with BytesToIntArray") {
     assertNative("mm_audio_window", Map(
       "BytesToIntArray" -> (_.isInstanceOf[BytesToIntArray])))

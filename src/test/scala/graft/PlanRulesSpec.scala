@@ -595,7 +595,10 @@ class PlanRulesSpec extends SparkSpecBase {
   test("phash near-dup pairs keep the pipelined pair-verify shape") {
     val payload = graft.ops.Multimodal.asPayload(
       Tables.documents(spark, sf()), col("doc_id"), col("text"))
-    def df = graft.ops.Multimodal.phashNearDupPairs(payload, maxHamming = 3)
+    // unguarded form: the plan pin targets the library pair-join shape
+    // itself, without the guarded default's eager-audit cache in the way
+    def df = graft.ops.Multimodal.phashNearDupPairs(payload, maxHamming = 3,
+      failOnCappedBuckets = false)
     assertPairVerifyShape(staticPlan(df), df.queryExecution.optimizedPlan,
       thresholdMarks = Seq("hamming", "bit_count"))
   }
@@ -603,7 +606,8 @@ class PlanRulesSpec extends SparkSpecBase {
   test("simhash near-dup pairs keep the pipelined pair-verify shape") {
     val sims = graft.ops.Dedup.simhash(
       Tables.documents(spark, sf()), col("doc_id"), col("text"))
-    def df = graft.ops.Dedup.simhashPairs(sims, maxHamming = 3)
+    def df = graft.ops.Dedup.simhashPairs(sims, maxHamming = 3,
+      failOnCappedBuckets = false) // unguarded: pin the bare join shape
     assertPairVerifyShape(staticPlan(df), df.queryExecution.optimizedPlan,
       thresholdMarks = Seq("hamming", "bit_count"))
   }

@@ -104,15 +104,18 @@ class Round17OpsSpec extends SparkSpecBase {
   test("phash bucket cap excludes the template mega-bucket, keeps the " +
       "small-bucket pair") {
     val pairs = Multimodal
-      .phashNearDupPairs(templateCorpus, maxHamming = 3, maxBucketSize = 5)
+      .phashNearDupPairs(templateCorpus, maxHamming = 3, maxBucketSize = 5,
+        failOnCappedBuckets = false) // r18: capped mode is opt-in
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((100L, 101L)),
       s"expected only the under-cap pair, got $pairs")
-    // uncapped control: the template pairs all surface
+    // non-binding-cap control (now the guarded default — proves the
+    // bare call returns the lossless set): the template pairs surface
     val uncapped = Multimodal
       .phashNearDupPairs(templateCorpus, maxHamming = 3)
       .count()
     assert(uncapped == 20L * 19 / 2 + 1)
+    spark.catalog.clearCache() // release the guarded form's hash cache
   }
 
   test("phashCapAudit reports the binding cap; failOnCappedBuckets throws") {
@@ -143,7 +146,8 @@ class Round17OpsSpec extends SparkSpecBase {
     val docs = (template :+ (100L, pairText) :+ (101L, pairText))
       .toDF("doc_id", "text")
     val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
-    val capped = Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = 5)
+    val capped = Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = 5,
+        failOnCappedBuckets = false) // r18: capped mode is opt-in
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped == Set((100L, 101L)),
       s"expected only the under-cap pair, got $capped")
