@@ -6298,12 +6298,24 @@ object SparkEntry {
         val out = Scratch.dir("graft_compact_out")
         val ev0 = Tables.events(s, d)
           .withColumn("chunk", to_date(date_trunc("week", col("ts"))))
-        ev0.repartition(200)
+        // scatter into ~200 small files total (r18): range-slicing on
+        // (chunk, ts) keeps each write task inside 1-2 chunk dirs, so
+        // the worst case stays 200 small files as documented — the old
+        // keyless repartition(200) crossed every task with every chunk
+        // dir and wrote ~200×chunks files, paying 6× the writer opens
+        // the demo calls for (plus the sort-before-repartition every
+        // keyless repartition runs). The scatter pass also carries the
+        // row count via observe — the compaction plan needs it, and a
+        // real compactor takes it from write metrics, not a re-read of
+        // the small files it is about to replace (guide §1.4/§6).
+        val obs = new org.apache.spark.sql.Observation()
+        ev0.observe(obs, count(lit(1)).as("n"))
+          .repartitionByRange(200, col("chunk"), col("ts"))
           .write.mode("overwrite").partitionBy("chunk").parquet(small)
         val src = s.read.parquet(small)
         val target = 250000L
-        val parts = math.max(1,
-          math.ceil(src.count().toDouble / target).toInt)
+        val parts = math.max(1, math.ceil(
+          obs.get("n").asInstanceOf[Long].toDouble / target).toInt)
         src.repartitionByRange(parts, col("chunk"), col("ts"))
           .sortWithinPartitions(col("chunk"), col("ts"))
           .write.mode("overwrite")
@@ -6455,10 +6467,16 @@ object SparkEntry {
             .over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("sid"))
           .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        // one sessionize pass (r18): each session explodes into its
+        // ±1 point pair in-row — the old two-branch union re-ran the
+        // whole session window pipeline once per branch
         val pts = sess
-          .select(col("st").as("t"), lit(0).as("ord"), lit(1L).as("delta"))
-          .unionAll(sess.select(col("en").as("t"), lit(1).as("ord"),
-            lit(-1L).as("delta")))
+          .select(explode(array(
+            struct(col("st").as("t"), lit(0).as("ord"), lit(1L).as("delta")),
+            struct(col("en").as("t"), lit(1).as("ord"), lit(-1L).as("delta"))))
+            .as("__p"))
+          .select(col("__p.t").as("t"), col("__p.ord").as("ord"),
+            col("__p.delta").as("delta"))
         ScalableRank.globalPrefixSum(pts, to_date(col("t")),
             Seq(col("t"), col("ord")), col("delta"), "conc",
             inclusive = true)
@@ -7511,9 +7529,14 @@ object SparkEntry {
           .select(explode(Dedup.tokens(col("text"))).as("tok"))
           .filter(col("tok") =!= "")
           .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val ranked = freq.withColumn("r",
-          row_number().over(Window.orderBy(col("c").desc, col("tok"))))
-        ranked.filter(col("r") <= 200)
+        // top-200 via orderBy+limit (TakeOrderedAndProject: per-
+        // partition top-k + a 200-row driver merge — r18), THEN rank
+        // the 200 survivors; the old full-vocab row_number funneled
+        // every distinct token through one WindowExec partition
+        val ranked = freq.orderBy(col("c").desc, col("tok")).limit(200)
+          .withColumn("r",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        ranked
           .select(log(col("r").cast("double")).as("x"),
             log(col("c").cast("double")).as("y"))
           .agg(r6(regr_slope(col("y"), col("x"))).as("zipf_slope"),
@@ -7551,11 +7574,19 @@ object SparkEntry {
               element_at(col("__t"), i + 1).as("w2")))).as("p"))
           .select(col("p.w1"), col("p.w2"))
           .filter(col("w1") =!= "" && col("w2") =!= "")
-        val n = pairs.agg(count(lit(1)).cast("double").as("n"))
-        val big = pairs.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12")).filter(col("c12") >= 5)
-        val u1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val u2 = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+        // every downstream table derives from the ONE (w1, w2) count
+        // aggregate (r18): the old shape re-ran the tokenize + pair-
+        // explode corpus pass four times (n, big, u1, u2 each keyed
+        // differently, so nothing reused); now all four consumers sit
+        // above the same (w1, w2) exchange — AQE's ReusedExchange runs
+        // the corpus pass once — and the marginals/total are exact sums
+        // of c12 over the (much smaller) distinct-bigram table
+        val bc = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val n = bc.agg(sum(col("c12")).cast("double").as("n"))
+        val big = bc.filter(col("c12") >= 5)
+        val u1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val u2 = bc.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
         big.join(u1, "w1").join(u2, "w2").crossJoin(broadcast(n))
           .select(col("w1"), col("w2"), col("c12"),
             r6(log(col("c12").cast("double") * col("n") /
@@ -8247,11 +8278,13 @@ object SparkEntry {
           .select(col("doc_id"), explode(Dedup.tokens(col("text")))
             .as("tok"))
           .filter(col("tok") =!= "")
+        // top-100 via orderBy+limit (TakeOrderedAndProject — r18): the
+        // old full-vocab row_number funneled every distinct token
+        // through one WindowExec partition just to drop all but 100
         val vocab = toks.groupBy(col("tok"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("c").desc, col("tok"))))
-          .filter(col("rk") <= 100).select(col("tok"), lit(1).as("in_v"))
+          .orderBy(col("c").desc, col("tok")).limit(100)
+          .select(col("tok"), lit(1).as("in_v"))
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
@@ -8767,10 +8800,16 @@ object SparkEntry {
     // partition-local window for the total; entropy in one aggregate.
     Q("text_char_entropy",
       (s, d) => {
+        // strip whitespace with ONE regex pass per document before the
+        // char split (r18) — the old shape exploded first and ran an
+        // rlike per character row (~a regex eval per corpus char); the
+        // surviving char set is identical (a 1-char string matches
+        // ^\S$ iff the char survives \s-removal)
         val ch = Par.widen(Tables.documents(s, d))
           .select(col("doc_id"),
-            explode(split(lower(col("text")), "")).as("c"))
-          .filter(col("c").rlike("^\\S$"))
+            explode(split(regexp_replace(lower(col("text")), "\\s", ""),
+              "")).as("c"))
+          .filter(col("c") =!= "")
         val f = ch.groupBy(col("doc_id"), col("c"))
           .agg(count(lit(1)).as("cnt"))
         val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
@@ -9795,19 +9834,24 @@ object SparkEntry {
     // join; everything else is one-row broadcasts.
     Q("agg_capture_recapture",
       (s, d) => {
+        // one user-keyed pass (r18): capture/recapture membership and
+        // the exact distinct all fall out of per-user day flags — the
+        // old shape scanned events five times (two distincts, a semi
+        // join, a count-distinct) and chained four one-row broadcast
+        // builds; integers are identical by construction
         val days = ev(s, d).agg(min(to_date(col("ts"))).as("d1"),
           max(to_date(col("ts"))).as("d2"))
-        val e = ev(s, d).crossJoin(broadcast(days))
-        val s1 = e.filter(to_date(col("ts")) === col("d1"))
-          .select(col("user_id")).distinct()
-        val s2 = e.filter(to_date(col("ts")) === col("d2"))
-          .select(col("user_id")).distinct()
-        val n1 = s1.agg(count(lit(1)).as("n1"))
-        val n2 = s2.agg(count(lit(1)).as("n2"))
-        val m = s1.join(s2, Seq("user_id"), "left_semi")
-          .agg(count(lit(1)).as("n_both"))
-        val tru = ev(s, d).agg(countDistinct(col("user_id")).as("true_distinct"))
-        n1.crossJoin(n2).crossJoin(m).crossJoin(tru)
+        ev(s, d).crossJoin(broadcast(days))
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(to_date(col("ts")) === col("d1"), 1L).otherwise(0L))
+              .as("in1"),
+            max(when(to_date(col("ts")) === col("d2"), 1L).otherwise(0L))
+              .as("in2"))
+          .agg(coalesce(sum(col("in1")), lit(0L)).as("n1"),
+            coalesce(sum(col("in2")), lit(0L)).as("n2"),
+            coalesce(sum(col("in1") * col("in2")), lit(0L)).as("n_both"),
+            count(lit(1)).as("true_distinct"))
           .select(col("n1"), col("n2"), col("n_both"),
             r6(col("n1") * lit(1.0) * col("n2") / col("n_both"))
               .as("lincoln_petersen"),
@@ -10461,12 +10505,16 @@ object SparkEntry {
           .groupBy(col("x"), col("y"))
           .agg(sum(when(col("rx") > col("ry"), 1)
             .when(col("rx") < col("ry"), -1).otherwise(0)).as("net"))
-        val scores = p.select(col("x").as("t"),
-            when(col("net") > 0, 1.0).when(col("net") === 0, 0.5)
-              .otherwise(0.0).as("w"))
-          .unionByName(p.select(col("y").as("t"),
-            when(col("net") < 0, 1.0).when(col("net") === 0, 0.5)
-              .otherwise(0.0).as("w")))
+        // both duel directions explode from one row (r18): the old
+        // two-branch union re-ran the daily self-join once per branch
+        val scores = p.select(explode(array(
+            struct(col("x").as("t"),
+              when(col("net") > 0, 1.0).when(col("net") === 0, 0.5)
+                .otherwise(0.0).as("w")),
+            struct(col("y").as("t"),
+              when(col("net") < 0, 1.0).when(col("net") === 0, 0.5)
+                .otherwise(0.0).as("w")))).as("__s"))
+          .select(col("__s.t").as("t"), col("__s.w").as("w"))
         scores.groupBy(col("t").as("event_type"))
           .agg(r6(sum(col("w"))).as("copeland_score"),
             count(lit(1)).as("n_opponents"))

@@ -19,10 +19,15 @@ import org.apache.spark.storage.StorageLevel
   * graph diameter, and near-duplicate clusters are dense/shallow by
   * construction (a dup cluster's diameter is tiny), so convergence is a
   * handful of rounds. Per round the work is one equi-join of the edge
-  * list with the label table plus a min-aggregate — bounded shuffles on
-  * node ids, no driver-side data. For adversarial long-chain graphs use
-  * the alternating large-star/small-star contraction instead; for dedup
-  * clustering this simple variant is the right cost profile.
+  * list with the label table plus a single min-aggregate (the node's
+  * own label rides a union branch into the same aggregate) — the edge
+  * list is hash-partitioned by `dst` once and never re-shuffled (r18:
+  * the join reuses the cached partitioning, and the label side carries
+  * a shuffle-hash hint so no round sorts the edge list), so each round
+  * moves only node-sized label rows. No driver-side data. For
+  * adversarial long-chain graphs use the alternating large-star/
+  * small-star contraction instead; for dedup clustering this simple
+  * variant is the right cost profile.
   *
   * Caches: the symmetric edge list and the current labels persist
   * MEMORY_AND_DISK during the loop; intermediates unpersist as soon as
@@ -92,11 +97,23 @@ object Components {
     val (pairsCut, pairsBacking) = cutEdges(edges
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst")))
-    val (sym, symBacking) = cutEdges(pairsCut
+    // Symmetric edge list, NOT distinct'd (r18): min-propagation is
+    // duplicate-insensitive, so the distinct was a full shuffle of the
+    // largest intermediate bought for nothing. Hash-partitioned by
+    // `dst` once and persisted as a DataFrame (a plain persist keeps
+    // outputPartitioning metadata where the old RDD round-trip erased
+    // it): the per-round label join is keyed on `dst`, so the edge
+    // list — the big side at corpus scale — is never re-shuffled; only
+    // the node-sized label table moves each round. Its plan is flat
+    // (scan of the pairs cut + union), so the lineage-growth reason
+    // for the RDD round-trip does not apply to it. Materialized by the
+    // init-labels job below — no separate count pass.
+    val symBacking = pairsCut
       .unionByName(pairsCut.select(col("dst").as("src"),
         col("src").as("dst")))
-      .distinct())
-    pairsBacking.unpersist()
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symBacking
     // initial labels fold round 1 in: every node appears as `src` in the
     // symmetric edge list, so one aggregate yields both the node set and
     // min(self, direct neighbors) — one shuffle replaces the distinct
@@ -105,20 +122,25 @@ object Components {
       sym.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("label"))
         .withColumnRenamed("src", "id"))
+    pairsBacking.unpersist()
 
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val t0 = System.nanoTime()
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+      // one join + one aggregate per round: neighbor labels arrive via
+      // the dst-keyed join (edge side pre-partitioned, exchange-free),
+      // the node's own label rides the union branch, and a single
+      // min-aggregate replaces the old groupBy + left-join-back pair —
+      // two exchanges per round (labels→dst, agg→src), both node-sized
+      val (updated, updatedBacking, updatedSum) = cutLineage(sym
+        .join(labels.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+          Seq("dst"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("id").as("src"), col("label")))
         .groupBy(col("src"))
-        .agg(min(col("label")).as("nlabel"))
-      val (updated, updatedBacking, updatedSum) = cutLineage(labels
-        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label")))
+        .agg(min(col("label")).as("label"))
+        .withColumnRenamed("src", "id"))
       labelsBacking.unpersist()
       labels = updated
       labelsBacking = updatedBacking

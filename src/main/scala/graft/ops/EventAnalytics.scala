@@ -83,19 +83,34 @@ object EventAnalytics {
       typeCol: Column,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = df.filter(typeCol === steps.head)
-      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
-    steps.drop(1).zipWithIndex.foldLeft(first) {
+    // single-pass form (r18): ONE user-keyed exchange, then each
+    // stage's strict-after min rides a chained unordered window over
+    // the same partitioning (min over the partition needs no sort; a
+    // stage-k candidate filters on the stage-(k−1) column computed by
+    // the previous window node — sequential WindowExecs, zero extra
+    // shuffles), and one same-partitioning aggregate collapses to one
+    // row per user. The old fold re-scanned the corpus and ran a
+    // min-aggregate + two user joins PER STEP (~7 exchanges and 3
+    // scans for the 3-step funnel). Windows buffer per user and
+    // spill, so a mega-user degrades instead of OOMing.
+    val w = Window.partitionBy(col("user_id"))
+    val base = df.filter(typeCol.isin(steps: _*))
+      .select(user.as("user_id"), ts.as("__ts"), typeCol.as("__tp"))
+      .withColumn("t1",
+        min(when(col("__tp") === steps.head, col("__ts"))).over(w))
+    val staged = steps.drop(1).zipWithIndex.foldLeft(base) {
       case (acc, (step, i)) =>
         val prev = s"t${i + 1}"
-        val cur = s"t${i + 2}"
-        val nxt = df.filter(typeCol === step)
-          .select(user.as("user_id"), ts.as("__ts"))
-          .join(acc.select(col("user_id"), col(prev)), "user_id")
-          .filter(col("__ts") > col(prev))
-          .groupBy(col("user_id")).agg(min(col("__ts")).as(cur))
-        acc.join(nxt, Seq("user_id"), "left")
+        acc.withColumn(s"t${i + 2}",
+          min(when(col("__tp") === step &&
+            col("__ts") > col(prev), col("__ts"))).over(w))
     }
+    staged
+      .groupBy(col("user_id"))
+      .agg(steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}")).head,
+        steps.indices.drop(1).map(i =>
+          min(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+      .filter(col("t1").isNotNull)
   }
 
   /** Weekly cohort retention: cohort = the Monday of a user's first

@@ -314,11 +314,11 @@ object Multimodal {
     * in to `failOnCappedBuckets = false` and treat `excluded_postings`
     * as the documented recall loss — never raise the cap to swallow a
     * quadratic mega-bucket at scale.
-    * The over-cap bucket list rides a left-anti join on (band, v); its
-    * shuffle carries each banded row's single chunk array (the r16
-    * pair-verify convention: no exchange ever carries TWO payload
-    * columns), and the self-join reuses the same (band, v) hash
-    * partitioning.
+    * The cap is applied as a count-window over (band, v) on the one
+    * banded shuffle (r18); that exchange carries each banded row's
+    * single chunk array (the r16 pair-verify convention: no exchange
+    * ever carries TWO payload columns), and the self-join reuses the
+    * same (band, v) hash partitioning.
     */
   def phashNearDupPairs(df: DataFrame, maxHamming: Int,
       maxBucketSize: Int = 1000,
@@ -352,18 +352,25 @@ object Multimodal {
     }
     val banded = h.select(col("media_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("band", "v")))
-    // over-cap bucket keys: few by construction (≤ 4n/cap), keyed the
-    // same as the self-join; the observe metric makes a binding cap
-    // visible on every run (name carries a nonce — observation names
-    // must be plan-unique)
-    val over = banded.groupBy(col("band"), col("v"))
-      .agg(count(lit(1)).as("__bn"))
-      .observe(s"phash_capped_buckets_${capObsNonce.incrementAndGet()}",
+    // bucket-size prune as a count-window over the band key (r18): ONE
+    // shuffle of the banded stream instead of the groupBy-count +
+    // anti-join-back formulation's two (the anti-join's shuffle carried
+    // the same single chunk array this window's does — the pair-verify
+    // convention holds either way), and the self-join reuses this
+    // (band, v) partitioning. The observe metric rides the pre-filter
+    // window output and counts over-cap POSTINGS (recall-loss volume)
+    // instead of distinct buckets; best-effort as before — the eager
+    // audit is the guaranteed path (name carries a nonce: observation
+    // names must be plan-unique).
+    val kept = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("v"))))
+      .observe(s"phash_capped_postings_${capObsNonce.incrementAndGet()}",
         sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("capped_buckets"))
-      .filter(col("__bn") > maxBucketSize)
-      .select(col("band"), col("v"))
-    val kept = banded.join(over, Seq("band", "v"), "left_anti")
+          .as("capped_postings"))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val l = kept.select(col("band"), col("v"),
       col("media_id").as("a"), col("chunks").as("__ca"))
     val r = kept.select(col("band"), col("v"),

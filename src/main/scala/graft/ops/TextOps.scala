@@ -298,10 +298,15 @@ object TextOps {
       .select(col("doc_id"), explode(col("__t")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("__df")) // tf rows are distinct (doc, term)
+    // df via a count-window over the term key (r18): tf rows are
+    // distinct (doc, term), so count-over-token IS the document
+    // frequency — one exchange of the tf table instead of the
+    // groupBy + join-back formulation's two
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
-    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("__df", count(lit(1)).over(
+        Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         r6(col("__tf") * log(col("__n") / col("__df"))).as("score"))
     val w = Window.partitionBy(col("doc_id"))
@@ -320,9 +325,10 @@ object TextOps {
     * hygiene stats: chunks kept/removed and surviving token count.
     *
     * Scale shape: chunks shuffle once keyed by their md5 (never the
-    * corpus pairwise); the keep rule is a min-struct aggregate joined
-    * back id-to-id. Chunk text never travels through the dedup shuffle
-    * — only the 15-hex-char portable hash does.
+    * corpus pairwise); the keep rule is a min-window over that one
+    * exchange (r18 — no join-back pass). Chunk text never travels
+    * through the dedup shuffle — only the 15-hex-char portable hash
+    * does.
     */
   def chunkDedup(
       df: DataFrame,
@@ -338,8 +344,12 @@ object TextOps {
     // not a struct min that would force a SortAggregate over every chunk
     val packed = ch.withColumn("__p",
       col("doc_id") * lit(1000000000L) + col("chunk_id"))
-    val owner = packed.groupBy(col("__h")).agg(min(col("__p")).as("__op"))
-    packed.join(owner, Seq("__h"))
+    // canonical owner via a min-window over the hash key (r18): ONE
+    // exchange of the chunk stream instead of the groupBy + join-back
+    // formulation's two — the substringDupFraction/band-prune pattern
+    val owner = packed.withColumn("__op",
+      min(col("__p")).over(Window.partitionBy(col("__h"))))
+    owner
       .withColumn("__keep", (col("__p") === col("__op")).cast("int"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__keep")).as("chunks_kept"),
