@@ -2122,19 +2122,29 @@ object SparkEntry {
         // and avgs run over per-row integer cents (vc), never raw
         // doubles — a raw-double sum inside a rounding boundary flips
         // with partial-aggregation order (see feature_training_view).
-        val load = e.groupBy(hour.as("time"))
-          .agg(floor(sum(col("vc")) / lit(100.0) + lit(0.5)).as("load_kwh"))
-        val pv = e.filter(col("event_type") === "view")
-          .groupBy(hour.as("time"))
-          .agg(floor(sum(col("vc")) / lit(100.0) / count(col("vc")) + lit(0.5))
-            .as("pv_kwh"))
-        val weather = e.filter(col("event_type") === "click")
-          .groupBy(hour.as("time"))
-          .agg(r6(sum(col("vc")) / lit(100.0) / count(col("vc"))).as("temperature_2m"),
-            r6(min(col("value"))).as("wind_speed_10m"),
-            r6(max(col("value"))).as("shortwave_radiation"),
-            count(col("value")).cast("double").as("cloud_cover"),
-            r6(sum(col("vc")) / lit(10000.0)).as("precipitation_mm"))
+        // ONE corpus aggregate feeds load/pv/weather (r18): all three
+        // group on the hour with at most an event_type gate, so a base
+        // roll-up at (hour, event_type) grain serves them as exact
+        // dim-sized roll-ups above the same exchange (the
+        // feature_training_view precedent; integer sums/counts and
+        // min/max roll up exactly)
+        val base = e.groupBy(hour.as("time"), col("event_type").as("__et"))
+          .agg(sum(col("vc")).as("__svc"), count(col("vc")).as("__cnt"),
+            min(col("value")).as("__mnv"), max(col("value")).as("__mxv"))
+        val load = base.groupBy(col("time"))
+          .agg(floor(sum(col("__svc")) / lit(100.0) + lit(0.5)).as("load_kwh"))
+        val pv = base.filter(col("__et") === "view")
+          .groupBy(col("time"))
+          .agg(floor(sum(col("__svc")) / lit(100.0) / sum(col("__cnt")) +
+            lit(0.5)).as("pv_kwh"))
+        val weather = base.filter(col("__et") === "click")
+          .groupBy(col("time"))
+          .agg(r6(sum(col("__svc")) / lit(100.0) / sum(col("__cnt")))
+              .as("temperature_2m"),
+            r6(min(col("__mnv"))).as("wind_speed_10m"),
+            r6(max(col("__mxv"))).as("shortwave_radiation"),
+            sum(col("__cnt")).cast("double").as("cloud_cover"),
+            r6(sum(col("__svc")) / lit(10000.0)).as("precipitation_mm"))
           .withColumn("latitude", lit(47.5001))
           .withColumn("longitude", lit(8.7502))
         graft.features.FeatureViews.netLoadFeatures(load, pv, weather)
@@ -2228,43 +2238,60 @@ object SparkEntry {
         val hour = date_trunc("hour", col("ts")).cast("timestamp_ntz")
         val CH = "10YCH-SWISSGRIDZ"
         val DE = "10Y1001A1001A83F"
-        // exact-cents group measures: integer sum, then one (or two)
-        // deterministic double divisions — identical on both engines
-        def sumV: Column = floor(sum(col("vc")) / lit(100.0) + lit(0.5)).cast("double")
-        def avgV: Column =
-          floor(sum(col("vc")) / lit(100.0) / count(col("vc")) + lit(0.5)).cast("double")
-        val domain = when(col("event_type").isin("click", "view"), CH)
+        // ONE corpus aggregate feeds all six synthesized tables (r18):
+        // every grouping dim is a function of (hour, event_type,
+        // user_id%3, event_id%2), so a base roll-up at that grain
+        // (hours × types × 3 × 2 — dim-sized) serves prices, weather,
+        // generation, load, flows and forecast as tiny exact roll-ups
+        // above the SAME exchange (AQE ReusedExchange: the events scan
+        // + shuffle runs once where the old shape ran it six times).
+        // Exactness is preserved: integer-cents sums and counts roll up
+        // exactly, min/max compose, and each output applies the same
+        // final double division + floor as before.
+        val base = e.groupBy(hour.as("time"),
+            col("event_type").as("__et"),
+            (col("user_id") % 3).as("__ug"),
+            (col("event_id") % 2).as("__eg"))
+          .agg(sum(col("vc")).as("__svc"),
+            count(col("value")).as("__cnt"),
+            min(col("value")).as("__mnv"),
+            max(col("value")).as("__mxv"))
+        def sumV: Column =
+          floor(sum(col("__svc")) / lit(100.0) + lit(0.5)).cast("double")
+        def avgV: Column = floor(sum(col("__svc")) / lit(100.0) /
+          sum(col("__cnt")) + lit(0.5)).cast("double")
+        val domain = when(col("__et").isin("click", "view"), CH)
           .otherwise("OTHER")
-        val prices = e.groupBy(hour.as("time"), domain.as("domain"))
+        val prices = base.groupBy(col("time"), domain.as("domain"))
           .agg(sumV.as("price_eur_mwh"))
-        val lat = when(col("user_id") % 3 === 0, 47.5001)
-          .when(col("user_id") % 3 === 1, 53.5).otherwise(48.5)
-        val lon = when(col("user_id") % 3 === 0, 8.7502)
-          .when(col("user_id") % 3 === 1, 10.0).otherwise(9.0)
-        val weather = e
-          .groupBy(hour.as("time"), lat.as("latitude"), lon.as("longitude"))
+        val lat = when(col("__ug") === 0, 47.5001)
+          .when(col("__ug") === 1, 53.5).otherwise(48.5)
+        val lon = when(col("__ug") === 0, 8.7502)
+          .when(col("__ug") === 1, 10.0).otherwise(9.0)
+        val weather = base
+          .groupBy(col("time"), lat.as("latitude"), lon.as("longitude"))
           .agg(avgV.as("temperature_2m"),
-            floor(min(col("value")) + lit(0.5)).cast("double").as("wind_speed_10m"),
-            floor(max(col("value")) + lit(0.5)).cast("double").as("shortwave_radiation"),
-            count(col("value")).cast("double").as("cloud_cover"),
-            floor(sum(col("vc")) / lit(10000.0) + lit(0.5)).cast("double")
+            floor(min(col("__mnv")) + lit(0.5)).cast("double").as("wind_speed_10m"),
+            floor(max(col("__mxv")) + lit(0.5)).cast("double").as("shortwave_radiation"),
+            sum(col("__cnt")).cast("double").as("cloud_cover"),
+            floor(sum(col("__svc")) / lit(10000.0) + lit(0.5)).cast("double")
               .as("precipitation_mm"))
-        val psr = when(col("event_type") === "click", "B12")
-          .when(col("event_type") === "view", "B16").otherwise("B19")
-        val genDomain = when(col("event_type").isin("click", "view"), CH)
+        val psr = when(col("__et") === "click", "B12")
+          .when(col("__et") === "view", "B16").otherwise("B19")
+        val genDomain = when(col("__et").isin("click", "view"), CH)
           .otherwise(DE)
-        val generation = e
-          .groupBy(hour.as("time"), genDomain.as("domain"), psr.as("psr_type"))
+        val generation = base
+          .groupBy(col("time"), genDomain.as("domain"), psr.as("psr_type"))
           .agg(sumV.as("quantity_mwh"))
-        val actualLoad = e.groupBy(hour.as("time"))
+        val actualLoad = base.groupBy(col("time"))
           .agg(sumV.as("load_mwh"))
           .withColumn("domain", lit(CH))
-        val inD = when(col("event_id") % 2 === 0, DE).otherwise(CH)
-        val outD = when(col("event_id") % 2 === 0, CH).otherwise(DE)
-        val flows = e
-          .groupBy(hour.as("time"), inD.as("in_domain"), outD.as("out_domain"))
+        val inD = when(col("__eg") === 0, DE).otherwise(CH)
+        val outD = when(col("__eg") === 0, CH).otherwise(DE)
+        val flows = base
+          .groupBy(col("time"), inD.as("in_domain"), outD.as("out_domain"))
           .agg(sumV.as("flow_mwh"))
-        val fcst = e.groupBy(hour.as("time"))
+        val fcst = base.groupBy(col("time"))
           .agg(avgV.as("load_mwh"))
           .withColumn("domain", lit(CH))
         graft.features.FeatureViews.trainingFeatures(

@@ -47,20 +47,28 @@ object Graph {
     val ewd = e.join(deg, Seq("src"))
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // node set from the CACHED augmented edge list (r18): ewd's inner
+    // degree join keeps every edge row, so its endpoint set is exactly
+    // e's — reading the cache twice replaces two more executions of the
+    // (often expensive) upstream edge pipeline
+    val nodes = ewd.select(col("src").as("node"))
+      .union(ewd.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = scale * 15 / 100
     var ranks = nodes.withColumn("rank", lit(scale))
     (1 to iters).foreach { _ =>
-      val contribs = ewd
+      // contributions and the dangling-node floor fold into ONE
+      // aggregate (r18): zero-contribution rows for every node ride a
+      // union branch, so the old per-iteration groupBy + left-join-back
+      // pair (two node-sized exchanges + a join) becomes a single
+      // keyed sum — integer arithmetic, identical ranks
+      ranks = ewd
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("rank div __deg").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      ranks = nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("dst").as("node"), expr("rank div __deg").as("__c"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
+          (lit(base) + expr("(85 * __s) div 100")).as("rank"))
     }
     ranks
   }

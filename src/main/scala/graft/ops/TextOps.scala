@@ -374,15 +374,26 @@ object TextOps {
     require(vocabSize >= 2, "need at least a 2-token vocabulary")
     val tok = df.select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
       .select(col("doc_id"), explode(array_distinct(col("__t"))).as("token"))
-    // document frequency → top-vocabSize vocabulary (count desc, token asc)
+    // document frequency → top-vocabSize vocabulary (count desc, token
+    // asc), collected ONCE to the driver (r18): the vocabulary is
+    // bounded by the vocabSize argument (≤ tens of rows — the same
+    // bounded-collect class as the split-size tables), and the old
+    // three broadcast(vocab)-subtree joins each re-built the broadcast
+    // from its own copy of the corpus dfreq pass. The vocab hit gate
+    // becomes an isin literal and the marginals a map literal — zero
+    // joins, one corpus pass for dfreq and one for the hits.
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
-    val vocab = broadcast(dfreq
-      .orderBy(col("n_docs").desc, col("token")).limit(vocabSize))
+    val vocabRows = dfreq
+      .orderBy(col("n_docs").desc, col("token")).limit(vocabSize)
+      .collect()
+    val vocabTokens = vocabRows.map(_.getString(0)).toSeq
+    val dfMap = typedLit(vocabRows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
     // pairs come from a per-doc SORTED vocab-hit array (bounded at
     // vocabSize) self-paired by expression — no doc-keyed self-join, so
     // the exploded token rows shuffle ONCE (into the per-doc collect)
     // instead of twice into a join, and pair fanout stays ≤ C(|v|, 2)
-    val hits = tok.join(vocab, "token")
+    val hits = tok.filter(col("token").isin(vocabTokens: _*))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("token"))).as("__v"))
     val pairArr = flatten(transform(col("__v"), (a, i) =>
@@ -396,10 +407,8 @@ object TextOps {
       .filter(col("n_both") >= minPairCount)
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     pairs
-      .join(broadcast(vocab.select(col("token").as("token_a"),
-        col("n_docs").as("__na"))), "token_a")
-      .join(broadcast(vocab.select(col("token").as("token_b"),
-        col("n_docs").as("__nb"))), "token_b")
+      .withColumn("__na", element_at(dfMap, col("token_a")))
+      .withColumn("__nb", element_at(dfMap, col("token_b")))
       .crossJoin(broadcast(n))
       .select(col("token_a"), col("token_b"), col("n_both"),
         r6(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))))

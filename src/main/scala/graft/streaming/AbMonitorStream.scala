@@ -35,7 +35,8 @@ object AbMonitorStream {
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"),
         sum(col("__c") * col("__c")).as("q"))
     val byArm =
-      EventsStream.runToMemory(spark, state, "graft_ab_monitor", "complete")
+      EventsStream.runToMemory(spark, state, "graft_ab_monitor",
+        "complete", EventsStream.stateParts(spark, dir))
     // 1-row readout from the exact per-arm integers
     val a = (c: String) => min(when(col("variant") === "A", col(c)))
     val b = (c: String) => min(when(col("variant") === "B", col(c)))

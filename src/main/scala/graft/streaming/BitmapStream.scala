@@ -21,6 +21,7 @@ object BitmapStream {
     val agg = src
       .groupBy(col("user_id"))
       .agg(bit_or(col("bit")).as("mask"))
-    EventsStream.runToMemory(spark, agg, "graft_stream_bitmap", "complete")
+    EventsStream.runToMemory(spark, agg, "graft_stream_bitmap",
+      "complete", EventsStream.stateParts(spark, dir))
   }
 }

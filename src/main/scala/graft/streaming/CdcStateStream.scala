@@ -24,7 +24,8 @@ object CdcStateStream {
       .agg(max(struct(col("__k"), col("event_type").as("t"),
           col("__bal").as("b"))).as("__last"),
         count(lit(1)).as("n_changes"))
-    EventsStream.runToMemory(spark, agg, "graft_stream_cdc", "complete")
+    EventsStream.runToMemory(spark, agg, "graft_stream_cdc",
+      "complete", EventsStream.stateParts(spark, dir))
       .select(col("user_id"), col("__last.t").as("last_type"),
         col("__last.b").as("bal_c"), col("n_changes"))
   }

@@ -31,7 +31,7 @@ object CusumStream {
   /** Drives the stream to completion; returns (event_id, cusum_pos). */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, cusumStream(spark, dir),
-      "graft_stream_cusum", "append")
+      "graft_stream_cusum", "append", EventsStream.stateParts(spark, dir))
 
   /** The unstarted streaming plan — separated from the memory-sink
     * driver so the sizing-rule experiment (StreamCusumExperiment) can

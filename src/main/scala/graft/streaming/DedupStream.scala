@@ -17,7 +17,7 @@ object DedupStream {
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, dedupStream(spark, dir),
-      "graft_stream_dedup", "append")
+      "graft_stream_dedup", "append", EventsStream.stateParts(spark, dir))
 
   /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
     * exposed for StreamSinkExperiment's file-sink variant.

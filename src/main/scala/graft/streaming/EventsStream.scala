@@ -34,6 +34,27 @@ object EventsStream {
         .parquet(s"$dir/events.{parquet}")
   }
 
+  /** Scale-adaptive state partition count (r18): every stateful
+    * operator commits one state-store delta file per partition per
+    * micro-batch, so oversized state parallelism is pure commit
+    * fan-out. Derived from the events table's on-disk size — the
+    * state-volume proxy available before the query starts (state
+    * partition count is FIXED at first start): inputs under 64 MB run
+    * at 4 (measured better than the r16-tuned 8 on every stream family
+    * at harness scale — the state is tiny), larger inputs keep the
+    * r16-measured 8. A deployment sizes this to expected state bytes
+    * per partition (~128 MB-class), not to the batch shuffle default;
+    * unreadable paths fall back to 8 (the conservative end).
+    */
+  def stateParts(spark: SparkSession, dir: String): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+    if (bytes < 64L * 1024 * 1024) 4 else 8
+  }
+
   /** Runs `df` to completion into a uniquely-named memory sink and
     * returns the result table. The previous invocation's sink table for
     * the same `prefix` is dropped first, so a long-lived JVM (bench
@@ -42,26 +63,26 @@ object EventsStream {
     * consumes the returned DataFrame before invoking the same stream
     * family again.
     *
-    * The stateful shuffle runs at 8 partitions (session conf restored
-    * after): every stateful operator commits one state-store delta file
-    * per partition per micro-batch, so the commit fan-out at the batch
-    * shuffle default costs more than the operator itself at harness
-    * scale (measured 2× on dedup/sessionize, more on the 4-store
-    * stream-stream join). State partition count is fixed at the query's
-    * FIRST start — size it to expected state volume, not to the batch
-    * default.
+    * The stateful shuffle runs at `parts` partitions (session conf
+    * restored after; default 8, callers pass [[stateParts]]): the
+    * commit fan-out at the batch shuffle default costs more than the
+    * operator itself at harness scale (measured 2× on dedup/
+    * sessionize, more on the 4-store stream-stream join). State
+    * partition count is fixed at the query's FIRST start — size it to
+    * expected state volume, not to the batch default.
     */
   def runToMemory(
       spark: SparkSession,
       df: DataFrame,
       prefix: String,
-      outputMode: String): DataFrame = {
+      outputMode: String,
+      parts: Int = 8): DataFrame = {
     val name = prefix + "_" + java.util.UUID.randomUUID
       .toString.replace("-", "")
     Option(lastNames.put(prefix, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val q = df.writeStream
         .outputMode(outputMode)

@@ -58,7 +58,8 @@ object FileSinkStream {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      EventsStream.stateParts(spark, dir).toString)
     try runToFiles(spark, keys, out, cp)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(out)

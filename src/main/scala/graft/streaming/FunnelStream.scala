@@ -70,7 +70,8 @@ object FunnelStream {
           else Iterator.empty
       }
     val emitted = EventsStream.runToMemory(spark, stages.toDF(),
-      "graft_stream_funnel", "append")
+      "graft_stream_funnel", "append",
+      EventsStream.stateParts(spark, dir))
     // stage is monotone per user, so max over the per-batch emissions is
     // the final stage; then the deepest-stage histogram
     emitted.groupBy(col("user_id"))

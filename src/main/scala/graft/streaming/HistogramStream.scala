@@ -37,6 +37,6 @@ object HistogramStream {
       .agg(count(lit(1)).as("n"),
         min(col("__c")).as("lo"), max(col("__c")).as("hi"))
     EventsStream.runToMemory(spark, agg, "graft_stream_histogram",
-      "complete")
+      "complete", EventsStream.stateParts(spark, dir))
   }
 }

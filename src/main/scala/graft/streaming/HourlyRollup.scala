@@ -50,7 +50,8 @@ object HourlyRollup {
       dir: String,
       measure: org.apache.spark.sql.Column = col("value")): DataFrame =
     EventsStream.runToMemory(spark, rollupStream(spark, dir, measure),
-      "graft_stream_rollup", "complete")
+      "graft_stream_rollup", "complete",
+      EventsStream.stateParts(spark, dir))
 
   /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
     * exposed so StreamSinkExperiment can run the SAME transform into a
@@ -97,6 +98,7 @@ object HourlyRollup {
           .cast("timestamp_ntz").as("bucket"),
         col("event_type"))
       .agg(sum(measure).as("sum_v"), count(measure).as("n"))
-    EventsStream.runToMemory(spark, agg, "graft_stream_sliding", "complete")
+    EventsStream.runToMemory(spark, agg, "graft_stream_sliding",
+      "complete", EventsStream.stateParts(spark, dir))
   }
 }

@@ -59,7 +59,8 @@ object IntervalUnionStream {
           out.result().iterator
       }
     EventsStream.runToMemory(spark, islands.toDF(),
-        "graft_stream_islands", "append")
+        "graft_stream_islands", "append",
+        EventsStream.stateParts(spark, dir))
       .select(col("user_id"),
         timestamp_micros(col("start_us")).cast("timestamp_ntz")
           .as("island_start"),

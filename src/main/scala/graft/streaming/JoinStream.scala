@@ -24,7 +24,7 @@ object JoinStream {
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, joinStream(spark, dir),
-      "graft_stream_join", "append")
+      "graft_stream_join", "append", EventsStream.stateParts(spark, dir))
 
   /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
     * exposed for StreamSinkExperiment's file-sink variant.

@@ -36,7 +36,8 @@ object OhlcStream {
         min(col("__vc")).as("low_c"),
         max(struct(col("__k"), col("__vc"))).as("__close"),
         count(lit(1)).as("n"))
-    EventsStream.runToMemory(spark, agg, "graft_stream_ohlc", "complete")
+    EventsStream.runToMemory(spark, agg, "graft_stream_ohlc",
+      "complete", EventsStream.stateParts(spark, dir))
       .select(col("event_type"), col("bucket"),
         col("__open.__vc").as("open_c"), col("high_c"), col("low_c"),
         col("__close.__vc").as("close_c"), col("n"))

@@ -48,6 +48,7 @@ object RateAlertStream {
           out.result().iterator
       }
     EventsStream.runToMemory(spark, alerts.toDF(),
-      "graft_stream_alerts", "append")
+      "graft_stream_alerts", "append",
+      EventsStream.stateParts(spark, dir))
   }
 }

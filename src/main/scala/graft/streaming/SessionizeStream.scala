@@ -54,6 +54,7 @@ object SessionizeStream {
           out.iterator
       }
     EventsStream.runToMemory(spark, sessions.toDF(),
-      "graft_stream_sessions", "append")
+      "graft_stream_sessions", "append",
+      EventsStream.stateParts(spark, dir))
   }
 }

@@ -57,7 +57,8 @@ object StateDurationStream {
           out.result().iterator
       }
     EventsStream.runToMemory(spark, dwells.toDF(),
-        "graft_stream_dwell", "append")
+        "graft_stream_dwell", "append",
+        EventsStream.stateParts(spark, dir))
       .groupBy(col("user_id"), col("state"))
       .agg(r6(sum(col("dur_us")).cast("double") / 1e6).as("dur_secs"))
   }

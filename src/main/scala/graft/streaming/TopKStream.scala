@@ -29,7 +29,7 @@ object TopKStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val rollup = EventsStream.runToMemory(spark, counts,
-      "graft_stream_topk", "complete")
+      "graft_stream_topk", "complete", EventsStream.stateParts(spark, dir))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("n").desc, col("event_type"))
     rollup
