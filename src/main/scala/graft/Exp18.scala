@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Portable.r6
 import graft.ops._
 
 object Exp18 {
@@ -15,32 +14,6 @@ object Exp18 {
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  // OLD pageRank inlined
-  def oldPageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ewd = e.join(deg, Seq("src"))
-      .repartition(spark.sparkContext.defaultParallelism, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = scale * 15 / 100
-    var ranks = nodes.withColumn("rank", lit(scale))
-    (1 to iters).foreach { _ =>
-      val contribs = ewd
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("rank div __deg").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      ranks = nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rank"))
-    }
-    ranks
-  }
-
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,60 +24,75 @@ object Exp18 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sess = spark
+    import sess.implicits._
 
-    // registered pagerank edges (from SparkEntry region)
-    def prEdges(): DataFrame = Tables.events(spark, d)
-      .select(col("user_id").as("src"),
-        (lit(1000000L) + col("event_id") % 997).as("dst")).distinct()
-    def prOld(): DataFrame = {
-      oldPageRank(prEdges(), 3)
-        .orderBy(desc("rank"), asc("node")).limit(100)
-    }
-    def prNew() = SparkEntry.queries("graph_pagerank")(spark, d)
-    def coNew() = SparkEntry.queries("agg_cooccurrence")(spark, d)
-    def coOld(): DataFrame = {
-      // pre-r18 cooccurrence inline
-      val df0 = Tables.documents(spark, d)
-      val tok = df0.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
-        .select(col("doc_id"), explode(array_distinct(col("__t"))).as("token"))
-      val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
-      val vocab = broadcast(dfreq
-        .orderBy(col("n_docs").desc, col("token")).limit(50))
-      val hits = tok.join(vocab, "token")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(col("token"))).as("__v"))
-      val pairArr = flatten(transform(col("__v"), (a, i) =>
-        transform(slice(col("__v"), i + 2, lit(50)), b =>
-          struct(a.as("token_a"), b.as("token_b")))))
-      val pairs = hits
-        .select(explode(pairArr).as("__pair"))
-        .select(col("__pair.token_a"), col("__pair.token_b"))
-        .groupBy(col("token_a"), col("token_b"))
-        .agg(count(lit(1)).as("n_both"))
-        .filter(col("n_both") >= 2L)
-      val n = df0.agg(count(lit(1)).cast("double").as("__n"))
-      pairs
-        .join(broadcast(vocab.select(col("token").as("token_a"),
-          col("n_docs").as("__na"))), "token_a")
-        .join(broadcast(vocab.select(col("token").as("token_b"),
-          col("n_docs").as("__nb"))), "token_b")
-        .crossJoin(broadcast(n))
-        .select(col("token_a"), col("token_b"), col("n_both"),
-          r6(log(col("n_both") * col("__n") / (col("__na") * col("__nb"))))
-            .as("pmi"))
+    // parametrized markov squaring tail: cuts = set of levels to checkpoint
+    def markov(cuts: Set[Int]): DataFrame = {
+      val uw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq0 = Tables.events(spark, d).select(col("user_id"), col("event_type"),
+        row_number().over(uw).as("rn"))
+      val firstp = seq0.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+      val trunc = seq0.join(firstp, Seq("user_id"), "left")
+        .filter(col("prn").isNull || col("rn") <= col("prn"))
+        .select(col("user_id"), col("rn"),
+          when(col("event_type") === "purchase", "__conv")
+            .otherwise(col("event_type")).as("st"))
+      val aug = trunc.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(0).as("rn"), lit("__start").as("st"))
+        .unionByName(trunc)
+      val edges = aug
+        .withColumn("j", lead(col("st"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("rn"))))
+        .filter(col("j").isNotNull)
+        .groupBy(col("st").as("i"), col("j")).agg(count(lit(1)).as("c"))
+      val p = edges
+        .select(col("i"), col("j"), (col("c") * lit(1.0) /
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("i")))).as("pr"))
+        .unionByName(Seq(("__conv", "__conv", 1.0)).toDF("i", "j", "pr"))
+        .persist()
+      val vars = p.select(col("i").as("rm"))
+        .unionByName(p.select(col("j").as("rm"))).distinct()
+        .filter(!col("rm").isin("__start", "__conv"))
+        .unionByName(Seq("none").toDF("rm"))
+      var m = p.crossJoin(broadcast(vars))
+        .filter(col("i") =!= col("rm") && col("j") =!= col("rm"))
+        .localCheckpoint()
+      for (it <- 1 to 6) {
+        val a = m.select(col("rm"), col("i"), col("j").as("k"), col("pr").as("pa"))
+        val b = m.select(col("rm"), col("i").as("k"), col("j"), col("pr").as("pb"))
+        val sq = a.join(b, Seq("rm", "k"))
+          .groupBy(col("rm"), col("i"), col("j"))
+          .agg(sum(col("pa") * col("pb")).as("pr"))
+        m = if (cuts(it)) sq.localCheckpoint() else sq
+      }
+      val conv = m.filter(col("i") === "__start" && col("j") === "__conv")
+        .select(col("rm"), col("pr"))
+      val baseP = conv.filter(col("rm") === "none")
+        .select(col("pr").as("p0"))
+      val out = conv.filter(col("rm") =!= "none").crossJoin(broadcast(baseP))
+        .select(col("rm").as("channel"),
+          graft.functions.Portable.r6(
+            (col("p0") - col("pr")) / col("p0")).as("removal_effect"))
+        .orderBy(col("channel"))
+      out
     }
 
     for (r <- 1 to 2) {
-      time(s"pagerank OLD r$r") { noop(prOld()); spark.catalog.clearCache() }
-      time(s"pagerank NEW r$r") { noop(prNew()); spark.catalog.clearCache() }
-      time(s"cooccur OLD r$r") { noop(coOld()) }
-      time(s"cooccur NEW r$r") { noop(coNew()) }
+      time(s"markov cuts={2,4,6} r$r") { noop(markov(Set(2,4,6))); spark.catalog.clearCache() }
+      time(s"markov cuts={3} r$r") { noop(markov(Set(3))); spark.catalog.clearCache() }
+      time(s"markov cuts={} r$r") { noop(markov(Set.empty)); spark.catalog.clearCache() }
     }
-    val pe = prOld().collect().mkString == prNew().collect().mkString
+    val x = markov(Set(2,4,6)).collect().mkString
     spark.catalog.clearCache()
-    val ce = coOld().orderBy("token_a","token_b").collect().mkString ==
-      coNew().orderBy("token_a","token_b").collect().mkString
-    println("[exp] pr equal = " + pe + " co equal = " + ce)
+    val y = markov(Set(3)).collect().mkString
+    spark.catalog.clearCache()
+    println("[exp] equal = " + (x == y))
     spark.stop()
   }
 }
