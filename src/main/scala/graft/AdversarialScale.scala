@@ -333,6 +333,19 @@ object AdversarialScale {
     val cap = 4096 // the registered queries' cap
     val docs = templateDocs(spark, n, plantedPairs = 0)
 
+    // the r19 in-pass guard throws from a task (raise_error), so the
+    // guard text arrives wrapped in Spark's job-failure exception —
+    // search the whole cause chain for it
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      var i = 0
+      while (c != null && i < 20) {
+        sb.append(Option(c.getMessage).getOrElse("")).append('\n')
+        c = c.getCause; i += 1
+      }
+      sb.toString
+    }
     def expectThrow(what: String)(body: => Long): String = {
       try {
         val rows = body
@@ -340,16 +353,12 @@ object AdversarialScale {
           s"$what: guarded form returned $rows rows instead of failing " +
             "fast on the template corpus")
       } catch {
-        case e: IllegalStateException
-            if e.getMessage.contains(s"maxBucketSize=$cap") =>
-          require(e.getMessage.contains("Raise maxBucketSize"),
+        case e: Throwable
+            if chain(e).contains(s"maxBucketSize=$cap") =>
+          require(chain(e).contains("Raise maxBucketSize"),
             s"$what: guard message lost its actionable advice: " +
-              e.getMessage)
-          e.getMessage.replace("\"", "'").take(160)
-        case e: org.apache.spark.SparkException
-            if e.getMessage != null &&
-              e.getMessage.contains(s"maxBucketSize=$cap") =>
-          e.getMessage.replace("\"", "'").take(160)
+              chain(e))
+          chain(e).replace("\"", "'").replace("\n", " ").take(160)
       }
     }
 

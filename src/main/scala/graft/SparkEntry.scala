@@ -1137,9 +1137,10 @@ object SparkEntry {
               FROM reach GROUP BY src""")),
 
     // Guarded cap form (r17, the phash/containment precedent): the
-    // eager audit proves blocking stays LOSSLESS at the cap, so the
-    // green row equals the brute-force oracle by construction. Cap
-    // 4096 documents the driver corpus's df: max (chunk_idx, chunk)
+    // in-pass guard (r19 — raise_error where the unguarded form prunes,
+    // no separate audit job) proves blocking stays LOSSLESS at the cap,
+    // so the green row equals the brute-force oracle by construction.
+    // Cap 4096 documents the driver corpus's df: max (chunk_idx, chunk)
     // occupancy is 3,084 at sf10 (257M candidates — which the r17
     // pipelined verify keeps out of the distinct shuffle).
     Q("dedup_simhash",
@@ -6755,8 +6756,9 @@ object SparkEntry {
     // payload probes, 4×16-bit chunk pigeonhole banding, exact popcount
     // verify at Hamming ≤ 3 — image near-dup dedup on the stub-decode
     // contract, banded like every other dedup family. Runs the guarded
-    // cap form (r17): the eager audit proves the bucket cap does not
-    // bind at this corpus, so the green row is proven complete — the
+    // cap form (r17; in-pass raise_error since r19 — no separate audit
+    // job): a completed run proves the bucket cap did not bind at this
+    // corpus, so the green row is proven complete — the
     // containment_prefix precedent (the oracle bands WITHOUT a cap).
     // Cap 4096 is the call site's documented df statement: the driver
     // corpus's max (band, chunk) occupancy is 2,363 at sf10, so the
@@ -9821,10 +9823,11 @@ object SparkEntry {
       // function default is recall-safe 100000. The registered query
       // runs with failOnCappedShingles = true (VERDICT r15 task 7): the
       // green correctness row is therefore a PROVEN-exact row — if the
-      // cap ever binds on the driver corpus the query throws with the
-      // audit diagnostics instead of silently passing an approximate
-      // result, and the exactness contract is exercised on the harness
-      // path every round, not only in CappedCollectSpec.
+      // cap ever binds on the driver corpus the query throws (in-pass
+      // raise_error since r19: one shingle pass total, no separate
+      // audit job) instead of silently passing an approximate result,
+      // and the exactness contract is exercised on the harness path
+      // every round, not only in CappedCollectSpec.
       (s, d) => Dedup.containmentPairsExact(
         withPlantedDups(Tables.documents(s, d)),
         col("doc_id"), col("text"), threshold = 0.8, maxPosting = 1000,

@@ -302,16 +302,22 @@ object Dedup {
     * require(a.getAs[Long]("capped_shingles") == 0L,
     *   s"cap binds (max_df=${a.getAs[Long]("max_df")}): result would " +
     *     "be approximate — raise maxPosting or use containmentPairs")
-    * // or the guarded form: audits BEFORE pair expansion and throws
-    * // IllegalStateException when the cap would bind
+    * // or the guarded form: fails fast IN the posting pass when the
+    * // cap binds (raise_error on an over-cap posting list)
     * Dedup.containmentPairsExact(docs, $"doc_id", $"text",
     *   failOnCappedShingles = true)
     * }}}
-    * The guard runs the audit aggregate eagerly at call time (one
-    * count-per-key pass, a small fraction of the main query — see
-    * [[containmentCapAudit]]) and is the load-bearing form of the
-    * exactness contract: with it on, a returned DataFrame is PROVEN
-    * exact at the cap, with no metric to remember to read.
+    * The guard is enforced by construction inside the single posting
+    * pass (round 19 — it previously ran [[containmentCapAudit]] as a
+    * second eager shingle+count pass, ~40% of the query's wall): an
+    * over-cap posting list (the aggregate's NULL) hits a `raise_error`
+    * branch where the unguarded form filters, so the query THROWS AT
+    * EXECUTION (wrapped by Spark in the job-failure exception; the
+    * message carries `maxPosting`) instead of returning an approximate
+    * result. A guarded run that completes is PROVEN exact at the cap,
+    * with no metric to remember to read and no second corpus pass paid
+    * for the proof; run [[containmentCapAudit]] for the full df
+    * distribution when a guarded run throws.
     *
     * The high default is also MEMORY-safe, not just recall-safe: the
     * pair expansion is incremental (posexplode per posting entry, then
@@ -346,22 +352,6 @@ object Dedup {
       threshold: Double = 0.8,
       maxPosting: Int = 100000,
       failOnCappedShingles: Boolean = false): DataFrame = {
-    // opt-in exactness guard: audit the df distribution BEFORE any pair
-    // expansion and refuse to return an approximate result. Eager (one
-    // cheap aggregate at call time) by design — the point is that the
-    // caller cannot forget to check.
-    if (failOnCappedShingles) {
-      val a = containmentCapAudit(df, idCol, text, shingleK, maxPosting)
-        .head()
-      val capped = a.getAs[Long]("capped_shingles")
-      if (capped > 0L) throw new IllegalStateException(
-        s"containmentPairsExact: maxPosting=$maxPosting binds on this " +
-          s"corpus ($capped shingles over cap, max_df=" +
-          s"${a.getAs[Long]("max_df")}, excluded_postings=" +
-          s"${a.getAs[Long]("excluded_postings")}) — the result would " +
-          "be approximate. Raise maxPosting or use the banded " +
-          "containmentPairs family.")
-    }
     // NO persist: unlike every other generator in this file the shingle
     // base has exactly ONE consumer (the posting aggregation) once the
     // sizes ride inside the posting entries, so caching it would only
@@ -396,7 +386,29 @@ object Dedup {
         s"containment_capped_shingles_${capObsNonce.incrementAndGet()}",
         sum(when(col("ds").isNull, 1L).otherwise(0L))
           .as("capped_shingles"))
-      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+    // exactness guard, in-pass (r19): the guarded form replaces the
+    // silent drop of an over-cap posting list (NULL from the capped
+    // aggregate) with raise_error — the query fails fast at execution
+    // instead of paying a second audit pass up front. Same trigger
+    // condition as the old eager audit (any shingle with df > cap);
+    // identical result when the cap does not bind. The guard REPLACES
+    // the ds column (not just the filter predicate): the downstream
+    // posexplode makes InferFiltersFromGenerate add an isnotnull(ds)
+    // that FilterExec evaluates before any other predicate, which
+    // would silently drop the null rows the guard exists to catch —
+    // wrapping the column means every consumer evaluates the guard.
+    val pruned =
+      if (failOnCappedShingles) postings
+        .withColumn("ds",
+          when(col("ds").isNull, raise_error(lit(
+            s"containmentPairsExact: maxPosting=$maxPosting binds on " +
+              "this corpus (a shingle exceeded the posting cap) — the " +
+              "result would be approximate. Raise maxPosting, use the " +
+              "banded containmentPairs family, or run " +
+              "containmentCapAudit for the full df distribution.")))
+            .otherwise(col("ds")))
+        .filter(size(col("ds")) >= 2)
+      else postings.filter(col("ds").isNotNull && size(col("ds")) >= 2)
     // expand each list to its C(df,2) unordered id pairs array-locally
     // (no second exchange of the exploded corpus), INCREMENTALLY: first
     // posexplode the posting list to one row per (pos, entry), then pair
@@ -411,7 +423,7 @@ object Dedup {
     // `ds` column is not re-materialized per intermediate row, and
     // posexplode preserves the keyed partitioning (still no second
     // exchange).
-    val pairs = postings
+    val pairs = pruned
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(explode(transform(
           slice(col("ds"), col("i") + lit(2),
@@ -623,17 +635,24 @@ object Dedup {
     * memory cliff, but a template corpus shuffles ~4× every quadratic
     * bucket's pairs for nothing); (2) the occupancy cap with the
     * containment-style defenses — an `observe` metric
-    * (`simhash_capped_buckets*`, best-effort under AQE), the eager
-    * [[simhashCapAudit]], and `failOnCappedBuckets = true` (the
-    * REGISTERED query's form: its brute-force oracle makes a green row
-    * proven-lossless at the cap).
+    * (`simhash_capped_postings*`, counting rows inside over-cap buckets,
+    * best-effort under AQE), the on-demand [[simhashCapAudit]], and
+    * `failOnCappedBuckets = true` (the REGISTERED query's form: its
+    * brute-force oracle makes a green row proven-lossless at the cap).
     *
     * DEFAULT IS LOSSLESS-OR-THROW (round 18, ADVICE r17): with
     * `failOnCappedBuckets = true` as the default, the bare call either
-    * returns the exact pigeonhole-complete pair set or throws with the
-    * audit numbers — silent recall loss now requires the explicit
+    * returns the exact pigeonhole-complete pair set or THROWS AT
+    * EXECUTION — since round 19 the guard is enforced inside the one
+    * banded pass (raise_error where the unguarded form prunes; Spark
+    * wraps it in the job-failure exception, message carries
+    * `maxBucketSize` and the offending occupancy) instead of by a
+    * separate eager audit job over a persisted copy of the hash input.
+    * Silent recall loss still requires the explicit
     * `failOnCappedBuckets = false` opt-in (bounded-work mode for
-    * corpora whose mega-buckets are known template noise).
+    * corpora whose mega-buckets are known template noise); run
+    * [[simhashCapAudit]] for the full occupancy distribution when a
+    * guarded run throws.
     *
     * CHOOSING THE CAP: the cap bounds the candidate stream at
     * Σ C(min(n_b, cap), 2) ≈ 2·n·cap — linear in both the corpus and
@@ -655,27 +674,15 @@ object Dedup {
       failOnCappedBuckets: Boolean = true): DataFrame = {
     require(maxHamming < 4, "pigeonhole blocking uses 4 chunks")
     require(maxBucketSize >= 2, "a bucket needs 2 entries to form a pair")
-    // guarded form persists the (expensive — 60 token-stream
-    // aggregates) simhash input so the eager audit and the pair plan
-    // share one hash pass — the phash precedent, same open-ended cache
-    // contract (session / harness clearCache releases it)
-    val hashed = if (!failOnCappedBuckets) sims else {
-      val cached = sims.persist()
-      val a = simhashCapAudit(cached, maxBucketSize).head()
-      val capped = a.getAs[Long]("capped_buckets")
-      if (capped > 0L) {
-        cached.unpersist()
-        throw new IllegalStateException(
-          s"simhashPairs: maxBucketSize=$maxBucketSize binds on this " +
-            s"corpus ($capped buckets over cap, max_occupancy=" +
-            s"${a.getAs[Long]("max_occupancy")}, excluded_postings=" +
-            s"${a.getAs[Long]("excluded_postings")}) — blocking would " +
-            "no longer be lossless. Raise maxBucketSize or accept " +
-            "reduced recall with failOnCappedBuckets = false.")
-      }
-      cached
-    }
-    val chunked = simhashChunks(hashed)
+    // guard enforced IN the banded pass (r19): the `__bn` count-window
+    // below already knows every bucket's occupancy, so the guarded form
+    // turns the prune filter into a raise_error on an over-cap row —
+    // lossless-or-throw with NO separate audit job and NO persist of
+    // the (expensive — 60 token-stream aggregates) simhash input. The
+    // old eager-audit form paid the audit aggregate plus a cache
+    // materialization before the main plan ran; same trigger condition
+    // (any bucket over cap), identical result when the cap holds.
+    val chunked = simhashChunks(sims)
     // bucket-size prune as a count-window over the chunk key (r18):
     // ONE shuffle of the banded stream instead of the groupBy-count +
     // anti-join-back formulation's two, and the downstream self-join
@@ -691,7 +698,17 @@ object Dedup {
       .observe(s"simhash_capped_postings_${capObsNonce.incrementAndGet()}",
         sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
           .as("capped_postings"))
-      .filter(col("__bn") <= maxBucketSize)
+      .filter(
+        if (failOnCappedBuckets)
+          when(col("__bn") > maxBucketSize, raise_error(concat(
+            lit(s"simhashPairs: maxBucketSize=$maxBucketSize binds on " +
+              "this corpus (bucket occupancy "), col("__bn").cast("string"),
+            lit(") — blocking would no longer be lossless. Raise " +
+              "maxBucketSize, or accept reduced recall with " +
+              "failOnCappedBuckets = false; simhashCapAudit gives the " +
+              "full occupancy distribution."))))
+            .otherwise(lit(true))
+        else col("__bn") <= maxBucketSize)
       .drop("__bn")
     val a = kept.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("simhash").as("sh_a"))

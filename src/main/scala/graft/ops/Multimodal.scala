@@ -294,14 +294,21 @@ object Multimodal {
     * defenses mirror containment's:
     *  - the pigeonhole guarantee is only reduced where the cap BINDS,
     *    and every run SURFACES that: an `observe` metric
-    *    (`phash_capped_buckets*`) counts excluded buckets (best-effort
-    *    under AQE empty-relation collapse — see containment's caveat);
-    *  - [[phashCapAudit]] is the guaranteed audit path (one cheap
-    *    count-per-bucket aggregate over the hash, no pair expansion);
+    *    (`phash_capped_postings*`) counts rows inside over-cap buckets
+    *    (best-effort under AQE empty-relation collapse — see
+    *    containment's caveat);
+    *  - [[phashCapAudit]] is the on-demand audit path (one cheap
+    *    count-per-bucket aggregate over the hash, no pair expansion) —
+    *    run it for the full occupancy distribution when a guarded run
+    *    throws;
     *  - `failOnCappedBuckets = true` (the DEFAULT since round 18,
-    *    ADVICE r17) runs that audit eagerly at call time and throws
-    *    instead of returning a reduced-recall result — the bare call
-    *    is lossless-or-throw; silent recall loss requires the explicit
+    *    ADVICE r17) makes the bare call lossless-or-throw. Since round
+    *    19 the guard is enforced inside the one banded pass
+    *    (raise_error where the unguarded form prunes — the query THROWS
+    *    AT EXECUTION, wrapped by Spark in the job-failure exception,
+    *    message carrying `maxBucketSize` and the offending occupancy)
+    *    instead of by a separate eager audit job over a persisted copy
+    *    of the hash input. Silent recall loss requires the explicit
     *    `failOnCappedBuckets = false` opt-in. The registered query
     *    runs the guarded form, so its green correctness row is PROVEN
     *    complete at the cap.
@@ -326,31 +333,15 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 4,
       "pigeonhole over 4 chunks covers Hamming distance <= 3")
     require(maxBucketSize >= 2, "a bucket needs 2 entries to form a pair")
-    // the guarded form persists the hash so the eager audit and the
-    // pair plan share ONE dHash pass (the dominant cost — 65-probe
-    // explode + per-asset window; an uncached audit re-paid it whole,
-    // measured +11 s at sf10). Same open-ended cache contract as the
-    // minhash family: the session (or the harness's per-query
-    // clearCache) releases it; the cached rows are (id, 4 longs) —
-    // corpus-linear and tiny.
-    val h = if (!failOnCappedBuckets) dHash64(df) else {
-      val cached = dHash64(df).persist()
-      val a = capAuditOf(cached, maxBucketSize).head()
-      val capped = a.getAs[Long]("capped_buckets")
-      if (capped > 0L) {
-        cached.unpersist()
-        throw new IllegalStateException(
-          s"phashNearDupPairs: maxBucketSize=$maxBucketSize binds on " +
-            s"this corpus ($capped buckets over cap, max_occupancy=" +
-            s"${a.getAs[Long]("max_occupancy")}, excluded_postings=" +
-            s"${a.getAs[Long]("excluded_postings")}) — pairs matching " +
-            "only inside a capped bucket would be missed. Raise " +
-            "maxBucketSize or accept reduced recall with " +
-            "failOnCappedBuckets = false.")
-      }
-      cached
-    }
-    val banded = h.select(col("media_id"), col("chunks"),
+    // guard enforced IN the banded pass (r19): the `__bn` count-window
+    // below already carries every bucket's occupancy, so the guarded
+    // form turns the prune filter into raise_error on an over-cap row —
+    // lossless-or-throw with NO separate audit job and NO persisted
+    // copy of the dHash input (the eager-audit form paid the audit
+    // aggregate plus a cache materialization of the 65-probe hash pass
+    // before the main plan ran). Same trigger condition (any bucket
+    // over cap); identical result when the cap holds.
+    val banded = dHash64(df).select(col("media_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("band", "v")))
     // bucket-size prune as a count-window over the band key (r18): ONE
     // shuffle of the banded stream instead of the groupBy-count +
@@ -369,7 +360,18 @@ object Multimodal {
       .observe(s"phash_capped_postings_${capObsNonce.incrementAndGet()}",
         sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
           .as("capped_postings"))
-      .filter(col("__bn") <= maxBucketSize)
+      .filter(
+        if (failOnCappedBuckets)
+          when(col("__bn") > maxBucketSize, raise_error(concat(
+            lit(s"phashNearDupPairs: maxBucketSize=$maxBucketSize binds " +
+              "on this corpus (bucket occupancy "),
+            col("__bn").cast("string"),
+            lit(") — pairs matching only inside a capped bucket would " +
+              "be missed. Raise maxBucketSize, or accept reduced recall " +
+              "with failOnCappedBuckets = false; phashCapAudit gives " +
+              "the full occupancy distribution."))))
+            .otherwise(lit(true))
+        else col("__bn") <= maxBucketSize)
       .drop("__bn")
     val l = kept.select(col("band"), col("v"),
       col("media_id").as("a"), col("chunks").as("__ca"))
@@ -398,13 +400,14 @@ object Multimodal {
       .groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("n"))
 
-  /** Eager exactness audit for [[phashNearDupPairs]]'s bucket cap —
-    * one row: (capped_buckets, max_occupancy, excluded_postings). The
-    * guaranteed path (vs the best-effort observe metric): run it
-    * before trusting a capped run's recall on an unknown corpus, or
-    * let `failOnCappedBuckets = true` run it for you (which shares the
-    * hash pass with the main query via the cache). Cost: the dHash
-    * pass plus a count-per-bucket aggregate — no pair expansion.
+  /** Exactness audit for [[phashNearDupPairs]]'s bucket cap — one row:
+    * (capped_buckets, max_occupancy, excluded_postings). The guaranteed
+    * surfacing path (vs the best-effort observe metric): run it before
+    * trusting a CAPPED run's recall on an unknown corpus, or to read
+    * the full occupancy distribution after a guarded run throws (the
+    * guard itself is in-pass since round 19 and reports only the first
+    * offending occupancy). Cost: the dHash pass plus a count-per-bucket
+    * aggregate — no pair expansion.
     */
   def phashCapAudit(df: DataFrame, maxBucketSize: Int = 1000): DataFrame =
     capAuditOf(dHash64(df), maxBucketSize)

@@ -169,20 +169,57 @@ class CappedCollectSpec extends SparkSpecBase {
         "report the same binding-cap count")
   }
 
-  test("failOnCappedShingles: refuses an approximate result with the " +
-      "audit numbers; passes through when the cap does not bind") {
-    val e = intercept[IllegalStateException] {
+  test("failOnCappedShingles: refuses an approximate result at " +
+      "execution (in-pass guard, r19); passes through when the cap " +
+      "does not bind") {
+    // the guard fires inside the single posting pass (raise_error on an
+    // over-cap posting list), so the throw happens when the query RUNS,
+    // wrapped by Spark in the job-failure exception — no second audit
+    // pass is paid for the proof
+    val e = intercept[Throwable] {
       Dedup.containmentPairsExact(capCorpus, col("doc_id"), col("text"),
         threshold = 0.9, maxPosting = 10, failOnCappedShingles = true)
+        .collect()
     }
-    assert(e.getMessage.contains("maxPosting=10") &&
-      e.getMessage.contains("max_df=30"),
-      s"guard must carry the audit evidence, got: ${e.getMessage}")
+    assert(chainMessages(e).contains("maxPosting=10"),
+      s"guard must name the binding cap, got: ${chainMessages(e)}")
     val ok = Dedup.containmentPairsExact(capCorpus, col("doc_id"),
       col("text"), threshold = 0.9, maxPosting = 1000,
       failOnCappedShingles = true)
     assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((100L, 101L)), "guarded under-cap run returns the exact pairs")
+  }
+
+  test("the guarded form runs NO eager job at construction (the r19 " +
+      "fold — guard rides the main plan), and matches the unguarded " +
+      "result under the cap") {
+    // the old guarded form ran containmentCapAudit as a SEPARATE Spark
+    // job at DataFrame-construction time (a second full shingle pass);
+    // the r19 fold moves the guard into the posting pass itself, so
+    // construction must be job-free
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    val guarded =
+      try {
+        val g = Dedup.containmentPairsExact(capCorpus, col("doc_id"),
+          col("text"), threshold = 0.9, maxPosting = 1000,
+          failOnCappedShingles = true)
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        assert(jobs == 0,
+          s"guarded construction must run no Spark job (the old eager " +
+            s"audit did), ran $jobs")
+        g
+      } finally spark.sparkContext.removeSparkListener(l)
+    val unguarded = Dedup.containmentPairsExact(capCorpus, col("doc_id"),
+      col("text"), threshold = 0.9, maxPosting = 1000)
+    assert(guarded.collect().map(_.toString).sorted.toSeq ==
+      unguarded.collect().map(_.toString).sorted.toSeq,
+      "guard must be invisible in the result when the cap holds")
   }
 
   test("the REGISTERED dedup_containment_prefix query runs with the " +
@@ -202,11 +239,12 @@ class CappedCollectSpec extends SparkSpecBase {
             lit(" the same boilerplate tail every doc shares"))
             .as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val e = intercept[IllegalStateException] {
+      val e = intercept[Throwable] {
         SparkEntry.queries("dedup_containment_prefix")(spark, dir).collect()
       }
-      assert(e.getMessage.contains("maxPosting=1000"),
-        s"registered query must surface the audit, got: ${e.getMessage}")
+      assert(chainMessages(e).contains("maxPosting=1000"),
+        s"registered query must surface the binding cap, got: " +
+          chainMessages(e))
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))

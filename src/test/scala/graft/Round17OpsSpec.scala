@@ -115,7 +115,6 @@ class Round17OpsSpec extends SparkSpecBase {
       .phashNearDupPairs(templateCorpus, maxHamming = 3)
       .count()
     assert(uncapped == 20L * 19 / 2 + 1)
-    spark.catalog.clearCache() // release the guarded form's hash cache
   }
 
   test("phashCapAudit reports the binding cap; failOnCappedBuckets throws") {
@@ -125,11 +124,15 @@ class Round17OpsSpec extends SparkSpecBase {
       "all four template bands must be over a cap of 5")
     assert(a.getAs[Long]("max_occupancy") == 20L)
     assert(a.getAs[Long]("excluded_postings") == 80L)
-    val ex = intercept[IllegalStateException] {
+    // r19: the guard is in-pass (raise_error where the unguarded form
+    // prunes), so it fires at EXECUTION wrapped in Spark's job-failure
+    // exception — no separate eager audit job
+    val ex = intercept[Throwable] {
       Multimodal.phashNearDupPairs(templateCorpus, maxHamming = 3,
-        maxBucketSize = 5, failOnCappedBuckets = true)
+        maxBucketSize = 5, failOnCappedBuckets = true).count()
     }
-    assert(ex.getMessage.contains("maxBucketSize=5"))
+    assert(chainMessages(ex).contains("maxBucketSize=5"),
+      s"guard must name the binding cap, got: ${chainMessages(ex)}")
     // a non-binding cap passes the guard and returns the full result
     assert(Multimodal.phashNearDupPairs(templateCorpus, maxHamming = 3,
       maxBucketSize = 1000, failOnCappedBuckets = true).count() == 191L)
@@ -157,15 +160,16 @@ class Round17OpsSpec extends SparkSpecBase {
     assert(a.getAs[Long]("capped_buckets") >= 4L,
       "every chunk band must carry a capped template bucket")
     assert(a.getAs[Long]("max_occupancy") == 20L)
-    val ex = intercept[IllegalStateException] {
+    // r19: in-pass guard — fires at execution, wrapped by Spark
+    val ex = intercept[Throwable] {
       Dedup.simhashPairs(sims, maxHamming = 3, maxBucketSize = 5,
-        failOnCappedBuckets = true)
+        failOnCappedBuckets = true).count()
     }
-    assert(ex.getMessage.contains("maxBucketSize=5"))
+    assert(chainMessages(ex).contains("maxBucketSize=5"),
+      s"guard must name the binding cap, got: ${chainMessages(ex)}")
     // a non-binding cap passes the guard and returns the lossless result
     assert(Dedup.simhashPairs(sims, maxHamming = 3,
       failOnCappedBuckets = true).count() == uncapped)
-    spark.catalog.clearCache() // release the guarded form's hash cache
   }
 
   test("phash audit is all-zero on an empty corpus") {
