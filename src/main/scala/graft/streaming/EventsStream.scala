@@ -34,17 +34,28 @@ object EventsStream {
         .parquet(s"$dir/events.{parquet}")
   }
 
-  /** Scale-adaptive state partition count (r18): every stateful
-    * operator commits one state-store delta file per partition per
-    * micro-batch, so oversized state parallelism is pure commit
-    * fan-out. Derived from the events table's on-disk size — the
-    * state-volume proxy available before the query starts (state
-    * partition count is FIXED at first start): inputs under 64 MB run
-    * at 4 (measured better than the r16-tuned 8 on every stream family
-    * at harness scale — the state is tiny), larger inputs keep the
-    * r16-measured 8. A deployment sizes this to expected state bytes
-    * per partition (~128 MB-class), not to the batch shuffle default;
-    * unreadable paths fall back to 8 (the conservative end).
+  /** Scale-adaptive state partition count: every stateful operator
+    * commits one state-store delta file per partition per micro-batch,
+    * so oversized state parallelism is pure commit fan-out — but the
+    * count is FIXED at the query's first start, so undersizing it is a
+    * permanent parallelism ceiling on every stateful stream. r19
+    * (VERDICT r18 item 2) replaces the r18 two-point step function
+    * ({4, 8}) with an actual scale law:
+    *
+    *   clamp(ceil(inputBytes / targetBytes), 4, cores)
+    *
+    * where `inputBytes` is the events table's on-disk size (the
+    * state-volume proxy available before the stream starts) and
+    * `targetBytes` is the per-partition state budget —
+    * `SPARK_GRAFT_STATE_TARGET_BYTES`, default 128 MiB (the
+    * shuffle-partition sizing class of guide §2.2; a deployment sizes
+    * it to expected state bytes per partition, never to the batch
+    * shuffle default). The floor of 4 is the harness-scale measured
+    * optimum (r18: tiny state, commit fan-out dominates); the cap is
+    * the session's core count — state partitions beyond available
+    * slots buy no parallelism, only fan-out. An unreadable input path
+    * takes the core-count cap — conservative for real state volume (an
+    * unknown input is sized like a large one).
     */
   def stateParts(spark: SparkSession, dir: String): Int = {
     val bytes = try {
@@ -52,7 +63,19 @@ object EventsStream {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
     } catch { case _: Throwable => Long.MaxValue }
-    if (bytes < 64L * 1024 * 1024) 4 else 8
+    val target = sys.env.getOrElse("SPARK_GRAFT_STATE_TARGET_BYTES",
+      (128L * 1024 * 1024).toString).toLong
+    statePartsFor(bytes, target, spark.sparkContext.defaultParallelism)
+  }
+
+  /** The pure scale law behind [[stateParts]] — split out so the
+    * clamp arithmetic is unit-testable without filesystem fixtures.
+    */
+  def statePartsFor(bytes: Long, targetBytes: Long, cores: Int): Int = {
+    val cap = math.max(4, cores)
+    val raw = math.ceil(bytes.toDouble / math.max(1L, targetBytes))
+      .min(cap.toDouble).toInt
+    math.max(4, raw)
   }
 
   /** Runs `df` to completion into a uniquely-named memory sink and
@@ -76,12 +99,24 @@ object EventsStream {
       df: DataFrame,
       prefix: String,
       outputMode: String,
-      parts: Int = 8): DataFrame = {
+      parts: Int = 8,
+      noDataBatches: Boolean = true): DataFrame = {
     val name = prefix + "_" + java.util.UUID.randomUUID
       .toString.replace("-", "")
     Option(lastNames.put(prefix, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // no-data micro-batches exist to advance the watermark so that
+    // STATE-GATED output (append-mode aggregates, outer-join nulls,
+    // timeouts) flushes; an INNER stream-stream join emits matches in
+    // the data batch that completes them, so a caller driving one to
+    // completion may opt out (r19, VERDICT r18 item 2) and skip the
+    // trailing zero-data batches — output-identical FOR INNER JOINS
+    // ONLY; every other stream family keeps the default.
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val q = df.writeStream
@@ -93,6 +128,8 @@ object EventsStream {
       finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
       // every StreamExecution leaks one StreamingQueryListenerBus via
       // its cloned session (r16 soak: +1 listener per driven stream,
       // +17 per full-suite pass) — prune it here so a long session

@@ -21,10 +21,20 @@ object JoinStream {
     * stream-stream join keeps FOUR state stores per partition, the
     * worst case for commit fan-out). Output: one row per
     * (click, view-within-30-min) pair.
+    *
+    * `noDataBatches = false` (r19): an INNER stream-stream join emits a
+    * match in the data batch that completes it — the watermark only
+    * EVICTS state, it gates no output — so the trailing zero-data
+    * micro-batches (each a full 4-store commit cycle across every state
+    * partition) are pure teardown cost here. This is the one stream
+    * family where the opt-out is output-identical (r18 per-stream
+    * review); append aggregates, outer joins and timeout-based
+    * operators all keep the default.
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, joinStream(spark, dir),
-      "graft_stream_join", "append", EventsStream.stateParts(spark, dir))
+      "graft_stream_join", "append", EventsStream.stateParts(spark, dir),
+      noDataBatches = false)
 
   /** The pre-sink streaming DataFrame behind [[runToCompletion]] —
     * exposed for StreamSinkExperiment's file-sink variant.

@@ -118,4 +118,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() > 0)
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("stateParts is a clamped scale law, not a step function (r19): " +
+      "floor 4, grows with input bytes, capped at cores") {
+    import graft.streaming.EventsStream.statePartsFor
+    val MiB = 1024L * 1024
+    val target = 128 * MiB
+    // floor: tiny inputs stay at the harness-measured optimum of 4
+    assert(statePartsFor(2 * MiB, target, 32) == 4)
+    assert(statePartsFor(0L, target, 32) == 4)
+    // growth: the count scales with ceil(bytes / target)
+    assert(statePartsFor(700 * MiB, target, 32) == 6)
+    assert(statePartsFor(1280 * MiB, target, 32) == 10)
+    // cap: never beyond available cores (beyond slots = pure fan-out)
+    assert(statePartsFor(100L * 1024 * MiB, target, 32) == 32)
+    // unreadable-input fallback (Long.MaxValue) sizes like a large one
+    assert(statePartsFor(Long.MaxValue, target, 32) == 32)
+    // degenerate cores still respect the floor
+    assert(statePartsFor(Long.MaxValue, target, 1) == 4)
+  }
 }
