@@ -6336,9 +6336,15 @@ object SparkEntry {
         // row count via observe — the compaction plan needs it, and a
         // real compactor takes it from write metrics, not a re-read of
         // the small files it is about to replace (guide §1.4/§6).
+        // The observe sits ABOVE the range exchange (ADVICE r18):
+        // repartitionByRange's range-sampling pass re-executes the
+        // subtree BELOW the exchange, so an observe placed there counts
+        // every row twice (~2× n → compacted files at ~125k rows
+        // instead of the documented ~250k target); only the final job
+        // flows through a metrics node above the exchange.
         val obs = new org.apache.spark.sql.Observation()
-        ev0.observe(obs, count(lit(1)).as("n"))
-          .repartitionByRange(200, col("chunk"), col("ts"))
+        ev0.repartitionByRange(200, col("chunk"), col("ts"))
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").partitionBy("chunk").parquet(small)
         val src = s.read.parquet(small)
         val target = 250000L
@@ -7449,17 +7455,28 @@ object SparkEntry {
               WHERE c.neg_id <> c.doc_id""")),
 
     // Lorenz-curve deciles of customer revenue — the inequality readout
-    // behind agg_gini: decile by per-customer revenue (ntile over the
-    // customer DIM, unique-keyed tiebreak), cumulative revenue share
-    // per decile. At 100× the dim window becomes ScalableRank's
-    // bucketed percent_rank; the fact-side work is one keyed aggregate.
+    // behind agg_gini: decile by per-customer revenue (unique-keyed
+    // tiebreak), cumulative revenue share per decile. The decile comes
+    // from ScalableRank.globalNtile (r19): the customer dim GROWS with
+    // data (1.5k→15k per SF step here, billions at 100 TB), so the old
+    // ntile(10) over an unpartitioned window was a one-reducer funnel;
+    // the bucketed form numbers rows inside revenue-range buckets
+    // (floor(rev/4096) — value-domain-bounded, monotone in the
+    // ordering) and applies the identical SQL split formula. The
+    // 10-row decile windows below are dim-sized and stay.
     Q("agg_lorenz_deciles",
       (s, d) => {
+        // persisted: globalNtile consumes its input twice (bucket
+        // offsets + numbering join) — uncached, each consumer re-runs
+        // the corpus-sized orders aggregate. Customer-dim-sized rows;
+        // open-ended cache contract (harness clearCache releases).
         val rev = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice")).as("rev"))
-        val dec = rev.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("rev"), col("o_custkey"))))
+          .localCheckpoint(false)
+        val dec = ScalableRank.globalNtile(rev,
+          floor(col("rev") / lit(4096.0)),
+          Seq(col("rev"), col("o_custkey")), 10, "decile")
         val byDec = dec.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("r"))
         byDec
@@ -8244,9 +8261,13 @@ object SparkEntry {
     // since last purchase), frequency (purchase count), monetary
     // (Σcents), each cut into quintiles (unique-keyed ntile ties), the
     // three digits concatenated into the segment code. The per-user
-    // aggregate is the only corpus-sized pass; the three quintile
-    // windows run over the user dim (ScalableRank's bucketed
-    // percent_rank at 100×).
+    // aggregate is the only corpus-sized pass. The three quintiles come
+    // from ScalableRank.globalNtile (r19): the user dim GROWS with data
+    // (150→1.5k per SF step; row-scale at 100 TB), so the old three
+    // unpartitioned ntile(5) windows were one-reducer funnels. Buckets
+    // per ordering are value-domain-bounded and ASC-monotone: the day
+    // grid for recency, the negated count for f DESC, the negated
+    // 4096-cent band for m DESC.
     Q("agg_rfm_segments",
       (s, d) => {
         val maxDay = ev(s, d).agg(max(to_date(col("ts"))).as("d0"))
@@ -8259,13 +8280,58 @@ object SparkEntry {
           .select(col("user_id"),
             datediff(col("d0"), col("last_day")).as("recency_days"),
             col("f"), col("m"))
-        def q(c: Column, tie: Column, asc: Boolean) = ntile(5).over(
-          if (asc) Window.orderBy(c.asc, tie.asc)
-          else Window.orderBy(c.desc, tie.asc))
-        per.select(col("user_id"), col("recency_days"), col("f"), col("m"),
-            q(col("recency_days"), col("user_id"), asc = true).as("r_q"),
-            q(col("f"), col("user_id"), asc = false).as("f_q"),
-            q(col("m"), col("user_id"), asc = false).as("m_q"))
+          // checkpointed: the bucket-offset numbering consumes this
+          // twice (offsets + numbering join) — uncached, each consumer
+          // re-runs the corpus-sized purchase aggregate. User-dim rows.
+          .localCheckpoint(false)
+        // all three quintiles ride ONE bucket-offset machinery (§2.4):
+        // unpivot (metric, value) so one offsets aggregate, one
+        // numbering window and one pivot-back serve r/f/m together —
+        // the chained per-metric form re-numbers the user dim three
+        // times. v is ASC-uniform (negated for the DESC metrics); the
+        // band is value-domain-bounded per metric (day grid / negated
+        // count / negated 4096-cent band), met leads every key so the
+        // three metrics never share a partition or an offset.
+        val unp = per.select(col("user_id"), col("recency_days"),
+            col("f"), col("m"),
+            explode(array(
+              struct(lit(1).as("met"),
+                col("recency_days").cast("long").as("v")),
+              struct(lit(2).as("met"), (-col("f")).as("v")),
+              struct(lit(3).as("met"), (-col("m")).as("v"))))
+              .as("x"))
+          .select(col("user_id"), col("recency_days"), col("f"), col("m"),
+            col("x.met").as("met"),
+            col("x.v").as("v"),
+            when(col("x.met") === 3, expr("x.v div 4096"))
+              .otherwise(col("x.v")).as("band"))
+        val offs = unp.groupBy(col("met"), col("band"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__off", coalesce(sum(col("__c")).over(
+            Window.partitionBy(col("met")).orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy(col("met"))))
+          .drop("__c")
+        val tiled = unp
+          .join(broadcast(offs), Seq("met", "band"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("met"), col("band"))
+              .orderBy(col("v"), col("user_id"))).cast("long") +
+            col("__off"))
+          // the standard SQL ntile split (globalNtile's formula): the
+          // first n%5 tiles take (n div 5)+1 rows, the rest n div 5
+          .withColumn("__t", expr(
+            """CASE WHEN __rn <= (__n % 5) * ((__n div 5) + 1)
+                 THEN ((__rn - 1) div ((__n div 5) + 1)) + 1
+                 ELSE (__n % 5) +
+                   ((__rn - 1 - (__n % 5) * ((__n div 5) + 1))
+                     div (__n div 5)) + 1 END""").cast("int"))
+        tiled.groupBy(col("user_id"), col("recency_days"),
+            col("f"), col("m"))
+          .agg(max(when(col("met") === 1, col("__t"))).as("r_q"),
+            max(when(col("met") === 2, col("__t"))).as("f_q"),
+            max(when(col("met") === 3, col("__t"))).as("m_q"))
           .withColumn("segment", concat_ws("-",
             col("r_q"), col("f_q"), col("m_q")))
       },

@@ -298,7 +298,16 @@ object EventAnalytics {
     * pinned to 0 by a running flag.
     *
     * Scale: one (user) aggregate over raw rows, then everything is
-    * tenure-grid-sized (≤ observed span in days).
+    * tenure-grid-sized. CARDINALITY BOUND (r19 single-partition-window
+    * audit): the unpartitioned `byTenure`/at-risk windows below run on
+    * the output of `groupBy(tenure)` — one row per DISTINCT tenure
+    * value, and tenure = datediff(last, first) ∈ [0, observed calendar
+    * span in days]. The window input is bounded by the time horizon
+    * (≤ tens of thousands of rows after decades), never by data
+    * volume — users/events grow the aggregate's INPUT, not the tenure
+    * grid. A one-partition window over a calendar-bounded grid is the
+    * same class as the day-dim lag windows (SparkEntry dq_row_drift /
+    * win_seasonal_mk) and needs no prefix-sum machinery.
     */
   def survivalCurve(
       df: DataFrame,

@@ -172,6 +172,48 @@ object ScalableRank {
       .drop(p)
   }
 
+  /** Exact `ntile(k)` over a GLOBAL ordering without the
+    * single-partition window (r19, VERDICT r18 item 3): a bare
+    * `ntile(k).over(Window.orderBy(...))` funnels the whole relation
+    * through one reducer — a one-task wall at 100 TB on any row-scale
+    * input (customer/user dims grow with data). This computes the
+    * identical tile assignment from [[globalRowNumber]]'s bucket-offset
+    * global row number plus the standard SQL split formula (the first
+    * `n % k` tiles take `n div k + 1` rows, the rest `n div k` — what
+    * Spark's and DuckDB's NTile both implement), all in exact integer
+    * arithmetic:
+    *
+    *   cut  = (n % k) * (n div k + 1)
+    *   tile = rn <= cut ? (rn-1) div (n div k + 1) + 1
+    *                    : (n % k) + (rn-1-cut) div (n div k) + 1
+    *
+    * (`n < k` degenerates to tile = rn via the first branch — cut = n
+    * and `n div k` = 0 never divides because the ELSE arm is
+    * unreached.) Same contract as every operator here: `bucket` must be
+    * monotone ASCENDING in `orderCols` (for a DESC ordering pass the
+    * negated column), and the bucket count must be value-domain-bounded
+    * (the offsets relation is broadcast).
+    */
+  def globalNtile(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      k: Int,
+      name: String): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    val rn = "__graft_ntile_rn"
+    val nT = "__graft_ntile_n"
+    val numbered = globalRowNumber(df, bucket, orderCols, rn, Some(nT))
+    numbered
+      .withColumn(name, expr(
+        s"""CASE WHEN `$rn` <= (`$nT` % $k) * ((`$nT` div $k) + 1)
+             THEN ((`$rn` - 1) div ((`$nT` div $k) + 1)) + 1
+             ELSE (`$nT` % $k) +
+               ((`$rn` - 1 - (`$nT` % $k) * ((`$nT` div $k) + 1))
+                 div (`$nT` div $k)) + 1 END""").cast("int"))
+      .drop(rn, nT)
+  }
+
   /** Stride downsample to at most `maxPoints` rows (reference
     * `src/api/main.py:1038-1045`): step = ceil(n / maxPoints), keep rows at
     * global positions 0, step, 2·step, … of the given ordering.

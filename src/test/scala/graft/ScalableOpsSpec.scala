@@ -396,4 +396,29 @@ class ScalableOpsSpec extends SparkSpecBase {
       Seq(col("doc_id")), col("n_tokens"), seqLen = 1000000)
     assert(one.filter(col("seq_id") =!= 0).count() == 0)
   }
+
+  test("ScalableRank.globalNtile equals ntile over a global window — " +
+      "uneven splits, n < k, DESC orderings with negated buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random values with ties; sizes chosen so
+    // n % k != 0 (347 % 10 = 7), n % k == 0 (340), and n < k (7)
+    for (n <- Seq(347, 340, 7)) {
+      val df = spark.range(n).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(1000L)).as("v"))
+      // ASC: bucket = coarse band of v (monotone in the ordering)
+      val gotAsc = ScalableRank.globalNtile(df, expr("v div 100"),
+        Seq(col("v").asc, col("id").asc), 10, "t")
+      val wantAsc = df.withColumn("t",
+        ntile(10).over(Window.orderBy(col("v").asc, col("id").asc)))
+      assert(gotAsc.select("id", "t").exceptAll(
+        wantAsc.select("id", "t")).isEmpty, s"ASC mismatch at n=$n")
+      // DESC: bucket must be negated to stay ASC-monotone
+      val gotDesc = ScalableRank.globalNtile(df, -expr("v div 100"),
+        Seq(col("v").desc, col("id").asc), 10, "t")
+      val wantDesc = df.withColumn("t",
+        ntile(10).over(Window.orderBy(col("v").desc, col("id").asc)))
+      assert(gotDesc.select("id", "t").exceptAll(
+        wantDesc.select("id", "t")).isEmpty, s"DESC mismatch at n=$n")
+    }
+  }
 }
