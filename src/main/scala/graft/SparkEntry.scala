@@ -2132,6 +2132,12 @@ object SparkEntry {
         val base = e.groupBy(hour.as("time"), col("event_type").as("__et"))
           .agg(sum(col("vc")).as("__svc"), count(col("vc")).as("__cnt"),
             min(col("value")).as("__mnv"), max(col("value")).as("__mxv"))
+          // materialized ONCE (r19) — the feature_training_view
+          // rationale: the net-load view's lag-series persist and
+          // weather broadcast run as separate jobs, each otherwise
+          // re-aggregating the corpus; the checkpoint pins the
+          // (hour × type)-grain roll-up, dim-sized at any scale.
+          .localCheckpoint(false)
         val load = base.groupBy(col("time"))
           .agg(floor(sum(col("__svc")) / lit(100.0) + lit(0.5)).as("load_kwh"))
         val pv = base.filter(col("__et") === "view")
@@ -2257,6 +2263,16 @@ object SparkEntry {
             count(col("value")).as("__cnt"),
             min(col("value")).as("__mnv"),
             max(col("value")).as("__mxv"))
+          // materialized ONCE (r19): the r18 shared-exchange claim held
+          // only within a single job — FeatureViews persists its seven
+          // lag series and builds three broadcasts, each in its OWN
+          // job, and exchange reuse never crosses job boundaries, so
+          // the one-shot run re-aggregated the corpus ~10× (driver
+          // bench: 40 task-CPU-s vs 1.6 steady). The lazy checkpoint
+          // pins the (hour × type × 3 × 2)-grain roll-up — dim-sized
+          // at any corpus scale — so every downstream job reads it
+          // instead of the events table.
+          .localCheckpoint(false)
         def sumV: Column =
           floor(sum(col("__svc")) / lit(100.0) + lit(0.5)).cast("double")
         def avgV: Column = floor(sum(col("__svc")) / lit(100.0) /
