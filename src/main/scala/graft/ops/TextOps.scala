@@ -364,6 +364,18 @@ object TextOps {
     * C(vocabSize, 2) pairs from its DISTINCT vocab hits, and the output
     * is vocab²-sized — never corpus-sized. PMI = ln(n_ab·N / (n_a·n_b))
     * over document frequencies, rounded for cross-engine equality.
+    *
+    * EAGER contract (r18 collect, documented per ADVICE r18): the
+    * vocabulary is collected to the driver at CALL time, so building
+    * (or explaining) the returned DataFrame runs the dfreq corpus pass,
+    * and the plan snapshots the vocabulary as literals — a caller that
+    * mutates the input path between construction and execution gets the
+    * construction-time vocabulary. That trade buys the plan shape: the
+    * vocab gate is an `isin` literal and the marginals a map literal
+    * instead of three broadcast-join subtrees each re-deriving the
+    * dfreq pass. `vocabSize` is bounded (≤ 4096) because both literals
+    * grow linearly with it; above that class the broadcast-join
+    * formulation (git history, r17) is the right tool.
     */
   def cooccurrence(
       df: DataFrame,
@@ -372,6 +384,11 @@ object TextOps {
       vocabSize: Int,
       minPairCount: Long = 2L): DataFrame = {
     require(vocabSize >= 2, "need at least a 2-token vocabulary")
+    require(vocabSize <= 4096,
+      s"vocabSize=$vocabSize: the collected vocabulary is snapshotted " +
+        "into the plan as isin/map literals, which is only sane for a " +
+        "bounded vocabulary — use the broadcast-join formulation for " +
+        "larger vocabularies")
     val tok = df.select(idCol.as("doc_id"), Dedup.tokens(text).as("__t"))
       .select(col("doc_id"), explode(array_distinct(col("__t"))).as("token"))
     // document frequency → top-vocabSize vocabulary (count desc, token
